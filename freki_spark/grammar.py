@@ -1,0 +1,63 @@
+"""FrekiSpec v1 §S6 — the freki output-format grammar.
+
+These scalar helpers ARE the serialization contract (the exact byte
+format of block-header and line spans).  They are shared between the
+single-node oracle and the Spark kernel on purpose: the *grammar* is
+spec, the *layout computation* is implementation (coded twice, see
+SURVEY.md §5.2).
+
+Reference parity target: freki/serialize.py (FrekiBlock.__str__,
+FrekiLine) in pvk444/freki — unavailable at build time (empty mount,
+SURVEY.md §0).  RECONCILE the exact header/line grammar when the
+reference tree appears.
+"""
+
+from __future__ import annotations
+
+from .spec import FONT_KEY_SEP, FONT_SIZE_NDIGITS
+
+
+def font_key(font: str, size: float) -> str:
+    """Composite key for a (font-face, size) pair; size pre-rounded."""
+    return f"{font}{FONT_KEY_SEP}{round(float(size), FONT_SIZE_NDIGITS):.1f}"
+
+
+def font_label(font_id: int, key: str) -> str:
+    """Render ``F<id>-<size:.1f>`` from a global font id and its key."""
+    size_part = key.split(FONT_KEY_SEP, 1)[1]
+    return f"F{font_id}-{size_part}"
+
+
+def render_block_header(
+    doc_id: str,
+    page: int,
+    block_k: int,
+    llx: float,
+    lly: float,
+    urx: float,
+    ury: float,
+    start_line: int,
+    end_line: int,
+) -> str:
+    return (
+        f"doc_id={doc_id} page={page} block_id={page}-{block_k} "
+        f"bbox={llx:.1f},{lly:.1f},{urx:.1f},{ury:.1f} {start_line} {end_line}"
+    )
+
+
+def render_bbox(llx: float, lly: float, urx: float, ury: float) -> str:
+    """Just the bbox part, for the salted path's pre-rendered payloads."""
+    return f"{llx:.1f},{lly:.1f},{urx:.1f},{ury:.1f}"
+
+
+def render_block_header_from_parts(
+    doc_id: str, page: int, block_k: int, bbox: str, start_line: int, end_line: int
+) -> str:
+    return (
+        f"doc_id={doc_id} page={page} block_id={page}-{block_k} "
+        f"bbox={bbox} {start_line} {end_line}"
+    )
+
+
+def render_line(line_no: int, font_labels: list[str], rendered_text: str) -> str:
+    return f"line={line_no} fonts={','.join(font_labels)}:{rendered_text}"

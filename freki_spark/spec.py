@@ -1,0 +1,71 @@
+"""FrekiSpec v1 — all layout constants in one module.
+
+This is the single reconciliation point against the reference
+(pvk444/freki).  The reference mount at /root/reference was EMPTY at
+survey and build time (SURVEY.md §0), so every constant below is a
+reconstructed engineering default consistent with the LREC-2018
+description of freki (Goodman, Georgi & Xia, "PDF-to-Text Reanalysis
+for Linguistic Data Mining") and the north-star spec in BASELINE.json.
+Each is marked RECONCILE: re-derive from the real reference tree
+(freki/analyzers/base.py, freki/serialize.py) when it appears.
+
+Both implementations of the spec import ONLY this module:
+
+- ``freki_spark.oracle``  — readable single-node pure-Python/numpy
+  oracle (the golden-answer generator);
+- ``freki_spark.kernel``  — the vectorized numpy kernel that runs
+  inside the Spark pandas UDFs.
+
+They are deliberately coded separately (two-implementation consistency
+check, SURVEY.md §5.2).
+"""
+
+# ---- S2: line clustering -------------------------------------------------
+# A token joins the current line when the vertical interval overlap
+#   min(ury_tok, ury_line) - max(lly_tok, lly_line)
+# exceeds LINE_OVERLAP_RATIO * min(height_tok, height_line).
+# RECONCILE: ratio and whether the reference clusters on baselines.
+LINE_OVERLAP_RATIO = 0.5
+
+# ---- S3: inter-token spacing ---------------------------------------------
+# Spaces between consecutive tokens = round(gap / char_width), with a
+# minimum of one space once gap > SPACE_MIN_GAP_RATIO * char_width.
+# round() is IEEE-754 banker's rounding (numpy & python agree).
+# RECONCILE: both constants.
+SPACE_MIN_GAP_RATIO = 0.35
+
+# ---- S4: column detection -------------------------------------------------
+# A whitespace channel must be at least COLUMN_MIN_CHANNEL_PT wide,
+# centered within the central COLUMN_CENTER_FRAC of the page width,
+# and be compatible with at least COLUMN_MIN_LINE_FRAC of the page's
+# provisional lines.  At most one split (no 3-column support).
+# RECONCILE: all three constants and the full-width-line rule.
+COLUMN_MIN_CHANNEL_PT = 12.0
+COLUMN_CENTER_FRAC = 0.40          # channel center in [0.3W, 0.7W]
+COLUMN_MIN_LINE_FRAC = 0.75
+
+# ---- S5: block segmentation ----------------------------------------------
+# New block when inter-line gap > BLOCK_GAP_FACTOR * median positive
+# gap on the page, or when the line's dominant (font, size) differs
+# from the block's dominant font.  Sizes rounded to FONT_SIZE_NDIGITS.
+# RECONCILE: beta and the font-change rule.
+BLOCK_GAP_FACTOR = 1.8
+FONT_SIZE_NDIGITS = 1
+
+# ---- S7: mega-document salting --------------------------------------------
+# Documents with more than SALT_SPAN_THRESHOLD input spans take the
+# salted (page-parallel) path; pages are sharded into at most
+# SALT_MAX_GROUPS groups.
+SALT_SPAN_THRESHOLD = 10_000
+SALT_MAX_GROUPS = 32
+
+# ---- span kinds ------------------------------------------------------------
+KIND_TETML = "tetml"
+KIND_PDFMINER = "pdfminer-xml"
+KIND_MEDIA = "media"
+KIND_BLOCK = "block"
+KIND_LINE = "line"
+XML_KINDS = (KIND_TETML, KIND_PDFMINER)
+
+# Separator used inside composite font keys ("<name>\x1f<size:.1f>").
+FONT_KEY_SEP = "\x1f"
