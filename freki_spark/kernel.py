@@ -1,0 +1,686 @@
+"""Vectorized numpy kernel for FrekiSpec v1 — the implementation that
+runs inside the Spark pandas UDFs (``freki_spark.pipeline``).
+
+Coded independently from ``freki_spark.oracle`` (two-implementation
+consistency check, SURVEY.md §5.2): both share only ``spec`` constants
+and the ``grammar`` output format.  All per-token math is float64
+numpy; the only Python-level loops are the inherently-sequential
+greedy scans (line clustering, block walking) over per-page arrays —
+XML parsing (stdlib iterparse; no lxml offline) dominates runtime
+regardless.
+
+The kernel has two entry surfaces:
+
+- ``extract_document_rows`` — whole document in, final output span
+  rows out (the unsalted fast path; one call per input row inside
+  ``mapInPandas`` / ``applyInPandas``).
+- ``split_pages`` + ``extract_group_records`` — the salted mega-doc
+  path (S7): stage 1 splits raw XML into per-page pieces by regex,
+  stage 2 lays out each page shard and emits *structured* span records
+  with group-local numbering; global renumbering happens back in Spark
+  (see pipeline.py).
+
+Reference parity targets (pvk444/freki [U], mount empty at build time):
+freki/analyzers/{tetml,pdfminer}.py (S1), analyzers/base.py (S2/S3),
+freki/main.py block logic (S4/S5), freki/serialize.py (S6).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from . import spec
+from .grammar import (
+    font_key,
+    font_label,
+    render_bbox,
+    render_block_header_from_parts,
+    render_line,
+)
+
+# --------------------------------------------------------------------------
+# token batch: parallel arrays for one page
+# --------------------------------------------------------------------------
+
+
+class PageTokens:
+    __slots__ = ("number", "width", "height", "texts", "fkeys", "box")
+
+    def __init__(self, number: int, width: float, height: float):
+        self.number = number
+        self.width = width
+        self.height = height
+        self.texts: list[str] = []
+        self.fkeys: list[str] = []
+        self.box: np.ndarray | list = []  # grows as python list of 4-tuples
+
+    def add(self, text: str, llx: float, lly: float, urx: float, ury: float, fk: str):
+        self.texts.append(text)
+        self.fkeys.append(fk)
+        self.box.append((llx, lly, urx, ury))
+
+    def freeze(self) -> None:
+        self.box = np.asarray(self.box, dtype=np.float64).reshape(-1, 4)
+
+
+def _strip_ns(tag: str) -> str:
+    i = tag.rfind("}")
+    return tag[i + 1 :] if i >= 0 else tag
+
+
+def _mode_first(keys: list[str]) -> int:
+    """Index of the first element whose value is the mode (ties -> first)."""
+    arr = np.asarray(keys, dtype=object)
+    uniq, inv, counts = np.unique(arr, return_inverse=True, return_counts=True)
+    winners = counts[inv] == counts.max()
+    return int(np.flatnonzero(winners)[0])
+
+
+# --------------------------------------------------------------------------
+# S1 — parse (streaming iterparse, memory-bounded for mega pages)
+# --------------------------------------------------------------------------
+
+
+def parse_tetml(xml_text: str) -> list[PageTokens]:
+    pages: list[PageTokens] = []
+    cur: PageTokens | None = None
+    for ev, el in ET.iterparse(io.StringIO(xml_text), events=("start", "end")):
+        name = _strip_ns(el.tag)
+        if ev == "start":
+            if name == "Page":
+                cur = PageTokens(
+                    int(el.get("number", str(len(pages) + 1))),
+                    float(el.get("width", "612")),
+                    float(el.get("height", "792")),
+                )
+            continue
+        if name == "Word" and cur is not None:
+            text = None
+            box = None
+            gfonts: list[str] = []
+            graw: list[tuple[str, float]] = []
+            for ch in el:
+                cn = _strip_ns(ch.tag)
+                if cn == "Text":
+                    text = ch.text
+                elif cn == "Box":
+                    box = (
+                        float(ch.get("llx")),
+                        float(ch.get("lly")),
+                        float(ch.get("urx")),
+                        float(ch.get("ury")),
+                    )
+                elif cn == "Glyph":
+                    f = ch.get("font", "")
+                    s = float(ch.get("size", "0"))
+                    gfonts.append(font_key(f, s))
+                    graw.append((f, s))
+            if text and text.strip() and box is not None:
+                if gfonts:
+                    fk = gfonts[_mode_first(gfonts)]
+                else:
+                    fk = font_key("", 0.0)
+                cur.add(text, *box, fk)
+            el.clear()
+        elif name == "Page" and cur is not None:
+            cur.freeze()
+            pages.append(cur)
+            cur = None
+            el.clear()
+    return pages
+
+
+def parse_pdfminer(xml_text: str) -> list[PageTokens]:
+    pages: list[PageTokens] = []
+    cur: PageTokens | None = None
+    wtext: list[str] = []
+    wbox: list[tuple[float, float, float, float]] = []
+    wfk: list[str] = []
+
+    def flush() -> None:
+        if wtext and cur is not None:
+            b = np.asarray(wbox, dtype=np.float64)
+            cur.add(
+                "".join(wtext),
+                float(b[:, 0].min()),
+                float(b[:, 1].min()),
+                float(b[:, 2].max()),
+                float(b[:, 3].max()),
+                wfk[_mode_first(wfk)],
+            )
+        wtext.clear()
+        wbox.clear()
+        wfk.clear()
+
+    for ev, el in ET.iterparse(io.StringIO(xml_text), events=("start", "end")):
+        name = _strip_ns(el.tag)
+        if ev == "start":
+            if name == "page":
+                b = el.get("bbox", "0,0,612,792").split(",")
+                cur = PageTokens(
+                    int(el.get("id", str(len(pages) + 1))),
+                    float(b[2]) - float(b[0]),
+                    float(b[3]) - float(b[1]),
+                )
+            continue
+        if name == "text" and cur is not None:
+            gtext, gbbox = el.text, el.get("bbox")
+            if gtext is None or not gtext.strip() or gbbox is None:
+                flush()
+            else:
+                wtext.append(gtext)
+                wbox.append(tuple(float(v) for v in gbbox.split(",")))
+                wfk.append(font_key(el.get("font", ""), float(el.get("size", "0"))))
+            el.clear()
+        elif name == "textline":
+            flush()
+            el.clear()
+        elif name == "page" and cur is not None:
+            flush()
+            cur.freeze()
+            pages.append(cur)
+            cur = None
+            el.clear()
+    return pages
+
+
+_PARSERS = {spec.KIND_TETML: parse_tetml, spec.KIND_PDFMINER: parse_pdfminer}
+
+
+# --------------------------------------------------------------------------
+# S2 — line clustering (greedy over y-sorted token indices)
+# --------------------------------------------------------------------------
+
+
+def cluster_lines(page: PageTokens) -> list[np.ndarray]:
+    """Return token-index arrays, one per line, reading order applied:
+    within line by llx; lines by descending mean ury."""
+    n = len(page.texts)
+    if n == 0:
+        return []
+    box = page.box
+    order = np.lexsort((np.arange(n), box[:, 0], -box[:, 3]))
+    heights = box[:, 3] - box[:, 1]
+    lines: list[list[int]] = []
+    cur_lly = cur_ury = 0.0
+    for i in order:
+        if lines:
+            overlap = min(box[i, 3], cur_ury) - max(box[i, 1], cur_lly)
+            if overlap > spec.LINE_OVERLAP_RATIO * min(heights[i], cur_ury - cur_lly):
+                lines[-1].append(i)
+                cur_lly = min(cur_lly, box[i, 1])
+                cur_ury = max(cur_ury, box[i, 3])
+                continue
+        lines.append([i])
+        cur_lly, cur_ury = box[i, 1], box[i, 3]
+    out: list[np.ndarray] = []
+    for idx in lines:
+        # stable sort by llx over insertion order — mirrors the
+        # oracle's python list.sort(key=llx) tie-break exactly
+        a = np.asarray(idx, dtype=np.int64)
+        a = a[np.argsort(box[a, 0], kind="stable")]
+        out.append(a)
+    mean_ury = np.asarray([float(np.mean(box[a, 3])) for a in out])
+    return [out[j] for j in np.argsort(-mean_ury, kind="stable")]
+
+
+# --------------------------------------------------------------------------
+# S3 — spacing (vectorized per line)
+# --------------------------------------------------------------------------
+
+
+def render_spacing(page: PageTokens, idx: np.ndarray) -> str:
+    box = page.box[idx]
+    texts = [page.texts[i] for i in idx]
+    widths = box[:, 2] - box[:, 0]
+    nchars = np.asarray([len(t) for t in texts], dtype=np.float64)
+    total_c = nchars.sum()
+    cw = float(np.sum(widths)) / total_c if total_c else 1.0
+    if cw <= 0:
+        cw = 1.0
+    if len(texts) == 1:
+        return texts[0]
+    gaps = box[1:, 0] - box[:-1, 2]
+    nsp = np.maximum(np.rint(gaps / cw), 0.0)
+    nsp[(nsp < 1.0) & (gaps > spec.SPACE_MIN_GAP_RATIO * cw)] = 1.0
+    parts = [texts[0]]
+    for k, t in zip(nsp.astype(np.int64), texts[1:]):
+        parts.append(" " * int(k))
+        parts.append(t)
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# S4 — column detection (per-line whitespace-channel voting)
+# --------------------------------------------------------------------------
+
+
+def detect_columns(page: PageTokens, lines: list[np.ndarray]) -> list[list[np.ndarray]]:
+    if len(lines) < 2:
+        return [lines]
+    box = page.box
+    w = page.width
+    lo = w * (0.5 - spec.COLUMN_CENTER_FRAC / 2.0)
+    hi = w * (0.5 + spec.COLUMN_CENTER_FRAC / 2.0)
+
+    def gaps_of(idx: np.ndarray) -> np.ndarray:
+        """(n-1, 2) array of (gap_start, gap_end) with positive width."""
+        if len(idx) < 2:
+            return np.empty((0, 2))
+        gs = box[idx[:-1], 2]
+        ge = box[idx[1:], 0]
+        m = ge > gs
+        return np.stack([gs[m], ge[m]], axis=1)
+
+    centers: list[np.ndarray] = []
+    line_gaps = [gaps_of(idx) for idx in lines]
+    for g in line_gaps:
+        if len(g):
+            width_ok = (g[:, 1] - g[:, 0]) >= spec.COLUMN_MIN_CHANNEL_PT
+            c = (g[:, 0] + g[:, 1]) / 2.0
+            sel = width_ok & (c >= lo) & (c <= hi)
+            if sel.any():
+                centers.append(c[sel])
+    if not centers:
+        return [lines]
+    mc = float(np.median(np.concatenate(centers)))
+
+    # classify: 0=split 1=left 2=right 3=full
+    classes = np.empty(len(lines), dtype=np.int64)
+    for li, (idx, g) in enumerate(zip(lines, line_gaps)):
+        contains = (
+            len(g) > 0
+            and bool(
+                (
+                    (g[:, 0] < mc)
+                    & (mc < g[:, 1])
+                    & ((g[:, 1] - g[:, 0]) >= spec.COLUMN_MIN_CHANNEL_PT)
+                ).any()
+            )
+        )
+        if contains:
+            classes[li] = 0
+        elif box[idx, 2].max() <= mc:
+            classes[li] = 1
+        elif box[idx, 0].min() >= mc:
+            classes[li] = 2
+        else:
+            classes[li] = 3
+
+    n_compat = int((classes != 3).sum())
+    has_left = bool(((classes == 0) | (classes == 1)).any())
+    has_right = bool(((classes == 0) | (classes == 2)).any())
+    if n_compat / len(lines) < spec.COLUMN_MIN_LINE_FRAC or not (has_left and has_right):
+        return [lines]
+
+    left: list[np.ndarray] = []
+    right: list[np.ndarray] = []
+    full: list[np.ndarray] = []
+    for idx, cls in zip(lines, classes):
+        if cls == 0:
+            xc = (box[idx, 0] + box[idx, 2]) / 2.0
+            lt, rt = idx[xc < mc], idx[xc >= mc]
+            if len(lt):
+                left.append(lt)
+            if len(rt):
+                right.append(rt)
+        elif cls == 1:
+            left.append(idx)
+        elif cls == 2:
+            right.append(idx)
+        else:
+            full.append(idx)
+
+    body = left + right
+    body_top = max(float(box[idx, 3].max()) for idx in body)
+    body_bot = min(float(box[idx, 1].min()) for idx in body)
+    body_mid = (body_top + body_bot) / 2.0
+    headers, footers = [], []
+    for idx in full:
+        yc = (float(box[idx, 1].min()) + float(box[idx, 3].max())) / 2.0
+        (headers if yc >= body_mid else footers).append(idx)
+
+    segs = []
+    for seg in (headers, left, right, footers):
+        if seg:
+            mu = np.asarray([float(np.mean(box[idx, 3])) for idx in seg])
+            seg = [seg[j] for j in np.argsort(-mu, kind="stable")]
+        segs.append(seg)
+    return segs
+
+
+# --------------------------------------------------------------------------
+# S5 — block segmentation
+# --------------------------------------------------------------------------
+
+
+def segment_blocks(
+    page: PageTokens, segments: list[list[np.ndarray]]
+) -> list[list[np.ndarray]]:
+    """Group each segment's lines into blocks; returns blocks as lists
+    of line index-arrays, page reading order preserved."""
+    box = page.box
+    lly = [np.asarray([float(box[idx, 1].min()) for idx in seg]) for seg in segments]
+    ury = [np.asarray([float(box[idx, 3].max()) for idx in seg]) for seg in segments]
+    all_gaps: list[np.ndarray] = []
+    for a, b in zip(lly, ury):
+        if len(a) > 1:
+            g = a[:-1] - b[1:]
+            all_gaps.append(g[g > 0])
+    pos = np.concatenate(all_gaps) if all_gaps else np.empty(0)
+    med = float(np.median(pos)) if len(pos) else None
+
+    def dom_font(idx: np.ndarray) -> str:
+        keys = [page.fkeys[i] for i in idx]
+        return keys[_mode_first(keys)]
+
+    blocks: list[list[np.ndarray]] = []
+    for si, seg in enumerate(segments):
+        if not seg:
+            continue
+        cur = [seg[0]]
+        bf = dom_font(seg[0])
+        for j in range(1, len(seg)):
+            g = lly[si][j - 1] - ury[si][j]
+            lf = dom_font(seg[j])
+            if (med is not None and g > spec.BLOCK_GAP_FACTOR * med) or lf != bf:
+                blocks.append(cur)
+                cur = [seg[j]]
+                bf = lf
+            else:
+                cur.append(seg[j])
+        blocks.append(cur)
+    return blocks
+
+
+# --------------------------------------------------------------------------
+# structured span records (shared by unsalted finalize and salted stage 2)
+# --------------------------------------------------------------------------
+
+
+def layout_page(page: PageTokens, records: list, line_no: int, seq: int, doc_fonts):
+    """Run S2–S5 on one page and append structured records.
+
+    records: list of dicts with keys kind/page/block_k/line_start/
+    line_end/line_no/fonts_keys/body/media_ref/seq (group-local
+    numbering).  doc_fonts: ordered dict fkey -> None tracking first
+    appearance (insertion order = (seq, within-line position)).
+    Returns updated (line_no, seq).
+    """
+    lines = cluster_lines(page)
+    segments = detect_columns(page, lines)
+    blocks = segment_blocks(page, segments)
+    box = page.box
+    for k, blines in enumerate(blocks, start=1):
+        allidx = np.concatenate(blines)
+        bbox = render_bbox(
+            float(box[allidx, 0].min()),
+            float(box[allidx, 1].min()),
+            float(box[allidx, 2].max()),
+            float(box[allidx, 3].max()),
+        )
+        records.append(
+            {
+                "kind": spec.KIND_BLOCK,
+                "page": page.number,
+                "block_k": k,
+                "line_start": line_no + 1,
+                "line_end": line_no + len(blines),
+                "line_no": 0,
+                "fonts_keys": [],
+                "body": bbox,
+                "media_ref": "",
+                "seq": seq,
+            }
+        )
+        seq += 1
+        for idx in blines:
+            line_no += 1
+            fkeys: list[str] = []
+            seen: set[str] = set()
+            for i in idx:
+                fk = page.fkeys[i]
+                if fk not in seen:
+                    seen.add(fk)
+                    fkeys.append(fk)
+                if fk not in doc_fonts:
+                    doc_fonts[fk] = (seq, len(fkeys) - 1)
+            records.append(
+                {
+                    "kind": spec.KIND_LINE,
+                    "page": page.number,
+                    "block_k": k,
+                    "line_start": 0,
+                    "line_end": 0,
+                    "line_no": line_no,
+                    "fonts_keys": fkeys,
+                    "body": render_spacing(page, idx),
+                    "media_ref": "",
+                    "seq": seq,
+                }
+            )
+            seq += 1
+    return line_no, seq
+
+
+def finalize_records(doc_id: str, records: list, doc_fonts: dict) -> list[dict]:
+    """Render structured records into final (kind,text,media_ref,offset)
+    spans — the unsalted path's serializer (global numbering is already
+    group-local == doc-local here)."""
+    fid = {fk: i for i, fk in enumerate(doc_fonts)}
+    out = []
+    for off, r in enumerate(records):
+        if r["kind"] == spec.KIND_LINE:
+            labels = [font_label(fid[fk], fk) for fk in r["fonts_keys"]]
+            text = render_line(r["line_no"], labels, r["body"])
+        elif r["kind"] == spec.KIND_BLOCK:
+            text = render_block_header_from_parts(
+                doc_id,
+                r["page"],
+                r["block_k"],
+                r["body"],
+                r["line_start"],
+                r["line_end"],
+            )
+        else:  # media
+            text = r["body"]
+        out.append(
+            {
+                "kind": r["kind"],
+                "text": text,
+                "media_ref": r["media_ref"],
+                "offset": off,
+            }
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# media anchoring (page position per media span)
+# --------------------------------------------------------------------------
+
+PAGE_START_RE = {
+    spec.KIND_TETML: re.compile(r"<Page\b"),
+    spec.KIND_PDFMINER: re.compile(r"<page\b"),
+}
+PAGE_END_TAG = {spec.KIND_TETML: "</Page>", spec.KIND_PDFMINER: "</page>"}
+
+
+def media_page_positions(
+    chunk_offsets: list[int],
+    chunk_lens: list[int],
+    page_starts: list[int],
+    media_offsets: list[int],
+) -> list[int]:
+    """0-based page position for each media span (-1 = prologue)."""
+    cum = np.concatenate([[0], np.cumsum(chunk_lens)])
+    res = []
+    for mo in media_offsets:
+        j = int(np.searchsorted(np.asarray(chunk_offsets), mo))
+        anchor = int(cum[j])
+        res.append(int(np.searchsorted(np.asarray(page_starts), anchor, "right")) - 1)
+    return res
+
+
+# --------------------------------------------------------------------------
+# top level — unsalted fast path
+# --------------------------------------------------------------------------
+
+
+def extract_document_rows(
+    doc_id: str, spans: list[dict]
+) -> tuple[list[dict], str | None]:
+    """Whole-document extraction; mirrors oracle.extract_document but
+    array-based.  Returns (output_spans, error)."""
+    spans = sorted(spans, key=lambda s: s["offset"])
+    chunks = [s for s in spans if s["kind"] in spec.XML_KINDS]
+    media = [s for s in spans if s["kind"] == spec.KIND_MEDIA]
+
+    if not chunks:
+        return (
+            [
+                {
+                    "kind": spec.KIND_MEDIA,
+                    "text": m["text"],
+                    "media_ref": m["media_ref"],
+                    "offset": i,
+                }
+                for i, m in enumerate(media)
+            ],
+            None,
+        )
+
+    dialect = chunks[0]["kind"]
+    xml = "".join(c["text"] for c in chunks)
+    try:
+        pages = _PARSERS[dialect](xml)
+    except ET.ParseError as e:
+        return [], f"xml-parse-error: {e}"
+    except (ValueError, TypeError) as e:
+        return [], f"xml-content-error: {e}"
+
+    starts = [m.start() for m in PAGE_START_RE[dialect].finditer(xml)]
+    mpos = media_page_positions(
+        [c["offset"] for c in chunks],
+        [len(c["text"]) for c in chunks],
+        starts,
+        [m["offset"] for m in media],
+    )
+    media_by_page: dict[int, list[dict]] = {}
+    for m, p in zip(media, mpos):
+        media_by_page.setdefault(p, []).append(m)
+
+    records: list[dict] = []
+    doc_fonts: dict[str, tuple[int, int]] = {}
+    line_no = seq = 0
+    for m in media_by_page.get(-1, []):
+        records.append(
+            {
+                "kind": spec.KIND_MEDIA,
+                "page": 0,
+                "block_k": 0,
+                "line_start": 0,
+                "line_end": 0,
+                "line_no": 0,
+                "fonts_keys": [],
+                "body": m["text"],
+                "media_ref": m["media_ref"],
+                "seq": seq,
+            }
+        )
+        seq += 1
+    for pidx, page in enumerate(pages):
+        line_no, seq = layout_page(page, records, line_no, seq, doc_fonts)
+        for m in media_by_page.get(pidx, []):
+            records.append(
+                {
+                    "kind": spec.KIND_MEDIA,
+                    "page": page.number,
+                    "block_k": 0,
+                    "line_start": 0,
+                    "line_end": 0,
+                    "line_no": 0,
+                    "fonts_keys": [],
+                    "body": m["text"],
+                    "media_ref": m["media_ref"],
+                    "seq": seq,
+                }
+            )
+            seq += 1
+    return finalize_records(doc_id, records, doc_fonts), None
+
+
+# --------------------------------------------------------------------------
+# salted mega-doc path (S7)
+# --------------------------------------------------------------------------
+
+
+def split_pages(xml: str, dialect: str) -> tuple[list[str], list[int]]:
+    """Regex-split raw XML into standalone per-page pieces (stage 1).
+
+    Returns (pieces, page_starts).  Each piece is repaired lazily in
+    stage 2 via repair_page_piece.  Assumes page elements do not nest
+    and no entity definitions live in the prologue (true for both
+    supported dialects)."""
+    starts = [m.start() for m in PAGE_START_RE[dialect].finditer(xml)]
+    pieces = []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(xml)
+        pieces.append(xml[s:e])
+    return pieces, starts
+
+
+def repair_page_piece(piece: str, dialect: str) -> str:
+    """Truncate after the page's close tag and wrap for standalone parse."""
+    end_tag = PAGE_END_TAG[dialect]
+    i = piece.rfind(end_tag)
+    if i >= 0:
+        piece = piece[: i + len(end_tag)]
+    return f"<R>{piece}</R>"
+
+
+def extract_group_records(
+    doc_id: str,
+    items: list[dict],
+    dialect: str,
+) -> tuple[list[dict], dict, int, int, str | None]:
+    """Stage 2 of the salted path: lay out one salted page-group.
+
+    items: [{'item_type': 'page'|'media', 'payload', 'media_ref',
+    'page_pos', 'rank'}] sorted by (page_pos, rank).  Returns
+    (records with group-local numbering, doc_fonts first-appearance
+    dict, n_lines, n_spans, error)."""
+    records: list[dict] = []
+    doc_fonts: dict[str, tuple[int, int]] = {}
+    line_no = seq = 0
+    for it in items:
+        if it["item_type"] == "media":
+            records.append(
+                {
+                    "kind": spec.KIND_MEDIA,
+                    "page": 0,
+                    "block_k": 0,
+                    "line_start": 0,
+                    "line_end": 0,
+                    "line_no": 0,
+                    "fonts_keys": [],
+                    "body": it["payload"],
+                    "media_ref": it["media_ref"],
+                    "seq": seq,
+                }
+            )
+            seq += 1
+            continue
+        try:
+            pages = _PARSERS[dialect](repair_page_piece(it["payload"], dialect))
+        except ET.ParseError as e:
+            return [], {}, 0, 0, f"xml-parse-error: {e}"
+        except (ValueError, TypeError) as e:
+            return [], {}, 0, 0, f"xml-content-error: {e}"
+        for page in pages:
+            line_no, seq = layout_page(page, records, line_no, seq, doc_fonts)
+    return records, doc_fonts, line_no, seq, None

@@ -282,7 +282,9 @@ def cluster_lines(tokens: list[Token]) -> list[Line]:
 
 def render_spacing(line: Line) -> str:
     toks = line.tokens
-    total_w = sum(t.urx - t.llx for t in toks)
+    # np.sum (pairwise) on purpose: the vectorized kernel sums widths
+    # the same way, keeping cw bit-identical between implementations.
+    total_w = float(np.sum(np.asarray([t.urx - t.llx for t in toks], dtype=np.float64)))
     total_c = sum(len(t.text) for t in toks)
     cw = total_w / total_c if total_c else 1.0
     if cw <= 0:
