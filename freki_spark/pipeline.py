@@ -1,0 +1,425 @@
+"""The Spark extraction pipeline (P1–P13 of SURVEY.md §2.2).
+
+Dataflow (north-star lifecycle, SURVEY.md §3.2):
+
+    scan (doc_id, spans)                      -- columnar, pruned
+      ├─ size(spans) <= τ : mapInPandas(extract)        -- NO shuffle
+      └─ size(spans) >  τ : salted mega-doc path (S7)
+           stage 1  mapInPandas: regex page-split + media anchoring
+           stage 2  groupBy(doc_id, salt).applyInPandas: per-page
+                    layout with group-local numbering   -- 1 shuffle
+           stage 3  pure Spark: window bases + font-id rank + JVM-side
+                    string rendering + per-doc reassembly
+    union → (doc_id, spans, error)
+
+Design notes for 100 TB / 10^12-doc scale:
+
+- The input table stores one row per document, so the common path is a
+  *narrow* transformation: ``mapInPandas`` runs the numpy kernel
+  directly on Arrow batches with zero shuffles and zero driver
+  involvement.  ``applyInPandas over doc_id`` (mode='group') is kept
+  for exploded inputs; it computes the same thing with one hash
+  shuffle.
+- Catalyst cannot split a skewed group inside applyInPandas (AQE skew
+  handling does not apply there), so mega-documents are salted
+  *explicitly*: pages are sharded into at most SALT_MAX_GROUPS groups
+  per doc and renumbered afterwards with broadcast-joined window bases
+  — all rendering in stage 3 is JVM-side concat (whole-stage codegen),
+  no Python.
+- Corrupt XML never fails a task: quarantined docs come back with
+  spans=[] and a non-null error column (split with
+  ``split_quarantine``).
+
+Reference parity: this file replaces freki/main.py's single-process
+eager loop [U]; layout semantics live in freki_spark.kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernel, spec
+
+# --------------------------------------------------------------------------
+# schemas
+# --------------------------------------------------------------------------
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [*DOC_SCHEMA.fields, T.StructField("error", T.StringType())]
+)
+
+_STAGE1_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("page_pos", T.IntegerType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("item_type", T.StringType()),  # page | media | error
+        T.StructField("payload", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("dialect", T.StringType()),
+    ]
+)
+
+_STAGE2_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("seq_l", T.LongType()),
+        T.StructField("kind", T.StringType()),  # block|line|media|__font__|__error__
+        T.StructField("page", T.IntegerType()),
+        T.StructField("block_k", T.IntegerType()),
+        T.StructField("line_start_l", T.LongType()),
+        T.StructField("line_end_l", T.LongType()),
+        T.StructField("line_no_l", T.LongType()),
+        T.StructField("fonts_keys", T.ArrayType(T.StringType())),
+        T.StructField("body", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("n_lines", T.LongType()),
+        T.StructField("n_spans", T.LongType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# unsalted fast path
+# --------------------------------------------------------------------------
+
+
+def _extract_docs_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out_spans: list[list[dict]] = []
+        errors: list[str | None] = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            rows, err = kernel.extract_document_rows(doc_id, list(spans))
+            out_spans.append(rows)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "spans": out_spans, "error": errors}
+        )
+
+
+def _extract_docs_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    return next(_extract_docs_batch(iter([pdf])))
+
+
+def extract_simple(df: DataFrame, mode: str = "map") -> DataFrame:
+    """Unsalted whole-document extraction.
+
+    mode='map'  : mapInPandas — narrow, zero-shuffle (input already has
+                  one row per doc_id).
+    mode='group': applyInPandas over doc_id partitions — for inputs
+                  where a doc's spans may be split across rows.
+    """
+    if mode == "map":
+        return df.mapInPandas(_extract_docs_batch, EXTRACTED_SCHEMA)
+    if mode == "group":
+        exploded = df.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id", "s.*"
+        )
+        regrouped = exploded.groupBy("doc_id").agg(
+            F.collect_list(F.struct("kind", "text", "media_ref", "offset")).alias(
+                "spans"
+            )
+        )
+        return regrouped.groupBy("doc_id").applyInPandas(
+            _extract_docs_group, EXTRACTED_SCHEMA
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+# --------------------------------------------------------------------------
+# salted mega-doc path (S7)
+# --------------------------------------------------------------------------
+
+
+def _stage1_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per mega-doc: regex page split + media→page anchoring (no parse)."""
+    for pdf in it:
+        rows: list[tuple] = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            spans = sorted(list(spans), key=lambda s: s["offset"])
+            chunks = [s for s in spans if s["kind"] in spec.XML_KINDS]
+            media = [s for s in spans if s["kind"] == spec.KIND_MEDIA]
+            if not chunks:
+                for j, m in enumerate(media):
+                    rows.append((doc_id, 0, -1, j, "media", m["text"], m["media_ref"], ""))
+                continue
+            dialect = chunks[0]["kind"]
+            xml = "".join(c["text"] for c in chunks)
+            pieces, starts = kernel.split_pages(xml, dialect)
+            if not pieces:
+                rows.append(
+                    (doc_id, 0, 0, 0, "error", "xml-parse-error: no page elements", "", dialect)
+                )
+                continue
+            n_groups = min(spec.SALT_MAX_GROUPS, len(pieces))
+            per_group = math.ceil(len(pieces) / n_groups)
+            mpos = kernel.media_page_positions(
+                [c["offset"] for c in chunks],
+                [len(c["text"]) for c in chunks],
+                starts,
+                [m["offset"] for m in media],
+            )
+            for p, piece in enumerate(pieces):
+                rows.append((doc_id, p // per_group, p, 0, "page", piece, "", dialect))
+            ranks: dict[int, int] = {}
+            for m, p in zip(media, mpos):
+                salt = 0 if p < 0 else min(p, len(pieces) - 1) // per_group
+                r = ranks.get(p, 0) + 1
+                ranks[p] = r
+                rows.append((doc_id, salt, p, r, "media", m["text"], m["media_ref"], dialect))
+        yield pd.DataFrame(rows, columns=[f.name for f in _STAGE1_SCHEMA.fields])
+
+
+def _stage2_layout(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["page_pos", "rank"], kind="stable")
+    doc_id = pdf["doc_id"].iloc[0]
+    salt = int(pdf["salt"].iloc[0])
+    cols = [f.name for f in _STAGE2_SCHEMA.fields]
+
+    err_rows = pdf[pdf["item_type"] == "error"]
+    if len(err_rows):
+        msg = err_rows["payload"].iloc[0]
+        return pd.DataFrame(
+            [[doc_id, salt, 0, "__error__", 0, 0, 0, 0, 0, [], msg, "", 0, 0]],
+            columns=cols,
+        )
+
+    dialects = [d for d in pdf["dialect"] if d]
+    dialect = dialects[0] if dialects else spec.KIND_TETML
+    items = [
+        {
+            "item_type": it,
+            "payload": pl,
+            "media_ref": mr,
+            "page_pos": pp,
+            "rank": rk,
+        }
+        for it, pl, mr, pp, rk in zip(
+            pdf["item_type"], pdf["payload"], pdf["media_ref"], pdf["page_pos"], pdf["rank"]
+        )
+    ]
+    records, doc_fonts, n_lines, n_spans, err = kernel.extract_group_records(
+        doc_id, items, dialect
+    )
+    if err is not None:
+        return pd.DataFrame(
+            [[doc_id, salt, 0, "__error__", 0, 0, 0, 0, 0, [], err, "", 0, 0]],
+            columns=cols,
+        )
+    rows = [
+        [
+            doc_id,
+            salt,
+            r["seq"],
+            r["kind"],
+            r["page"],
+            r["block_k"],
+            r["line_start"],
+            r["line_end"],
+            r["line_no"],
+            r["fonts_keys"],
+            r["body"],
+            r["media_ref"],
+            n_lines,
+            n_spans,
+        ]
+        for r in records
+    ]
+    rows += [
+        [doc_id, salt, seq, "__font__", 0, 0, 0, 0, pos, [], fk, "", n_lines, n_spans]
+        for fk, (seq, pos) in doc_fonts.items()
+    ]
+    if not rows:  # empty group (e.g. blank pages): keep counts for bases
+        rows = [[doc_id, salt, 0, "__empty__", 0, 0, 0, 0, 0, [], "", "", 0, 0]]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _font_label_col(font_map: Column, key: Column) -> Column:
+    """JVM-side equivalent of grammar.font_label."""
+    return F.concat(
+        F.lit("F"),
+        F.element_at(font_map, key).cast("string"),
+        F.lit("-"),
+        F.substring_index(key, spec.FONT_KEY_SEP, -1),
+    )
+
+
+def extract_salted(df: DataFrame) -> DataFrame:
+    """Mega-document path: page-parallel layout + distributed renumber."""
+    st1 = df.mapInPandas(_stage1_split, _STAGE1_SCHEMA)
+    st2 = st1.groupBy("doc_id", "salt").applyInPandas(_stage2_layout, _STAGE2_SCHEMA)
+    st2 = st2.persist()
+
+    errs = (
+        st2.filter(F.col("kind") == "__error__")
+        .groupBy("doc_id")
+        .agg(F.min("body").alias("error"))
+    )
+    good = st2.join(F.broadcast(errs.select("doc_id")), "doc_id", "left_anti")
+
+    # per-(doc, salt) exclusive running bases over group sizes
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        good.groupBy("doc_id", "salt")
+        .agg(F.max("n_lines").alias("nl"), F.max("n_spans").alias("ns"))
+        .select(
+            "doc_id",
+            "salt",
+            F.coalesce(F.sum("nl").over(w), F.lit(0)).alias("line_base"),
+            F.coalesce(F.sum("ns").over(w), F.lit(0)).alias("span_base"),
+        )
+    )
+
+    # global font ids: rank by earliest (global seq, within-line pos)
+    fonts = (
+        good.filter(F.col("kind") == "__font__")
+        .join(F.broadcast(bases), ["doc_id", "salt"])
+        .select(
+            "doc_id",
+            F.col("body").alias("fkey"),
+            F.struct(
+                (F.col("span_base") + F.col("seq_l")).alias("gseq"),
+                F.col("line_no_l").alias("pos"),
+            ).alias("app"),
+        )
+        .groupBy("doc_id", "fkey")
+        .agg(F.min("app").alias("app"))
+        .withColumn(
+            "fid",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("app")) - 1,
+        )
+    )
+    fmap = fonts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("fkey", "fid"))).alias("font_map")
+    )
+
+    sp = (
+        good.filter(F.col("kind").isin(spec.KIND_BLOCK, spec.KIND_LINE, spec.KIND_MEDIA))
+        .join(F.broadcast(bases), ["doc_id", "salt"])
+        .join(F.broadcast(fmap), "doc_id", "left")
+    )
+    line_no = (F.col("line_no_l") + F.col("line_base")).cast("long")
+    text = (
+        F.when(
+            F.col("kind") == spec.KIND_LINE,
+            F.concat(
+                F.lit("line="),
+                line_no.cast("string"),
+                F.lit(" fonts="),
+                F.array_join(
+                    F.transform(
+                        "fonts_keys", lambda k: _font_label_col(F.col("font_map"), k)
+                    ),
+                    ",",
+                ),
+                F.lit(":"),
+                F.col("body"),
+            ),
+        )
+        .when(
+            F.col("kind") == spec.KIND_BLOCK,
+            F.concat(
+                F.lit("doc_id="),
+                F.col("doc_id"),
+                F.lit(" page="),
+                F.col("page").cast("string"),
+                F.lit(" block_id="),
+                F.col("page").cast("string"),
+                F.lit("-"),
+                F.col("block_k").cast("string"),
+                F.lit(" bbox="),
+                F.col("body"),
+                F.lit(" "),
+                (F.col("line_start_l") + F.col("line_base")).cast("long").cast("string"),
+                F.lit(" "),
+                (F.col("line_end_l") + F.col("line_base")).cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.col("body"))
+    )
+    offset = (F.col("span_base") + F.col("seq_l")).cast("int")
+
+    assembled = (
+        sp.select(
+            "doc_id",
+            F.struct(
+                offset.alias("offset"),
+                F.col("kind").alias("kind"),
+                text.alias("text"),
+                F.col("media_ref").alias("media_ref"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans")
+        )
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+    quarantined = errs.select(
+        "doc_id",
+        F.lit([]).cast(T.ArrayType(SPAN_STRUCT)).alias("spans"),
+        "error",
+    )
+    return assembled.unionByName(quarantined)
+
+
+# --------------------------------------------------------------------------
+# top-level entry
+# --------------------------------------------------------------------------
+
+
+def extract(
+    df: DataFrame,
+    salt_threshold: int = spec.SALT_SPAN_THRESHOLD,
+    mode: str = "map",
+) -> DataFrame:
+    """Full pipeline: route each doc by input-span count (P13), extract,
+    union.  Returns (doc_id, spans, error)."""
+    n = F.size("spans")
+    small = df.filter(n <= salt_threshold)
+    mega = df.filter(n > salt_threshold)
+    return extract_simple(small, mode=mode).unionByName(extract_salted(mega))
+
+
+def split_quarantine(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good docs (doc_id, spans), quarantine (doc_id, error))."""
+    good = extracted.filter(F.col("error").isNull()).select("doc_id", "spans")
+    bad = extracted.filter(F.col("error").isNotNull()).select("doc_id", "error")
+    return good, bad
