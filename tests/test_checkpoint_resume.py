@@ -1,0 +1,88 @@
+"""Resume / lineage tests (SURVEY.md §5.2 item 5): kill after a
+partial run, resume, assert no duplicates and output identical to a
+single-shot run.  Also the determinism test (§5.2 item 6 correctness
+side): different parallelism must yield identical spans."""
+
+from __future__ import annotations
+
+import pytest
+
+from freki_spark import fixtures
+from freki_spark.checkpoint import (
+    committed_batches,
+    metrics,
+    read_output,
+    run_extraction,
+)
+from freki_spark.io import docs_to_df
+from freki_spark.pipeline import extract
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return fixtures.random_docs(60, seed=11, prefix="ck")
+
+
+def _spans_map(df):
+    return {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in df.collect()
+    }
+
+
+def test_resume_no_duplicates_and_identical(spark, docs, tmp_path):
+    df = docs_to_df(spark, docs)
+    one_shot = tmp_path / "oneshot"
+    resumed = tmp_path / "resumed"
+
+    s1 = run_extraction(spark, df, str(one_shot), run_id="r1", n_batches=6)
+    assert s1["batches_run"] == 6
+
+    # killed run: only 2 of 6 batches commit
+    s2 = run_extraction(spark, df, str(resumed), run_id="r2a", n_batches=6, max_batches=2)
+    assert s2["batches_run"] == 2
+    assert committed_batches(spark, str(resumed)) != set(range(6))
+
+    # resume: the rest commit, already-done batches are skipped
+    s3 = run_extraction(spark, df, str(resumed), run_id="r2b", n_batches=6)
+    assert s3["batches_run"] == 4
+    assert committed_batches(spark, str(resumed)) == committed_batches(
+        spark, str(one_shot)
+    )
+
+    a = _spans_map(read_output(spark, str(one_shot)))
+    b = _spans_map(read_output(spark, str(resumed)))
+    assert a == b
+    # no duplicates
+    out = read_output(spark, str(resumed))
+    assert out.count() == out.select("doc_id").distinct().count()
+
+    # third run is a no-op
+    s4 = run_extraction(spark, df, str(resumed), run_id="r2c", n_batches=6)
+    assert s4["batches_run"] == 0
+
+
+def test_lineage_metrics(spark, docs, tmp_path):
+    df = docs_to_df(spark, docs)
+    out = tmp_path / "m"
+    run_extraction(spark, df, str(out), run_id="m1", n_batches=3)
+    m = {r.run_id: r for r in metrics(spark, str(out)).collect()}
+    assert m["m1"].docs + m["m1"].errors == len(docs)
+    assert m["m1"].spans > 0
+    assert m["m1"].errors >= 1  # random_docs(60) plants one corrupt doc
+    assert m["m1"].docs_per_sec > 0
+
+
+def test_determinism_across_parallelism(spark, docs):
+    df = docs_to_df(spark, docs)
+    base = _spans_map(
+        extract(df.repartition(1), salt_threshold=20)
+        .filter("error is null")
+        .select("doc_id", "spans")
+    )
+    wide = _spans_map(
+        extract(df.repartition(16), salt_threshold=20)
+        .filter("error is null")
+        .select("doc_id", "spans")
+    )
+    assert base == wide
