@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: synthesize the span-shaped input table
+from the sf0.001 ``documents`` parquet (distributed, mapInPandas), run
+the full freki extraction pipeline (FrekiSpec v1: glyph-XML parse,
+line clustering, column/block detection, freki-format serialization,
+media interleaving), and return the exploded output spans.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (P-ops + Q-ops), oracle-backed wherever the
+semantics are ANSI-SQL-expressible; pipeline P-ops are oracle-checked
+against the committed golden spans produced by the independent
+single-node oracle (tests/golden/fixture_spans.jsonl).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from freki_spark.pipeline import extract
+    from freki_spark.sources.documents_raw import synthesize_raw
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = synthesize_raw(docs)
+    out = extract(raw)
+    return (
+        out.filter(F.col("error").isNull())
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from freki_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from freki_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

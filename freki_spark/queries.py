@@ -1,0 +1,792 @@
+"""Q-op / P-op query surface (SURVEY.md §2.2–2.3) — every operator the
+engine claims is registered here as a ``(spark, sf_dir) -> DataFrame``
+callable plus, where ANSI-SQL-expressible, a DuckDB oracle string.
+
+Correctness-gate conventions (driver compares row-count + schema +
+order-insensitive value-hash):
+
+- every computed column is aliased identically on both sides;
+- float aggregates are ``round(..., n)`` on both sides (Spark partial
+  aggregation and DuckDB sum in different orders — rounding absorbs
+  the last-ulp difference);
+- window/top-k orderings always carry a unique tiebreak key;
+- timestamps never leave the plan raw: bucketing goes through epoch
+  seconds (``unix_timestamp`` vs ``floor(epoch(...))``), which is
+  session-timezone-independent on both engines;
+- cross-engine-deterministic hashing uses md5 hex → int
+  (Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+  DuckDB ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``).
+
+P-ops that run the actual extraction pipeline are oracle-checked
+against the committed golden spans (tests/golden/fixture_spans.jsonl,
+produced by the independent single-node oracle) via DuckDB
+``read_json`` — i.e. the driver's own harness re-verifies the
+span-equality invariant end-to-end, including the salted path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import fixtures
+from .io import docs_to_df
+from .pipeline import extract
+from .sources.documents_raw import synthesize_raw
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_JSONL = os.path.join(_REPO, "tests", "golden", "fixture_spans.jsonl")
+
+# golden spans as a DuckDB relation (kind/text/media_ref/offset per doc).
+# "offset" is a reserved word in DuckDB -> always double-quoted.
+_G = (
+    '(SELECT doc_id, kind, text, media_ref, CAST("offset" AS INT) AS "offset" '
+    f"FROM read_json('{GOLDEN_JSONL}'))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# cached fixture-matrix extraction (shared by the P-op queries)
+# --------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _fixture_spans(spark: SparkSession, salted: bool = False) -> DataFrame:
+    """Exploded output spans of the pipeline over the fixture matrix."""
+    key = (id(spark), salted)
+    if key not in _CACHE:
+        df = docs_to_df(spark, fixtures.fixture_matrix())
+        out = extract(df, salt_threshold=1 if salted else 10_000)
+        exploded = (
+            out.filter(F.col("error").isNull())
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+        )
+        _CACHE[key] = exploded.cache()
+    return _CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# P-op queries
+# --------------------------------------------------------------------------
+
+
+def q_scan_documents(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+SQL_SCAN_DOCUMENTS = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def q_explode_spans(spark, sf_dir):
+    raw = synthesize_raw(_t(spark, sf_dir, "documents").limit(200))
+    return raw.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.length("s.text").alias("text_len"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_reassemble_xml(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", F.lit(1).alias("i"), F.substring("text", 1, 100).alias("c"))
+        .unionByName(
+            d.select("doc_id", F.lit(2).alias("i"), F.substring("text", 101, 100).alias("c"))
+        )
+        .unionByName(
+            d.select(
+                "doc_id", F.lit(3).alias("i"), F.substring("text", 201, 1000000).alias("c")
+            )
+        )
+    )
+    joined = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ),
+            "",
+        ).alias("joined")
+    )
+    return joined.select(
+        "doc_id",
+        F.length("joined").alias("n_chars2"),
+        F.substring("joined", 1, 30).alias("head"),
+    )
+
+
+SQL_REASSEMBLE_XML = """
+WITH chunks AS (
+  SELECT doc_id, 1 AS i, substr(text, 1, 100) AS c FROM documents
+  UNION ALL SELECT doc_id, 2, substr(text, 101, 100) FROM documents
+  UNION ALL SELECT doc_id, 3, substr(text, 201, 1000000) FROM documents
+), j AS (
+  SELECT doc_id, string_agg(c, '' ORDER BY i) AS joined FROM chunks GROUP BY doc_id
+)
+SELECT doc_id, CAST(length(joined) AS INT) AS n_chars2,
+       substr(joined, 1, 30) AS head FROM j
+"""
+
+
+def q_parse_glyphs(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    return (
+        sp.filter(F.col("kind") == "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+    )
+
+
+SQL_PARSE_GLYPHS = (
+    f"SELECT doc_id, count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars "
+    f"FROM {_G} WHERE kind = 'line' GROUP BY doc_id"
+)
+
+
+def q_cluster_lines(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    return sp.filter(F.col("kind") == "line").select("doc_id", "offset", "text")
+
+
+SQL_CLUSTER_LINES = f"SELECT doc_id, \"offset\", text FROM {_G} WHERE kind = 'line'"
+
+_SPACING_RE = r"^line=\d+ fonts=[^:]*:"
+
+
+def q_render_spacing(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    return sp.filter(F.col("kind") == "line").select(
+        "doc_id",
+        "offset",
+        F.regexp_replace("text", _SPACING_RE, "").alias("body"),
+    )
+
+
+SQL_RENDER_SPACING = (
+    f"SELECT doc_id, \"offset\", regexp_replace(text, '{_SPACING_RE}', '') AS body "
+    f"FROM {_G} WHERE kind = 'line'"
+)
+
+
+def q_detect_columns(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    return sp.filter(F.col("kind") == "block").select(
+        "doc_id",
+        "offset",
+        F.regexp_extract("text", r"page=(\d+)", 1).cast("int").alias("page"),
+        F.regexp_extract("text", r"block_id=(\S+)", 1).alias("block_id"),
+    )
+
+
+SQL_DETECT_COLUMNS = (
+    f"SELECT doc_id, \"offset\", CAST(regexp_extract(text, 'page=(\\d+)', 1) AS INT) AS page, "
+    f"regexp_extract(text, 'block_id=(\\S+)', 1) AS block_id "
+    f"FROM {_G} WHERE kind = 'block'"
+)
+
+
+def q_segment_blocks(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    return sp.filter(F.col("kind") == "block").select("doc_id", "offset", "text")
+
+
+SQL_SEGMENT_BLOCKS = f"SELECT doc_id, \"offset\", text FROM {_G} WHERE kind = 'block'"
+
+
+def q_interleave_media(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    return sp.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+
+
+SQL_INTERLEAVE_MEDIA = (
+    f'SELECT doc_id, media_ref, "offset" FROM {_G} WHERE kind = \'media\''
+)
+
+
+def q_emit_spans(spark, sf_dir):
+    return _fixture_spans(spark)
+
+
+SQL_EMIT_SPANS = f'SELECT doc_id, kind, text, media_ref, "offset" FROM {_G}'
+
+
+def q_salt_skew(spark, sf_dir):
+    # identical invariant through the salted (page-parallel) path
+    return _fixture_spans(spark, salted=True)
+
+
+SQL_SALT_SKEW = SQL_EMIT_SPANS
+
+
+def q_write_output(spark, sf_dir):
+    sp = _fixture_spans(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_wo_"), "out")
+    sp.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+
+
+SQL_WRITE_OUTPUT = f"SELECT doc_id, count(*) AS n_spans FROM {_G} GROUP BY doc_id"
+
+
+def q_resume_antijoin(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_RESUME_ANTIJOIN = (
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+
+def q_checkpoint_lineage(spark, sf_dir):
+    from .checkpoint import run_extraction
+
+    docs = fixtures.random_docs(24, seed=5, prefix="lin")
+    out = os.path.join(tempfile.mkdtemp(prefix="freki_ck_"), "o")
+    run_extraction(spark, docs_to_df(spark, docs), out, run_id="q", n_batches=4)
+    lin = spark.read.parquet(f"{out}/lineage")
+    return lin.select("batch_id", "n_docs", "n_spans", "n_errors")
+
+
+# --------------------------------------------------------------------------
+# Q-op queries (relational surface over the driver testdata tables)
+# --------------------------------------------------------------------------
+
+
+def q_scan_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "es")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_SCAN_FILTER = "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'es'"
+
+
+def q_project_strings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 20)).alias("head_up"),
+        F.length("text").alias("len"),
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.split("text", " ").getItem(0).alias("first_tok"),
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias("long_tok"),
+    )
+
+
+SQL_PROJECT_STRINGS = """
+SELECT doc_id, upper(substr(text, 1, 20)) AS head_up,
+       CAST(length(text) AS INT) AS len,
+       lang || '-' || source AS tag,
+       string_split(text, ' ')[1] AS first_tok,
+       coalesce(regexp_extract(text, '([a-z]{6,})', 1), '') AS long_tok
+FROM documents
+"""
+
+
+def q_explode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS tok
+FROM documents
+"""
+
+
+def q_hash_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_HASH_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_smj_large(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_SMJ_LARGE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("side"), "c_custkey")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("side"), "c_custkey")
+    )
+    return semi.unionByName(anti)
+
+
+SQL_SEMI_ANTI = """
+SELECT 'semi' AS side, c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'anti' AS side, c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_window_running(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("run_total")
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+FROM events
+"""
+
+
+def q_sort_limit_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_SORT_LIMIT_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    even = c.filter(F.col("c_custkey") % 2 == 0).select("c_mktsegment")
+    odd = c.filter(F.col("c_custkey") % 2 == 1).select("c_mktsegment")
+    return (
+        even.intersect(odd)
+        .select(F.lit("both").alias("side"), "c_mktsegment")
+        .unionByName(
+            even.exceptAll(odd)
+            .distinct()
+            .select(F.lit("even_only").alias("side"), "c_mktsegment")
+        )
+    )
+
+
+SQL_SET_OPS = """
+WITH even AS (SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+     odd  AS (SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 1)
+SELECT 'both' AS side, c_mktsegment FROM (SELECT * FROM even INTERSECT SELECT * FROM odd)
+UNION ALL
+SELECT 'even_only', c_mktsegment
+FROM (SELECT DISTINCT c_mktsegment FROM (SELECT * FROM even EXCEPT ALL SELECT * FROM odd))
+"""
+
+
+def q_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_approx(spark, sf_dir):
+    # approx sketches are engine-specific -> rows-only check (no oracle)
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.rollup("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT n_name, c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+       CAST(grouping(n_name) AS INT) AS g_nation,
+       CAST(grouping(c_mktsegment) AS INT) AS g_seg
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+def q_date_math(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hour_bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    return (
+        e.groupBy(hour_bucket.alias("hour_epoch"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+SQL_DATE_MATH = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1
+"""
+
+
+def q_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k")).filter(F.col("k") >= 80)
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 80
+"""
+
+
+def q_array_ops(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("emin"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("emax"),
+        F.round(sumsq, 3).alias("norm2"),
+    )
+
+
+SQL_ARRAY_OPS = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+       round(CAST(list_min(embedding) AS DOUBLE), 4) AS emin,
+       round(CAST(list_max(embedding) AS DOUBLE), 4) AS emax,
+       round(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b), 3) AS norm2
+FROM embeddings
+"""
+
+
+def q_map_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang2"),
+        F.size(m).alias("msize"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+    )
+
+
+SQL_MAP_OPS = """
+SELECT doc_id, lang AS lang2, 2 AS msize, 'lang,src' AS keys FROM documents
+"""
+
+
+def q_range_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    pairs = e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return pairs.groupBy(F.col("e1.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e1.user_id AS user_id, count(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.user_id
+"""
+
+
+def q_pandas_udf_scalar(spark, sf_dir):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # signature hints into strings, which defeats pandas_udf inference
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def n_tokens(s):
+        return (s.str.count(" ") + 1).astype("int32")
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+SQL_PANDAS_UDF_SCALAR = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents
+"""
+
+
+def q_grouped_agg_udf(spark, sf_dir):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mean_val(v):
+        return float(v.mean())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(mean_val("value"), 4).alias("avg_value"),
+        n_rows("value").alias("n"),
+    )
+
+
+SQL_GROUPED_AGG_UDF = """
+SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_grouped_map_udf(spark, sf_dir):
+    # the P4–P10 mechanism on relational data: per-group normalize
+    import pandas as pd
+
+    def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"]
+        std = v.std(ddof=1)
+        z = (v - v.mean()) / std if std and std > 0 else v * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": z.round(4),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        normalize, "event_id long, user_id long, z double"
+    )
+
+
+SQL_GROUPED_MAP_UDF = """
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_samp(value) OVER w > 0
+             THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+             ELSE 0.0 END, 4) AS z
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    # P-ops (pipeline)
+    "scan_documents": q_scan_documents,
+    "explode_spans": q_explode_spans,
+    "reassemble_xml": q_reassemble_xml,
+    "parse_glyphs": q_parse_glyphs,
+    "cluster_lines": q_cluster_lines,
+    "render_spacing": q_render_spacing,
+    "detect_columns": q_detect_columns,
+    "segment_blocks": q_segment_blocks,
+    "interleave_media": q_interleave_media,
+    "emit_spans": q_emit_spans,
+    "salt_skew": q_salt_skew,
+    "write_output": q_write_output,
+    "resume_antijoin": q_resume_antijoin,
+    "checkpoint_lineage": q_checkpoint_lineage,
+    # Q-ops (relational surface)
+    "q_scan_filter": q_scan_filter,
+    "q_project_strings": q_project_strings,
+    "q_explode_tokens": q_explode_tokens,
+    "q_hash_agg": q_hash_agg,
+    "q_broadcast_join": q_broadcast_join,
+    "q_smj_large": q_smj_large,
+    "q_semi_anti": q_semi_anti,
+    "q_window_rank": q_window_rank,
+    "q_window_running": q_window_running,
+    "q_sort_limit_topk": q_sort_limit_topk,
+    "q_set_ops": q_set_ops,
+    "q_distinct": q_distinct,
+    "q_distinct_approx": q_distinct_approx,
+    "q_grouping_sets": q_grouping_sets,
+    "q_date_math": q_date_math,
+    "q_json_props": q_json_props,
+    "q_array_ops": q_array_ops,
+    "q_map_ops": q_map_ops,
+    "q_range_join": q_range_join,
+    "q_pandas_udf_scalar": q_pandas_udf_scalar,
+    "q_grouped_agg_udf": q_grouped_agg_udf,
+    "q_grouped_map_udf": q_grouped_map_udf,
+}
+
+ORACLE_SQL = {
+    "scan_documents": SQL_SCAN_DOCUMENTS,
+    "reassemble_xml": SQL_REASSEMBLE_XML,
+    "parse_glyphs": SQL_PARSE_GLYPHS,
+    "cluster_lines": SQL_CLUSTER_LINES,
+    "render_spacing": SQL_RENDER_SPACING,
+    "detect_columns": SQL_DETECT_COLUMNS,
+    "segment_blocks": SQL_SEGMENT_BLOCKS,
+    "interleave_media": SQL_INTERLEAVE_MEDIA,
+    "emit_spans": SQL_EMIT_SPANS,
+    "salt_skew": SQL_SALT_SKEW,
+    "write_output": SQL_WRITE_OUTPUT,
+    "resume_antijoin": SQL_RESUME_ANTIJOIN,
+    "q_scan_filter": SQL_SCAN_FILTER,
+    "q_project_strings": SQL_PROJECT_STRINGS,
+    "q_explode_tokens": SQL_EXPLODE_TOKENS,
+    "q_hash_agg": SQL_HASH_AGG,
+    "q_broadcast_join": SQL_BROADCAST_JOIN,
+    "q_smj_large": SQL_SMJ_LARGE,
+    "q_semi_anti": SQL_SEMI_ANTI,
+    "q_window_rank": SQL_WINDOW_RANK,
+    "q_window_running": SQL_WINDOW_RUNNING,
+    "q_sort_limit_topk": SQL_SORT_LIMIT_TOPK,
+    "q_set_ops": SQL_SET_OPS,
+    "q_distinct": SQL_DISTINCT,
+    "q_grouping_sets": SQL_GROUPING_SETS,
+    "q_date_math": SQL_DATE_MATH,
+    "q_json_props": SQL_JSON_PROPS,
+    "q_array_ops": SQL_ARRAY_OPS,
+    "q_map_ops": SQL_MAP_OPS,
+    "q_range_join": SQL_RANGE_JOIN,
+    "q_pandas_udf_scalar": SQL_PANDAS_UDF_SCALAR,
+    "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,
+    "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,
+}
