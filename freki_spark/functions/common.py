@@ -1,0 +1,45 @@
+"""Cross-engine-deterministic primitives shared by the dedup /
+similarity / text-analysis operators.
+
+All hashing goes through md5 hex → int so Spark and the DuckDB oracle
+compute bit-identical values:
+    Spark : conv(substr(md5(x), 1, 8), 16, 10)           (< 2^32)
+    DuckDB: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD31 = 2147483647
+
+
+def md5i32(col: Column) -> Column:
+    """Deterministic 32-bit-range hash of a string column (bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+DUCK_MD5I32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+def toks(col) -> Column:
+    return F.split(col, " ")
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (short docs degrade to one shingle)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+        )
+    )
+
+
+# DuckDB mirror of shingles() over a token list `l` (1-based slicing,
+# inclusive bounds: l[i:i+2] is 3 elements)
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({l}) - 1, 2)), "
+    "i -> array_to_string({l}[i:i+2], ' ')))"
+)

@@ -1,0 +1,400 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Every operator is expressed with built-in Spark functions (JVM-side,
+whole-stage codegen — no Python in the hot path) and carries an exact
+DuckDB oracle: hashing is md5-based (bit-identical across engines,
+see functions/common.py), similarity math is integer-exact (minhash
+match fractions, jaccard from counts) or rounded doubles.
+
+Scale notes (10^12 docs): the LSH band join is the scale path — the
+only shuffle is on (band, band_value); candidate pairs are bounded by
+bucket sizes, never O(n^2).  A skewed band value (boilerplate text)
+is handled by AQE skew-join splitting since the join is a plain
+equi-join.  The derived near-dup corpus (mutated copies of the first
+docs) exists so the small testdata actually exercises the
+candidate-pair path end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import DUCK_MD5I32, DUCK_SHINGLES, md5i32, shingles, toks
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _near_dup_corpus(spark, sf_dir) -> DataFrame:
+    """documents ∪ mutated copies (first 50 docs, last 3 tokens cut):
+    guarantees real near-duplicate pairs in the small testdata."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = toks(F.col("text"))
+    mut = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(tk, 1, F.size(tk) - 3)).alias("text"),
+        )
+    )
+    return d.unionByName(mut)
+
+
+DUCK_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-3], ' ') AS text
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {DUCK_CORPUS.strip()}
+SELECT sha256(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
+FROM corpus GROUP BY sha256(text) HAVING count(*) >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def _with_minhash(c: DataFrame) -> DataFrame:
+    sh = shingles(toks(F.col("text")))
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: md5i32(F.concat(s.cast("string"), F.lit("|"), g)))
+        ),
+    )
+    return c.select("doc_id", mh.alias("mh"))
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).persist()
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "_",
+                        F.element_at("mh", b * 2 + 1),
+                        F.element_at("mh", b * 2 + 2),
+                    ).alias("bv"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.band", "x.bv")
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    pairs = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bv") == F.col("b2.bv"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b"))
+        .distinct()
+    )
+    m1, m2 = mh.alias("m1"), mh.alias("m2")
+    return (
+        pairs.join(m1, F.col("a") == F.col("m1.doc_id"))
+        .join(m2, F.col("b") == F.col("m2.doc_id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("m1.mh", "m2.mh", lambda x, y: x == y),
+                        lambda z: z,
+                    )
+                )
+                / F.lit(float(N_MINHASH))
+            ).alias("est_sim"),
+        )
+    )
+
+
+_MH_CTES = f"""
+WITH {DUCK_CORPUS.strip()},
+sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(l="string_split(text,' ')")} AS shingles
+  FROM corpus
+),
+mh AS (
+  SELECT doc_id, list_transform(range(0, {N_MINHASH}),
+         s -> list_min(list_transform(shingles,
+              g -> {DUCK_MD5I32.format(x="s || '|' || g")}))) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band,
+         mh[b.band * 2 + 1] || '_' || mh[b.band * 2 + 2] AS bv
+  FROM mh, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bv = b2.bv AND b1.doc_id < b2.doc_id
+),
+ex AS (
+  SELECT doc_id, unnest(mh) AS v, generate_subscripts(mh, 1) AS i FROM mh
+)
+"""
+
+SQL_DEDUP_MINHASH = (
+    _MH_CTES
+    + f"""
+SELECT p.a, p.b,
+       sum(CASE WHEN e1.v = e2.v THEN 1 ELSE 0 END) / {float(N_MINHASH)} AS est_sim
+FROM pairs p
+JOIN ex e1 ON e1.doc_id = p.a
+JOIN ex e2 ON e2.doc_id = p.b AND e2.i = e1.i
+GROUP BY p.a, p.b
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit, token-level)
+# --------------------------------------------------------------------------
+
+
+def dedup_simhash(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    tok = c.select(
+        "doc_id", F.explode(F.array_distinct(toks(F.col("text")))).alias("tok")
+    ).withColumn("h", md5i32(F.col("tok")))
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    sgn = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("s")
+    )
+    sim = sgn.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+    orig = sim.filter(F.col("doc_id") < 100000).alias("o")
+    mut = sim.filter(F.col("doc_id") >= 100000).alias("m")
+    return orig.join(
+        mut, F.col("m.doc_id") == F.col("o.doc_id") + 100000, "left"
+    ).select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.col("o.simhash").alias("simhash"),
+        F.expr("bit_count(o.simhash ^ m.simhash)").cast("int").alias("hamming_mut"),
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {DUCK_CORPUS.strip()},
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM corpus
+),
+bits AS (
+  SELECT doc_id, {DUCK_MD5I32.format(x="tok")} AS h, b.b
+  FROM tok, (SELECT unnest(range(0, 32)) AS b) b
+),
+sgn AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s FROM bits GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM sgn GROUP BY doc_id
+)
+SELECT o.doc_id, o.simhash,
+       CAST(bit_count(xor(o.simhash, m.simhash)) AS INT) AS hamming_mut
+FROM (SELECT * FROM sim WHERE doc_id < 100000) o
+LEFT JOIN (SELECT * FROM sim WHERE doc_id >= 100000) m
+  ON m.doc_id = o.doc_id + 100000
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard on rare-shingle candidates
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    ds = c.select(
+        "doc_id", F.explode(shingles(toks(F.col("text")))).alias("sh")
+    ).persist()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df").between(2, 10)
+    )
+    cand = ds.join(F.broadcast(rare.select("sh")), "sh")
+    c1, c2 = cand.alias("c1"), cand.alias("c2")
+    overlap = (
+        c1.join(
+            c2,
+            (F.col("c1.sh") == F.col("c2.sh"))
+            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+        )
+        .groupBy(
+            F.col("c1.doc_id").alias("a"), F.col("c2.doc_id").alias("b")
+        )
+        .agg(F.countDistinct("c1.sh").alias("common"))
+        .filter(F.col("common") >= 3)
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    return (
+        overlap.join(s1, F.col("a") == F.col("s1.doc_id"))
+        .join(s2, F.col("b") == F.col("s2.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {DUCK_CORPUS.strip()},
+ds AS (
+  SELECT doc_id, unnest({DUCK_SHINGLES.format(l="string_split(text,' ')")}) AS sh
+  FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+cand AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
+overl AS (
+  SELECT c1.doc_id AS a, c2.doc_id AS b, count(DISTINCT c1.sh) AS common
+  FROM cand c1 JOIN cand c2 ON c1.sh = c2.sh AND c1.doc_id < c2.doc_id
+  GROUP BY 1, 2 HAVING count(DISTINCT c1.sh) >= 3
+)
+SELECT a, b, round(common / (s1.n_sh + s2.n_sh - common), 4) AS jaccard
+FROM overl JOIN sizes s1 ON a = s1.doc_id JOIN sizes s2 ON b = s2.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (n1 * n2)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mut = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("embedding"),
+    )
+    corpus = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(mut)
+    probes = corpus.filter(F.col("vec_id") >= 100000).alias("p")
+    cos = F.round(_cosine(F.col("p.embedding"), F.col("c.embedding")), 4)
+    return (
+        probes.crossJoin(corpus.alias("c"))
+        .filter(F.col("p.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("c.vec_id").alias("match_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.99)
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+  FROM embeddings WHERE vec_id < 20
+),
+ex AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS j
+  FROM corpus
+),
+dots AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
+         sum(p.v * c.v) AS dot,
+         sqrt(sum(p.v * p.v)) AS n1, sqrt(sum(c.v * c.v)) AS n2
+  FROM ex p JOIN ex c ON p.j = c.j
+  WHERE p.vec_id >= 100000 AND p.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT probe_id, match_id, round(dot / (n1 * n2), 4) AS cos
+FROM dots WHERE round(dot / (n1 * n2), 4) >= 0.99
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+}

@@ -1,0 +1,200 @@
+"""Multimodal (image/audio/video) column plumbing: opaque ``binary``
+content + typed metadata, with decode / feature-extract / resize /
+frame-sample implemented as Arrow-batched pandas UDFs over
+``mapInPandas``.
+
+The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this
+container, so — as the spec requires — the decode step is STUBBED:
+``decode_image`` raises ``NotImplementedError`` with a clear message,
+and the pipeline runs on ``fake_features`` (a deterministic
+sha256-derived feature vector) instead.  Everything Spark-side is
+real and tested: the binary column synthesis, the schema, the
+mapInPandas batch shape, and the partitioning, so swapping the stub
+for a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("content_len", T.IntegerType()),
+        T.StructField("feat0", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synth_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic opaque media rows for every 5th document: content
+    bytes are unhex(sha256(media_ref)) — a stand-in for real image
+    bytes with a stable value per ref."""
+    d = documents.filter(F.col("doc_id") % 5 == 0)
+    ref = F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    return d.select(
+        "doc_id",
+        ref.alias("media_ref"),
+        F.unhex(F.sha2(ref, 256)).alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (64 + F.col("doc_id") % 512).cast("int").alias("width"),
+            (64 + F.col("doc_id") % 256).cast("int").alias("height"),
+            (1 + F.col("doc_id") % 16).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes):
+    """Real image decode — requires PIL/libjpeg, which this container
+    does not ship.  STUB (spec-mandated): swap in PIL.Image.open here
+    when the dependency is available."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg (not available in this container); "
+        "use fake_features() for the deterministic stand-in path"
+    )
+
+
+def _fake_feature_vector(content: bytes, dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded-image feature extractor.
+    Hashes the hex form of the bytes (DuckDB's sha256 is VARCHAR-only,
+    so the oracle can mirror this exactly)."""
+    h = hashlib.sha256(bytes(content).hex().encode()).digest()
+    return [h[i] / 255.0 for i in range(dims)]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "content_len": content.map(len).astype("int32"),
+                    "feat0": pdf["media_ref"].map(
+                        lambda r: int(hashlib.sha256(r.encode()).hexdigest()[:8], 16)
+                    ),
+                    "features": content.map(_fake_feature_vector),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_meta(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize planning (pure metadata math; the pixel op is the stub)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side))
+        / F.greatest(F.col("meta.width"), F.col("meta.height")),
+    )
+    return media.select(
+        "doc_id",
+        "media_ref",
+        F.round(F.col("meta.width") * scale).cast("int").alias("new_w"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("new_h"),
+    )
+
+
+def frame_sample(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Deterministic frame sampling from n_frames metadata."""
+    return media.select(
+        "doc_id",
+        "media_ref",
+        F.sequence(
+            F.lit(0), F.col("meta.n_frames") - 1, F.lit(stride)
+        ).alias("frame_idx"),
+    )
+
+
+# ---- queries() entries ------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(synth_media_table(docs))
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "content_len",
+        "feat0",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f1"),
+    )
+
+
+# content = unhex(sha256(ref)) -> 32 bytes; feat0 = first 4 bytes of
+# sha256(ref) as int; f1 = first byte of sha256(content) / 255
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, media_ref,
+       32 AS content_len,
+       CAST('0x' || substr(sha256(media_ref), 1, 8) AS BIGINT) AS feat0,
+       round(CAST(('0x' || substr(sha256(sha256(media_ref)), 1, 2)) AS BIGINT)
+             / 255.0, 6) AS f1
+FROM m
+"""
+
+
+def q_media_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = frame_sample(synth_media_table(docs))
+    return m.select(
+        "doc_id", "media_ref", F.posexplode("frame_idx").alias("pos", "frame")
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref,
+         CAST(1 + doc_id % 16 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, media_ref,
+       CAST(generate_subscripts(range(0, n_frames, 4), 1) - 1 AS INT) AS pos,
+       CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame
+FROM m
+"""
+
+
+QUERIES = {
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+}
+
+ORACLE_SQL = {
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+}

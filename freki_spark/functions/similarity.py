@@ -1,0 +1,184 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>): brute-force cosine top-k as the correctness baseline,
+and a random-hyperplane LSH-bucketed variant as the scale path.
+
+Scale notes (10^9+ vectors): brute-force is O(probes × corpus) — fine
+for a broadcast probe set, unusable corpus × corpus.  The LSH variant
+assigns every vector a signature bucket (one narrow pass), then joins
+probe↔candidate *within buckets only*: the shuffle key is the bucket
+id, candidate sets are bucket-sized, and recall is tuned by the number
+of planes / probing neighboring buckets.  Hyperplanes are derived from
+md5 (deterministic, reproducible cluster-wide, and exactly mirrored in
+the DuckDB oracle — no RNG state to ship).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .common import DUCK_MD5I32, md5i32
+
+N_PLANES = 6
+N_PROBES = 8
+TOP_K = 5
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def ann_topk_bruteforce(spark, sf_dir):
+    em = _emb(spark, sf_dir)
+    probes = em.filter(F.col("vec_id") < N_PROBES).alias("p")
+    corpus = em.alias("c")
+    cos = F.round(
+        _dot(F.col("p.v"), F.col("c.v"))
+        / (_norm(F.col("p.v")) * _norm(F.col("c.v"))),
+        5,
+    )
+    # broadcast the tiny probe set; corpus side streams (scale path)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        F.col("p.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+scored AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS vec_id,
+         round(sum(p.x * c.x) / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.x * c.x))), 5) AS cos
+  FROM ex p JOIN ex c ON p.j = c.j
+  WHERE p.vec_id < {N_PROBES}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT)
+            AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def _bucket(v):
+    """Random-hyperplane LSH bucket: plane p weight at dim j is a
+    deterministic md5-derived value in [-1, 1]."""
+
+    def plane_dot(p):
+        w = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda j: (
+                md5i32(F.concat(p.cast("string"), F.lit(","), j.cast("string")))
+                % 2001
+                - 1000
+            )
+            / 1000.0,
+        )
+        return _dot(v, w)
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    em = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("v"))).persist()
+    probes = em.filter(F.col("vec_id") < N_PROBES).alias("p")
+    cand = em.alias("c")
+    cos = F.round(
+        _dot(F.col("p.v"), F.col("c.v"))
+        / (_norm(F.col("p.v")) * _norm(F.col("c.v"))),
+        5,
+    )
+    scored = probes.join(cand, F.col("p.bucket") == F.col("c.bucket")).select(
+        F.col("p.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+_W = DUCK_MD5I32.format(x="p || ',' || (j - 1)")
+
+SQL_ANN_LSH = f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+pd AS (
+  SELECT vec_id, p.p AS p, sum(x * (({_W} % 2001 - 1000) / 1000.0)) AS dot
+  FROM ex, (SELECT unnest(range(0, {N_PLANES})) AS p) p
+  GROUP BY vec_id, p.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM pd GROUP BY vec_id
+),
+scored AS (
+  SELECT bp.vec_id AS q_id, bc.vec_id AS vec_id,
+         round(sum(p.x * c.x) / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.x * c.x))), 5) AS cos
+  FROM buckets bp
+  JOIN buckets bc ON bp.bucket = bc.bucket
+  JOIN ex p ON p.vec_id = bp.vec_id
+  JOIN ex c ON c.vec_id = bc.vec_id AND c.j = p.j
+  WHERE bp.vec_id < {N_PROBES}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT)
+            AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLE_SQL = {
+    "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
+    "ann_lsh_bucketed": SQL_ANN_LSH,
+}

@@ -1,0 +1,203 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+(marker-token heuristic), quality scoring (length / stopword ratios),
+token counting (whitespace + BPE-ish regex split), and document
+fingerprinting (position-salted rolling hash).
+
+All JVM-side built-ins (no Python in the hot path), all with exact
+DuckDB oracles: ratios are int/int divisions rounded identically, the
+fingerprint is pure integer math via the shared md5 hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import DUCK_MD5I32, MOD31, md5i32, toks
+
+# fixed marker-token lists (the corpus is synthetic; the *mechanism* —
+# n-gram/markers scoring with deterministic tie-break — is what scales)
+MARKERS = {
+    "en": ["the", "a", "fast", "order", "key"],
+    "es": ["data", "row", "line"],
+    "de": ["group", "batch", "stream"],
+    "fr": ["query", "value", "filter"],
+    "zh": ["spark", "join", "merge"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def lang_id_ngram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = F.array_distinct(toks(F.col("text")))
+    scores = {
+        lang: F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in words])))
+        for lang, words in MARKERS.items()
+    }
+    # first-match-wins CASE: a language wins if it strictly beats every
+    # earlier-priority language and ties-or-beats every later one —
+    # exactly the tie-break the DuckDB oracle encodes
+    pred = None
+    for i, lang in enumerate(LANG_PRIORITY):
+        cond = F.lit(True)
+        for j, other in enumerate(LANG_PRIORITY):
+            if j == i:
+                continue
+            c = scores[lang] > scores[other] if j < i else scores[lang] >= scores[other]
+            cond = cond & c
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    sel = [F.col("doc_id")]
+    sel += [scores[lang].alias(f"s_{lang}") for lang in LANG_PRIORITY]
+    sel += [
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_correct"),
+    ]
+    return d.select(*sel)
+
+
+def _duck_score(lang):
+    words = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return (
+        f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"[{words}])) AS INT)"
+    )
+
+
+def _duck_pred():
+    # same priority tie-break: earlier language wins ties
+    conds = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        parts = []
+        for j, other in enumerate(LANG_PRIORITY):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            parts.append(f"s_{lang} {op} s_{other}")
+        conds.append(f"WHEN {' AND '.join(parts)} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " END"
+
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_duck_score(lang)} AS s_{lang}" for lang in LANG_PRIORITY)}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"s_{lang}" for lang in LANG_PRIORITY)},
+       {_duck_pred()} AS pred_lang,
+       CAST(({_duck_pred()}) = lang AS INT) AS is_correct
+FROM s
+"""
+
+STOPWORDS = ["the", "a", "of", "to", "and", "row", "data", "key"]
+
+
+def quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    n_tok = F.size(tk)
+    stop_hits = F.size(
+        F.filter(tk, lambda t: t.isin(STOPWORDS))
+    )
+    # floor-scaling instead of round(): Spark rounds doubles via their
+    # shortest decimal representation (BigDecimal HALF_UP) while DuckDB
+    # rounds the binary value — they disagree on decimal-boundary
+    # values like 0.53975.  floor() of the identical double is safe.
+    def f4(x):
+        return F.floor(x * 10000) / 10000.0
+
+    stop_ratio = f4(stop_hits / n_tok)
+    avg_tok_len = f4((F.length("text") - (n_tok - 1)) / n_tok)
+    score = f4(
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5 + stop_hits / n_tok * 0.5
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_tok_len.alias("avg_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, length(text) AS lc,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains([{_STOP_LIST}], x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       floor(((lc - (n_tokens - 1)) / n_tokens) * 10000) / 10000.0 AS avg_tok_len,
+       floor((stop_hits / n_tokens) * 10000) / 10000.0 AS stop_ratio,
+       floor((least(n_chars / 500.0, 1.0) * 0.5 + stop_hits / n_tokens * 0.5) * 10000)
+         / 10000.0 AS quality
+FROM t
+"""
+
+
+def token_count_bpe(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(toks(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks(F.col("text")))).alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiou]+|[^aeiou\s]+"), 0)).alias(
+            "n_subword"
+        ),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou\s]+')) AS INT) AS n_subword
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        "doc_id", F.posexplode(toks(F.col("text"))).alias("pos", "tok")
+    )
+    h = md5i32(F.concat((F.col("pos") + 1).cast("string"), F.lit("|"), F.col("tok")))
+    return e.groupBy("doc_id").agg(
+        (F.sum(h) % MOD31).cast("bigint").alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH e AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sum({DUCK_MD5I32.format(x="pos || '|' || tok")}) % {MOD31} AS BIGINT)
+         AS fingerprint
+FROM e GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id_ngram": lang_id_ngram,
+    "quality_score": quality_score,
+    "token_count_bpe": token_count_bpe,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE_SQL = {
+    "lang_id_ngram": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_count_bpe": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+}

@@ -790,3 +790,18 @@ ORACLE_SQL = {
     "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,
     "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,
 }
+
+# --------------------------------------------------------------------------
+# training-data pipeline extensions: dedup, similarity search, text
+# analysis, multimodal plumbing, streaming (see functions/ & streaming/)
+# --------------------------------------------------------------------------
+
+from .functions import dedup as _dedup  # noqa: E402
+from .functions import multimodal as _mm  # noqa: E402
+from .functions import similarity as _sim  # noqa: E402
+from .functions import text_analysis as _ta  # noqa: E402
+from .streaming import jobs as _stream  # noqa: E402
+
+for _mod in (_dedup, _sim, _ta, _mm, _stream):
+    QUERIES.update(_mod.QUERIES)
+    ORACLE_SQL.update(_mod.ORACLE_SQL)

@@ -1,0 +1,173 @@
+"""Structured Streaming surface (Q20 + custom stateful operator).
+
+Two jobs, both runnable deterministically in tests/queries via the
+``availableNow`` trigger over a file source (the ``events`` parquet
+re-staged into a temp dir), both with exact DuckDB oracles:
+
+- hourly tumbling-window aggregation with a watermark (the canonical
+  readStream → window agg → writeStream shape; complete output mode so
+  every finalized window is visible in the memory sink);
+- session counting per user with a 10-minute inactivity gap via
+  ``applyInPandasWithState`` — the custom-stateful-operator escape
+  hatch (freki itself has nothing streaming; this is the engine
+  surface the north rule's scale point needs for incremental ingest).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_S = 600
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Copy events into a single-file streaming source dir."""
+    src = os.path.join(tempfile.mkdtemp(prefix="freki_stream_"), "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    src = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"), "n", "total"
+    )
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    """Count 10-min-gap sessions per user, carrying (last_ts_us,
+    n_sessions) across micro-batches."""
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+    ts_list.sort()
+    if state.exists:
+        last_us, n = state.get
+    else:
+        last_us, n = None, 0
+    for us in ts_list:
+        if last_us is None or us - last_us > SESSION_GAP_S * 1_000_000:
+            n += 1
+        last_us = us
+    state.update((last_us, n))
+    yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    src = _stage_events(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink may hold one row per user per batch: keep the last
+    t = spark.table(sink)
+    return t.groupBy("user_id").agg(F.max("n_sessions").alias("n_sessions"))
+
+
+_SINK_N = [0]
+
+
+def q_stream_hourly(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_hourly_counts(spark, sf_dir, f"stream_hourly_{_SINK_N[0]}")
+
+
+SQL_STREAM_HOURLY = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1
+"""
+
+
+def q_stream_sessionize(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_sessionize(spark, sf_dir, f"stream_sess_{_SINK_N[0]}")
+
+
+SQL_STREAM_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_S} * 1000000
+                 THEN 1 ELSE 0 END) AS INT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q_stream_hourly": q_stream_hourly,
+    "q_stream_sessionize": q_stream_sessionize,
+}
+
+ORACLE_SQL = {
+    "q_stream_hourly": SQL_STREAM_HOURLY,
+    "q_stream_sessionize": SQL_STREAM_SESSIONIZE,
+}
