@@ -1,0 +1,77 @@
+"""Two-parallelism-level scaling evidence (BASELINE.md protocol).
+
+The north rule's ≥0.8 throughput scaling efficiency between N and 4N
+executors cannot use a real cluster in this sandbox, so (per driver
+instruction) the identical job runs at local[8] (N) and local[32]
+(4N) on the same input: one deterministic seeded span-doc corpus,
+fresh JVM per level, shuffle partitions scaled with cores, fixed
+Arrow batch size, warm-up excluded, 3 timed runs, median.
+
+    efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4   (accept >= 0.8)
+
+Writes BENCH/scaling.json and refreshes the measured table inside
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+N_RUNS = 3
+LEVELS = (8, 32)
+
+
+def ensure_corpus() -> str:
+    from bench import CORPUS, build_session, ensure_corpus
+
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        spark = build_session(32, app="freki-corpus-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        ensure_corpus(spark)
+        spark.stop()
+    return CORPUS
+
+
+def main() -> None:
+    corpus = ensure_corpus()
+    results = {}
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "_extract_run.py"), str(cpus), corpus, str(N_RUNS)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    n_docs = results[LEVELS[0]]["n_docs"]
+    med = {c: statistics.median(results[c]["walls"]) for c in LEVELS}
+    thr = {c: n_docs / med[c] for c in LEVELS}
+    eff = (thr[32] / thr[8]) / 4
+    summary = {
+        "n_docs": n_docs,
+        "median_wall_s": {str(c): round(med[c], 3) for c in LEVELS},
+        "docs_per_sec": {str(c): round(thr[c], 1) for c in LEVELS},
+        "all_walls": {str(c): results[c]["walls"] for c in LEVELS},
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "accept_threshold": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(HERE, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Headline benchmark (driver contract): runs the extraction pipeline
+plus the heavy relational/dedup/ANN queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints
+ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+The extraction corpus is a deterministic synthetic span-doc table
+(seeded fixture generator, mixed sizes incl. salted mega-docs and
+corrupt docs), generated DISTRIBUTED via mapInPandas once into
+BENCH/data/ and reused — the same corpus the N-vs-4N scaling run uses
+(BENCH/run_scaling.py, BASELINE.md protocol).
+
+Timing forces full materialization through the noop sink (count()
+alone lets Catalyst prune the expensive projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("FREKI_BENCH_DOCS", "8000"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+CORPUS = os.path.join(REPO, "BENCH", "data", f"bench_docs_{BENCH_DOCS}")
+
+HEADLINE_QUERIES = [
+    "q_hash_agg",
+    "q_smj_large",
+    "q_window_running",
+    "q_explode_tokens",
+    "q_range_join",
+    "q_broadcast_join",
+    "dedup_minhash_lsh",
+    "ann_lsh_bucketed",
+    "doc_fingerprint",
+]
+
+
+def build_session(cpus: int, app: str = "freki-bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(spark, n_docs: int = BENCH_DOCS, path: str = CORPUS) -> str:
+    """Deterministic span-doc corpus, generated distributed (each task
+    regenerates its doc_id range via the seeded pure generator)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import pandas as pd
+
+    from freki_spark.fixtures import make_doc
+    from freki_spark.pipeline import DOC_SCHEMA
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 97 == 13:
+                    profile = "corrupt"
+                elif i % 211 == 7:
+                    profile = "mega"
+                else:
+                    profile = "random"
+                d = make_doc(f"bench-{i:07d}", 42, profile)
+                rows.append((d["doc_id"], d["spans"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    ids = spark.range(n_docs).repartition(64)
+    ids.mapInPandas(gen, DOC_SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def time_extraction(spark, path: str, salt_threshold: int = 40) -> tuple[float, int]:
+    """Wall seconds + doc count for the full pipeline over the corpus.
+    salt_threshold=40 routes the generated mega-docs (48 chunks) down
+    the salted path, like SALT_SPAN_THRESHOLD would at real scale."""
+    from freki_spark.pipeline import extract
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    t0 = time.monotonic()
+    extract(df, salt_threshold=salt_threshold).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = ensure_corpus(spark)
+    timings: dict[str, float] = {}
+
+    # warm-up (JVM/codegen/Arrow) on a small slice, excluded from timing
+    from freki_spark.pipeline import extract
+
+    extract(spark.read.parquet(corpus).limit(200)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    wall, n_docs = time_extraction(spark, corpus)
+    timings["extract_pipeline"] = round(wall, 3)
+    docs_per_sec = round(n_docs / wall, 1)
+
+    from freki_spark.queries import QUERIES
+
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "freki_spark_headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "extract_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

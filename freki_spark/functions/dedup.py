@@ -83,15 +83,35 @@ FROM corpus GROUP BY sha256(text) HAVING count(*) >= 1
 # --------------------------------------------------------------------------
 
 
+# universal-hash permutation constants over GF(2^31-1): shingles are
+# md5-hashed ONCE, the k minhashes are (A_s*h + B_s) mod p — 8x fewer
+# md5 calls than hash-per-seed, standard MinHash construction.
+_P31 = 2147483647
+_A = [
+    int(__import__("hashlib").md5(f"A|{s}".encode()).hexdigest()[:8], 16) % (_P31 - 1)
+    + 1
+    for s in range(N_MINHASH)
+]
+_B = [
+    int(__import__("hashlib").md5(f"B|{s}".encode()).hexdigest()[:8], 16) % _P31
+    for s in range(N_MINHASH)
+]
+
+
 def _with_minhash(c: DataFrame) -> DataFrame:
-    sh = shingles(toks(F.col("text")))
-    mh = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: md5i32(F.concat(s.cast("string"), F.lit("|"), g)))
-        ),
+    sh_h = F.transform(shingles(toks(F.col("text"))), lambda g: md5i32(g) % _P31)
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_hs"),
+                    lambda h: (F.lit(_A[s]) * h + F.lit(_B[s])) % _P31,
+                )
+            )
+            for s in range(N_MINHASH)
+        ]
     )
-    return c.select("doc_id", mh.alias("mh"))
+    return c.select("doc_id", sh_h.alias("_hs")).select("doc_id", mh.alias("mh"))
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -143,16 +163,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_A_LIST = "[" + ", ".join(str(a) for a in _A) + "]"
+_B_LIST = "[" + ", ".join(str(b) for b in _B) + "]"
+
 _MH_CTES = f"""
 WITH {DUCK_CORPUS.strip()},
 sh AS (
-  SELECT doc_id, {DUCK_SHINGLES.format(l="string_split(text,' ')")} AS shingles
+  SELECT doc_id, list_transform(
+           {DUCK_SHINGLES.format(l="string_split(text,' ')")},
+           g -> {DUCK_MD5I32.format(x="g")} % {_P31}) AS hs
   FROM corpus
 ),
 mh AS (
-  SELECT doc_id, list_transform(range(0, {N_MINHASH}),
-         s -> list_min(list_transform(shingles,
-              g -> {DUCK_MD5I32.format(x="s || '|' || g")}))) AS mh
+  SELECT doc_id,
+         list_transform(range(1, {N_MINHASH + 1}), i ->
+           list_min(list_transform(hs,
+             h -> ({_A_LIST}[i] * h + {_B_LIST}[i]) % {_P31}))) AS mh
   FROM sh
 ),
 bands AS (

@@ -614,14 +614,24 @@ SELECT doc_id, lang AS lang2, 2 AS msize, 'lang,src' AS keys FROM documents
 
 
 def q_range_join(spark, sf_dir):
+    # range join as bucketed EQUI-join (the scale path): a 5-minute
+    # window can only land in the probe row's bucket or the next one,
+    # so join on (user_id, bucket) x {b, b-1} and post-filter — a hash
+    # join instead of a per-user nested-loop, and AQE-skew-splittable.
     e = _t(spark, sf_dir, "events")
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
+    b = F.floor(F.unix_timestamp("ts") / 300).cast("long")
+    e1 = e.withColumn("b", b).alias("e1")
+    e2 = (
+        e.withColumn("bj", F.explode(F.array(b, b - 1)))
+        .alias("e2")
+    )
     pairs = e1.join(
         e2,
         (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")),
+        & (F.col("e1.b") == F.col("e2.bj")),
+    ).filter(
+        (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
     )
     return pairs.groupBy(F.col("e1.user_id").alias("user_id")).agg(
         F.count("*").alias("n_pairs")
