@@ -29,10 +29,9 @@ def main() -> None:
     df = spark.read.parquet(corpus)
     n_docs = df.count()
 
-    # warm-up, excluded
-    extract(df.limit(400), salt_threshold=40).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm-up (full pass, excluded): python worker daemons, codegen,
+    # Arrow buffers and page cache all come up on run 1
+    extract(df, salt_threshold=40).write.format("noop").mode("overwrite").save()
 
     walls = []
     for _ in range(n_runs):

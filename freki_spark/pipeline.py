@@ -313,7 +313,14 @@ def _font_label_col(font_map: Column, key: Column) -> Column:
 
 def extract_salted(df: DataFrame) -> DataFrame:
     """Mega-document path: page-parallel layout + distributed renumber."""
-    st1 = df.mapInPandas(_stage1_split, _STAGE1_SCHEMA)
+    # mega docs are rare by construction; pre-partition the page-shard
+    # shuffle on the group key at core-count granularity so the salted
+    # sub-plan's many small exchanges don't pay 2x-cores task-launch
+    # overhead per stage (fixed cost that ruins N->4N scaling)
+    npart = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    st1 = df.mapInPandas(_stage1_split, _STAGE1_SCHEMA).repartition(
+        npart, "doc_id", "salt"
+    )
     st2 = st1.groupBy("doc_id", "salt").applyInPandas(_stage2_layout, _STAGE2_SCHEMA)
     st2 = st2.persist()
 
