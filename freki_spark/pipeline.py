@@ -8,7 +8,8 @@ Dataflow (north-star lifecycle, SURVEY.md §3.2):
            stage 1  mapInPandas: regex page-split + media anchoring
            stage 2  groupBy(doc_id, salt).applyInPandas: per-page
                     layout with group-local numbering   -- 1 shuffle
-           stage 3  pure Spark: window bases + font-id rank + JVM-side
+           stage 3  pure Spark: per-doc meta fold (bases + font ids
+                    from one __meta__ row per shard) + JVM-side
                     string rendering + per-doc reassembly
     union → (doc_id, spans, error)
 
@@ -41,7 +42,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -238,18 +239,24 @@ def _stage1_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _stage2_layout(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per (doc_id, salt) group: lay out the page shard with group-local
+    numbering.  Emits the block/line/media records plus exactly one
+    ``__meta__`` row carrying (fonts in first-appearance order, n_lines,
+    n_spans, error-or-'') — everything stage 3 needs to renumber."""
     pdf = pdf.sort_values(["page_pos", "rank"], kind="stable")
     doc_id = pdf["doc_id"].iloc[0]
     salt = int(pdf["salt"].iloc[0])
     cols = [f.name for f in _STAGE2_SCHEMA.fields]
 
-    err_rows = pdf[pdf["item_type"] == "error"]
-    if len(err_rows):
-        msg = err_rows["payload"].iloc[0]
+    def meta_only(err: str) -> pd.DataFrame:
         return pd.DataFrame(
-            [[doc_id, salt, 0, "__error__", 0, 0, 0, 0, 0, [], msg, "", 0, 0]],
+            [[doc_id, salt, 0, "__meta__", 0, 0, 0, 0, 0, [], err, "", 0, 0]],
             columns=cols,
         )
+
+    err_rows = pdf[pdf["item_type"] == "error"]
+    if len(err_rows):
+        return meta_only(err_rows["payload"].iloc[0])
 
     dialects = [d for d in pdf["dialect"] if d]
     dialect = dialects[0] if dialects else spec.KIND_TETML
@@ -269,10 +276,7 @@ def _stage2_layout(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id, items, dialect
     )
     if err is not None:
-        return pd.DataFrame(
-            [[doc_id, salt, 0, "__error__", 0, 0, 0, 0, 0, [], err, "", 0, 0]],
-            columns=cols,
-        )
+        return meta_only(err)
     rows = [
         [
             doc_id,
@@ -287,17 +291,15 @@ def _stage2_layout(pdf: pd.DataFrame) -> pd.DataFrame:
             r["fonts_keys"],
             r["body"],
             r["media_ref"],
-            n_lines,
-            n_spans,
+            0,
+            0,
         ]
         for r in records
     ]
-    rows += [
-        [doc_id, salt, seq, "__font__", 0, 0, 0, 0, pos, [], fk, "", n_lines, n_spans]
-        for fk, (seq, pos) in doc_fonts.items()
-    ]
-    if not rows:  # empty group (e.g. blank pages): keep counts for bases
-        rows = [[doc_id, salt, 0, "__empty__", 0, 0, 0, 0, 0, [], "", "", 0, 0]]
+    fonts_order = [k for k, _ in sorted(doc_fonts.items(), key=lambda kv: kv[1])]
+    rows.append(
+        [doc_id, salt, 0, "__meta__", 0, 0, 0, 0, 0, fonts_order, "", "", n_lines, n_spans]
+    )
     return pd.DataFrame(rows, columns=cols)
 
 
@@ -312,69 +314,107 @@ def _font_label_col(font_map: Column, key: Column) -> Column:
 
 
 def extract_salted(df: DataFrame) -> DataFrame:
-    """Mega-document path: page-parallel layout + distributed renumber."""
-    # mega docs are rare by construction; pre-partition the page-shard
-    # shuffle on the group key at core-count granularity so the salted
-    # sub-plan's many small exchanges don't pay 2x-cores task-launch
-    # overhead per stage (fixed cost that ruins N->4N scaling)
-    npart = max(8, df.sparkSession.sparkContext.defaultParallelism)
-    st1 = df.mapInPandas(_stage1_split, _STAGE1_SCHEMA).repartition(
-        npart, "doc_id", "salt"
-    )
+    """Mega-document path: page-parallel layout + distributed renumber.
+
+    Plan shape (3 shuffles total, all over per-doc metadata or rendered
+    records — never raw XML bytes twice):
+
+      1. ``groupBy(doc_id, salt).applyInPandas`` — the page-shard layout;
+      2. ``groupBy(doc_id)`` over the one ``__meta__`` row per shard —
+         builds each doc's salt→(line_base, span_base) map, global
+         font-id map (first-appearance order = per-shard order
+         concatenated in salt order), and quarantine error, all with
+         JVM array expressions (no window functions);
+      3. records ⋈ meta on doc_id (AQE picks broadcast vs shuffle — the
+         meta side grows with the number of mega-docs, so it must NOT
+         be force-broadcast at 10^12-doc scale) + the final per-doc
+         assembly, which reuses the same hash partitioning.
+
+    All line/header rendering stays JVM-side (whole-stage codegen) so
+    the per-span work fans out with executors; Python only ever touches
+    a page shard.
+    """
+    st1 = df.mapInPandas(_stage1_split, _STAGE1_SCHEMA)
     st2 = st1.groupBy("doc_id", "salt").applyInPandas(_stage2_layout, _STAGE2_SCHEMA)
     st2 = st2.persist()
 
-    errs = (
-        st2.filter(F.col("kind") == "__error__")
+    # one row per (doc, salt): fonts in first-appearance order + sizes
+    meta = (
+        st2.filter(F.col("kind") == "__meta__")
         .groupBy("doc_id")
-        .agg(F.min("body").alias("error"))
-    )
-    good = st2.join(F.broadcast(errs.select("doc_id")), "doc_id", "left_anti")
-
-    # per-(doc, salt) exclusive running bases over group sizes
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("salt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = (
-        good.groupBy("doc_id", "salt")
-        .agg(F.max("n_lines").alias("nl"), F.max("n_spans").alias("ns"))
-        .select(
-            "doc_id",
-            "salt",
-            F.coalesce(F.sum("nl").over(w), F.lit(0)).alias("line_base"),
-            F.coalesce(F.sum("ns").over(w), F.lit(0)).alias("span_base"),
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("salt").alias("salt"),
+                        F.col("n_lines").alias("nl"),
+                        F.col("n_spans").alias("ns"),
+                        F.col("fonts_keys").alias("fks"),
+                        F.col("body").alias("err"),
+                    )
+                )
+            ).alias("ms")
         )
     )
 
-    # global font ids: rank by earliest (global seq, within-line pos)
-    fonts = (
-        good.filter(F.col("kind") == "__font__")
-        .join(F.broadcast(bases), ["doc_id", "salt"])
-        .select(
-            "doc_id",
-            F.col("body").alias("fkey"),
-            F.struct(
-                (F.col("span_base") + F.col("seq_l")).alias("gseq"),
-                F.col("line_no_l").alias("pos"),
-            ).alias("app"),
+    # exclusive running (line, span) bases per salt, via one array fold
+    zero = F.struct(
+        F.expr(
+            "cast(array() as array<struct<salt:int,lb:bigint,sb:bigint>>)"
+        ).alias("arr"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("s"),
+    )
+
+    def _acc_bases(acc: Column, m: Column) -> Column:
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        m["salt"].alias("salt"),
+                        acc["l"].alias("lb"),
+                        acc["s"].alias("sb"),
+                    )
+                ),
+            ).alias("arr"),
+            (acc["l"] + m["nl"]).alias("l"),
+            (acc["s"] + m["ns"]).alias("s"),
         )
-        .groupBy("doc_id", "fkey")
-        .agg(F.min("app").alias("app"))
-        .withColumn(
-            "fid",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("app")) - 1,
+
+    bases_map = F.map_from_entries(
+        F.transform(
+            F.aggregate("ms", zero, _acc_bases)["arr"],
+            lambda x: F.struct(
+                x["salt"].alias("key"),
+                F.struct(x["lb"].alias("lb"), x["sb"].alias("sb")).alias("value"),
+            ),
         )
     )
-    fmap = fonts.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("fkey", "fid"))).alias("font_map")
+    # global font ids: shards are disjoint, ordered slices of the doc,
+    # so concatenating per-shard first-appearance lists in salt order
+    # and keeping first occurrences IS global first-appearance order
+    fonts_arr = F.array_distinct(F.flatten(F.transform("ms", lambda m: m["fks"])))
+    font_map = F.map_from_entries(
+        F.transform(fonts_arr, lambda k, i: F.struct(k.alias("key"), i.alias("value")))
+    )
+    errs_arr = F.filter("ms", lambda m: m["err"] != F.lit(""))
+    error = F.when(F.size(errs_arr) > 0, F.element_at(errs_arr, 1)["err"])
+
+    meta_doc = meta.select(
+        "doc_id",
+        error.alias("error"),
+        bases_map.alias("bases_map"),
+        font_map.alias("font_map"),
     )
 
     sp = (
-        good.filter(F.col("kind").isin(spec.KIND_BLOCK, spec.KIND_LINE, spec.KIND_MEDIA))
-        .join(F.broadcast(bases), ["doc_id", "salt"])
-        .join(F.broadcast(fmap), "doc_id", "left")
+        st2.filter(F.col("kind").isin(spec.KIND_BLOCK, spec.KIND_LINE, spec.KIND_MEDIA))
+        .join(meta_doc, "doc_id")
+        .filter(F.col("error").isNull())
+        .withColumn("base", F.element_at(F.col("bases_map"), F.col("salt")))
+        .withColumn("line_base", F.col("base")["lb"])
+        .withColumn("span_base", F.col("base")["sb"])
     )
     line_no = (F.col("line_no_l") + F.col("line_base")).cast("long")
     text = (
@@ -441,7 +481,7 @@ def extract_salted(df: DataFrame) -> DataFrame:
         )
         .withColumn("error", F.lit(None).cast("string"))
     )
-    quarantined = errs.select(
+    quarantined = meta_doc.filter(F.col("error").isNotNull()).select(
         "doc_id",
         F.lit([]).cast(T.ArrayType(SPAN_STRUCT)).alias("spans"),
         "error",

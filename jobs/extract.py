@@ -43,6 +43,11 @@ def main() -> None:
         # python-bound map work wants finer input splits than the
         # 128m default: ~16m keeps every core busy on doc-sized rows
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # document rows are huge (a mega-doc's spans column is many MB):
+        # the default 4096-row vectorized reader batch tries to reserve
+        # GBs of contiguous heap and OOMs; 128 doc-rows per columnar
+        # batch is plenty and bounds reader memory at every scale
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.sql.session.timeZone", "UTC")
     )
     spark = builder.getOrCreate()
