@@ -225,6 +225,32 @@ def q_emit_spans(spark, sf_dir):
 SQL_EMIT_SPANS = f'SELECT doc_id, kind, text, media_ref, "offset" FROM {_G}'
 
 
+def q_freki_read(spark, sf_dir):
+    """Round-trip reader (upstream FrekiDoc.read parity): structured
+    re-parse of the rendered freki spans, pure-JVM regexp_extract."""
+    from .reader import read_freki_spans
+
+    return read_freki_spans(_fixture_spans(spark))
+
+
+SQL_FREKI_READ = f"""
+SELECT doc_id, "offset", kind,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'page=(\\d+)', 1) AS INT) END AS page,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'block_id=\\d+-(\\d+)', 1) AS INT) END AS block_k,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 1) AS DOUBLE) END AS llx,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 2) AS DOUBLE) END AS lly,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 3) AS DOUBLE) END AS urx,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 4) AS DOUBLE) END AS ury,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=\\S+ (\\d+) (\\d+)$', 1) AS INT) END AS start_line,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=\\S+ (\\d+) (\\d+)$', 2) AS INT) END AS end_line,
+  CASE WHEN kind='line' THEN CAST(regexp_extract(text, '^line=(\\d+)', 1) AS INT) END AS line_no,
+  CASE WHEN kind='line' THEN regexp_extract(text, '^line=\\d+ fonts=([^:]*):', 1) END AS fonts,
+  CASE WHEN kind='line' THEN regexp_replace(text, '^line=\\d+ fonts=[^:]*:', '') END AS body,
+  CASE WHEN kind='media' THEN media_ref END AS media_ref2
+FROM {_G}
+"""
+
+
 def q_salt_skew(spark, sf_dir):
     # identical invariant through the salted (page-parallel) path
     return _fixture_spans(spark, salted=True)
@@ -736,6 +762,7 @@ QUERIES = {
     "segment_blocks": q_segment_blocks,
     "interleave_media": q_interleave_media,
     "emit_spans": q_emit_spans,
+    "freki_read": q_freki_read,
     "salt_skew": q_salt_skew,
     "write_output": q_write_output,
     "resume_antijoin": q_resume_antijoin,
@@ -775,6 +802,7 @@ ORACLE_SQL = {
     "segment_blocks": SQL_SEGMENT_BLOCKS,
     "interleave_media": SQL_INTERLEAVE_MEDIA,
     "emit_spans": SQL_EMIT_SPANS,
+    "freki_read": SQL_FREKI_READ,
     "salt_skew": SQL_SALT_SKEW,
     "write_output": SQL_WRITE_OUTPUT,
     "resume_antijoin": SQL_RESUME_ANTIJOIN,

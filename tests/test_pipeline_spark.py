@@ -89,3 +89,56 @@ def test_output_schema_stable(spark, matrix_df):
         == "struct<doc_id:string,spans:array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>,error:string>"
     )
+
+
+def test_freki_read_roundtrip(spark, matrix_df, golden):
+    """Reader (FrekiDoc.read parity): structured re-parse of rendered
+    spans must recover the block/line grammar fields consistently."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.reader import blocks, lines, read_freki_docs
+
+    good, _ = split_quarantine(extract(matrix_df))
+    parsed = read_freki_docs(good).cache()
+
+    b = blocks(parsed)
+    l = lines(parsed)
+    n_blocks = b.count()
+    n_lines = l.count()
+    assert n_blocks > 0 and n_lines > 0
+
+    # every block parsed all numeric fields (no NULL from a regex miss)
+    assert (
+        b.filter(
+            F.col("page").isNull()
+            | F.col("block_k").isNull()
+            | F.col("llx").isNull()
+            | F.col("start_line").isNull()
+        ).count()
+        == 0
+    )
+    # bbox is a real box
+    assert b.filter((F.col("urx") < F.col("llx")) | (F.col("ury") < F.col("lly"))).count() == 0
+
+    # per doc: the union of block [start_line, end_line] ranges covers
+    # exactly the set of parsed line numbers (1..n_lines, reading order)
+    rng = b.groupBy("doc_id").agg(
+        F.min("start_line").alias("lo"),
+        F.max("end_line").alias("hi"),
+        F.sum(F.col("end_line") - F.col("start_line") + 1).alias("covered"),
+    )
+    ln = l.groupBy("doc_id").agg(
+        F.min("line_no").alias("l_lo"),
+        F.max("line_no").alias("l_hi"),
+        F.count("*").alias("n"),
+    )
+    j = rng.join(ln, "doc_id")
+    bad = j.filter(
+        (F.col("lo") != F.col("l_lo"))
+        | (F.col("hi") != F.col("l_hi"))
+        | (F.col("covered") != F.col("n"))
+    )
+    assert bad.count() == 0, bad.collect()
+
+    # line bodies never retain the metadata prefix
+    assert l.filter(F.col("body").rlike(r"^line=\d+ fonts=")).count() == 0
