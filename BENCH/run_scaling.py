@@ -25,7 +25,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
-N_RUNS = 5
+# 32k docs (~140 s wall at the 2-core level): large enough that per-run
+# fixed costs (job scheduling, scan setup, the salted path's small
+# shuffles) amortize out of the ratio — at 8k docs (~32 s) those
+# constants alone depress measured 2→8 efficiency by ~0.02.
+os.environ.setdefault("FREKI_BENCH_DOCS", "32000")
+N_RUNS = int(os.environ.get("FREKI_SCALING_RUNS", "3"))
 LEVELS = (2, 8, 32)
 
 

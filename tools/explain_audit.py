@@ -1,0 +1,129 @@
+"""Physical-plan audit: assert that the plans Catalyst produces for the
+headline operators are the plans we designed for (SURVEY.md §4) —
+pushdown reaching the scan, broadcast where a side is small, whole-
+stage codegen on the hot relational paths, and no shuffle on the
+extraction fast path.
+
+Checks (printed PASS/FAIL, exit 1 on any FAIL):
+
+  scan_prune   q_scan_filter   PushedFilters carries the lang predicate
+               and ReadSchema is pruned to the selected columns.
+  bcast        q_broadcast_join  BroadcastHashJoin chosen (dim side).
+  codegen      q_hash_agg      WholeStageCodegen spans cover scan→agg.
+  narrow       extract fast path  physical plan has NO Exchange —
+               extraction must stay a narrow map (the 100 TB invariant:
+               document bytes never shuffle).
+  topk         q_sort_limit_topk  TakeOrderedAndProject (no global sort).
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("freki-explain-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from freki_spark.pipeline import extract_simple
+    from freki_spark.queries import QUERIES
+
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, detail: str) -> None:
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {detail}")
+        if not ok:
+            failures.append(name)
+
+    # 1. filter pushdown + column pruning reach the parquet scan:
+    #    the lang predicate appears in PushedFilters, and the wide
+    #    `text` column is absent from ReadSchema (pruned at the scan)
+    p = plan_of(QUERIES["q_scan_filter"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[[^\]]*lang[^\]]*\]", p)
+    schema = re.search(r"ReadSchema: [^\n]*", p)
+    pruned = schema is not None and "text" not in schema.group(0)
+    check(
+        "scan_prune",
+        bool(pushed) and pruned,
+        f"pushed={bool(pushed)} text-column-pruned={pruned}",
+    )
+
+    # 2. small dim side is broadcast
+    p = plan_of(QUERIES["q_broadcast_join"](spark, sf_dir))
+    check("bcast", "BroadcastHashJoin" in p, "BroadcastHashJoin in plan")
+
+    # 3a. map-side combine: partial_* aggregate functions run BEFORE the
+    #     exchange, so only pre-aggregated rows shuffle
+    df = QUERIES["q_hash_agg"](spark, sf_dir)
+    p = plan_of(df)
+    partial = "partial_sum" in p and p.index("partial_sum") < p.index("(3) Exchange")
+    n_exchange = p.count("Exchange (")
+    check(
+        "partial_agg",
+        partial and n_exchange == 1,
+        f"partial aggregation before the single Exchange (exchanges={n_exchange})",
+    )
+
+    # 3b. whole-stage codegen on the agg path.  AQE reports the plan as
+    #     AdaptiveSparkPlan isFinalPlan=false until the query has run,
+    #     hiding codegen annotations — execute first, then the simple-
+    #     mode plan marks codegen'd operators with `*(n)`.
+    import contextlib
+    import io as _io
+
+    df.collect()
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    final = buf.getvalue()
+    n_stars = len(re.findall(r"\*\(\d+\)", final))
+    check(
+        "codegen",
+        "isFinalPlan=true" in final and n_stars >= 2,
+        f"codegen'd operators x{n_stars} in final adaptive plan",
+    )
+
+    # 4. extraction fast path is narrow: no Exchange anywhere
+    from freki_spark import fixtures
+    from freki_spark.io import docs_to_df
+
+    docs = docs_to_df(spark, fixtures.fixture_matrix()[:4])
+    p = plan_of(extract_simple(docs, mode="map"))
+    check("narrow", "Exchange" not in p, "no Exchange in extract fast path")
+
+    # 5. top-k compiles to TakeOrderedAndProject, not a global sort
+    p = plan_of(QUERIES["q_sort_limit_topk"](spark, sf_dir))
+    check("topk", "TakeOrderedAndProject" in p, "TakeOrderedAndProject in plan")
+
+    spark.stop()
+    print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
