@@ -128,6 +128,40 @@ def stream_sessionize(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
     return t.groupBy("user_id").agg(F.max("n_sessions").alias("n_sessions"))
 
 
+def stream_extract(
+    spark: SparkSession, input_dir: str, out_dir: str, salt_threshold: int | None = None
+) -> None:
+    """Incremental extraction: the streaming analogue of the batch
+    checkpoint path.  ``readStream`` over the (doc_id, spans) table;
+    every micro-batch runs the SAME ``extract`` dataflow (fast path +
+    salted mega-doc path) and appends to the data/quarantine sinks.
+    Source-offset tracking in the streaming checkpoint gives resumable,
+    no-reprocessing progress over an ever-growing input directory —
+    at production scale this is how newly-landed documents are
+    extracted continuously without re-planning the full table.
+    """
+    from .. import spec
+    from ..pipeline import DOC_SCHEMA, extract, split_quarantine
+
+    tau = salt_threshold if salt_threshold is not None else spec.SALT_SPAN_THRESHOLD
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        good, bad = split_quarantine(extract(df, salt_threshold=tau))
+        good.write.mode("append").parquet(f"{out_dir}/data")
+        bad.write.mode("append").parquet(f"{out_dir}/quarantine")
+
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)  # several micro-batches even in tests
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 _SINK_N = [0]
 
 
@@ -162,12 +196,43 @@ FROM g GROUP BY user_id
 """
 
 
+def q_stream_extract(spark, sf_dir):
+    """Fixture matrix through the STREAMING extraction path; the oracle
+    is the same golden span set the batch paths are checked against, so
+    this proves micro-batched incremental extraction is span-for-span
+    identical to the batch pipeline."""
+    from .. import fixtures
+    from ..io import docs_to_df
+
+    base = tempfile.mkdtemp(prefix="freki_sx_")
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    docs_to_df(spark, fixtures.fixture_matrix()).repartition(8).write.parquet(src)
+    stream_extract(spark, src, out)
+    good = spark.read.parquet(f"{out}/data")
+    return (
+        good.select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+
+
+# same golden relation queries.py uses (constructed locally — importing
+# it from ..queries would be circular)
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_GOLDEN = os.path.join(_REPO, "tests", "golden", "fixture_spans.jsonl")
+SQL_STREAM_EXTRACT = (
+    'SELECT doc_id, kind, text, media_ref, CAST("offset" AS INT) AS "offset" '
+    f"FROM read_json('{_GOLDEN}')"
+)
+
+
 QUERIES = {
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sessionize": q_stream_sessionize,
+    "q_stream_extract": q_stream_extract,
 }
 
 ORACLE_SQL = {
     "q_stream_hourly": SQL_STREAM_HOURLY,
     "q_stream_sessionize": SQL_STREAM_SESSIONIZE,
+    "q_stream_extract": SQL_STREAM_EXTRACT,
 }

@@ -86,3 +86,37 @@ def test_determinism_across_parallelism(spark, docs):
         .select("doc_id", "spans")
     )
     assert base == wide
+
+
+def test_stream_extract_incremental(spark, docs, tmp_path):
+    """Streaming extraction: new source files are processed on the next
+    trigger; already-seen files are never reprocessed (source offsets in
+    the streaming checkpoint), and the union equals batch extraction."""
+    from freki_spark.streaming.jobs import stream_extract
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    first, second = docs[:40], docs[40:]
+
+    def accounted(path: str) -> set:
+        ids = {r.doc_id for r in spark.read.parquet(f"{path}/data").collect()}
+        ids |= {r.doc_id for r in spark.read.parquet(f"{path}/quarantine").collect()}
+        return ids
+
+    docs_to_df(spark, first).repartition(4).write.mode("append").parquet(src)
+    stream_extract(spark, src, out)
+    assert accounted(out) == {d["doc_id"] for d in first}
+
+    docs_to_df(spark, second).repartition(4).write.mode("append").parquet(src)
+    stream_extract(spark, src, out)
+    all_rows = spark.read.parquet(f"{out}/data")
+    # exactly once: no doc extracted twice across the two triggers
+    assert all_rows.count() == all_rows.select("doc_id").distinct().count()
+    assert accounted(out) == {d["doc_id"] for d in docs}
+    got2 = _spans_map(all_rows)
+
+    # span-for-span identical to the one-shot batch pipeline
+    batch = _spans_map(
+        extract(docs_to_df(spark, docs)).filter("error IS NULL").select("doc_id", "spans")
+    )
+    assert got2 == batch
