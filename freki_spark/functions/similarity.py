@@ -173,12 +173,124 @@ SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF-flat: inverted-file index with a coarse quantizer
+# --------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+CENTROID_BASE = 100  # centroids = embeddings of vec_id in [100, 100+K)
+N_LISTS_PROBED = 4
+
+
+def ann_ivf_flat(spark, sf_dir):
+    """IVF-flat search: every vector is assigned to the inverted list of
+    its nearest coarse centroid (one narrow pass over a broadcast
+    centroid set); a probe scores only the vectors in its
+    ``N_LISTS_PROBED`` nearest lists.
+
+    Scale shape (10^9+ vectors): the centroid set is tiny → broadcast;
+    assignment is a narrow map producing a ``list_id`` partition key;
+    search is an equi-join on ``list_id`` touching nprobe/K of the
+    corpus instead of all of it.  Centroids here are a deterministic
+    seed subset of the corpus (reproducible cluster-wide and exactly
+    mirrored in the DuckDB oracle); production would train them offline
+    with k-means — the search dataflow is identical either way.
+    """
+    em = _emb(spark, sf_dir)
+    cents = em.filter(
+        (F.col("vec_id") >= CENTROID_BASE)
+        & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+
+    cos_vc = F.round(
+        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 5
+    )
+    ranked = (
+        em.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", cos_vc.alias("ccos"))
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("crnk") == 1).select(
+        "vec_id", "v", F.col("cent_id").alias("list_id")
+    )
+    probe_lists = (
+        ranked.filter(
+            (F.col("vec_id") < N_PROBES) & (F.col("crnk") <= N_LISTS_PROBED)
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("list_id"))
+    )
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = probe_lists.join(assigned, "list_id").join(probes, "q_id")
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 5
+    )
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+ccos AS (
+  SELECT e.vec_id, c.vec_id AS cent_id,
+         round(sum(e.x * c.x) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.x * c.x))), 5)
+           AS ccos
+  FROM ex e JOIN ex c ON e.j = c.j
+  WHERE c.vec_id >= {CENTROID_BASE} AND c.vec_id < {CENTROID_BASE + N_CENTROIDS}
+  GROUP BY 1, 2
+),
+ranked_c AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+  FROM ccos
+),
+assigned AS (
+  SELECT vec_id, cent_id AS list_id FROM ranked_c WHERE crnk = 1
+),
+probe_lists AS (
+  SELECT vec_id AS q_id, cent_id AS list_id FROM ranked_c
+  WHERE vec_id < {N_PROBES} AND crnk <= {N_LISTS_PROBED}
+),
+scored AS (
+  SELECT pl.q_id, a.vec_id,
+         round(sum(p.x * c.x) / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.x * c.x))), 5) AS cos
+  FROM probe_lists pl
+  JOIN assigned a ON a.list_id = pl.list_id
+  JOIN ex p ON p.vec_id = pl.q_id
+  JOIN ex c ON c.vec_id = a.vec_id AND c.j = p.j
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT)
+            AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_flat": ann_ivf_flat,
 }
 
 ORACLE_SQL = {
     "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
+    "ann_ivf_flat": SQL_ANN_IVF,
 }

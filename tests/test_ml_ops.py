@@ -117,3 +117,29 @@ def test_stream_sessionize_counts(spark):
     rows = stream_sessionize(spark, SF, "t_sess").collect()
     assert len(rows) >= 10
     assert all(r.n_sessions >= 1 for r in rows)
+
+
+def test_ann_ivf_self_top1_and_recall(spark):
+    """IVF-flat: the probe's own list always contains it (self top-1),
+    and probing 4 of 16 lists recovers most of the brute-force top-k."""
+    from freki_spark.functions.similarity import (
+        TOP_K,
+        ann_ivf_flat,
+        ann_topk_bruteforce,
+    )
+
+    ivf = ann_ivf_flat(spark, SF).collect()
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(by_q) == set(range(8))
+    for q, rs in by_q.items():
+        assert q in rs  # self is always in its own list
+
+    bf = ann_topk_bruteforce(spark, SF).collect()
+    bf_by_q = {}
+    for r in bf:
+        bf_by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(by_q[q] & bf_by_q[q]) for q in bf_by_q)
+    total = sum(len(v) for v in bf_by_q.values())
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total} vs brute force"
