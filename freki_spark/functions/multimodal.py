@@ -168,6 +168,27 @@ FROM m
 """
 
 
+def q_media_resize(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_meta(synth_media_table(docs))
+
+
+SQL_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref,
+         CAST(64 + doc_id % 512 AS INT) AS w, CAST(64 + doc_id % 256 AS INT) AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+  SELECT *, least(1.0, 128.0 / greatest(w, h)) AS scale FROM m
+)
+SELECT doc_id, media_ref,
+       CAST(round(w * scale, 0) AS INT) AS new_w,
+       CAST(round(h * scale, 0) AS INT) AS new_h
+FROM s
+"""
+
+
 def q_media_frame_sample(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m = frame_sample(synth_media_table(docs))
@@ -191,10 +212,12 @@ FROM m
 
 QUERIES = {
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLE_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
+    "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
 }

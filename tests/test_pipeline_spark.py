@@ -142,3 +142,17 @@ def test_freki_read_roundtrip(spark, matrix_df, golden):
 
     # line bodies never retain the metadata prefix
     assert l.filter(F.col("body").rlike(r"^line=\d+ fonts=")).count() == 0
+
+
+def test_extract_fast_path_is_narrow(spark, matrix_df):
+    """The 100 TB invariant: the unsalted extraction path must contain
+    no Exchange — document bytes never shuffle."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_simple(matrix_df, mode="map").explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
