@@ -58,6 +58,12 @@ def build_session(cpus: int, app: str = "freki-bench"):
         # JVM-feed/python-compute overlap: one task per core serializes
         # the pipeline (measured 0.4 -> 0.8+ scaling efficiency)
         .config("spark.sql.files.minPartitionNum", str(4 * cpus))
+        # same cap as jobs/extract.py: multi-MB mega-doc rows make the
+        # 4096-row default vectorized-reader batch reserve GBs and GC-
+        # thrash at high task concurrency (measured 2x on the 32k corpus
+        # at local[32]: JVM climbs to ~10 cores of GC while the python
+        # workers starve)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
