@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the numpy layout kernels —
+invariants that must hold for ANY geometrically valid token set, not
+just the fixture matrix.  Pure numpy, no Spark session.
+
+S2 cluster_lines: partition property (every token in exactly one
+line), within-line x-order, top-to-bottom line order.
+S3 render_spacing: all token texts present, in order, separated only
+by spaces; single-token line renders verbatim.
+S5 segment_blocks (via layout_page): blocks cover all lines with
+contiguous 1-based line ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from freki_spark.kernel import PageTokens, cluster_lines, render_spacing
+
+coord = st.floats(min_value=0.0, max_value=600.0, allow_nan=False, width=32)
+
+
+@st.composite
+def pages(draw, min_tokens=1, max_tokens=40):
+    n = draw(st.integers(min_tokens, max_tokens))
+    page = PageTokens(1, 612.0, 792.0)
+    for i in range(n):
+        llx = draw(coord)
+        lly = draw(coord)
+        w = draw(st.floats(min_value=0.5, max_value=80.0, allow_nan=False, width=32))
+        h = draw(st.floats(min_value=0.5, max_value=30.0, allow_nan=False, width=32))
+        text = draw(st.text(alphabet="abcXYZ09", min_size=1, max_size=8))
+        page.add(text, llx, lly, llx + w, lly + h, "Times|10.0")
+    page.freeze()
+    return page
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages())
+def test_cluster_lines_partitions_tokens(page):
+    lines = cluster_lines(page)
+    seen = np.concatenate(lines) if lines else np.array([], dtype=np.int64)
+    # every token appears in exactly one line
+    assert sorted(seen.tolist()) == list(range(len(page.texts)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages())
+def test_cluster_lines_ordering(page):
+    lines = cluster_lines(page)
+    box = page.box
+    for idx in lines:
+        llx = box[idx, 0]
+        assert (np.diff(llx) >= 0).all()  # left-to-right within a line
+    mean_ury = [float(np.mean(box[idx, 3])) for idx in lines]
+    assert all(a >= b for a, b in zip(mean_ury, mean_ury[1:]))  # top→bottom
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages())
+def test_render_spacing_preserves_texts(page):
+    for idx in cluster_lines(page):
+        rendered = render_spacing(page, idx)
+        texts = [page.texts[i] for i in idx]
+        # all token texts appear in order; removing them leaves only spaces
+        pos = 0
+        rest = rendered
+        for t in texts:
+            j = rest.find(t)
+            assert j >= 0, (rendered, texts)
+            assert set(rest[:j]) <= {" "}, (rendered, texts)
+            rest = rest[j + len(t):]
+        assert set(rest) <= {" "}
+        if len(idx) == 1:
+            assert rendered == texts[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(pages(min_tokens=2, max_tokens=30))
+def test_layout_page_block_ranges_cover_lines(page):
+    from freki_spark.kernel import layout_page
+
+    records: list = []
+    fonts: dict = {}
+    n_lines, seq = layout_page(page, records, 0, 0, fonts)
+    line_recs = [r for r in records if r["kind"] == "line"]
+    block_recs = [r for r in records if r["kind"] == "block"]
+    assert len(line_recs) == n_lines
+    # block line ranges are disjoint, contiguous, and cover 1..n_lines
+    ranges = sorted((r["line_start"], r["line_end"]) for r in block_recs)
+    covered = []
+    for a, b in ranges:
+        assert a <= b
+        covered.extend(range(a, b + 1))
+    assert covered == list(range(1, n_lines + 1))
