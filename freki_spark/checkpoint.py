@@ -12,8 +12,14 @@ Resume = two guards, cheapest first:
 1. partition prune: committed batch ids are skipped outright
    (deterministic assignment — no data read needed);
 2. ``input.join(done_docs, 'doc_id', 'left_anti')`` against the
-   committed outputs — the belt-and-braces doc-level guard that stays
-   correct even if ``n_batches`` changed between runs.
+   outputs of COMMITTED batches only — uncommitted batch dirs may hold
+   partial files from a killed run, and trusting them would both skip
+   their docs and destroy the partial data on the re-run's overwrite.
+
+``n_batches`` is recorded in lineage and pinned: the batch dirs are
+keyed by ``pmod(hash, n_batches)``, so resuming with a different value
+would overwrite committed dirs with differently-bucketed data — it is
+an explicit error instead.
 
 Lineage schema follows FIXTURES.md §5.
 """
@@ -33,6 +39,7 @@ LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
         T.StructField("batch_id", T.IntegerType()),
+        T.StructField("n_batches", T.IntegerType()),
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("doc_id_min", T.StringType()),
         T.StructField("doc_id_max", T.StringType()),
@@ -66,17 +73,39 @@ def committed_batches(spark: SparkSession, out_dir: str) -> set[int]:
     return {r.batch_id for r in rows}
 
 
-def done_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """doc_ids already accounted for (extracted or quarantined)."""
-    parts = []
-    for sub in ("data", "quarantine"):
-        if _exists(spark, f"{out_dir}/{sub}"):
-            parts.append(spark.read.parquet(f"{out_dir}/{sub}").select("doc_id"))
-    if not parts:
+def lineage_n_batches(spark: SparkSession, out_dir: str) -> set[int]:
+    """Distinct n_batches values recorded in the lineage table."""
+    if not _exists(spark, f"{out_dir}/lineage"):
+        return set()
+    lin = spark.read.parquet(f"{out_dir}/lineage")
+    if "n_batches" not in lin.columns:  # pre-field outputs
+        return set()
+    rows = lin.select("n_batches").distinct().collect()
+    return {r.n_batches for r in rows if r.n_batches is not None}
+
+
+def done_doc_ids(
+    spark: SparkSession, out_dir: str, committed: set[int]
+) -> DataFrame | None:
+    """doc_ids already accounted for (extracted or quarantined).
+
+    Reads ONLY the batch directories whose lineage row says committed.
+    A killed run leaves partially-written files in an uncommitted batch
+    dir; counting those as done would make the resume anti-join skip
+    their docs while the re-run's overwrite destroys the partial data —
+    silent loss (caught by an end-to-end kill test).
+    """
+    paths = []
+    for b in sorted(committed):
+        for sub in ("data", "quarantine"):
+            p = f"{out_dir}/{sub}/batch_id={b}"
+            if _exists(spark, p):
+                paths.append(p)
+    if not paths:
         return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = spark.read.parquet(paths[0]).select("doc_id")
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p).select("doc_id"))
     return out
 
 
@@ -95,15 +124,25 @@ def run_extraction(
     max_batches: stop after N batches this invocation (used by the
     resume tests to simulate a killed run; production leaves it None).
     """
+    prior_nb = lineage_n_batches(spark, out_dir)
+    if prior_nb and prior_nb != {n_batches}:
+        # the batch dirs are keyed by pmod(hash, n_batches): a different
+        # n_batches remaps doc→batch and the re-run would overwrite
+        # committed dirs with differently-bucketed data — refuse loudly
+        raise ValueError(
+            f"output {out_dir} was written with n_batches={sorted(prior_nb)}; "
+            f"resume with the same value (got {n_batches})"
+        )
     done = committed_batches(spark, out_dir)
     batched = input_df.withColumn(
         "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)).cast("int")
     )
     if done:
         batched = batched.filter(~F.col("batch_id").isin(sorted(done)))
-        already = done_doc_ids(spark, out_dir)
+        already = done_doc_ids(spark, out_dir, done)
         if already is not None:
-            # doc-level anti-join guard (stays correct across n_batches changes)
+            # doc-level guard over committed batches only: uncommitted
+            # dirs may hold partial writes from a killed run
             batched = batched.join(already, "doc_id", "left_anti")
     batched = batched.persist()
 
@@ -142,6 +181,7 @@ def run_extraction(
             (
                 run_id,
                 b,
+                n_batches,
                 b,
                 stats.dmin,
                 stats.dmax,

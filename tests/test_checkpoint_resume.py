@@ -120,3 +120,50 @@ def test_stream_extract_incremental(spark, docs, tmp_path):
         extract(docs_to_df(spark, docs)).filter("error IS NULL").select("doc_id", "spans")
     )
     assert got2 == batch
+
+
+def test_resume_ignores_partial_uncommitted_batch(spark, docs, tmp_path):
+    """A killed run leaves partially-written parquet in an UNCOMMITTED
+    batch dir.  Resume must not count those docs as done (they would be
+    skipped while the overwrite destroys the partial data — data loss);
+    it must re-run the whole batch and converge to the one-shot output."""
+    from pyspark.sql import functions as F
+
+    df = docs_to_df(spark, docs)
+    out = tmp_path / "partial"
+
+    s1 = run_extraction(spark, df, str(out), run_id="p1", n_batches=6, max_batches=2)
+    assert s1["batches_run"] == 2
+    done = committed_batches(spark, str(out))
+    victim = min(set(range(6)) - done)
+
+    # simulate the kill: half of the victim batch's docs already written
+    # to its data dir, with NO lineage row
+    batched = df.withColumn(
+        "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(6)).cast("int")
+    )
+    partial = (
+        extract(batched.filter(F.col("batch_id") == victim).select("doc_id", "spans"))
+        .filter(F.col("error").isNull())
+        .select("doc_id", "spans")
+        .limit(5)
+        .withColumn("batch_id", F.lit(victim))
+    )
+    partial.write.mode("overwrite").parquet(str(out / "data" / f"batch_id={victim}"))
+
+    s2 = run_extraction(spark, df, str(out), run_id="p2", n_batches=6)
+    assert s2["batches_run"] == 4
+
+    one_shot = tmp_path / "oneshot2"
+    run_extraction(spark, df, str(one_shot), run_id="q1", n_batches=6)
+    assert _spans_map(read_output(spark, str(out))) == _spans_map(
+        read_output(spark, str(one_shot))
+    )
+
+
+def test_resume_rejects_changed_n_batches(spark, docs, tmp_path):
+    df = docs_to_df(spark, docs)
+    out = tmp_path / "nb"
+    run_extraction(spark, df, str(out), run_id="n1", n_batches=4, max_batches=1)
+    with pytest.raises(ValueError, match="n_batches"):
+        run_extraction(spark, df, str(out), run_id="n2", n_batches=8)
