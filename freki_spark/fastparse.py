@@ -1,0 +1,374 @@
+"""Guarded regex/numpy fast path for FrekiSpec v1 §S1 parsing.
+
+The stdlib-ElementTree parsers in ``freki_spark.kernel`` dominate the
+extraction kernel's profile (~2/3 of per-doc wall, mostly ElementPath
+traversal and per-glyph ``Element`` handling).  Both supported dialects
+(PDFLib TETML, PDFMiner ``pdf2txt -t xml``) are machine-generated XML
+with a tiny fixed vocabulary, so glyph extraction is expressible as
+C-level regex scans plus vectorized numpy word assembly.
+
+Safety contract — the fast path must be **observationally identical**
+to the ET path (span equality is the engine's core invariant):
+
+1. *Acceptance* is decided by the same C parser ET wraps: a bare
+   ``xml.parsers.expat`` parse (namespace-aware, no handlers, no tree)
+   validates well-formedness first and re-raises as
+   ``xml.etree.ElementTree.ParseError`` with expat's message — the
+   kernel's quarantine behavior (which docs error, and the error text)
+   cannot diverge from the ET path.
+2. *Eligibility* is checked before anything else by cheap C string
+   scans; any construct that could make a flat regex scan disagree
+   with a tree walk (comments/CDATA/DOCTYPE, processing instructions
+   past the prologue, ``>`` inside attribute values or text — detected
+   via ``count('<') != count('>')`` — or non-predefined entity
+   references) falls back to the ET parser, as does any structural
+   anomaly discovered during extraction (returns ``None``).
+3. The walk replicates the ET parsers' exact semantics: document-order
+   traversal, the same attribute defaults, the same float/int
+   conversions (same exception classes for the content-error
+   quarantine), the same word-break rules.
+
+Assumption shared with the ET path: the dialects' page / word /
+textline elements do not nest within themselves (true for both
+generators; nested same-name elements would already confuse the ET
+walk's ``.//`` + direct-children mix in other ways).
+
+Reference parity target: freki/analyzers/{tetml,pdfminer}.py in
+pvk444/freki [U] (mount empty at build time — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from xml.parsers import expat
+
+import numpy as np
+
+from .grammar import font_key
+
+# --------------------------------------------------------------------------
+# eligibility + validation
+# --------------------------------------------------------------------------
+
+# every '&' must be one of the five predefined refs or a char ref —
+# anything else (undefined entity, bare '&') goes to the ET path
+_ENT_OK = re.compile(r"&(?:amp|lt|gt|quot|apos|#[0-9]{1,7}|#x[0-9a-fA-F]{1,6});")
+_ENT_RE = re.compile(r"&(?:(amp|lt|gt|quot|apos)|#([0-9]+)|#x([0-9a-fA-F]+));")
+_PREDEF = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+
+
+def fast_eligible(xml: str) -> bool:
+    if "<!" in xml:  # comments, CDATA, DOCTYPE
+        return False
+    q = xml.find("<?")
+    if q > 0 or (q == 0 and xml.find("<?", 2) != -1):
+        return False  # processing instruction past a pos-0 prologue
+    if xml.count("<") != xml.count(">"):
+        return False  # '>' inside attr values or text
+    namp = xml.count("&")
+    if namp and len(_ENT_OK.findall(xml)) != namp:
+        return False
+    return True
+
+
+def validate(xml: str) -> None:
+    """Well-formedness check with the same C parser ET uses (namespace
+    separator '}' matches ET.XMLParser), no handlers, no tree."""
+    p = expat.ParserCreate(None, "}")
+    try:
+        p.Parse(xml, True)
+    except expat.ExpatError as e:
+        raise ET.ParseError(str(e)) from None
+
+
+def _ent_sub(m: re.Match) -> str:
+    if m.group(1):
+        return _PREDEF[m.group(1)]
+    if m.group(2):
+        return chr(int(m.group(2)))
+    return chr(int(m.group(3), 16))
+
+
+def _unesc(s: str) -> str:
+    return _ENT_RE.sub(_ent_sub, s) if "&" in s else s
+
+
+# --------------------------------------------------------------------------
+# shared bits
+# --------------------------------------------------------------------------
+
+_ATTR_RE = re.compile(r"([\w.:-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
+
+
+def _attrs(blob: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, dq, sq in _ATTR_RE.findall(blob):
+        out[name] = _unesc(dq if dq else sq)
+    return out
+
+
+def _mode_first(keys: list[str]) -> int:
+    """Index of first element whose value is the mode (ties -> first) —
+    mirrors kernel._mode_first exactly."""
+    if len(keys) == 1 or keys.count(keys[0]) == len(keys):
+        return 0  # all-same fast case (one C pass) — by far the common one
+    counts: dict[str, int] = {}
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+    best = max(counts.values())
+    for i, k in enumerate(keys):
+        if counts[k] == best:
+            return i
+    raise AssertionError("unreachable")
+
+
+# --------------------------------------------------------------------------
+# TETML
+# --------------------------------------------------------------------------
+
+_TET_PAGE = re.compile(r"<(?:[\w.-]+:)?Page(?=[\s/>])([^>]*)>")
+_TET_PAGE_CLOSE = re.compile(r"</(?:[\w.-]+:)?Page>")
+# one alternation, matched in document order; unmatched tags are skipped
+_TET_EV = re.compile(
+    r"<(?:[\w.-]+:)?"
+    r"(?:(?P<ws>Word)(?=[\s/>])(?P<wattr>[^>]*)>"
+    r"|(?P<we>/Word)>"
+    r"|(?P<tx>Text)(?=[\s/>])[^>]*>(?P<txt>[^<]*)"
+    r"|(?P<bx>Box)(?=[\s/>])(?P<battr>[^>]*)>"
+    r"|(?P<gl>Glyph)(?=[\s/>])(?P<gattr>[^>]*)>(?P<gtxt>[^<]*))"
+)
+_BOX_FAST = re.compile(
+    r'\s*llx="([^"&]*)"\s+lly="([^"&]*)"\s+urx="([^"&]*)"\s+ury="([^"&]*)"\s*/?\s*$'
+)
+
+
+def parse_tetml_fast(xml: str, page_cls) -> list | None:
+    """Returns list[PageTokens] or None (= use the ET path).  Raises
+    ET.ParseError on malformed XML (identical expat message)."""
+    if not fast_eligible(xml):
+        return None
+    validate(xml)
+
+    pages: list = []
+    fk_memo: dict[str, str] = {}
+    popens = list(_TET_PAGE.finditer(xml))
+    for pi, pm in enumerate(popens):
+        pa = _attrs(pm.group(1))
+        cur = page_cls(
+            int(pa.get("number", str(len(pages) + 1))),
+            float(pa.get("width", "612")),
+            float(pa.get("height", "792")),
+        )
+        if pm.group(1).rstrip().endswith("/"):  # self-closing <Page/>
+            cur.freeze()
+            pages.append(cur)
+            continue
+        end = popens[pi + 1].start() if pi + 1 < len(popens) else len(xml)
+        body = xml[pm.end() : end]
+        cm = _TET_PAGE_CLOSE.search(body)
+        if cm:
+            body = body[: cm.start()]
+
+        in_word = False
+        w_text: str | None = None
+        w_box: tuple | None = None
+        w_fonts: list[str] = []
+
+        def finalize() -> None:
+            nonlocal in_word, w_text, w_box
+            if in_word and w_text and w_text.strip() and w_box is not None:
+                fk = (
+                    w_fonts[_mode_first(w_fonts)]
+                    if w_fonts
+                    else font_key("", 0.0)
+                )
+                cur.add(w_text, *w_box, fk)
+            in_word = False
+            w_text = None
+            w_box = None
+            w_fonts.clear()
+
+        for m in _TET_EV.finditer(body):
+            g = m.lastgroup
+            if g == "gtxt":  # Glyph matched (last named group that matched)
+                if not in_word:
+                    continue
+                ga = m.group("gattr")
+                fk = fk_memo.get(ga)
+                if fk is None:
+                    d = _attrs(ga)
+                    fk = font_key(d.get("font", ""), float(d.get("size", "0")))
+                    fk_memo[ga] = fk
+                w_fonts.append(fk)
+            elif g == "txt":
+                if in_word:
+                    w_text = _unesc(m.group("txt"))
+            elif g in ("bx", "battr"):
+                if not in_word:
+                    continue
+                ba = m.group("battr")
+                bf = _BOX_FAST.match(ba)
+                if bf:
+                    w_box = (
+                        float(bf.group(1)),
+                        float(bf.group(2)),
+                        float(bf.group(3)),
+                        float(bf.group(4)),
+                    )
+                else:
+                    d = _attrs(ba)
+                    w_box = (
+                        float(d.get("llx")),
+                        float(d.get("lly")),
+                        float(d.get("urx")),
+                        float(d.get("ury")),
+                    )
+            elif g in ("ws", "wattr"):
+                finalize()
+                in_word = True
+                if m.group("wattr").rstrip().endswith("/"):  # <Word/>
+                    in_word = False
+            elif g == "we":
+                finalize()
+        finalize()
+        cur.freeze()
+        pages.append(cur)
+    return pages
+
+
+# --------------------------------------------------------------------------
+# PDFMiner XML (vectorized: one findall per page + numpy reduceat)
+# --------------------------------------------------------------------------
+
+_PDM_PAGE = re.compile(r"<(?:[\w.-]+:)?page(?=[\s/>])([^>]*)>")
+_PDM_PAGE_CLOSE = re.compile(r"</(?:[\w.-]+:)?page>")
+# groups: 1 strict-marker('font') 2 font 3 bbox 4 size 5 text
+#         6 generic-marker('<text') 7 attr-blob 8 text
+#         9 slash 10 textline-marker
+_PDM_EV = re.compile(
+    r'<text\s+(font)="([^"&]*)"\s+bbox="([^"&]*)"(?:[^>]*?\s)?size="([^"&]*)"\s*>'
+    r"([^<]*)</text>"
+    r"|(<text)((?:\s[^>]*)?/?)>([^<]*)(?:</text>)?"
+    r"|<(/?)(textline)"
+)
+
+
+def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
+    if not fast_eligible(xml):
+        return None
+    validate(xml)
+    has_amp = "&" in xml
+
+    pages: list = []
+    fk_memo: dict[tuple[str, str], str] = {}
+    popens = list(_PDM_PAGE.finditer(xml))
+    for pi, pm in enumerate(popens):
+        pa = _attrs(pm.group(1))
+        pb = pa.get("bbox", "0,0,612,792").split(",")
+        cur = page_cls(
+            int(pa.get("id", str(len(pages) + 1))),
+            float(pb[2]) - float(pb[0]),
+            float(pb[3]) - float(pb[1]),
+        )
+        if pm.group(1).rstrip().endswith("/"):
+            cur.freeze()
+            pages.append(cur)
+            continue
+        end = popens[pi + 1].start() if pi + 1 < len(popens) else len(xml)
+        body = xml[pm.end() : end]
+        cm = _PDM_PAGE_CLOSE.search(body)
+        if cm:
+            body = body[: cm.start()]
+
+        # flat event scan: glyph texts/bboxes/fonts + word-id per glyph
+        texts: list[str] = []
+        bboxs: list[str] = []
+        fkeys: list[str] = []
+        wids: list[int] = []
+        wid = 0
+        open_word = False
+        in_tl = 0
+        for ev in _PDM_EV.findall(body):
+            if ev[0]:  # strict glyph
+                if not in_tl:
+                    continue
+                t = _unesc(ev[4]) if has_amp else ev[4]
+                if not t or t.isspace():
+                    if open_word:
+                        wid += 1
+                        open_word = False
+                    continue
+                fs = (ev[1], ev[3])
+                fk = fk_memo.get(fs)
+                if fk is None:
+                    fk = font_key(fs[0], float(fs[1]))
+                    fk_memo[fs] = fk
+                texts.append(t)
+                bboxs.append(ev[2])
+                fkeys.append(fk)
+                wids.append(wid)
+                open_word = True
+            elif ev[9]:  # textline open/close -> word break
+                in_tl = in_tl - 1 if ev[8] else in_tl + 1
+                if in_tl < 0:
+                    return None  # stray close: bail to ET path
+                if open_word:
+                    wid += 1
+                    open_word = False
+            else:  # generic glyph (attr layout deviates from pdfminer's)
+                if not in_tl:
+                    continue
+                blob = ev[6]
+                # self-closing <text .../> has no element text (the regex
+                # text group grabs the following inter-tag run) -> ET
+                # sees text=None -> word break
+                selfclosed = blob.rstrip().endswith("/")
+                t = "" if selfclosed else (_unesc(ev[7]) if has_amp else ev[7])
+                d = _attrs(blob)
+                bbox = d.get("bbox")
+                if not t or t.isspace() or bbox is None:
+                    if open_word:
+                        wid += 1
+                        open_word = False
+                    continue
+                if bbox.count(",") != 3:
+                    return None  # ET path raises differently; don't guess
+                raw = (d.get("font", ""), d.get("size", "0"))
+                fk = fk_memo.get(raw)
+                if fk is None:
+                    fk = font_key(raw[0], float(raw[1]))
+                    fk_memo[raw] = fk
+                texts.append(t)
+                bboxs.append(bbox)
+                fkeys.append(fk)
+                wids.append(wid)
+                open_word = True
+
+        if texts:
+            box = np.array(",".join(bboxs).split(","), dtype=np.float64)
+            if box.size != 4 * len(texts):
+                return None  # malformed bbox arity: let the ET path decide
+            box = box.reshape(-1, 4)
+            wa = np.asarray(wids, dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, wa[1:] != wa[:-1]])
+            bounds = np.r_[starts, len(texts)]
+            # word bbox = min/max over member glyphs (same floats as the
+            # ET path's python min/max — both exact over float64)
+            wllx = np.minimum.reduceat(box[:, 0], starts)
+            wlly = np.minimum.reduceat(box[:, 1], starts)
+            wurx = np.maximum.reduceat(box[:, 2], starts)
+            wury = np.maximum.reduceat(box[:, 3], starts)
+            for k in range(len(starts)):
+                a, b = int(bounds[k]), int(bounds[k + 1])
+                cur.add(
+                    "".join(texts[a:b]),
+                    float(wllx[k]),
+                    float(wlly[k]),
+                    float(wurx[k]),
+                    float(wury[k]),
+                    fkeys[a] if b - a == 1 else fkeys[a + _mode_first(fkeys[a:b])],
+                )
+        cur.freeze()
+        pages.append(cur)
+    return pages

@@ -33,7 +33,7 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-from . import spec
+from . import fastparse, spec
 from .grammar import (
     font_key,
     font_label,
@@ -76,8 +76,8 @@ def _mode_first(keys: list[str]) -> int:
     """Index of the first element whose value is the mode (ties -> first).
     Pure python on purpose: these lists are 1–10 glyphs/tokens long and
     np.unique costs ~50µs per call — the hottest spot in the profile."""
-    if len(keys) == 1:
-        return 0
+    if len(keys) == 1 or keys.count(keys[0]) == len(keys):
+        return 0  # all-same fast case (one C pass) — by far the common one
     counts: dict[str, int] = {}
     for k in keys:
         counts[k] = counts.get(k, 0) + 1
@@ -94,6 +94,22 @@ def _mode_first(keys: list[str]) -> int:
 
 
 def parse_tetml(xml_text: str) -> list[PageTokens]:
+    """Guarded regex/numpy fast path (fastparse.py) with ET fallback:
+    the fast parser validates with the same expat C parser ET wraps
+    (identical accept/reject + error text) and bails to the ET walk on
+    any construct a flat regex scan can't mirror."""
+    pages = fastparse.parse_tetml_fast(xml_text, PageTokens)
+    return pages if pages is not None else _parse_tetml_et(xml_text)
+
+
+def parse_pdfminer(xml_text: str) -> list[PageTokens]:
+    """Same guarded fast path for the PDFMiner dialect (vectorized:
+    one findall per page + numpy reduceat word assembly)."""
+    pages = fastparse.parse_pdfminer_fast(xml_text, PageTokens)
+    return pages if pages is not None else _parse_pdfminer_et(xml_text)
+
+
+def _parse_tetml_et(xml_text: str) -> list[PageTokens]:
     """fromstring + wildcard-namespace iter: tag matching stays in C
     (measured ~40% faster than the iterparse event loop on this shape);
     the single-node oracle keeps an independent traversal."""
@@ -136,7 +152,7 @@ def parse_tetml(xml_text: str) -> list[PageTokens]:
     return pages
 
 
-def parse_pdfminer(xml_text: str) -> list[PageTokens]:
+def _parse_pdfminer_et(xml_text: str) -> list[PageTokens]:
     root = ET.fromstring(xml_text)
     pages: list[PageTokens] = []
     fk_memo: dict[tuple[str, str], str] = {}

@@ -746,6 +746,92 @@ FROM events WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (no native Spark operator): for each 'click' event,
+    the most recent 'purchase' value at-or-before it, per user.
+
+    Scale path: NOT a join — union probe+quote rows with a side marker,
+    one hash shuffle on user_id, then ``last(value, ignorenulls)`` over
+    (ts, side) running frame.  Avoids the per-key nested-loop blowup of
+    a range join and is AQE-skew-splittable; cost is O(n log n) within
+    each user partition regardless of match distance."""
+    e = _t(spark, sf_dir, "events")
+    # right side deduped to one row per (user, ts) so tie-breaking is
+    # deterministic on both engines
+    quotes = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("r_val"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+                "r_val", F.lit(0).alias("side"))
+    )
+    probes = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("r_val"), F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        quotes.unionByName(probes)
+        .withColumn("asof_val", F.last("r_val", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.round("asof_val", 3).alias("asof_val"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS r_val
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+       round(r.r_val, 3) AS asof_val
+FROM events l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+WHERE l.event_type = 'click'
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): per-user event counts by type.  The
+    pivot values are enumerated explicitly — at scale an implicit pivot
+    triggers a distinct-scan job over the pivot column first."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("signup", F.lit(0)).alias("n_signup"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -787,6 +873,8 @@ QUERIES = {
     "q_array_ops": q_array_ops,
     "q_map_ops": q_map_ops,
     "q_range_join": q_range_join,
+    "q_asof_join": q_asof_join,
+    "q_pivot": q_pivot,
     "q_pandas_udf_scalar": q_pandas_udf_scalar,
     "q_grouped_agg_udf": q_grouped_agg_udf,
     "q_grouped_map_udf": q_grouped_map_udf,
@@ -824,6 +912,8 @@ ORACLE_SQL = {
     "q_array_ops": SQL_ARRAY_OPS,
     "q_map_ops": SQL_MAP_OPS,
     "q_range_join": SQL_RANGE_JOIN,
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_pivot": SQL_PIVOT,
     "q_pandas_udf_scalar": SQL_PANDAS_UDF_SCALAR,
     "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,
     "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,

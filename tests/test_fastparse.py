@@ -1,0 +1,165 @@
+"""Fast-parser (fastparse.py) vs ET-parser equivalence and fallback
+behavior.  The golden/parity suites already exercise the fast path end
+to end (the kernel wrappers route through it); these tests pin the
+guard rails: which constructs fall back, and that tricky-but-eligible
+constructs produce byte-identical tokens."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import xml.etree.ElementTree as ET
+
+from freki_spark import fastparse
+from freki_spark.kernel import (
+    PageTokens,
+    _parse_pdfminer_et,
+    _parse_tetml_et,
+    parse_pdfminer,
+    parse_tetml,
+)
+
+
+def _same(fast: list, et: list) -> None:
+    assert fast is not None
+    assert len(fast) == len(et)
+    for a, b in zip(fast, et):
+        assert (a.number, a.width, a.height) == (b.number, b.width, b.height)
+        assert a.texts == b.texts
+        assert a.fkeys == b.fkeys
+        assert np.array_equal(a.box, b.box)
+
+
+TET = (
+    '<TET><Document><Pages><Page number="1" width="612.00" height="792.00">'
+    "<Content>"
+    "<Word><Text>{t1}</Text>"
+    '<Box llx="72.00" lly="700.00" urx="100.00" ury="712.00"/>'
+    '<Glyph font="F0" size="12.0">h</Glyph></Word>'
+    "<Word><Text>{t2}</Text>"
+    '<Box llx="110.00" lly="700.00" urx="140.00" ury="712.00"/>'
+    '<Glyph font="F0" size="12.0">w</Glyph>'
+    '<Glyph font="F1" size="9.0">o</Glyph>'
+    '<Glyph font="F0" size="12.0">r</Glyph></Word>'
+    "</Content></Page></Pages></Document></TET>"
+)
+
+PDM = (
+    '<pages><page id="1" bbox="0.000,0.000,612.000,792.000"><textbox id="0">'
+    '<textline bbox="72.000,700.000,200.000,712.000">'
+    '<text font="F0" bbox="72.000,700.000,78.000,712.000" size="12.0">{c1}</text>'
+    '<text font="F0" bbox="78.000,700.000,84.000,712.000" size="12.0">i</text>'
+    "<text> </text>"
+    '<text font="F1" bbox="95.000,700.000,101.000,712.000" size="9.0">x</text>'
+    "</textline></textbox></page></pages>"
+)
+
+
+def test_tetml_fast_equals_et_basic():
+    xml = TET.format(t1="hello", t2="world")
+    _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+
+
+def test_pdfminer_fast_equals_et_basic():
+    xml = PDM.format(c1="h")
+    _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
+
+
+def test_entities_unescaped_identically():
+    xml = TET.format(t1="a&amp;b", t2="x&lt;y&#65;")
+    _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+    xml2 = PDM.format(c1="&gt;")
+    _same(fastparse.parse_pdfminer_fast(xml2, PageTokens), _parse_pdfminer_et(xml2))
+
+
+def test_charref_whitespace_glyph_breaks_word_like_et():
+    # &#32; unescapes to a space -> ET treats the glyph as a word break;
+    # the fast path must unescape BEFORE the whitespace test
+    xml = PDM.format(c1="&#32;")
+    _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
+
+
+def test_selfclosing_text_glyph_parity():
+    xml = PDM.replace(
+        "<text> </text>",
+        '<text font="F0" bbox="85.000,700.000,90.000,712.000" size="12.0"/>',
+    ).format(c1="h")
+    _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
+
+
+def test_default_namespace_tetml_parity():
+    xml = TET.format(t1="ns", t2="doc").replace(
+        "<TET>", '<TET xmlns="http://www.pdflib.com/XML/TET3/TET-3.0">'
+    )
+    _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda x: x.replace("<Word>", "<!-- c --><Word>", 1),  # comment
+        lambda x: x.replace("<Word>", "<?pi data?><Word>", 1),  # mid-doc PI
+        lambda x: x.replace('font="F0"', 'font="a&gt;b"', 1).replace(
+            "world", "w>rld", 1
+        ),  # '>' imbalance via raw '>' in text
+        lambda x: x.replace("hello", "a&unknown;b", 1),  # undefined entity
+    ],
+)
+def test_ineligible_constructs_fall_back(mutate):
+    xml = mutate(TET.format(t1="hello", t2="world"))
+    assert fastparse.parse_tetml_fast(xml, PageTokens) is None
+    # and the public wrapper still gives the ET answer (or its error)
+    try:
+        et = _parse_tetml_et(xml)
+    except (ET.ParseError, ValueError, TypeError):
+        with pytest.raises((ET.ParseError, ValueError, TypeError)):
+            parse_tetml(xml)
+    else:
+        _same(parse_tetml(xml), et)
+
+
+def test_truncated_xml_raises_parse_error_via_wrapper():
+    xml = TET.format(t1="hello", t2="world")[:-30]
+    with pytest.raises(ET.ParseError):
+        parse_tetml(xml)
+    # same acceptance decision as ET itself
+    with pytest.raises(ET.ParseError):
+        _parse_tetml_et(xml)
+
+
+def test_wellformed_but_eligible_truncation_matches_et():
+    # truncation that keeps '<'/'>' balanced: both paths must agree
+    xml = TET.format(t1="hello", t2="world")
+    cut = xml[: xml.rindex("</Word>")]
+    try:
+        et_pages = _parse_tetml_et(cut)
+        et_err = None
+    except ET.ParseError as e:
+        et_pages, et_err = None, str(e)
+    if et_err is None:
+        _same(parse_tetml(cut), et_pages)
+    else:
+        with pytest.raises(ET.ParseError) as ei:
+            parse_tetml(cut)
+        assert str(ei.value) == et_err  # expat message identical
+
+
+def test_empty_and_selfclosing_pages():
+    xml = (
+        "<TET><Document><Pages>"
+        '<Page number="1" width="600" height="800"/>'
+        '<Page number="2" width="612" height="792"><Content></Content></Page>'
+        "</Pages></Document></TET>"
+    )
+    _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+
+
+def test_glyphs_outside_textline_skipped_like_et():
+    xml = (
+        '<pages><page id="1" bbox="0,0,612,792"><textbox id="0">'
+        '<text font="F9" bbox="10,10,20,20" size="9.0">Z</text>'
+        '<textline bbox="72,700,200,712">'
+        '<text font="F0" bbox="72,700,78,712" size="12.0">a</text>'
+        "</textline></textbox></page></pages>"
+    )
+    _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
