@@ -43,9 +43,16 @@ def main() -> None:
     out = {}
     for procs in LEVELS:
         chunks = [(i * N_DOCS // procs, (i + 1) * N_DOCS // procs) for i in range(procs)]
-        with mp.Pool(procs) as p:
-            p.map(work, [(0, 2)] * procs)  # warm imports
-            res = p.map(work, chunks)
+        # pin to the same core set the engine's pinned levels use —
+        # an unpinned low-proc control freeloads on idle cores (and is
+        # far noisier), making the hardware/engine comparison unfair
+        os.sched_setaffinity(0, set(range(procs)))
+        try:
+            with mp.Pool(procs) as p:
+                p.map(work, [(0, 2)] * procs)  # warm imports
+                res = p.map(work, chunks)
+        finally:
+            os.sched_setaffinity(0, set(range(os.cpu_count())))
         n = sum(r[0] for r in res)
         out[str(procs)] = round(n / max(r[1] for r in res), 1)
     eff_2_8 = round((out["8"] / out["2"]) / 4, 3)

@@ -94,6 +94,15 @@ def _unesc(s: str) -> str:
     return _ENT_RE.sub(_ent_sub, s) if "&" in s else s
 
 
+def _normalize(xml: str) -> str:
+    """XML 1.0 line-ending normalization (performed by expat before
+    tokenization): \\r\\n and bare \\r become \\n.  Character references
+    (&#13;) are exempt — _unesc runs later, so the order is correct."""
+    if "\r" in xml:
+        xml = xml.replace("\r\n", "\n").replace("\r", "\n")
+    return xml
+
+
 # --------------------------------------------------------------------------
 # shared bits
 # --------------------------------------------------------------------------
@@ -104,7 +113,13 @@ _ATTR_RE = re.compile(r"([\w.:-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
 def _attrs(blob: str) -> dict[str, str]:
     out: dict[str, str] = {}
     for name, dq, sq in _ATTR_RE.findall(blob):
-        out[name] = _unesc(dq if dq else sq)
+        v = dq if dq else sq
+        # XML attribute-value normalization: raw whitespace chars
+        # become spaces (referenced chars like &#10; are exempt —
+        # _unesc runs after, matching processor order)
+        if "\n" in v or "\t" in v:
+            v = v.replace("\n", " ").replace("\t", " ")
+        out[name] = _unesc(v)
     return out
 
 
@@ -138,8 +153,12 @@ _TET_EV = re.compile(
     r"|(?P<bx>Box)(?=[\s/>])(?P<battr>[^>]*)>"
     r"|(?P<gl>Glyph)(?=[\s/>])(?P<gattr>[^>]*)>(?P<gtxt>[^<]*))"
 )
+# strict patterns exclude entity/whitespace-normalization triggers
+# from the value classes — such values fall through to the generic
+# _attrs path, which normalizes and unescapes like a real XML parser
 _BOX_FAST = re.compile(
-    r'\s*llx="([^"&]*)"\s+lly="([^"&]*)"\s+urx="([^"&]*)"\s+ury="([^"&]*)"\s*/?\s*$'
+    r'\s*llx="([^"&\n\t]*)"\s+lly="([^"&\n\t]*)"'
+    r'\s+urx="([^"&\n\t]*)"\s+ury="([^"&\n\t]*)"\s*/?\s*$'
 )
 
 
@@ -149,6 +168,7 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
     if not fast_eligible(xml):
         return None
     validate(xml)
+    xml = _normalize(xml)
 
     pages: list = []
     fk_memo: dict[str, str] = {}
@@ -247,7 +267,8 @@ _PDM_PAGE_CLOSE = re.compile(r"</(?:[\w.-]+:)?page>")
 #         6 generic-marker('<text') 7 attr-blob 8 text
 #         9 slash 10 textline-marker
 _PDM_EV = re.compile(
-    r'<text\s+(font)="([^"&]*)"\s+bbox="([^"&]*)"(?:[^>]*?\s)?size="([^"&]*)"\s*>'
+    r'<text\s+(font)="([^"&\n\t]*)"\s+bbox="([^"&\n\t]*)"(?:[^>]*?\s)?'
+    r'size="([^"&\n\t]*)"\s*>'
     r"([^<]*)</text>"
     r"|(<text)((?:\s[^>]*)?/?)>([^<]*)(?:</text>)?"
     r"|<(/?)(textline)"
@@ -258,6 +279,7 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
     if not fast_eligible(xml):
         return None
     validate(xml)
+    xml = _normalize(xml)
     has_amp = "&" in xml
 
     pages: list = []

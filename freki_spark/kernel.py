@@ -220,19 +220,27 @@ def cluster_lines(page: PageTokens) -> list[np.ndarray]:
         return []
     box = page.box
     order = np.lexsort((np.arange(n), box[:, 0], -box[:, 3]))
-    heights = box[:, 3] - box[:, 1]
+    # python-float locals for the greedy scan: identical IEEE compares,
+    # ~3x cheaper than numpy scalar indexing in this per-token loop
+    heights = (box[:, 3] - box[:, 1]).tolist()
+    llys = box[:, 1].tolist()
+    urys = box[:, 3].tolist()
+    ratio = spec.LINE_OVERLAP_RATIO
     lines: list[list[int]] = []
     cur_lly = cur_ury = 0.0
-    for i in order:
+    for i in order.tolist():
         if lines:
-            overlap = min(box[i, 3], cur_ury) - max(box[i, 1], cur_lly)
-            if overlap > spec.LINE_OVERLAP_RATIO * min(heights[i], cur_ury - cur_lly):
+            yi0, yi1 = llys[i], urys[i]
+            overlap = min(yi1, cur_ury) - max(yi0, cur_lly)
+            if overlap > ratio * min(heights[i], cur_ury - cur_lly):
                 lines[-1].append(i)
-                cur_lly = min(cur_lly, box[i, 1])
-                cur_ury = max(cur_ury, box[i, 3])
+                if yi0 < cur_lly:
+                    cur_lly = yi0
+                if yi1 > cur_ury:
+                    cur_ury = yi1
                 continue
         lines.append([i])
-        cur_lly, cur_ury = box[i, 1], box[i, 3]
+        cur_lly, cur_ury = llys[i], urys[i]
     out: list[np.ndarray] = []
     for idx in lines:
         # stable sort by llx over insertion order — mirrors the
@@ -253,8 +261,8 @@ def render_spacing(page: PageTokens, idx: np.ndarray) -> str:
     box = page.box[idx]
     texts = [page.texts[i] for i in idx]
     widths = box[:, 2] - box[:, 0]
-    nchars = np.asarray([len(t) for t in texts], dtype=np.float64)
-    total_c = nchars.sum()
+    # integer char count: order-exact, no float-summation semantics
+    total_c = sum(len(t) for t in texts)
     cw = float(np.sum(widths)) / total_c if total_c else 1.0
     if cw <= 0:
         cw = 1.0

@@ -10,6 +10,9 @@ import numpy as np
 import pytest
 import xml.etree.ElementTree as ET
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from freki_spark import fastparse
 from freki_spark.kernel import (
     PageTokens,
@@ -154,6 +157,33 @@ def test_empty_and_selfclosing_pages():
     _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
 
 
+def test_fast_path_engages_on_clean_fixture_docs():
+    """Perf guard: every non-corrupt fixture doc must take the fast
+    path (a silent fall-everything-back-to-ET regression would keep
+    tests green while halving kernel throughput)."""
+    from freki_spark import spec
+    from freki_spark.fixtures import fixture_matrix
+
+    n_fast = n_docs = 0
+    for d in fixture_matrix():
+        if d["doc_id"].startswith("fx-corrupt"):
+            continue
+        spans = sorted(d["spans"], key=lambda s: s["offset"])
+        chunks = [s for s in spans if s["kind"] in spec.XML_KINDS]
+        if not chunks:
+            continue
+        xml = "".join(c["text"] for c in chunks)
+        fn = (
+            fastparse.parse_tetml_fast
+            if chunks[0]["kind"] == spec.KIND_TETML
+            else fastparse.parse_pdfminer_fast
+        )
+        n_docs += 1
+        if fn(xml, PageTokens) is not None:
+            n_fast += 1
+    assert n_docs > 0 and n_fast == n_docs
+
+
 def test_glyphs_outside_textline_skipped_like_et():
     xml = (
         '<pages><page id="1" bbox="0,0,612,792"><textbox id="0">'
@@ -163,3 +193,58 @@ def test_glyphs_outside_textline_skipped_like_et():
         "</textline></textbox></page></pages>"
     )
     _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
+
+
+# ---------------------------------------------------------------------------
+# fuzz: adversarial text/attr content must never diverge from ET —
+# either byte-identical tokens, or a fallback (None), or both raising
+# ---------------------------------------------------------------------------
+
+_xml_escape = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _esc(s: str) -> str:
+    return "".join(_xml_escape.get(c, c) for c in s)
+
+
+_texty = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), include_characters=" &<>\"'"
+    ),
+    max_size=12,
+)
+
+
+@given(t1=_texty, t2=_texty, font=_texty)
+@settings(max_examples=120, deadline=None)
+def test_fuzz_tetml_fast_vs_et(t1, t2, font):
+    xml = TET.format(t1=_esc(t1), t2=_esc(t2)).replace(
+        'font="F0"', f'font="{_esc(font)}"'
+    )
+    _assert_consistent(xml, fastparse.parse_tetml_fast, _parse_tetml_et)
+
+
+@given(c1=_texty)
+@settings(max_examples=120, deadline=None)
+def test_fuzz_pdfminer_fast_vs_et(c1):
+    xml = PDM.format(c1=_esc(c1))
+    _assert_consistent(xml, fastparse.parse_pdfminer_fast, _parse_pdfminer_et)
+
+
+def _assert_consistent(xml, fast, et):
+    try:
+        ep, e_err = et(xml), None
+    except (ET.ParseError, ValueError, TypeError) as e:
+        ep, e_err = None, type(e)
+    try:
+        fp, f_err = fast(xml, PageTokens), None
+    except (ET.ParseError, ValueError, TypeError) as e:
+        fp, f_err = None, type(e)
+    if f_err is not None or e_err is not None:
+        # fast path may only raise when ET also rejects the doc
+        assert e_err is not None
+        return
+    if fp is None:
+        return  # fallback: wrapper would produce the ET answer
+    assert ep is not None
+    _same(fp, ep)
