@@ -209,25 +209,26 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
             w_box = None
             w_fonts.clear()
 
-        for m in _TET_EV.finditer(body):
-            g = m.lastgroup
-            if g == "gtxt":  # Glyph matched (last named group that matched)
+        # findall tuples (no Match objects), positional groups:
+        # 0 ws 1 wattr 2 we 3 tx 4 txt 5 bx 6 battr 7 gl 8 gattr 9 gtxt
+        for t in _TET_EV.findall(body):
+            if t[7]:  # Glyph
                 if not in_word:
                     continue
-                ga = m.group("gattr")
+                ga = t[8]
                 fk = fk_memo.get(ga)
                 if fk is None:
                     d = _attrs(ga)
                     fk = font_key(d.get("font", ""), float(d.get("size", "0")))
                     fk_memo[ga] = fk
                 w_fonts.append(fk)
-            elif g == "txt":
+            elif t[3]:  # Text
                 if in_word:
-                    w_text = _unesc(m.group("txt"))
-            elif g in ("bx", "battr"):
+                    w_text = _unesc(t[4])
+            elif t[5]:  # Box
                 if not in_word:
                     continue
-                ba = m.group("battr")
+                ba = t[6]
                 bf = _BOX_FAST.match(ba)
                 if bf:
                     w_box = (
@@ -244,12 +245,12 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
                         float(d.get("urx")),
                         float(d.get("ury")),
                     )
-            elif g in ("ws", "wattr"):
+            elif t[0]:  # Word start
                 finalize()
                 in_word = True
-                if m.group("wattr").rstrip().endswith("/"):  # <Word/>
+                if t[1].rstrip().endswith("/"):  # <Word/>
                     in_word = False
-            elif g == "we":
+            elif t[2]:  # </Word>
                 finalize()
         finalize()
         cur.freeze()
@@ -342,6 +343,14 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                 if not in_tl:
                     continue
                 blob = ev[6]
+                if not blob or blob == "/":
+                    # attr-less glyph (<text> </text> — one per word in
+                    # pdfminer output): no bbox -> always a word break;
+                    # skip the _attrs regex entirely
+                    if open_word:
+                        wid += 1
+                        open_word = False
+                    continue
                 # self-closing <text .../> has no element text (the regex
                 # text group grabs the following inter-tag run) -> ET
                 # sees text=None -> word break
