@@ -291,49 +291,43 @@ def detect_columns(page: PageTokens, lines: list[np.ndarray]) -> list[list[np.nd
     lo = w * (0.5 - spec.COLUMN_CENTER_FRAC / 2.0)
     hi = w * (0.5 + spec.COLUMN_CENTER_FRAC / 2.0)
 
-    def gaps_of(idx: np.ndarray) -> np.ndarray:
-        """(n-1, 2) array of (gap_start, gap_end) with positive width."""
-        if len(idx) < 2:
-            return np.empty((0, 2))
-        gs = box[idx[:-1], 2]
-        ge = box[idx[1:], 0]
-        m = ge > gs
-        return np.stack([gs[m], ge[m]], axis=1)
+    # all intra-line token gaps at once: tokens are already in
+    # within-line x order, so consecutive-pair gaps per line are just
+    # consecutive pairs of the concatenated index array, masked where
+    # the pair crosses a line boundary.  Values and their order are
+    # identical to the per-line construction.
+    n_lines = len(lines)
+    lens = np.fromiter((len(ix) for ix in lines), np.int64, count=n_lines)
+    cat = np.concatenate(lines)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    npairs = len(cat) - 1
+    intra = np.ones(npairs, dtype=bool)
+    intra[ends[:-1] - 1] = False  # pairs straddling a line boundary
+    gs = box[cat[:-1], 2]
+    ge = box[cat[1:], 0]
+    lid = np.repeat(np.arange(n_lines), lens)[:-1]  # line id per pair
+    pos = intra & (ge > gs)
 
-    centers: list[np.ndarray] = []
-    line_gaps = [gaps_of(idx) for idx in lines]
-    for g in line_gaps:
-        if len(g):
-            width_ok = (g[:, 1] - g[:, 0]) >= spec.COLUMN_MIN_CHANNEL_PT
-            c = (g[:, 0] + g[:, 1]) / 2.0
-            sel = width_ok & (c >= lo) & (c <= hi)
-            if sel.any():
-                centers.append(c[sel])
-    if not centers:
+    width_ok = (ge - gs) >= spec.COLUMN_MIN_CHANNEL_PT
+    c = (gs + ge) / 2.0
+    sel = pos & width_ok & (c >= lo) & (c <= hi)
+    if not sel.any():
         return [lines]
-    mc = float(np.median(np.concatenate(centers)))
+    mc = float(np.median(c[sel]))
 
     # classify: 0=split 1=left 2=right 3=full
-    classes = np.empty(len(lines), dtype=np.int64)
-    for li, (idx, g) in enumerate(zip(lines, line_gaps)):
-        contains = (
-            len(g) > 0
-            and bool(
-                (
-                    (g[:, 0] < mc)
-                    & (mc < g[:, 1])
-                    & ((g[:, 1] - g[:, 0]) >= spec.COLUMN_MIN_CHANNEL_PT)
-                ).any()
-            )
-        )
-        if contains:
-            classes[li] = 0
-        elif box[idx, 2].max() <= mc:
-            classes[li] = 1
-        elif box[idx, 0].min() >= mc:
-            classes[li] = 2
-        else:
-            classes[li] = 3
+    contains = np.zeros(n_lines, dtype=bool)
+    cm = pos & width_ok & (gs < mc) & (mc < ge)
+    if cm.any():
+        contains[np.unique(lid[cm])] = True
+    line_max_urx = np.maximum.reduceat(box[cat, 2], starts)
+    line_min_llx = np.minimum.reduceat(box[cat, 0], starts)
+    classes = np.where(
+        contains,
+        0,
+        np.where(line_max_urx <= mc, 1, np.where(line_min_llx >= mc, 2, 3)),
+    )
 
     n_compat = int((classes != 3).sum())
     has_left = bool(((classes == 0) | (classes == 1)).any())
@@ -388,8 +382,23 @@ def segment_blocks(
     """Group each segment's lines into blocks; returns blocks as lists
     of line index-arrays, page reading order preserved."""
     box = page.box
-    lly = [np.asarray([float(box[idx, 1].min()) for idx in seg]) for seg in segments]
-    ury = [np.asarray([float(box[idx, 3].max()) for idx in seg]) for seg in segments]
+
+    def seg_minmax(seg: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        """Per-line (min lly, max ury) via one reduceat pair — exact
+        (min/max are order-independent), no per-line numpy calls."""
+        if not seg:
+            return np.empty(0), np.empty(0)
+        lens = np.fromiter((len(ix) for ix in seg), np.int64, count=len(seg))
+        cat = np.concatenate(seg)
+        starts = np.cumsum(lens) - lens
+        return (
+            np.minimum.reduceat(box[cat, 1], starts),
+            np.maximum.reduceat(box[cat, 3], starts),
+        )
+
+    stats = [seg_minmax(seg) for seg in segments]
+    lly = [s[0] for s in stats]
+    ury = [s[1] for s in stats]
     all_gaps: list[np.ndarray] = []
     for a, b in zip(lly, ury):
         if len(a) > 1:

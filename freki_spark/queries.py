@@ -801,6 +801,64 @@ WHERE l.event_type = 'click'
 """
 
 
+def bucketed_table(spark, sf_dir, name: str, key: str):
+    """(Re)create an external parquet table bucketed+sorted on ``key``
+    and return it.  One writer task -> exactly one file per bucket, so
+    the scan reports hash partitioning on the key and a co-located join
+    needs NO Exchange (a per-partition Sort remains — Spark 3+ only
+    propagates per-bucket ordering behind a legacy flag; it is linear,
+    spillable, and networkless, so the shuffle is the part that matters
+    at scale).
+
+    This is the local stand-in for Iceberg's ``bucket(N, key)``
+    partition transform at production scale (io.py seam): pay the
+    shuffle once at write time, join shuffle-free on every read after.
+    """
+    import re as _re
+    import tempfile
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    tbl = f"freki_b_{name}_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        path = os.path.join(tempfile.gettempdir(), "freki_bucketed", tag, name)
+        (
+            _t(spark, sf_dir, name)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join: lineitem and orders pre-bucketed on the order
+    key join with NO Exchange on either input (plan asserted in
+    tools/explain_audit.py).  The only shuffle left in this query is
+    the final small aggregation."""
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_quantity")), 2).alias("total_qty"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderstatus, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def q_pivot(spark, sf_dir):
     """Pivot (wide aggregation): per-user event counts by type.  The
     pivot values are enumerated explicitly — at scale an implicit pivot
@@ -874,6 +932,7 @@ QUERIES = {
     "q_map_ops": q_map_ops,
     "q_range_join": q_range_join,
     "q_asof_join": q_asof_join,
+    "q_bucketed_join": q_bucketed_join,
     "q_pivot": q_pivot,
     "q_pandas_udf_scalar": q_pandas_udf_scalar,
     "q_grouped_agg_udf": q_grouped_agg_udf,
@@ -913,6 +972,7 @@ ORACLE_SQL = {
     "q_map_ops": SQL_MAP_OPS,
     "q_range_join": SQL_RANGE_JOIN,
     "q_asof_join": SQL_ASOF_JOIN,
+    "q_bucketed_join": SQL_BUCKETED_JOIN,
     "q_pivot": SQL_PIVOT,
     "q_pandas_udf_scalar": SQL_PANDAS_UDF_SCALAR,
     "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,

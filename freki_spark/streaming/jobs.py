@@ -196,6 +196,58 @@ FROM g GROUP BY user_id
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keyed on
+    event_id.  The source is staged TWICE as two files and read with
+    ``maxFilesPerTrigger=1``, so the second copy arrives in a later
+    micro-batch and is deduped against the state store — the
+    cross-batch path a continuous ingest pipeline exercises (duplicate
+    deliveries from at-least-once upstreams).  The watermark delay
+    bounds state: at production scale it is the upstream's max
+    redelivery lag, not the table's full time range."""
+    base = tempfile.mkdtemp(prefix="freki_stream_")
+    src = os.path.join(base, "events_dup")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # the duplicate delivery
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_dedup(spark, sf_dir, f"stream_dedup_{_SINK_N[0]}")
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+       round(sum(value), 2) AS total
+FROM events GROUP BY event_type
+"""
+
+
 def q_stream_extract(spark, sf_dir):
     """Fixture matrix through the STREAMING extraction path; the oracle
     is the same golden span set the batch paths are checked against, so
@@ -228,11 +280,13 @@ SQL_STREAM_EXTRACT = (
 QUERIES = {
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sessionize": q_stream_sessionize,
+    "q_stream_dedup": q_stream_dedup,
     "q_stream_extract": q_stream_extract,
 }
 
 ORACLE_SQL = {
     "q_stream_hourly": SQL_STREAM_HOURLY,
     "q_stream_sessionize": SQL_STREAM_SESSIONIZE,
+    "q_stream_dedup": SQL_STREAM_DEDUP,
     "q_stream_extract": SQL_STREAM_EXTRACT,
 }

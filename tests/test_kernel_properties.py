@@ -94,3 +94,81 @@ def test_layout_page_block_ranges_cover_lines(page):
         assert a <= b
         covered.extend(range(a, b + 1))
     assert covered == list(range(1, n_lines + 1))
+
+
+# ---------------------------------------------------------------------------
+# full-document two-implementation parity on RANDOM geometry: render
+# hypothesis-drawn tokens as real dialect XML and require the Spark
+# kernel and the independent oracle to agree span-for-span.  This is
+# the safety net for any kernel/layout/parser rewrite — it covers
+# arbitrary geometry, not just the fixture matrix.
+# ---------------------------------------------------------------------------
+
+from freki_spark import oracle as _oracle
+from freki_spark.kernel import extract_document_rows as _kernel_extract
+
+_FONTS = [("F0", 12.0), ("F1", 9.0), ("F2", 10.5)]
+
+
+@st.composite
+def geom_words(draw, max_words=30):
+    n = draw(st.integers(1, max_words))
+    words = []
+    for _ in range(n):
+        llx = round(draw(st.floats(0.0, 560.0, allow_nan=False, width=32)), 2)
+        lly = round(draw(st.floats(0.0, 760.0, allow_nan=False, width=32)), 2)
+        w = round(draw(st.floats(0.5, 50.0, allow_nan=False, width=32)), 2)
+        h = round(draw(st.floats(0.5, 20.0, allow_nan=False, width=32)), 2)
+        text = draw(st.text(alphabet="abcXYZ09", min_size=1, max_size=6))
+        font, size = _FONTS[draw(st.integers(0, 2))]
+        words.append((text, llx, lly, llx + w, lly + h, font, size))
+    return words
+
+
+def _tetml_of(words):
+    parts = ['<TET><Pages><Page number="1" width="612.00" height="792.00"><Content>']
+    for t, x0, y0, x1, y1, f, s in words:
+        parts.append(
+            f"<Word><Text>{t}</Text>"
+            f'<Box llx="{x0:.2f}" lly="{y0:.2f}" urx="{x1:.2f}" ury="{y1:.2f}"/>'
+            f'<Glyph font="{f}" size="{s:.1f}">{t[0]}</Glyph></Word>'
+        )
+    parts.append("</Content></Page></Pages></TET>")
+    return "".join(parts)
+
+
+def _pdfminer_of(words):
+    parts = ['<pages><page id="1" bbox="0.000,0.000,612.000,792.000"><textbox>']
+    # one textline per word keeps the generator simple; word merging is
+    # exercised separately by the fixture corpus
+    for t, x0, y0, x1, y1, f, s in words:
+        step = (x1 - x0) / len(t)
+        parts.append(f'<textline bbox="{x0:.3f},{y0:.3f},{x1:.3f},{y1:.3f}">')
+        for i, ch in enumerate(t):
+            parts.append(
+                f'<text font="{f}" bbox="{x0 + i * step:.3f},{y0:.3f},'
+                f'{x0 + (i + 1) * step:.3f},{y1:.3f}" size="{s:.1f}">{ch}</text>'
+            )
+        parts.append("<text> </text></textline>")
+    parts.append("</textbox></page></pages>")
+    return "".join(parts)
+
+
+def _assert_doc_parity(xml, dialect):
+    spans = [{"kind": dialect, "text": xml, "media_ref": "", "offset": 0}]
+    k_rows, k_err = _kernel_extract("hx-doc", spans)
+    o_rows, o_err = _oracle.extract_document("hx-doc", spans)
+    assert (k_err is None) == (o_err is None)
+    assert k_rows == o_rows
+
+
+@settings(max_examples=50, deadline=None)
+@given(geom_words())
+def test_full_doc_parity_random_geometry_tetml(words):
+    _assert_doc_parity(_tetml_of(words), "tetml")
+
+
+@settings(max_examples=50, deadline=None)
+@given(geom_words())
+def test_full_doc_parity_random_geometry_pdfminer(words):
+    _assert_doc_parity(_pdfminer_of(words), "pdfminer-xml")

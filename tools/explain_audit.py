@@ -120,6 +120,30 @@ def main() -> int:
     p = plan_of(QUERIES["q_sort_limit_topk"](spark, sf_dir))
     check("topk", "TakeOrderedAndProject" in p, "TakeOrderedAndProject in plan")
 
+    # 6. co-located join: both sides bucketed+sorted on the join key ->
+    #    the join itself needs no Exchange and no Sort (the local
+    #    stand-in for Iceberg bucket(N, key) at production scale)
+    from freki_spark.queries import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    # at audit scale orders would broadcast (and that'd be right); the
+    # merge hint forces the plan shape of the 100 TB case, where
+    # neither fact side fits in a broadcast
+    p = plan_of(
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderstatus")
+    )
+    # the per-partition Sort remains (Spark 3+ no longer propagates
+    # per-bucket ordering without a legacy flag); it is linear,
+    # spillable and networkless — the Exchange is what matters at scale
+    check(
+        "bucketed_join",
+        "SortMergeJoin" in p and "Exchange" not in p and "Bucketed: true" in p,
+        "SMJ with zero Exchange on bucketed scans",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
