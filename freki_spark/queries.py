@@ -751,19 +751,18 @@ def q_asof_join(spark, sf_dir):
     the most recent 'purchase' value at-or-before it, per user.
 
     Scale path: NOT a join — union probe+quote rows with a side marker,
-    one hash shuffle on user_id, then ``last(value, ignorenulls)`` over
-    (ts, side) running frame.  Avoids the per-key nested-loop blowup of
-    a range join and is AQE-skew-splittable; cost is O(n log n) within
-    each user partition regardless of match distance."""
+    ONE hash shuffle on user_id, then ``last(value, ignorenulls)`` over
+    a (ts, side, value) running frame.  Avoids the per-key nested-loop
+    blowup of a range join and is AQE-skew-splittable; cost is
+    O(n log n) within each user partition regardless of match distance.
+    Tie-breaking needs no pre-aggregation (which would cost a second
+    shuffle on a different key): ordering equal-ts quotes by value
+    ascending makes ``last`` pick the max — the same answer the oracle
+    gets from its max() dedup."""
     e = _t(spark, sf_dir, "events")
-    # right side deduped to one row per (user, ts) so tie-breaking is
-    # deterministic on both engines
-    quotes = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("r_val"))
-        .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
-                "r_val", F.lit(0).alias("side"))
+    quotes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("r_val"), F.lit(0).alias("side"),
     )
     probes = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id",
@@ -771,7 +770,7 @@ def q_asof_join(spark, sf_dir):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "r_val")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -172,3 +172,64 @@ def test_full_doc_parity_random_geometry_tetml(words):
 @given(geom_words())
 def test_full_doc_parity_random_geometry_pdfminer(words):
     _assert_doc_parity(_pdfminer_of(words), "pdfminer-xml")
+
+
+@st.composite
+def chunked_media_spans(draw):
+    """Random-geometry TETML doc, cut at random char positions into
+    ordered chunk spans with media spans at random slots — fuzzes the
+    reassemble (P3) + media-anchor (S6) path."""
+    words = draw(geom_words(max_words=12))
+    xml = _tetml_of(words)
+    n_cuts = draw(st.integers(0, 6))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(1, len(xml) - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(xml)]
+    chunks = [xml[a:b] for a, b in zip(bounds, bounds[1:])]
+    slots = draw(st.lists(st.integers(0, len(chunks)), max_size=3))
+    spans = []
+    mi = 0
+    for ci, ch in enumerate(chunks):
+        for s in slots:
+            if s == ci:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"img://hx/{mi}",
+                        "offset": len(spans),
+                    }
+                )
+                mi += 1
+        spans.append(
+            {"kind": "tetml", "text": ch, "media_ref": "", "offset": len(spans)}
+        )
+    for s in slots:
+        if s == len(chunks):
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"img://hx/{mi}",
+                    "offset": len(spans),
+                }
+            )
+            mi += 1
+    return spans
+
+
+@settings(max_examples=50, deadline=None)
+@given(chunked_media_spans())
+def test_chunked_media_parity_random(spans):
+    k_rows, k_err = _kernel_extract("hx-doc", spans)
+    o_rows, o_err = _oracle.extract_document("hx-doc", spans)
+    assert (k_err is None) == (o_err is None)
+    assert k_rows == o_rows

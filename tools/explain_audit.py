@@ -144,6 +144,13 @@ def main() -> int:
         "SMJ with zero Exchange on bucketed scans",
     )
 
+    # 7. as-of join is union+window with exactly ONE shuffle (no
+    #    pre-aggregation on a second key, no range-join explosion)
+    p = plan_of(QUERIES["q_asof_join"](spark, sf_dir))
+    n_ex = p.count("Exchange (")
+    check("asof_single_shuffle", n_ex == 1 and "Window" in p,
+          f"union+window as-of join with exactly one Exchange (found {n_ex})")
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
