@@ -251,6 +251,38 @@ FROM {_G}
 """
 
 
+def q_freki_write(spark, sf_dir):
+    """Serializer round-trip (upstream FrekiDoc.write parity): render
+    each doc's ordered spans into the full freki file text and hash it
+    — the oracle renders the same text from the golden spans, so the
+    whole serialized byte stream is equality-checked per document."""
+    sp = _fixture_spans(spark)
+    return (
+        sp.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("t")
+        )
+        .select(
+            "doc_id",
+            F.length("t").alias("n_chars"),
+            F.md5(F.encode("t", "UTF-8")).alias("freki_md5"),
+        )
+    )
+
+
+SQL_FREKI_WRITE = f"""
+SELECT doc_id, CAST(length(t) AS INT) AS n_chars, md5(t) AS freki_md5
+FROM (SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS t
+      FROM {_G} GROUP BY doc_id)
+"""
+
+
 def q_salt_skew(spark, sf_dir):
     # identical invariant through the salted (page-parallel) path
     return _fixture_spans(spark, salted=True)
@@ -906,6 +938,7 @@ QUERIES = {
     "interleave_media": q_interleave_media,
     "emit_spans": q_emit_spans,
     "freki_read": q_freki_read,
+    "freki_write": q_freki_write,
     "salt_skew": q_salt_skew,
     "write_output": q_write_output,
     "resume_antijoin": q_resume_antijoin,
@@ -949,6 +982,7 @@ ORACLE_SQL = {
     "interleave_media": SQL_INTERLEAVE_MEDIA,
     "emit_spans": SQL_EMIT_SPANS,
     "freki_read": SQL_FREKI_READ,
+    "freki_write": SQL_FREKI_WRITE,
     "salt_skew": SQL_SALT_SKEW,
     "write_output": SQL_WRITE_OUTPUT,
     "resume_antijoin": SQL_RESUME_ANTIJOIN,
