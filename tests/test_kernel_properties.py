@@ -233,3 +233,32 @@ def test_chunked_media_parity_random(spans):
     o_rows, o_err = _oracle.extract_document("hx-doc", spans)
     assert (k_err is None) == (o_err is None)
     assert k_rows == o_rows
+
+
+def _tetml_pages(pages_words):
+    parts = ["<TET><Pages>"]
+    for pno, words in enumerate(pages_words, start=1):
+        parts.append(
+            f'<Page number="{pno}" width="612.00" height="792.00"><Content>'
+        )
+        for t, x0, y0, x1, y1, f, s in words:
+            parts.append(
+                f"<Word><Text>{t}</Text>"
+                f'<Box llx="{x0:.2f}" lly="{y0:.2f}" urx="{x1:.2f}" ury="{y1:.2f}"/>'
+                f'<Glyph font="{f}" size="{s:.1f}">{t[0]}</Glyph></Word>'
+            )
+        parts.append("</Content></Page>")
+    parts.append("</Pages></TET>")
+    return "".join(parts)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w1=geom_words(max_words=8),
+    w2=geom_words(max_words=8),
+    w3=geom_words(max_words=4),
+)
+def test_full_doc_parity_multipage_tetml(w1, w2, w3):
+    # multi-page: global line numbering, per-page block ids, font ids
+    # spanning pages — all must agree between kernel and oracle
+    _assert_doc_parity(_tetml_pages([w1, w2, w3]), "tetml")
