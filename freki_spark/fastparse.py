@@ -45,7 +45,7 @@ from xml.parsers import expat
 
 import numpy as np
 
-from .grammar import font_key
+from .grammar import font_key, mode_first as _mode_first
 
 # --------------------------------------------------------------------------
 # eligibility + validation
@@ -123,35 +123,33 @@ def _attrs(blob: str) -> dict[str, str]:
     return out
 
 
-def _mode_first(keys: list[str]) -> int:
-    """Index of first element whose value is the mode (ties -> first) —
-    mirrors kernel._mode_first exactly."""
-    if len(keys) == 1 or keys.count(keys[0]) == len(keys):
-        return 0  # all-same fast case (one C pass) — by far the common one
-    counts: dict[str, int] = {}
-    for k in keys:
-        counts[k] = counts.get(k, 0) + 1
-    best = max(counts.values())
-    for i, k in enumerate(keys):
-        if counts[k] == best:
-            return i
-    raise AssertionError("unreachable")
-
-
 # --------------------------------------------------------------------------
 # TETML
 # --------------------------------------------------------------------------
 
 _TET_PAGE = re.compile(r"<(?:[\w.-]+:)?Page(?=[\s/>])([^>]*)>")
 _TET_PAGE_CLOSE = re.compile(r"</(?:[\w.-]+:)?Page>")
-# one alternation, matched in document order; unmatched tags are skipped
+# one alternation, matched in document order.  Every tag (including
+# unknown ones) is matched so the walk can track element depth inside
+# a Word — the ET parser reads ONLY DIRECT children of <Word>, so
+# Text/Box/Glyph nested deeper (e.g. a Glyph inside a non-self-closed
+# Box) must be ignored exactly like ET ignores them.
+# findall tuple indices:
+#  0 ws   1 wattr  2 we    3 tx    4 tattr  5 txt   6 te
+#  7 bx   8 battr  9 be   10 gl   11 gattr 12 gtxt 13 ge
+# 14 go  15 goattr           (go starts with '/' for generic closes)
 _TET_EV = re.compile(
-    r"<(?:[\w.-]+:)?"
-    r"(?:(?P<ws>Word)(?=[\s/>])(?P<wattr>[^>]*)>"
-    r"|(?P<we>/Word)>"
-    r"|(?P<tx>Text)(?=[\s/>])[^>]*>(?P<txt>[^<]*)"
-    r"|(?P<bx>Box)(?=[\s/>])(?P<battr>[^>]*)>"
-    r"|(?P<gl>Glyph)(?=[\s/>])(?P<gattr>[^>]*)>(?P<gtxt>[^<]*))"
+    r"<(?:"
+    r"(?P<ws>(?:[\w.-]+:)?Word)(?=[\s/>])(?P<wattr>[^>]*)>"
+    r"|(?P<we>/(?:[\w.-]+:)?Word)>"
+    r"|(?P<tx>(?:[\w.-]+:)?Text)(?=[\s>])(?P<tattr>[^>]*)>(?P<txt>[^<]*)"
+    r"|(?P<te>/(?:[\w.-]+:)?Text)>"
+    r"|(?P<bx>(?:[\w.-]+:)?Box)(?=[\s/>])(?P<battr>[^>]*)>"
+    r"|(?P<be>/(?:[\w.-]+:)?Box)>"
+    r"|(?P<gl>(?:[\w.-]+:)?Glyph)(?=[\s/>])(?P<gattr>[^>]*)>(?P<gtxt>[^<]*)"
+    r"|(?P<ge>/(?:[\w.-]+:)?Glyph)>"
+    r"|(?P<go>/?[\w.:-]+)(?=[\s/>])(?P<goattr>[^>]*)>"
+    r")"
 )
 # strict patterns exclude entity/whitespace-normalization triggers
 # from the value classes — such values fall through to the generic
@@ -209,49 +207,75 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
             w_box = None
             w_fonts.clear()
 
-        # findall tuples (no Match objects), positional groups:
-        # 0 ws 1 wattr 2 we 3 tx 4 txt 5 bx 6 battr 7 gl 8 gattr 9 gtxt
+        # wdepth = element depth relative to the Word interior; ET only
+        # reads DIRECT children (wdepth == 0).  Every open tag that is
+        # not self-closing increments it; every close tag decrements.
+        wdepth = 0
         for t in _TET_EV.findall(body):
-            if t[7]:  # Glyph
-                if not in_word:
-                    continue
-                ga = t[8]
-                fk = fk_memo.get(ga)
-                if fk is None:
-                    d = _attrs(ga)
-                    fk = font_key(d.get("font", ""), float(d.get("size", "0")))
-                    fk_memo[ga] = fk
-                w_fonts.append(fk)
-            elif t[3]:  # Text
-                if in_word:
-                    w_text = _unesc(t[4])
-            elif t[5]:  # Box
-                if not in_word:
-                    continue
-                ba = t[6]
-                bf = _BOX_FAST.match(ba)
-                if bf:
-                    w_box = (
-                        float(bf.group(1)),
-                        float(bf.group(2)),
-                        float(bf.group(3)),
-                        float(bf.group(4)),
-                    )
-                else:
-                    d = _attrs(ba)
-                    w_box = (
-                        float(d.get("llx")),
-                        float(d.get("lly")),
-                        float(d.get("urx")),
-                        float(d.get("ury")),
-                    )
-            elif t[0]:  # Word start
+            if t[10]:  # <Glyph ...>text
+                ga = t[11]
+                if in_word and wdepth == 0:
+                    fk = fk_memo.get(ga)
+                    if fk is None:
+                        d = _attrs(ga)
+                        fk = font_key(d.get("font", ""), float(d.get("size", "0")))
+                        fk_memo[ga] = fk
+                    w_fonts.append(fk)
+                if in_word and not ga.rstrip().endswith("/"):
+                    wdepth += 1
+            elif t[13]:  # </Glyph>
+                if in_word and wdepth:
+                    wdepth -= 1
+            elif t[3]:  # <Text ...>text
+                ta = t[4]
+                sc = ta.rstrip().endswith("/")
+                if in_word and wdepth == 0 and not sc:
+                    w_text = _unesc(t[5])
+                if in_word and not sc:
+                    wdepth += 1
+            elif t[6]:  # </Text>
+                if in_word and wdepth:
+                    wdepth -= 1
+            elif t[7]:  # <Box ...>
+                ba = t[8]
+                if in_word and wdepth == 0:
+                    bf = _BOX_FAST.match(ba)
+                    if bf:
+                        w_box = (
+                            float(bf.group(1)),
+                            float(bf.group(2)),
+                            float(bf.group(3)),
+                            float(bf.group(4)),
+                        )
+                    else:
+                        d = _attrs(ba)
+                        w_box = (
+                            float(d.get("llx")),
+                            float(d.get("lly")),
+                            float(d.get("urx")),
+                            float(d.get("ury")),
+                        )
+                if in_word and not ba.rstrip().endswith("/"):
+                    wdepth += 1
+            elif t[9]:  # </Box>
+                if in_word and wdepth:
+                    wdepth -= 1
+            elif t[0]:  # <Word ...>
                 finalize()
                 in_word = True
+                wdepth = 0
                 if t[1].rstrip().endswith("/"):  # <Word/>
                     in_word = False
             elif t[2]:  # </Word>
                 finalize()
+            else:  # any other tag (t[14]): track depth inside a word
+                if in_word:
+                    go = t[14]
+                    if go.startswith("/"):
+                        if wdepth:
+                            wdepth -= 1
+                    elif not t[15].rstrip().endswith("/"):
+                        wdepth += 1
         finalize()
         cur.freeze()
         pages.append(cur)
@@ -264,15 +288,18 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
 
 _PDM_PAGE = re.compile(r"<(?:[\w.-]+:)?page(?=[\s/>])([^>]*)>")
 _PDM_PAGE_CLOSE = re.compile(r"</(?:[\w.-]+:)?page>")
-# groups: 1 strict-marker('font') 2 font 3 bbox 4 size 5 text
-#         6 generic-marker('<text') 7 attr-blob 8 text
-#         9 slash 10 textline-marker
+# findall tuple indices:
+#  0 strict-marker('font') 1 font 2 bbox 3 size 4 text
+#  5 generic-marker('<text') 6 attr-blob 7 text
+#  8 close-slash 9 textline-marker 10 textline-selfclose-slash
+# all element names accept an optional namespace prefix (matching the
+# ET walk's wildcard-namespace iterfind)
 _PDM_EV = re.compile(
-    r'<text\s+(font)="([^"&\n\t]*)"\s+bbox="([^"&\n\t]*)"(?:[^>]*?\s)?'
+    r'<(?:[\w.-]+:)?text\s+(font)="([^"&\n\t]*)"\s+bbox="([^"&\n\t]*)"(?:[^>]*?\s)?'
     r'size="([^"&\n\t]*)"\s*>'
-    r"([^<]*)</text>"
-    r"|(<text)((?:\s[^>]*)?/?)>([^<]*)(?:</text>)?"
-    r"|<(/?)(textline)"
+    r"([^<]*)</(?:[\w.-]+:)?text>"
+    r"|(<(?:[\w.-]+:)?text)(?=[\s/>])((?:\s[^>]*)?/?)>([^<]*)(?:</(?:[\w.-]+:)?text>)?"
+    r"|<(/?)((?:[\w.-]+:)?textline)(?=[\s/>])[^>]*?(/?)>"
 )
 
 
@@ -341,9 +368,12 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                 w_app(wid)
                 open_word = True
             elif ev[9]:  # textline open/close -> word break
-                in_tl = in_tl - 1 if ev[8] else in_tl + 1
-                if in_tl < 0:
-                    return None  # stray close: bail to ET path
+                if ev[8]:  # </textline>
+                    in_tl -= 1
+                    if in_tl < 0:
+                        return None  # stray close: bail to ET path
+                elif not ev[10]:  # <textline ...> (self-closing = empty
+                    in_tl += 1  # textline: no depth change, still a break)
                 if open_word:
                     wid += 1
                     open_word = False

@@ -17,6 +17,24 @@ from __future__ import annotations
 from .spec import FONT_KEY_SEP, FONT_SIZE_NDIGITS
 
 
+def mode_first(keys: list[str]) -> int:
+    """Index of the first element whose value is the mode (ties -> the
+    earliest).  Part of the shared contract (S1 majority-font vote):
+    the kernel's two parser paths must tie-break identically, so the
+    single implementation lives here.  Pure python on purpose — these
+    lists are 1-10 glyphs long and np.unique costs ~50µs per call."""
+    if len(keys) == 1 or keys.count(keys[0]) == len(keys):
+        return 0  # all-same fast case (one C pass) — by far the common one
+    counts: dict[str, int] = {}
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+    best = max(counts.values())
+    for i, k in enumerate(keys):
+        if counts[k] == best:
+            return i
+    raise AssertionError("unreachable")
+
+
 def font_key(font: str, size: float) -> str:
     """Composite key for a (font-face, size) pair; size pre-rounded."""
     return f"{font}{FONT_KEY_SEP}{round(float(size), FONT_SIZE_NDIGITS):.1f}"

@@ -37,6 +37,7 @@ from . import fastparse, spec
 from .grammar import (
     font_key,
     font_label,
+    mode_first,
     render_bbox,
     render_block_header_from_parts,
     render_line,
@@ -72,20 +73,9 @@ def _strip_ns(tag: str) -> str:
     return tag[i + 1 :] if i >= 0 else tag
 
 
-def _mode_first(keys: list[str]) -> int:
-    """Index of the first element whose value is the mode (ties -> first).
-    Pure python on purpose: these lists are 1–10 glyphs/tokens long and
-    np.unique costs ~50µs per call — the hottest spot in the profile."""
-    if len(keys) == 1 or keys.count(keys[0]) == len(keys):
-        return 0  # all-same fast case (one C pass) — by far the common one
-    counts: dict[str, int] = {}
-    for k in keys:
-        counts[k] = counts.get(k, 0) + 1
-    best = max(counts.values())
-    for i, k in enumerate(keys):
-        if counts[k] == best:
-            return i
-    raise AssertionError("unreachable")
+# S1 majority-font tie-break — shared with fastparse via grammar (the
+# two parser paths must vote identically)
+_mode_first = mode_first
 
 
 # --------------------------------------------------------------------------

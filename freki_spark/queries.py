@@ -845,10 +845,18 @@ def bucketed_table(spark, sf_dir, name: str, key: str):
     partition transform at production scale (io.py seam): pay the
     shuffle once at write time, join shuffle-free on every read after.
     """
+    import hashlib
     import re as _re
     import tempfile
 
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # tag carries a hash of the FULL path: two sf dirs with the same
+    # basename must not collide on the catalog table / tempdir
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = (
+        _re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(norm))
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:6]
+    )
     tbl = f"freki_b_{name}_{tag}"
     if not spark.catalog.tableExists(tbl):
         path = os.path.join(tempfile.gettempdir(), "freki_bucketed", tag, name)

@@ -205,11 +205,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
     deliveries from at-least-once upstreams).  The watermark delay
     bounds state: at production scale it is the upstream's max
     redelivery lag, not the table's full time range."""
-    base = tempfile.mkdtemp(prefix="freki_stream_")
-    src = os.path.join(base, "events_dup")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1)
-    ev.write.mode("overwrite").parquet(src)
-    ev.write.mode("append").parquet(src)  # the duplicate delivery
+    src = _stage_events(spark, sf_dir)
+    # the duplicate delivery: same rows appended as a second file
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -184,6 +184,62 @@ def test_fast_path_engages_on_clean_fixture_docs():
     assert n_docs > 0 and n_fast == n_docs
 
 
+def test_nested_glyph_inside_box_ignored_like_et():
+    # ET reads only DIRECT children of <Word>; a Glyph nested inside a
+    # non-self-closed Box must not contribute to the font vote
+    xml = (
+        "<TET><Pages><Page number=\"1\" width=\"612\" height=\"792\"><Content>"
+        "<Word><Text>hi</Text>"
+        '<Box llx="72.00" lly="700.00" urx="100.00" ury="712.00">'
+        '<Glyph font="G9" size="8.0">h</Glyph></Box>'
+        '<Glyph font="F0" size="12.0">i</Glyph></Word>'
+        "</Content></Page></Pages></TET>"
+    )
+    _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+
+
+def test_selfclosing_text_tail_not_fabricated():
+    # <Text/> has no element text; the following inter-tag run must not
+    # become a word (ET: ch.text is None -> word dropped)
+    xml = (
+        "<TET><Pages><Page number=\"1\" width=\"612\" height=\"792\"><Content>"
+        "<Word><Text/>abc"
+        '<Box llx="72.00" lly="700.00" urx="100.00" ury="712.00"/>'
+        '<Glyph font="F0" size="12.0">a</Glyph></Word>'
+        "</Content></Page></Pages></TET>"
+    )
+    _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+
+
+def test_prefixed_pdfminer_parity():
+    xml = (
+        '<m:pages xmlns:m="urn:x"><m:page id="1" bbox="0,0,612,792">'
+        '<m:textline bbox="72,700,200,712">'
+        '<m:text font="F0" bbox="72,700,78,712" size="12.0">a</m:text>'
+        '<m:text font="F0" bbox="78,700,84,712" size="12.0">b</m:text>'
+        "</m:textline></m:page></m:pages>"
+    )
+    fast = fastparse.parse_pdfminer_fast(xml, PageTokens)
+    et = _parse_pdfminer_et(xml)
+    if fast is not None:
+        _same(fast, et)
+        assert et[0].texts == ["ab"]  # and tokens actually extracted
+
+
+def test_textline_lookalike_and_selfclosing_parity():
+    # <textlineX> must not toggle the textline state; a self-closing
+    # <textline/> opens-and-closes (still a word break, no depth leak)
+    xml = (
+        '<pages><page id="1" bbox="0,0,612,792"><textbox id="0">'
+        '<textlineX><text font="F9" bbox="1,1,2,2" size="9.0">Z</text></textlineX>'
+        '<textline bbox="70,1,80,2"/>'
+        '<textline bbox="72,700,200,712">'
+        '<text font="F0" bbox="72,700,78,712" size="12.0">a</text>'
+        "</textline></textbox></page></pages>"
+    )
+    _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
+
+
 def test_glyphs_outside_textline_skipped_like_et():
     xml = (
         '<pages><page id="1" bbox="0,0,612,792"><textbox id="0">'
