@@ -185,8 +185,12 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
         end = popens[pi + 1].start() if pi + 1 < len(popens) else len(xml)
         body = xml[pm.end() : end]
         cm = _TET_PAGE_CLOSE.search(body)
-        if cm:
-            body = body[: cm.start()]
+        if cm is None:
+            # this page's close tag is not before the next page open:
+            # nested <Page> elements (ET would visit inner words twice
+            # via .//) — fall back
+            return None
+        body = body[: cm.start()]
 
         in_word = False
         w_text: str | None = None
@@ -261,6 +265,11 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
                 if in_word and wdepth:
                     wdepth -= 1
             elif t[0]:  # <Word ...>
+                if in_word:
+                    # nested <Word> (never in real TETML): ET's .//Word
+                    # walk has cross-cutting semantics a flat scan can't
+                    # mirror — fall back
+                    return None
                 finalize()
                 in_word = True
                 wdepth = 0
@@ -328,8 +337,9 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
         end = popens[pi + 1].start() if pi + 1 < len(popens) else len(xml)
         body = xml[pm.end() : end]
         cm = _PDM_PAGE_CLOSE.search(body)
-        if cm:
-            body = body[: cm.start()]
+        if cm is None:
+            return None  # nested <page> elements: fall back (see TETML)
+        body = body[: cm.start()]
 
         # flat event scan: glyph texts/bboxes/fonts + word-id per glyph
         texts: list[str] = []
@@ -374,6 +384,10 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                         return None  # stray close: bail to ET path
                 elif not ev[10]:  # <textline ...> (self-closing = empty
                     in_tl += 1  # textline: no depth change, still a break)
+                    if in_tl > 1:
+                        # nested textlines: ET's .// walk would visit
+                        # inner glyphs twice — fall back
+                        return None
                 if open_word:
                     wid += 1
                     open_word = False

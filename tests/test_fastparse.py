@@ -240,6 +240,56 @@ def test_textline_lookalike_and_selfclosing_parity():
     _same(fastparse.parse_pdfminer_fast(xml, PageTokens), _parse_pdfminer_et(xml))
 
 
+def test_nested_word_falls_back():
+    # ET's .//Word emits BOTH the outer and inner word (outer first,
+    # collecting its direct children wherever they sit relative to the
+    # inner subtree) — a flat scan can't mirror that, so: fallback
+    xml = (
+        '<TET><Pages><Page number="1" width="612" height="792"><Content>'
+        "<Word>"
+        '<Word><Text>in</Text><Box llx="1" lly="2" urx="3" ury="4"/>'
+        '<Glyph font="F1" size="9.0">i</Glyph></Word>'
+        '<Text>out</Text><Box llx="5" lly="6" urx="7" ury="8"/>'
+        '<Glyph font="F0" size="12.0">o</Glyph>'
+        "</Word>"
+        "</Content></Page></Pages></TET>"
+    )
+    assert fastparse.parse_tetml_fast(xml, PageTokens) is None
+    et = _parse_tetml_et(xml)
+    _same(parse_tetml(xml), et)  # wrapper serves the ET answer
+    assert et[0].texts == ["out", "in"]
+
+
+def test_nested_textline_falls_back():
+    # ET's .//textline visits inner glyphs twice (once via the outer
+    # textline's descendant scan, once via the inner) — fall back
+    xml = (
+        '<pages><page id="1" bbox="0,0,612,792"><textbox id="0">'
+        '<textline bbox="72,700,200,712">'
+        '<text font="F0" bbox="72,700,78,712" size="12.0">a</text>'
+        '<textline bbox="72,690,200,700">'
+        '<text font="F0" bbox="72,690,78,700" size="12.0">b</text>'
+        "</textline></textline></textbox></page></pages>"
+    )
+    assert fastparse.parse_pdfminer_fast(xml, PageTokens) is None
+    _same(parse_pdfminer(xml), _parse_pdfminer_et(xml))
+
+
+def test_nested_page_falls_back():
+    xml = (
+        "<TET><Pages>"
+        '<Page number="1" width="612" height="792"><Content>'
+        '<Page number="2" width="612" height="792"><Content>'
+        "<Word><Text>x</Text>"
+        '<Box llx="1" lly="2" urx="3" ury="4"/></Word>'
+        "</Content></Page>"
+        "</Content></Page>"
+        "</Pages></TET>"
+    )
+    assert fastparse.parse_tetml_fast(xml, PageTokens) is None
+    _same(parse_tetml(xml), _parse_tetml_et(xml))
+
+
 def test_glyphs_outside_textline_skipped_like_et():
     xml = (
         '<pages><page id="1" bbox="0,0,612,792"><textbox id="0">'
@@ -285,6 +335,51 @@ def test_fuzz_tetml_fast_vs_et(t1, t2, font):
 def test_fuzz_pdfminer_fast_vs_et(c1):
     xml = PDM.format(c1=_esc(c1))
     _assert_consistent(xml, fastparse.parse_pdfminer_fast, _parse_pdfminer_et)
+
+
+_ATTR_POOL = [
+    ('llx="72.00" lly="700.00" urx="100.00" ury="712.00"', "Box"),
+    ('font="F0" size="12.0"', "Glyph"),
+]
+
+
+@st.composite
+def _tet_element(draw, depth):
+    """Random TETML-vocabulary element with arbitrary nesting and
+    self-closing — stresses the direct-children depth tracking."""
+    name = draw(st.sampled_from(["Word", "Text", "Box", "Glyph", "Foo", "nest"]))
+    if name == "Box":
+        attrs = ' llx="72.00" lly="700.00" urx="100.00" ury="712.00"'
+    elif name == "Glyph":
+        attrs = ' font="F0" size="12.0"'
+    else:
+        attrs = ""
+    if draw(st.booleans()):
+        return f"<{name}{attrs}/>"
+    if depth >= 2:
+        inner = draw(st.text(alphabet="ab c", max_size=4))
+    else:
+        n_kids = draw(st.integers(0, 2))
+        kids = [draw(_tet_element(depth + 1)) for _ in range(n_kids)]
+        inner = draw(st.text(alphabet="ab c", max_size=4)) + "".join(kids)
+    return f"<{name}{attrs}>{inner}</{name}>"
+
+
+@st.composite
+def _tet_structural_doc(draw):
+    n = draw(st.integers(1, 5))
+    body = "".join(draw(_tet_element(0)) for _ in range(n))
+    return (
+        '<TET><Pages><Page number="1" width="612" height="792"><Content>'
+        + body
+        + "</Content></Page></Pages></TET>"
+    )
+
+
+@given(_tet_structural_doc())
+@settings(max_examples=150, deadline=None)
+def test_fuzz_tetml_structure_fast_vs_et(xml):
+    _assert_consistent(xml, fastparse.parse_tetml_fast, _parse_tetml_et)
 
 
 def _assert_consistent(xml, fast, et):
