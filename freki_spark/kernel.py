@@ -595,7 +595,10 @@ def extract_document_rows(
     )
     media_by_page: dict[int, list[dict]] = {}
     for m, p in zip(media, mpos):
-        media_by_page.setdefault(p, []).append(m)
+        # clamp to parsed pages (mirrors oracle.extract_document): regex
+        # anchor sites inside comments/PIs can exceed what the parser
+        # yields; media spans must never vanish
+        media_by_page.setdefault(min(p, len(pages) - 1), []).append(m)
 
     records: list[dict] = []
     doc_fonts: dict[str, tuple[int, int]] = {}

@@ -571,5 +571,8 @@ def extract_document(doc_id: str, spans: list[dict]) -> tuple[list[dict], str | 
     anchors = media_anchor_pages(xml_chunks, media, dialect)
     media_by_page: dict[int, list[dict]] = {}
     for m, a in zip(media, anchors):
-        media_by_page.setdefault(a, []).append(m)
+        # clamp to the pages the parser actually yielded: a regex anchor
+        # site inside a comment/PI can exceed them, and a media span
+        # anchored past the last page must still be emitted, never lost
+        media_by_page.setdefault(min(a, len(pages) - 1), []).append(m)
     return serialize_doc(doc_id, pages, media_by_page), None

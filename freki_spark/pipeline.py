@@ -200,7 +200,14 @@ def extract_simple(df: DataFrame, mode: str = "map") -> DataFrame:
 
 
 def _stage1_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per mega-doc: regex page split + media→page anchoring (no parse)."""
+    """Per mega-doc: well-formedness check (same expat parser the
+    kernel's acceptance uses — the salted path must quarantine exactly
+    the docs the unsalted path quarantines), then regex page split +
+    media→page anchoring (no tree parse of the whole doc)."""
+    import xml.etree.ElementTree as ET
+
+    from . import fastparse
+
     for pdf in it:
         rows: list[tuple] = []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -213,11 +220,22 @@ def _stage1_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             dialect = chunks[0]["kind"]
             xml = "".join(c["text"] for c in chunks)
+            try:
+                fastparse.validate(xml)
+            except ET.ParseError as e:
+                rows.append(
+                    (doc_id, 0, 0, 0, "error", f"xml-parse-error: {e}", "", dialect)
+                )
+                continue
             pieces, starts = kernel.split_pages(xml, dialect)
             if not pieces:
-                rows.append(
-                    (doc_id, 0, 0, 0, "error", "xml-parse-error: no page elements", "", dialect)
-                )
+                # valid XML with zero page elements: the kernel emits
+                # just the media spans (all anchored to the prologue) —
+                # mirror that, never quarantine
+                for j, m in enumerate(media):
+                    rows.append(
+                        (doc_id, 0, -1, j, "media", m["text"], m["media_ref"], dialect)
+                    )
                 continue
             n_groups = min(spec.SALT_MAX_GROUPS, len(pieces))
             per_group = math.ceil(len(pieces) / n_groups)
@@ -500,10 +518,39 @@ def extract(
     mode: str = "map",
 ) -> DataFrame:
     """Full pipeline: route each doc by input-span count (P13), extract,
-    union.  Returns (doc_id, spans, error)."""
-    n = F.size("spans")
-    small = df.filter(n <= salt_threshold)
-    mega = df.filter(n > salt_threshold)
+    union.  Returns (doc_id, spans, error).
+
+    Routing details:
+    - NULL ``spans`` counts as empty (the doc must surface in the
+      output as (doc_id, [], null), never silently vanish);
+    - docs whose XML may contain comments / CDATA / processing
+      instructions (any ``<!``, or ``<?`` beyond the position-0 XML
+      declaration) take the UNSALTED path regardless of size: the
+      salted path's regex page split cannot see markup context, so a
+      ``<Page`` inside a comment would create phantom piece boundaries
+      there — whole-document parsing defines the semantics, so risky
+      docs go where the whole document is parsed.  All checks are
+      JVM-side string scans (codegen, narrow).
+    """
+    n = F.coalesce(F.size("spans"), F.lit(0))
+    xml_chunks = F.filter("spans", lambda s: s["kind"].isin(*spec.XML_KINDS))
+    minoff = F.array_min(F.transform(xml_chunks, lambda s: s["offset"]))
+
+    def _pi_or_markup_decl(s: Column) -> Column:
+        # the only exempt '<?' is a true XML declaration: '<?xml' +
+        # whitespace at byte 0 of the first XML chunk ('xml' is a
+        # forbidden PI target, so this prefix is unambiguous); a
+        # document-leading PI like '<?pi <Page ?>' must still flag
+        head_pi = F.when(
+            (s["offset"] == minoff)
+            & s["text"].rlike(r"^<\?xml[ \t\r\n]"),
+            F.locate("<?", s["text"], 2) > 0,
+        ).otherwise(F.locate("<?", s["text"], 1) > 0)
+        return s["text"].contains("<!") | head_pi
+
+    risky = F.coalesce(F.exists(xml_chunks, _pi_or_markup_decl), F.lit(False))
+    small = df.filter((n <= salt_threshold) | risky)
+    mega = df.filter((n > salt_threshold) & ~risky)
     return extract_simple(small, mode=mode).unionByName(extract_salted(mega))
 
 

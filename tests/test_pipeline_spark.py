@@ -144,6 +144,133 @@ def test_freki_read_roundtrip(spark, matrix_df, golden):
     assert l.filter(F.col("body").rlike(r"^line=\d+ fonts=")).count() == 0
 
 
+def test_risky_docs_route_unsalted(spark):
+    """Docs with comments/PIs containing phantom page-start tags must be
+    routed to the unsalted (whole-parse) path even above the salt
+    threshold — a regex page split cannot see markup context."""
+    from freki_spark import kernel, spec
+
+    base = fixtures.make_doc("fx-edge-risky", 7, "single_col")
+    dialect = next(s["kind"] for s in base["spans"] if s["kind"] in spec.XML_KINDS)
+    xml = "".join(s["text"] for s in base["spans"] if s["kind"] in spec.XML_KINDS)
+    i = xml.index(">", xml.index("<", 1 if xml.startswith("<?") else 0)) + 1
+    evil = '<!-- <Page number="99"> <page id="p9"> --><?pi <Page number="98"> ?>'
+    xml2 = xml[:i] + evil + xml[i:]
+    # the splice really does create a phantom split site (the hazard)
+    assert len(kernel.split_pages(xml2, dialect)[0]) > len(
+        kernel.split_pages(xml, dialect)[0]
+    )
+    # chunk it so size(spans) > 1 and run with salt_threshold=1
+    step = max(1, len(xml2) // 7)
+    spans = [
+        {"kind": dialect, "text": xml2[j : j + step], "media_ref": "", "offset": k}
+        for k, j in enumerate(range(0, len(xml2), step))
+    ]
+    df = docs_to_df(spark, [{"doc_id": "fx-edge-risky", "spans": spans}])
+    want, werr = kernel.extract_document_rows("fx-edge-risky", spans)
+    assert werr is None and want
+    got = extract(df, salt_threshold=1).collect()
+    assert len(got) == 1 and got[0].error is None
+    assert [[s.kind, s.text, s.media_ref, s.offset] for s in got[0].spans] == [
+        [r["kind"], r["text"], r["media_ref"], r["offset"]] for r in want
+    ]
+
+
+def test_leading_pi_is_risky_but_xml_decl_is_not(spark):
+    """A document-leading PI ('<?pi ... ?>') must flag risky; a true XML
+    declaration must NOT (else every doc routes unsalted)."""
+    from freki_spark import spec
+    from freki_spark.pipeline import extract_salted
+
+    decl_doc = {
+        "doc_id": "d-decl",
+        "spans": [
+            {
+                "kind": spec.KIND_TETML,
+                "text": '<?xml version="1.0"?>\n<TET></TET>',
+                "media_ref": "",
+                "offset": 0,
+            },
+            {"kind": spec.KIND_MEDIA, "text": "fig", "media_ref": "m:0", "offset": 1},
+        ],
+    }
+    pi_doc = {
+        "doc_id": "d-pi",
+        "spans": [
+            {
+                "kind": spec.KIND_TETML,
+                "text": '<?pi <Page number="9"> ?><TET></TET>',
+                "media_ref": "",
+                "offset": 0,
+            },
+            {"kind": spec.KIND_MEDIA, "text": "fig", "media_ref": "m:0", "offset": 1},
+        ],
+    }
+    df = docs_to_df(spark, [decl_doc, pi_doc])
+    # with threshold 0 every non-risky doc goes salted; both docs must
+    # still produce their media span with no error on either path
+    for thr in (0, 10_000):
+        got = {r.doc_id: r for r in extract(df, salt_threshold=thr).collect()}
+        assert set(got) == {"d-decl", "d-pi"}
+        for r in got.values():
+            assert r.error is None, (r.doc_id, r.error)
+            assert [[s.kind, s.media_ref, s.offset] for s in r.spans] == [
+                ["media", "m:0", 0]
+            ]
+    # and the decl doc really exercises the salted plan (not re-routed):
+    # running it through extract_salted directly gives the same answer
+    got_s = extract_salted(docs_to_df(spark, [decl_doc])).collect()
+    assert len(got_s) == 1 and got_s[0].error is None
+    assert [[s.kind, s.media_ref, s.offset] for s in got_s[0].spans] == [
+        ["media", "m:0", 0]
+    ]
+
+
+def test_null_and_empty_spans_surface(spark):
+    """NULL or empty spans must yield (doc_id, [], null error) — never
+    vanish and never quarantine."""
+    from freki_spark.pipeline import DOC_SCHEMA
+
+    df = spark.createDataFrame(
+        [("d-null", None), ("d-empty", [])], DOC_SCHEMA
+    )
+    for thr in (1, 10_000):
+        got = {r.doc_id: r for r in extract(df, salt_threshold=thr).collect()}
+        assert set(got) == {"d-null", "d-empty"}
+        for r in got.values():
+            assert r.error is None and list(r.spans or []) == []
+
+
+def test_media_only_doc_salted_parity(spark):
+    """A doc with no XML chunks (media spans only) must pass through
+    both paths identically, media in input-offset order."""
+    doc = {
+        "doc_id": "d-media",
+        "spans": [
+            {"kind": "media", "text": f"fig{i}", "media_ref": f"m:{i}", "offset": i}
+            for i in range(3)
+        ],
+    }
+    df = docs_to_df(spark, [doc])
+    for thr in (1, 10_000):
+        got = extract(df, salt_threshold=thr).collect()
+        assert len(got) == 1 and got[0].error is None
+        assert [[s.kind, s.text, s.media_ref, s.offset] for s in got[0].spans] == [
+            ["media", f"fig{i}", f"m:{i}", i] for i in range(3)
+        ]
+
+
+def test_salted_quarantine_error_text_parity(spark):
+    """The salted path must quarantine with the SAME error text as the
+    unsalted path (both report the whole-document parse error)."""
+    docs = [fixtures.make_doc("fx-corrupt-00", 42, "corrupt")]
+    df = docs_to_df(spark, docs)
+    unsalted = extract(df).collect()[0]
+    salted = extract(df, salt_threshold=1).collect()[0]
+    assert unsalted.error is not None
+    assert salted.error == unsalted.error
+
+
 def test_extract_fast_path_is_narrow(spark, matrix_df):
     """The 100 TB invariant: the unsalted extraction path must contain
     no Exchange — document bytes never shuffle."""
