@@ -39,6 +39,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "ann_lsh_bucketed",
     "doc_fingerprint",
+    "html_extract_sf",
 ]
 
 

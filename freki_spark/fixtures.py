@@ -370,3 +370,128 @@ def random_docs(n: int, seed: int = 42, prefix: str = "doc") -> list[dict]:
             profile = "random"
         docs.append(make_doc(f"{prefix}-{i:07d}", seed, profile))
     return docs
+
+# --------------------------------------------------------------------------
+# HTML dialect fixtures (HtmlSpec v1, freki_spark/html_spec.py)
+# --------------------------------------------------------------------------
+
+
+def _sentence(rng: np.random.Generator, lo: int = 6, hi: int = 26) -> str:
+    n = int(rng.integers(lo, hi))
+    return " ".join(str(_WORDS[int(i)]) for i in rng.integers(0, len(_WORDS), n))
+
+
+def _link_bar(rng: np.random.Generator, n: int = 4) -> str:
+    links = " ".join(
+        f'<a href="/{_WORDS[int(w)]}">{_WORDS[int(w)].title()}</a>'
+        for w in rng.integers(0, len(_WORDS), n)
+    )
+    return links
+
+
+HTML_PROFILES = (
+    "article",
+    "linkfarm",
+    "pre_code",
+    "br_lines",
+    "img_media",
+    "entities",
+    "messy",
+    "boilerplate_only",
+    "mega_html",
+    "random_html",
+)
+
+
+def _gen_article_html(rng: np.random.Generator, profile: str) -> str:
+    """One seeded HTML page exercising every S-H2..S-H5 path."""
+    parts: list[str] = ['<!DOCTYPE html>\n<html>\n<head><title>']
+    parts.append(_sentence(rng, 2, 5))
+    parts.append("</title><style>p { color: red } /* <p>not content</p> */</style>")
+    parts.append('<script>var page = "<div>nope</div>";</script></head>\n<body>\n')
+    parts.append(f"<header><h1>{_sentence(rng, 2, 6)}</h1>{_link_bar(rng)}</header>\n")
+    parts.append(f"<nav><ul><li>{_link_bar(rng, 2)}</li><li>{_link_bar(rng, 2)}</li></ul></nav>\n")
+
+    n_paras = 20 if profile == "mega_html" else int(rng.integers(2, 6))
+    parts.append("<main>\n")
+    parts.append(f"<h2>{_sentence(rng, 2, 6)}</h2>\n")
+    for i in range(n_paras):
+        if profile == "linkfarm" and i % 2 == 0:
+            parts.append(f"<p>{_link_bar(rng, 6)}</p>\n")  # linky -> dropped
+        elif profile == "pre_code" and i == 1:
+            code = "\n".join(
+                f"    {_WORDS[int(w)]}({int(rng.integers(0, 99))});"
+                for w in rng.integers(0, len(_WORDS), 4)
+            )
+            parts.append(f"<pre>\n{code}\n</pre>\n")
+        elif profile == "br_lines" and i == 0:
+            parts.append(
+                f"<p>{_sentence(rng)}<br>{_sentence(rng)}<br><br>{_sentence(rng)}</p>\n"
+            )
+        elif profile == "entities" and i == 0:
+            parts.append(
+                f"<p>{_sentence(rng)} &amp; caf&#233; r&eacute;sum&#xE9; "
+                f"&unknown; {_sentence(rng)}</p>\n"
+            )
+        elif profile == "img_media" and i == 1:
+            parts.append(
+                f'<figure><img src="img://{int(rng.integers(0, 999))}.png" '
+                f'alt="{_sentence(rng, 2, 5)}"><figcaption>{_sentence(rng)}'
+                f"</figcaption></figure>\n"
+                f'<video src="vid://{int(rng.integers(0, 999))}.mp4">'
+                f'<source src="vid://alt.webm"></video>\n'
+            )
+        else:
+            em = f" <em>{_sentence(rng, 1, 3)}</em> " if rng.random() < 0.3 else " "
+            parts.append(f"<p>{_sentence(rng)}{em}{_sentence(rng, 3, 9)}</p>\n")
+        if rng.random() < 0.2:
+            parts.append(f"<p>{_sentence(rng, 1, 4)}</p>\n")  # short -> dropped
+    parts.append("</main>\n")
+    parts.append(f"<aside>{_sentence(rng)} {_link_bar(rng)}</aside>\n")
+    parts.append(f"<footer>{_link_bar(rng, 3)} &copy; {_sentence(rng, 1, 3)}</footer>\n")
+    parts.append("</body>\n</html>\n")
+    html = "".join(parts)
+
+    if profile == "messy":
+        # unclosed <p>, stray close tags, uppercase tags, nested p,
+        # button inside p, valueless/duplicate attrs -- all tolerated
+        html = html.replace("<p>", "<P>", 1)
+        html = html.replace("</p>", "", 1)
+        i = html.find("</main>")
+        html = (
+            html[:i]
+            + f"<p>{_sentence(rng)}<p>{_sentence(rng)} "
+            + f"<button>ok</button> {_sentence(rng, 3, 8)}</div>"
+            + f'<img src alt="no source"><img src="dup://a" src="dup://b">'
+            + html[i:]
+        )
+    if profile == "boilerplate_only":
+        i, j = html.find("<main>"), html.find("</main>")
+        html = html[:i] + html[j + len("</main>") :]
+    return html
+
+
+def make_html_doc(doc_id: str, seed: int = 42, profile: str = "random_html") -> dict:
+    """Deterministically build one HTML span-document.  Pure in
+    (doc_id, seed, profile); chunked + media-interleaved like the XML
+    fixtures so the reassembly and anchor paths are exercised."""
+    rng = _doc_rng(doc_id, seed)
+    html = _gen_article_html(rng, profile)
+    n_media = int(rng.integers(0, 4))
+    if profile == "img_media":
+        n_media = max(1, n_media)
+    n_chunks = 12 if profile == "mega_html" else int(rng.integers(1, 9))
+    return {
+        "doc_id": doc_id,
+        "spans": _chunk_and_interleave(
+            html, spec.KIND_HTML, doc_id, rng, n_media, n_chunks
+        ),
+    }
+
+
+def html_fixture_matrix(seed: int = 42) -> list[dict]:
+    docs = []
+    for profile in HTML_PROFILES:
+        for rep in range(3):
+            docs.append(make_html_doc(f"hx-{profile}-{rep:02d}", seed, profile))
+    return docs

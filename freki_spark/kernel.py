@@ -558,8 +558,21 @@ def extract_document_rows(
     doc_id: str, spans: list[dict]
 ) -> tuple[list[dict], str | None]:
     """Whole-document extraction; mirrors oracle.extract_document but
-    array-based.  Returns (output_spans, error)."""
+    array-based.  Returns (output_spans, error).
+
+    Dialect dispatch: the first input chunk's kind decides the
+    pipeline — kind='html' routes to the HtmlSpec main-content
+    extractor (freki_spark.html_kernel); the XML kinds run FrekiSpec
+    S1-S7 below (stray other-kind chunks are ignored by the chosen
+    pipeline)."""
     spans = sorted(spans, key=lambda s: s["offset"])
+    first_kind = next(
+        (s["kind"] for s in spans if s["kind"] in spec.CHUNK_KINDS), None
+    )
+    if first_kind == spec.KIND_HTML:
+        from . import html_kernel
+
+        return html_kernel.extract_document_rows(doc_id, spans)
     chunks = [s for s in spans if s["kind"] in spec.XML_KINDS]
     media = [s for s in spans if s["kind"] == spec.KIND_MEDIA]
 

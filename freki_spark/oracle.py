@@ -542,8 +542,19 @@ def extract_document(doc_id: str, spans: list[dict]) -> tuple[list[dict], str | 
     ``spans`` is the input span list (kind/text/media_ref/offset dicts).
     Returns (output_spans, None) or ([], error_message) when the XML is
     unparseable (quarantine path — never raises).
+
+    Dialect dispatch mirrors kernel.extract_document_rows: a document
+    whose first input chunk is kind='html' routes to the HtmlSpec
+    oracle (freki_spark.html_oracle) instead.
     """
     spans = sorted(spans, key=lambda s: s["offset"])
+    first_kind = next(
+        (s["kind"] for s in spans if s["kind"] in spec.CHUNK_KINDS), None
+    )
+    if first_kind == spec.KIND_HTML:
+        from . import html_oracle
+
+        return html_oracle.extract_document(doc_id, spans)
     xml_chunks = [s for s in spans if s["kind"] in spec.XML_KINDS]
     media = [s for s in spans if s["kind"] == spec.KIND_MEDIA]
 

@@ -530,9 +530,19 @@ def extract(
       ``<Page`` inside a comment would create phantom piece boundaries
       there — whole-document parsing defines the semantics, so risky
       docs go where the whole document is parsed.  All checks are
-      JVM-side string scans (codegen, narrow).
+      JVM-side string scans (codegen, narrow);
+    - docs carrying any ``kind='html'`` span (the HtmlSpec
+      main-content dialect) always take the unsalted path: boilerplate
+      classification is a whole-document DOM property and HTML has no
+      page structure to shard, while the narrow ``mapInArrow`` path is
+      already shuffle-free — one web page per task item is the right
+      unit of parallelism at 10^12 docs (html_kernel docstring).
     """
     n = F.coalesce(F.size("spans"), F.lit(0))
+    has_html = F.coalesce(
+        F.exists("spans", lambda s: s["kind"] == F.lit(spec.KIND_HTML)),
+        F.lit(False),
+    )
     xml_chunks = F.filter("spans", lambda s: s["kind"].isin(*spec.XML_KINDS))
     minoff = F.array_min(F.transform(xml_chunks, lambda s: s["offset"]))
 
@@ -549,8 +559,8 @@ def extract(
         return s["text"].contains("<!") | head_pi
 
     risky = F.coalesce(F.exists(xml_chunks, _pi_or_markup_decl), F.lit(False))
-    small = df.filter((n <= salt_threshold) | risky)
-    mega = df.filter((n > salt_threshold) & ~risky)
+    small = df.filter((n <= salt_threshold) | risky | has_html)
+    mega = df.filter((n > salt_threshold) & ~risky & ~has_html)
     return extract_simple(small, mode=mode).unionByName(extract_salted(mega))
 
 

@@ -225,6 +225,102 @@ def q_emit_spans(spark, sf_dir):
 SQL_EMIT_SPANS = f'SELECT doc_id, kind, text, media_ref, "offset" FROM {_G}'
 
 
+GOLDEN_HTML_JSONL = os.path.join(_REPO, "tests", "golden", "html_spans.jsonl")
+_GH = (
+    '(SELECT doc_id, kind, text, media_ref, CAST("offset" AS INT) AS "offset" '
+    f"FROM read_json('{GOLDEN_HTML_JSONL}'))"
+)
+
+
+def q_html_extract(spark, sf_dir):
+    """HtmlSpec v1 main-content extraction (the HTML half of the north
+    rule): run the pipeline over the HTML fixture matrix — boilerplate
+    stripping, DOM heuristics, media extraction, chunk reassembly —
+    and compare span-for-span against the committed goldens produced
+    by the independent tree-walking oracle (html_oracle.py)."""
+    df = docs_to_df(spark, fixtures.html_fixture_matrix())
+    out = extract(df)
+    return (
+        out.filter(F.col("error").isNull())
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+
+
+SQL_HTML_EXTRACT = f'SELECT doc_id, kind, text, media_ref, "offset" FROM {_GH}'
+
+
+def q_html_extract_sf(spark, sf_dir):
+    """sf-scaled HTML extraction with a pure-SQL oracle: wrap each
+    documents row in a fixed page template (nav + h1 + body paragraph
+    + footer) JVM-side, extract main content, explode the spans.  The
+    expected output is a closed-form function of the text (boilerplate
+    template stripped, whitespace collapsed, densometric word gate),
+    so DuckDB can reproduce it with string functions alone."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+            "<h1>Document "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><footer>(c) corpus</footer></body></html>"),
+    )
+    raw = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = extract(raw)
+    return (
+        out.filter(F.col("error").isNull())
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+
+
+SQL_HTML_EXTRACT_SF = """
+WITH feat AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d,
+         trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS collapsed
+  FROM documents
+), feat2 AS (
+  SELECT d, collapsed,
+         len(list_filter(string_split(collapsed, ' '), w -> w <> '')) AS words
+  FROM feat
+), rows_ AS (
+  SELECT d, CASE WHEN words >= 5 THEN [
+      {kind: 'block',
+       text: 'doc_id=' || d || ' block_id=b-1 tag=h1 words=2 ld=0.00 1 1',
+       media_ref: '', "offset": 0},
+      {kind: 'line', text: 'line=1 tag=h1:Document ' || d, media_ref: '', "offset": 1},
+      {kind: 'block',
+       text: 'doc_id=' || d || ' block_id=b-2 tag=p words=' || words || ' ld=0.00 2 2',
+       media_ref: '', "offset": 2},
+      {kind: 'line', text: 'line=2 tag=p:' || collapsed, media_ref: '', "offset": 3}
+    ] ELSE [
+      {kind: 'block',
+       text: 'doc_id=' || d || ' block_id=b-1 tag=h1 words=2 ld=0.00 1 1',
+       media_ref: '', "offset": 0},
+      {kind: 'line', text: 'line=1 tag=h1:Document ' || d, media_ref: '', "offset": 1}
+    ] END AS lst
+  FROM feat2
+)
+SELECT d AS doc_id, u.kind AS kind, u.text AS text,
+       u.media_ref AS media_ref, u."offset" AS "offset"
+FROM rows_, UNNEST(lst) AS t(u)
+"""
+
+
 def q_freki_read(spark, sf_dir):
     """Round-trip reader (upstream FrekiDoc.read parity): structured
     re-parse of the rendered freki spans, pure-JVM regexp_extract."""
@@ -945,6 +1041,8 @@ QUERIES = {
     "segment_blocks": q_segment_blocks,
     "interleave_media": q_interleave_media,
     "emit_spans": q_emit_spans,
+    "html_extract": q_html_extract,
+    "html_extract_sf": q_html_extract_sf,
     "freki_read": q_freki_read,
     "freki_write": q_freki_write,
     "salt_skew": q_salt_skew,
@@ -989,6 +1087,8 @@ ORACLE_SQL = {
     "segment_blocks": SQL_SEGMENT_BLOCKS,
     "interleave_media": SQL_INTERLEAVE_MEDIA,
     "emit_spans": SQL_EMIT_SPANS,
+    "html_extract": SQL_HTML_EXTRACT,
+    "html_extract_sf": SQL_HTML_EXTRACT_SF,
     "freki_read": SQL_FREKI_READ,
     "freki_write": SQL_FREKI_WRITE,
     "salt_skew": SQL_SALT_SKEW,

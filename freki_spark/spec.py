@@ -62,10 +62,15 @@ SALT_MAX_GROUPS = 32
 # ---- span kinds ------------------------------------------------------------
 KIND_TETML = "tetml"
 KIND_PDFMINER = "pdfminer-xml"
+KIND_HTML = "html"
 KIND_MEDIA = "media"
 KIND_BLOCK = "block"
 KIND_LINE = "line"
 XML_KINDS = (KIND_TETML, KIND_PDFMINER)
+# All input-chunk kinds (raw document content split across spans).
+# kind='html' routes to the HtmlSpec main-content pipeline
+# (freki_spark.html_spec); the XML kinds route to FrekiSpec S1-S7.
+CHUNK_KINDS = (*XML_KINDS, KIND_HTML)
 
 # Separator used inside composite font keys ("<name>\x1f<size:.1f>").
 FONT_KEY_SEP = "\x1f"

@@ -283,3 +283,48 @@ def test_extract_fast_path_is_narrow(spark, matrix_df):
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
+
+
+def test_html_dialect_through_pipeline(spark):
+    """kind='html' docs run the HtmlSpec extractor through the same
+    pipeline surface: output == kernel rows, and routing keeps them on
+    the unsalted path even when the salt threshold would trip."""
+    from freki_spark import kernel
+
+    docs = fixtures.html_fixture_matrix()[:12]
+    df = docs_to_df(spark, docs)
+    want = {d["doc_id"]: kernel.extract_document_rows(d["doc_id"], d["spans"]) for d in docs}
+    for thr in (0, 10_000):  # thr=0: every non-html doc would salt
+        got = {r.doc_id: r for r in extract(df, salt_threshold=thr).collect()}
+        assert set(got) == set(want)
+        for doc_id, (rows, err) in want.items():
+            r = got[doc_id]
+            assert r.error == err, doc_id
+            assert [[s.kind, s.text, s.media_ref, s.offset] for s in r.spans] == [
+                [w["kind"], w["text"], w["media_ref"], w["offset"]] for w in rows
+            ], doc_id
+
+
+def test_mixed_xml_html_corpus(spark):
+    """One input table holding both dialects plus corrupt XML: every doc
+    routes to its dialect's extractor; quarantine untouched."""
+    docs = [
+        fixtures.make_doc("mx-xml-0", 42, "single_col"),
+        fixtures.make_html_doc("mx-html-0", 42, "article"),
+        fixtures.make_doc("mx-bad-0", 42, "corrupt"),
+        fixtures.make_html_doc("mx-html-1", 42, "img_media"),
+        fixtures.make_doc("mx-xml-1", 42, "media"),
+    ]
+    from freki_spark import kernel
+
+    df = docs_to_df(spark, docs)
+    got = {r.doc_id: r for r in extract(df).collect()}
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        rows, err = kernel.extract_document_rows(d["doc_id"], d["spans"])
+        r = got[d["doc_id"]]
+        assert r.error == err, d["doc_id"]
+        assert [[s.kind, s.text, s.media_ref, s.offset] for s in r.spans] == [
+            [w["kind"], w["text"], w["media_ref"], w["offset"]] for w in rows
+        ], d["doc_id"]
+    assert got["mx-bad-0"].error is not None
