@@ -8,6 +8,17 @@ document is the current block buffer plus the emitted records.  The
 independent tree-walking reference implementation lives in
 ``freki_spark.html_oracle``; tests pin span-for-span equality.
 
+Two parser frontends drive the same semantic state machine
+(``_Machine``):
+
+- ``html_fastscan.scan`` — a guarded C-regex tokenizer that mirrors
+  stdlib HTMLParser tokenization on a clean markup subset and raises
+  ``Ineligible`` on any construct it cannot provably mirror
+  (the same design as the XML fast path in fastparse.py);
+- ``_HtmlParserFrontend`` — stdlib ``html.parser.HTMLParser``
+  (``convert_charrefs=False``), the semantics-defining slow path and
+  the fallback for ineligible documents.
+
 Scale note (100 TB design): HTML documents are web pages — document-
 local work bounded by page size — so the pipeline routes every
 kind='html' doc through the narrow zero-shuffle ``mapInArrow`` path
@@ -32,13 +43,38 @@ _MEDIA = H.MEDIA_TAGS
 _HEADING = H.HEADING_TAGS
 _SENTINEL = H.BR_SENTINEL
 
+_WS_SEARCH = H._WS_RUN.search  # one cheap probe before the full collapse
 
-class _StreamExtractor(HTMLParser):
-    """One-pass S-H2..S-H5: stack + counters, block buffer, records."""
 
-    def __init__(self, starts: list[int]):
-        super().__init__(convert_charrefs=False)
-        self._starts = starts
+def _piece_chars_fast(s: str) -> int:
+    """== H.piece_chars(s), skipping the regex when no whitespace."""
+    if _WS_SEARCH(s) is None:
+        return len(s)
+    return H.piece_chars(s)
+
+
+class _Machine:
+    """S-H2..S-H5 semantic state: stack + counters, block buffer,
+    records.  Parser-agnostic — fed (start, end, data) events with
+    absolute source positions by either frontend."""
+
+    __slots__ = (
+        "_stack",
+        "_blocks",
+        "_suppress",
+        "_bp",
+        "_link",
+        "_pre",
+        "_txt",
+        "_flag",
+        "_flags_or",
+        "_pos0",
+        "_tag0",
+        "_pre0",
+        "records",
+    )
+
+    def __init__(self):
         self._stack: list[str] = []
         self._blocks: list[str] = []  # open BLOCK_TAGS members
         self._suppress = 0
@@ -48,6 +84,7 @@ class _StreamExtractor(HTMLParser):
         # buffer: parallel lists (piece text, flags packed, src pos)
         self._txt: list[str] = []
         self._flag: list[int] = []  # 1=link 2=bp 4=br-sentinel
+        self._flags_or = 0
         self._pos0 = 0  # src pos of first piece
         self._tag0 = "body"
         self._pre0 = False
@@ -55,10 +92,6 @@ class _StreamExtractor(HTMLParser):
         self.records: list[tuple] = []
 
     # ---- context ----
-
-    def _abs(self) -> int:
-        lineno, col = self.getpos()
-        return self._starts[lineno - 1] + col
 
     def _push(self, tag: str) -> None:
         self._stack.append(tag)
@@ -98,37 +131,43 @@ class _StreamExtractor(HTMLParser):
 
     # ---- buffer ----
 
-    def _piece(self, text: str, br: bool = False) -> None:
+    def data(self, text: str, pos: int, br: bool = False) -> None:
         if self._suppress:
             return
         if not self._txt:
-            self._pos0 = self._abs()
+            self._pos0 = pos
             self._tag0 = self._blocks[-1] if self._blocks else "body"
             self._pre0 = self._pre > 0
         self._txt.append(text)
-        self._flag.append(
-            (1 if self._link else 0) | (2 if self._bp else 0) | (4 if br else 0)
-        )
+        f = (1 if self._link else 0) | (2 if self._bp else 0) | (4 if br else 0)
+        self._flag.append(f)
+        self._flags_or |= f
 
     def _flush(self) -> None:
         if not self._txt:
             return
         txt, flag = self._txt, self._flag
+        flags_or, self._flags_or = self._flags_or, 0
         self._txt, self._flag = [], []
         tag, pre, pos0 = self._tag0, self._pre0, self._pos0
 
         total = link = bp = 0
-        for t, f in zip(txt, flag):
-            if f & 4:
-                continue  # br sentinel contributes no chars
-            n = H.piece_chars(t)
-            total += n
-            if f & 1:
-                link += n
-            if f & 2:
-                bp += n
+        if flags_or & 3:
+            # only link/bp-flagged buffers need the density char sums:
+            # with link == 0, ld == 0.0 for any total, and with bp == 0
+            # the boilerplate-majority test is vacuously false.
+            for t, f in zip(txt, flag):
+                if f & 4:
+                    continue  # br sentinel contributes no chars
+                n = _piece_chars_fast(t)
+                total += n
+                if f & 1:
+                    link += n
+                if f & 2:
+                    bp += n
 
         lines: list[str] = []
+        words = 0
         for seg in "".join(txt).split(_SENTINEL):
             if pre:
                 for ln in seg.split("\n"):
@@ -136,17 +175,19 @@ class _StreamExtractor(HTMLParser):
                         ln = ln[:-1]
                     if ln.strip():
                         lines.append(ln)
+                        words += H.word_count(ln)
             else:
                 ln = H.collapse_ws(seg).strip(" ")
                 if ln.strip():
                     lines.append(ln)
+                    # already collapsed+stripped: words = spaces + 1
+                    words += ln.count(" ") + 1
         if not lines:
             return
 
         ld = link / total if total else 0.0
         if 2 * bp > total:
             return
-        words = sum(H.word_count(ln) for ln in lines)
         if tag in _HEADING:
             keep = ld <= H.LINK_DENSITY_MAX
         elif pre:
@@ -158,9 +199,9 @@ class _StreamExtractor(HTMLParser):
 
     # ---- events ----
 
-    def handle_starttag(self, tag, attrs):
+    def start(self, tag: str, attrs, pos: int) -> None:
         if tag == "br":
-            self._piece(_SENTINEL, br=True)
+            self.data(_SENTINEL, pos, br=True)
             return
         if tag in _MEDIA:
             # HTML5 duplicate-attribute rule: first occurrence wins
@@ -172,35 +213,68 @@ class _StreamExtractor(HTMLParser):
                     alt = v or ""
             if src and not self._suppress and not self._bp:
                 self._flush()
-                self.records.append(
-                    (False, "", 0, 0.0, None, self._abs(), alt or "", src)
-                )
+                self.records.append((False, "", 0, 0.0, None, pos, alt or "", src))
         if tag in _BLOCK:
             self._flush()
         if tag not in _VOID:
             self._push(tag)
 
-    def handle_endtag(self, tag):
+    def end(self, tag: str) -> None:
         if self._pop_to(tag):
             self._flush()
 
+    def finish(self) -> list[tuple]:
+        self._flush()
+        return self.records
+
+
+class _HtmlParserFrontend(HTMLParser):
+    """Semantics-defining slow frontend (stdlib parser)."""
+
+    def __init__(self, starts: list[int], machine: _Machine):
+        super().__init__(convert_charrefs=False)
+        self._starts = starts
+        self._m = machine
+
+    def _abs(self) -> int:
+        lineno, col = self.getpos()
+        return self._starts[lineno - 1] + col
+
+    def handle_starttag(self, tag, attrs):
+        self._m.start(tag, attrs, self._abs())
+
+    def handle_endtag(self, tag):
+        self._m.end(tag)
+
     def handle_data(self, data):
         if data:
-            self._piece(data.replace("\x00", H.NUL_REPLACEMENT))
+            self._m.data(data.replace("\x00", H.NUL_REPLACEMENT), self._abs())
 
     def handle_entityref(self, name):
-        self._piece(H.decode_entityref(name))
+        self._m.data(H.decode_entityref(name), self._abs())
 
     def handle_charref(self, ref):
-        self._piece(H.decode_charref(ref))
+        self._m.data(H.decode_charref(ref), self._abs())
+
+
+def analyze_slow(html_text: str) -> list[tuple]:
+    """Force the stdlib-HTMLParser frontend (fallback + fuzz target)."""
+    m = _Machine()
+    fe = _HtmlParserFrontend(H.line_start_offsets(html_text), m)
+    fe.feed(html_text)
+    fe.close()
+    return m.finish()
 
 
 def analyze(html_text: str) -> list[tuple]:
-    ex = _StreamExtractor(H.line_start_offsets(html_text))
-    ex.feed(html_text)
-    ex.close()
-    ex._flush()
-    return ex.records
+    from . import html_fastscan
+
+    m = _Machine()
+    try:
+        html_fastscan.scan(html_text, m)
+    except html_fastscan.Ineligible:
+        return analyze_slow(html_text)
+    return m.finish()
 
 
 def extract_document_rows(
