@@ -100,6 +100,46 @@ def ensure_corpus(spark, n_docs: int = BENCH_DOCS, path: str = CORPUS) -> str:
     return path
 
 
+HTML_BENCH_DOCS = int(os.environ.get("FREKI_BENCH_HTML_DOCS", "24000"))
+HTML_CORPUS = os.path.join(REPO, "BENCH", "data", f"bench_html_{HTML_BENCH_DOCS}")
+
+
+def ensure_html_corpus(
+    spark, n_docs: int = HTML_BENCH_DOCS, path: str = HTML_CORPUS
+) -> str:
+    """Deterministic HTML span-doc corpus for the boilerplate-strip half
+    of the pipeline: mostly clean article pages (fast-scan eligible),
+    with mega pages and tag-soup pages mixed in at fixed residues so the
+    HTMLParser fallback path is exercised too."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import pandas as pd
+
+    from freki_spark.fixtures import make_html_doc
+    from freki_spark.pipeline import DOC_SCHEMA
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 13 == 5:
+                    profile = "mega_html"
+                elif i % 29 == 11:
+                    profile = "messy"
+                elif i % 31 == 3:
+                    profile = "linkfarm"
+                else:
+                    profile = "random_html"
+                d = make_html_doc(f"bench-h-{i:07d}", 42, profile)
+                rows.append((d["doc_id"], d["spans"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    ids = spark.range(n_docs).repartition(64)
+    ids.mapInPandas(gen, DOC_SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
 def time_extraction(
     spark, path: str, salt_threshold: int = 40, runs: int = 3
 ) -> tuple[float, int]:
@@ -157,6 +197,12 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
+    # HTML half of the pipeline (boilerplate strip), same extract()
+    # entry point — dispatch on kind='html' happens inside the kernel
+    html_corpus = ensure_html_corpus(spark)
+    html_wall, n_html = time_extraction(spark, html_corpus, runs=3)
+    timings["extract_pipeline_html"] = round(html_wall, 3)
+
     wall_b, _ = time_extraction(spark, corpus, runs=2)
     wall = min(wall_a, wall_b)
     timings["extract_pipeline"] = round(wall, 3)
@@ -173,6 +219,8 @@ def main() -> None:
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "extract_docs": n_docs,
+                "html_docs_per_sec": round(n_html / html_wall, 1),
+                "html_extract_docs": n_html,
                 "cpus": cpus,
             }
         )
