@@ -1,0 +1,228 @@
+"""Corpus-preparation operators for training-data pipelines: PII
+scrubbing, sliding-window chunking, deterministic stratified sampling,
+and per-language n-gram statistics.
+
+All JVM-side built-ins (regexp/array/window functions — no Python in
+the hot path), all with exact DuckDB oracles.  Regex patterns are kept
+in the Java-regex ∩ RE2 common dialect so both engines match the same
+substrings; hashing goes through the shared md5 primitive.
+
+Scale notes (100 TB): every op here is either narrow (pii_scrub,
+chunk_sliding, sample_stratified are per-row map/flat-map — zero
+shuffle, fully data-parallel) or a partial-agg-friendly groupBy
+(ngram_topk: map-side combine on (lang, bigram), then a per-language
+top-k window over the already-aggregated counts, which is tiny).
+Deterministic hash sampling (vs rand()) keeps resumable runs and
+retried tasks consistent — the same doc always lands in the same
+stratum sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import DUCK_MD5I32, md5i32, toks
+
+# regexes valid and equivalent in Java regex AND RE2 (no lookaround)
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+"
+IP_RE = r"\b\d+\.\d+\.\d+\.\d+\b"
+PHONE_RE = r"\b\d\d\d-\d\d\d\d\b"
+
+CHUNK_WORDS = 20
+CHUNK_STRIDE = 10
+
+# per-language sampling rate, percent (md5-bucket < rate keeps the doc)
+SAMPLE_RATES = {"en": 10, "es": 25, "de": 25, "fr": 25, "zh": 40}
+NGRAM_TOPK = 5
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# pii_scrub — redaction.  The driver corpus is synthetic (no real PII),
+# so the op first derives a deterministic PII-bearing variant of each
+# row from doc_id, then scrubs it: what is verified cross-engine is the
+# detection + replacement mechanism itself.
+# --------------------------------------------------------------------------
+
+
+def pii_scrub(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        sid,
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(IP_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = rf"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{IP_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(aug, '{PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(
+           aug, '{EMAIL_RE}', '<EMAIL>', 'g'), '{IP_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# chunk_sliding — fixed-size sliding word windows (the standard
+# training-example chunker).  Pure flat-map: sequence + slice +
+# explode, no shuffle; chunk count scales with doc length, not corpus
+# size, so the op stays narrow at any scale.
+# --------------------------------------------------------------------------
+
+
+def chunk_sliding(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    d = d.select("doc_id", tk.alias("tk"))
+    starts = F.sequence(
+        F.lit(0), F.size("tk") - 1, F.lit(CHUNK_STRIDE)
+    )
+    d = d.select("doc_id", "tk", F.explode(starts).alias("s"))
+    chunk = F.slice("tk", F.col("s") + 1, CHUNK_WORDS)
+    return d.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_words"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+SQL_CHUNK_SLIDING = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+     s AS (SELECT doc_id, tk,
+                  unnest(generate_series(0, len(tk) - 1, {CHUNK_STRIDE})) AS s
+           FROM t)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(tk[s + 1 : s + {CHUNK_WORDS}]) AS INT) AS n_words,
+       array_to_string(tk[s + 1 : s + {CHUNK_WORDS}], ' ') AS chunk_text
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# sample_stratified — deterministic per-language hash sampling.
+# --------------------------------------------------------------------------
+
+
+def sample_stratified(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bucket = md5i32(F.col("doc_id").cast("string")) % 100
+    rate = None
+    for lang, r in SAMPLE_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if rate is None
+            else rate.when(F.col("lang") == lang, F.lit(r))
+        )
+    rate = rate.otherwise(F.lit(0))
+    return d.filter(bucket < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+_DUCK_RATE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + " ELSE 0 END"
+)
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR)")} % 100 < ({_DUCK_RATE})
+"""
+
+
+# --------------------------------------------------------------------------
+# ngram_topk — most frequent bigrams per language (corpus statistics /
+# contamination screening).  groupBy gets map-side partial aggregation;
+# the ranking window runs over the tiny aggregated result.
+# --------------------------------------------------------------------------
+
+
+def ngram_topk(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    n = F.size(tk)
+    bigrams = F.zip_with(
+        F.slice(tk, 1, n - 1),
+        F.slice(tk, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    e = d.select("lang", F.explode(bigrams).alias("bigram"))
+    agg = e.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NGRAM_TOPK)
+        .select("lang", "bigram", "cnt")
+    )
+
+
+SQL_NGRAM_TOPK = f"""
+WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+     e AS (SELECT lang,
+                  unnest(list_transform(generate_series(1, len(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+           FROM t),
+     a AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt
+           FROM e GROUP BY lang, bigram)
+SELECT lang, bigram, cnt
+FROM (SELECT lang, bigram, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram)
+               AS rk
+      FROM a)
+WHERE rk <= {NGRAM_TOPK}
+"""
+
+
+QUERIES = {
+    "pii_scrub": pii_scrub,
+    "chunk_sliding": chunk_sliding,
+    "sample_stratified": sample_stratified,
+    "ngram_topk": ngram_topk,
+}
+
+ORACLE_SQL = {
+    "pii_scrub": SQL_PII_SCRUB,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "ngram_topk": SQL_NGRAM_TOPK,
+}

@@ -1125,12 +1125,13 @@ ORACLE_SQL = {
 # analysis, multimodal plumbing, streaming (see functions/ & streaming/)
 # --------------------------------------------------------------------------
 
+from .functions import corpus_prep as _cp  # noqa: E402
 from .functions import dedup as _dedup  # noqa: E402
 from .functions import multimodal as _mm  # noqa: E402
 from .functions import similarity as _sim  # noqa: E402
 from .functions import text_analysis as _ta  # noqa: E402
 from .streaming import jobs as _stream  # noqa: E402
 
-for _mod in (_dedup, _sim, _ta, _mm, _stream):
+for _mod in (_dedup, _sim, _ta, _mm, _cp, _stream):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
