@@ -151,6 +151,37 @@ def main() -> int:
     check("asof_single_shuffle", n_ex == 1 and "Window" in p,
           f"union+window as-of join with exactly one Exchange (found {n_ex})")
 
+    # 8. corpus-prep narrow ops: the chunker and the scrubber are pure
+    #    per-row flat-maps — zero Exchange at any corpus size
+    for slug in ("chunk_sliding", "pii_scrub", "sample_stratified"):
+        p = plan_of(QUERIES[slug](spark, sf_dir))
+        check(f"narrow_{slug}", "Exchange" not in p, "no Exchange in plan")
+
+    # 9. ngram_topk: bigram counts partially aggregate map-side (only
+    #    (lang, bigram, partial-count) rows shuffle — never raw bigrams)
+    #    and the rank<=k filter is pushed below the shuffle as a
+    #    WindowGroupLimit, so at most k rows per (lang, partition) move
+    p = plan_of(QUERIES["ngram_topk"](spark, sf_dir))
+
+    def node_ids(op: str) -> list[int]:
+        return [int(m) for m in re.findall(rf"{op} \((\d+)\)", p)]
+
+    agg, ex, wgl = node_ids("HashAggregate"), node_ids("Exchange"), node_ids(
+        "WindowGroupLimit"
+    )
+    # formatted tree numbers nodes in execution order (leaves lowest)
+    ok = (
+        "partial_count" in p
+        and agg and ex and wgl
+        and min(agg) < min(ex)
+        and min(wgl) < max(ex)
+    )
+    check(
+        "ngram_partial_agg",
+        ok,
+        "partial agg + WindowGroupLimit below their Exchanges",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
