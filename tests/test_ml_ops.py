@@ -143,3 +143,106 @@ def test_ann_ivf_self_top1_and_recall(spark):
     hits = sum(len(by_q[q] & bf_by_q[q]) for q in bf_by_q)
     total = sum(len(v) for v in bf_by_q.values())
     assert hits / total >= 0.5, f"IVF recall {hits}/{total} vs brute force"
+
+
+# ---------------------------------------------------------------------------
+# corpus-prep family (functions/corpus_prep.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_removes_every_pattern(spark):
+    import re
+
+    from freki_spark.functions.corpus_prep import (
+        EMAIL_RE,
+        IP_RE,
+        PHONE_RE,
+        pii_scrub,
+    )
+
+    rows = pii_scrub(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # the synthesized augmentation guarantees at least one of each
+        assert r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1
+        assert re.search(EMAIL_RE, r.scrubbed) is None
+        assert re.search(IP_RE, r.scrubbed) is None
+        assert re.search(PHONE_RE, r.scrubbed) is None
+        assert "<EMAIL>" in r.scrubbed and "<IP>" in r.scrubbed
+
+
+def test_chunk_sliding_matches_naive_python(spark):
+    from freki_spark.functions.corpus_prep import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        chunk_sliding,
+    )
+
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_words, r.chunk_text)
+        for r in chunk_sliding(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    want = {}
+    for d in docs:
+        words = d.text.split(" ")
+        for ci, s in enumerate(range(0, len(words), CHUNK_STRIDE)):
+            chunk = words[s : s + CHUNK_WORDS]
+            want[(d.doc_id, ci)] = (len(chunk), " ".join(chunk))
+    assert got == want
+
+
+def test_chunk_sliding_covers_every_word(spark):
+    from freki_spark.functions.corpus_prep import CHUNK_STRIDE, chunk_sliding
+
+    # stride < window -> consecutive chunks overlap; first chunk always
+    # starts at word 0 and last chunk reaches the final word
+    last = {}
+    first = {}
+    for r in chunk_sliding(spark, SF).collect():
+        first.setdefault(r.doc_id, set()).add(r.chunk_id)
+        end = r.chunk_id * CHUNK_STRIDE + r.n_words
+        last[r.doc_id] = max(last.get(r.doc_id, 0), end)
+    docs = {d.doc_id: len(d.text.split(" ")) for d in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    for doc_id, n_words in docs.items():
+        assert 0 in first[doc_id]
+        assert last[doc_id] == n_words
+
+
+def test_sample_stratified_deterministic_and_rate(spark):
+    from freki_spark.functions.corpus_prep import SAMPLE_RATES, sample_stratified
+
+    a = sorted(r.doc_id for r in sample_stratified(spark, SF).collect())
+    b = sorted(r.doc_id for r in sample_stratified(spark, SF).collect())
+    assert a == b  # hash sampling: identical across runs
+    rows = sample_stratified(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, kept in by_lang.items():
+        rate = SAMPLE_RATES[lang] / 100
+        # md5 buckets are uniform; allow generous tolerance at n~100
+        assert kept <= totals[lang]
+        assert abs(kept / totals[lang] - rate) < 0.15, (lang, kept, totals[lang])
+
+
+def test_ngram_topk_ranks_and_counts(spark):
+    from freki_spark.functions.corpus_prep import NGRAM_TOPK, ngram_topk
+
+    rows = ngram_topk(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.cnt)
+    assert set(by_lang) == {"en", "es", "de", "fr", "zh"}
+    for lang, cnts in by_lang.items():
+        assert len(cnts) == NGRAM_TOPK
+        assert cnts == sorted(cnts, reverse=True)
