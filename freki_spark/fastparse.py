@@ -312,6 +312,17 @@ _PDM_EV = re.compile(
 )
 
 
+# --------------------------------------------------------------------------
+# NOTE — negative result, do not retry (measured 2026-08-17, quiet
+# window): a "vectorized" third tier that findall'd the whole page
+# into a 10-group column array and classified glyphs with numpy ops
+# ran at 0.5x the event loop below.  np.char.* dispatches per element
+# (no C string kernels) and np.array() over a list of match tuples
+# costs ~0.3 ms per 3k-glyph page — both swamp the ~1.2 µs/glyph of
+# the tuned python loop.  The loop + one reduceat word assembly at
+# page end (_assemble_words) is the fast configuration.
+# --------------------------------------------------------------------------
+
 def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
     if not fast_eligible(xml):
         return None
@@ -428,30 +439,37 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                 w_app(wid)
                 open_word = True
 
-        if texts:
-            box = np.array(",".join(bboxs).split(","), dtype=np.float64)
-            if box.size != 4 * len(texts):
-                return None  # malformed bbox arity: let the ET path decide
-            box = box.reshape(-1, 4)
-            wa = np.asarray(wids, dtype=np.int64)
-            starts = np.flatnonzero(np.r_[True, wa[1:] != wa[:-1]])
-            bounds = np.r_[starts, len(texts)]
-            # word bbox = min/max over member glyphs (same floats as the
-            # ET path's python min/max — both exact over float64)
-            wllx = np.minimum.reduceat(box[:, 0], starts)
-            wlly = np.minimum.reduceat(box[:, 1], starts)
-            wurx = np.maximum.reduceat(box[:, 2], starts)
-            wury = np.maximum.reduceat(box[:, 3], starts)
-            for k in range(len(starts)):
-                a, b = int(bounds[k]), int(bounds[k + 1])
-                cur.add(
-                    "".join(texts[a:b]),
-                    float(wllx[k]),
-                    float(wlly[k]),
-                    float(wurx[k]),
-                    float(wury[k]),
-                    fkeys[a] if b - a == 1 else fkeys[a + _mode_first(fkeys[a:b])],
-                )
+        if texts and not _assemble_words(cur, texts, bboxs, fkeys, wids):
+            return None  # malformed bbox arity: let the ET path decide
         cur.freeze()
         pages.append(cur)
     return pages
+
+
+def _assemble_words(cur, texts, bboxs, fkeys, wids) -> bool:
+    """Glyph columns -> words on `cur` (numpy reduceat).  False when the
+    bbox arity is malformed (caller falls back to the ET path)."""
+    box = np.array(",".join(bboxs).split(","), dtype=np.float64)
+    if box.size != 4 * len(texts):
+        return False
+    box = box.reshape(-1, 4)
+    wa = np.asarray(wids, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, wa[1:] != wa[:-1]])
+    bounds = np.r_[starts, len(texts)]
+    # word bbox = min/max over member glyphs (same floats as the
+    # ET path's python min/max — both exact over float64)
+    wllx = np.minimum.reduceat(box[:, 0], starts)
+    wlly = np.minimum.reduceat(box[:, 1], starts)
+    wurx = np.maximum.reduceat(box[:, 2], starts)
+    wury = np.maximum.reduceat(box[:, 3], starts)
+    for k in range(len(starts)):
+        a, b = int(bounds[k]), int(bounds[k + 1])
+        cur.add(
+            "".join(texts[a:b]),
+            float(wllx[k]),
+            float(wlly[k]),
+            float(wurx[k]),
+            float(wury[k]),
+            fkeys[a] if b - a == 1 else fkeys[a + _mode_first(fkeys[a:b])],
+        )
+    return True
