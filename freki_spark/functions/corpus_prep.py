@@ -213,11 +213,103 @@ WHERE rk <= {NGRAM_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# tfidf_topk — characteristic terms per document (tf-idf, top 3).
+# Two partial-agg-friendly groupBys + one broadcast-sized df join; the
+# idf table is tiny (vocabulary) and broadcasts at any corpus size.
+# log() is bit-identical IEEE in both engines for the same double, but
+# sums are order-dependent — scores are floor-scaled like quality_score.
+# --------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # small scalar action; at scale: precomputed stat
+    e = d.select("doc_id", F.explode(toks(F.col("text"))).alias("term"))
+    tf = e.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        e.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.floor(F.col("tf") * F.col("idf") * 10000) / 10000.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+SQL_TFIDF_TOPK = f"""
+WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM e GROUP BY doc_id, term),
+     df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   ln((SELECT count(*) FROM documents) / df) AS idf
+            FROM e GROUP BY term),
+     s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  floor(tf.tf * df.idf * 10000) / 10000.0 AS score
+           FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk FROM s)
+WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# q_compact_plan — small-file compaction planning: greedy cumulative
+# binning of documents into ~target-size output files per partition
+# key (the maintenance job every 10^12-row table needs).  One window
+# cumsum per partition — no data movement, plan only.
+# --------------------------------------------------------------------------
+
+COMPACT_TARGET_CHARS = 4000
+
+
+def q_compact_plan(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_chars").over(w)
+    bin_id = F.floor((cum - F.col("n_chars")) / COMPACT_TARGET_CHARS)
+    d = d.select("doc_id", "lang", "n_chars", bin_id.alias("file_bin"))
+    return d.groupBy("lang", "file_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("bin_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_COMPACT_PLAN = f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                     - n_chars) / {COMPACT_TARGET_CHARS}) AS BIGINT) AS file_bin
+  FROM documents
+)
+SELECT lang, file_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY lang, file_bin
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
     "ngram_topk": ngram_topk,
+    "tfidf_topk": tfidf_topk,
+    "q_compact_plan": q_compact_plan,
 }
 
 ORACLE_SQL = {
@@ -225,4 +317,6 @@ ORACLE_SQL = {
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "ngram_topk": SQL_NGRAM_TOPK,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "q_compact_plan": SQL_COMPACT_PLAN,
 }
