@@ -182,6 +182,22 @@ def main() -> int:
         "partial agg + WindowGroupLimit below their Exchanges",
     )
 
+    # 10. tfidf: the vocabulary-sized idf side broadcasts (never a
+    #     shuffle join against the tf table), and the per-doc top-k is
+    #     WindowGroupLimit-pruned before its shuffle
+    p = plan_of(QUERIES["tfidf_topk"](spark, sf_dir))
+    check(
+        "tfidf_bcast_topk",
+        "BroadcastHashJoin" in p and "WindowGroupLimit" in p,
+        "broadcast idf join + window group limit",
+    )
+
+    # 11. compaction planning runs in at most two exchanges (window by
+    #     partition key, then the bin rollup) — plan-only maintenance
+    p = plan_of(QUERIES["q_compact_plan"](spark, sf_dir))
+    n_ex = len(re.findall(r"Exchange \(\d+\)", p)) or p.count("Exchange")
+    check("compact_two_shuffles", n_ex <= 2, f"exchanges={n_ex}")
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
