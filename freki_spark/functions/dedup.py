@@ -409,12 +409,82 @@ FROM dots WHERE round(dot / (n1 * n2), 4) >= 0.99
 """
 
 
+# --------------------------------------------------------------------------
+# near-dup clusters: connected components over the jaccard pair graph
+# (iterative min-label propagation — the canonical "pick one canonical
+# doc per duplicate cluster" step of a dedup pipeline).  Loops to a
+# fixed point, so the result is the true component labeling and the
+# DuckDB oracle can state it as a recursive transitive closure.
+# Scale note: plain min-propagation converges in O(diameter) rounds;
+# duplicate clusters are shallow (copies of one original), so the
+# diameter is small in practice.  For adversarial long-chain graphs
+# swap in large-star/small-star (O(log n) rounds) — same contract.
+# --------------------------------------------------------------------------
+
+COMPONENT_MAX_ITERS = 50
+
+
+def dedup_components(spark, sf_dir):
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.persist()
+    lab = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(COMPONENT_MAX_ITERS):
+        prop = sym.join(lab, sym.src == lab.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            lab.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()  # cut lineage: iteration depth stays O(1)
+        )
+        if new.join(lab, ["id", "comp"], "left_anti").isEmpty():
+            lab = new
+            break
+        lab = new
+    sym.unpersist()
+    return lab.select(F.col("id").alias("doc_id"), "comp")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()},
+ds AS (
+  SELECT doc_id, unnest({DUCK_SHINGLES.format(l="string_split(text,' ')")}) AS sh
+  FROM corpus
+),
+rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+cand AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
+edges AS (
+  SELECT c1.doc_id AS a, c2.doc_id AS b
+  FROM cand c1 JOIN cand c2 ON c1.sh = c2.sh AND c1.doc_id < c2.doc_id
+  GROUP BY 1, 2 HAVING count(DISTINCT c1.sh) >= 3
+),
+sym AS (SELECT a AS src, b AS dst FROM edges
+        UNION SELECT b, a FROM edges),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_components": dedup_components,
 }
 
 ORACLE_SQL = {
@@ -423,4 +493,5 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }

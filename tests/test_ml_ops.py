@@ -246,3 +246,20 @@ def test_ngram_topk_ranks_and_counts(spark):
     for lang, cnts in by_lang.items():
         assert len(cnts) == NGRAM_TOPK
         assert cnts == sorted(cnts, reverse=True)
+
+
+def test_dedup_components_cluster_mutants_with_originals(spark):
+    from freki_spark.functions.dedup import dedup_components
+
+    comp = {r.doc_id: r.comp for r in dedup_components(spark, SF).collect()}
+    # every mutated copy (X+100000) appearing in the graph shares its
+    # original's component
+    linked = [d for d in comp if d >= 100000 and d - 100000 in comp]
+    assert len(linked) >= 40
+    assert all(comp[d] == comp[d - 100000] for d in linked)
+    # label = the minimum member id of the component (fixed point)
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    for c, members in by_comp.items():
+        assert c == min(members)
