@@ -153,7 +153,11 @@ def q_media_features(spark, sf_dir):
 
 
 # content = unhex(sha256(ref)) -> 32 bytes; feat0 = first 4 bytes of
-# sha256(ref) as int; f1 = first byte of sha256(content) / 255
+# sha256(ref) as int; f1 = first byte of sha256(content) / 255.
+# The features column is float32 (realistic embedding storage), so the
+# oracle must mirror the quantization: CAST(... AS REAL) before the
+# final round, else byte values whose float32 neighbor crosses the
+# 6-decimal boundary disagree (found at sf0.1: 131/255).
 SQL_MEDIA_FEATURES = """
 WITH m AS (
   SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref
@@ -162,8 +166,8 @@ WITH m AS (
 SELECT doc_id, media_ref,
        32 AS content_len,
        CAST('0x' || substr(sha256(media_ref), 1, 8) AS BIGINT) AS feat0,
-       round(CAST(('0x' || substr(sha256(sha256(media_ref)), 1, 2)) AS BIGINT)
-             / 255.0, 6) AS f1
+       round(CAST(CAST(CAST(('0x' || substr(sha256(sha256(media_ref)), 1, 2))
+                            AS BIGINT) / 255.0 AS REAL) AS DOUBLE), 6) AS f1
 FROM m
 """
 

@@ -728,21 +728,23 @@ def q_array_ops(spark, sf_dir):
     sumsq = F.aggregate(
         "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
+    # `+ 0.0` canonicalizes IEEE negative zero: round(-1e-5, 4) is -0.0
+    # in one engine and 0.0 in the other (found at sf0.1)
     return em.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
-        F.round(F.array_min("embedding").cast("double"), 4).alias("emin"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("emax"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias("e1"),
+        (F.round(F.array_min("embedding").cast("double"), 4) + 0.0).alias("emin"),
+        (F.round(F.array_max("embedding").cast("double"), 4) + 0.0).alias("emax"),
         F.round(sumsq, 3).alias("norm2"),
     )
 
 
 SQL_ARRAY_OPS = """
 SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-       round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-       round(CAST(list_min(embedding) AS DOUBLE), 4) AS emin,
-       round(CAST(list_max(embedding) AS DOUBLE), 4) AS emax,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e1,
+       round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS emin,
+       round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS emax,
        round(list_reduce(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b), 3) AS norm2
 FROM embeddings
