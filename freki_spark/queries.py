@@ -89,7 +89,12 @@ SQL_SCAN_DOCUMENTS = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
 def q_explode_spans(spark, sf_dir):
-    raw = synthesize_raw(_t(spark, sf_dir, "documents").limit(200))
+    """P2: posexplode of the input span table.  Oracle-checked against
+    tests/golden/fixture_inputs.jsonl — written by pure-python
+    iteration over the seeded fixture dicts, so the check pins that
+    Spark's array conversion + posexplode reproduces the python-side
+    span sequence exactly (position, kind, lengths, media refs)."""
+    raw = docs_to_df(spark, fixtures.fixture_matrix())
     return raw.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
         "doc_id",
         "pos",
@@ -1079,8 +1084,17 @@ QUERIES = {
     "q_grouped_map_udf": q_grouped_map_udf,
 }
 
+GOLDEN_INPUTS_JSONL = os.path.join(_REPO, "tests", "golden", "fixture_inputs.jsonl")
+
+SQL_EXPLODE_SPANS = (
+    "SELECT doc_id, CAST(pos AS INT) AS pos, kind, "
+    'CAST(text_len AS INT) AS text_len, media_ref '
+    f"FROM read_json('{GOLDEN_INPUTS_JSONL}')"
+)
+
 ORACLE_SQL = {
     "scan_documents": SQL_SCAN_DOCUMENTS,
+    "explode_spans": SQL_EXPLODE_SPANS,
     "reassemble_xml": SQL_REASSEMBLE_XML,
     "parse_glyphs": SQL_PARSE_GLYPHS,
     "cluster_lines": SQL_CLUSTER_LINES,
