@@ -252,12 +252,39 @@ def render_spacing(page: PageTokens, idx: np.ndarray) -> str:
     texts = [page.texts[i] for i in idx]
     widths = box[:, 2] - box[:, 0]
     # integer char count: order-exact, no float-summation semantics
+    # (cw itself keeps np.sum's pairwise order — the oracle pins it)
     total_c = sum(len(t) for t in texts)
     cw = float(np.sum(widths)) / total_c if total_c else 1.0
     if cw <= 0:
         cw = 1.0
     if len(texts) == 1:
         return texts[0]
+    # scalar gap loop: lines are ~10 tokens, where numpy's per-call
+    # constants cost more than the arithmetic (measured 1.4x).  Python
+    # round() and np.rint are both round-half-even on float64, so the
+    # elementwise math is identical; quotients beyond 2^53 (absurd
+    # coordinates) fall back to the vector path whose astype semantics
+    # the goldens pin.
+    ratio = spec.SPACE_MIN_GAP_RATIO * cw
+    lx = box[:, 0].tolist()
+    rx = box[:, 2].tolist()
+    parts = [texts[0]]
+    for j in range(1, len(texts)):
+        gap = lx[j] - rx[j - 1]
+        q = gap / cw
+        if not (-9.0e15 < q < 9.0e15):
+            return _render_spacing_vec(box, texts, cw)
+        k = int(round(q))
+        if k < 0:
+            k = 0
+        if k < 1 and gap > ratio:
+            k = 1
+        parts.append(" " * k)
+        parts.append(texts[j])
+    return "".join(parts)
+
+
+def _render_spacing_vec(box: np.ndarray, texts: list[str], cw: float) -> str:
     gaps = box[1:, 0] - box[:-1, 2]
     nsp = np.maximum(np.rint(gaps / cw), 0.0)
     nsp[(nsp < 1.0) & (gaps > spec.SPACE_MIN_GAP_RATIO * cw)] = 1.0
