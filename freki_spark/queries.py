@@ -417,6 +417,26 @@ SQL_RESUME_ANTIJOIN = (
 )
 
 
+def q_scan_jsonl(spark, sf_dir):
+    """JSONL source round-trip: canonical docs -> span-per-line JSONL
+    export -> explicit-schema read-back -> re-explode.  Oracle is the
+    same pure-python golden as explode_spans, so the check pins that
+    the line-oriented export/ingest (JSON escaping, nulls, the one
+    regroup shuffle, array_sort span ordering) loses nothing."""
+    from .sources.jsonl_docs import read_span_jsonl, write_span_jsonl
+
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_jsonl_"), "spans")
+    write_span_jsonl(docs_to_df(spark, fixtures.fixture_matrix()), path)
+    docs = read_span_jsonl(spark, path)
+    return docs.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.length("s.text").alias("text_len"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     from .checkpoint import run_extraction
 
@@ -1040,6 +1060,7 @@ QUERIES = {
     # P-ops (pipeline)
     "scan_documents": q_scan_documents,
     "explode_spans": q_explode_spans,
+    "q_scan_jsonl": q_scan_jsonl,
     "reassemble_xml": q_reassemble_xml,
     "parse_glyphs": q_parse_glyphs,
     "cluster_lines": q_cluster_lines,
@@ -1095,6 +1116,7 @@ SQL_EXPLODE_SPANS = (
 ORACLE_SQL = {
     "scan_documents": SQL_SCAN_DOCUMENTS,
     "explode_spans": SQL_EXPLODE_SPANS,
+    "q_scan_jsonl": SQL_EXPLODE_SPANS,
     "reassemble_xml": SQL_REASSEMBLE_XML,
     "parse_glyphs": SQL_PARSE_GLYPHS,
     "cluster_lines": SQL_CLUSTER_LINES,
