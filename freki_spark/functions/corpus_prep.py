@@ -303,6 +303,55 @@ FROM b GROUP BY lang, file_bin
 """
 
 
+# --------------------------------------------------------------------------
+# pack_sequences — GPT-style concatenate-then-chunk packing layout:
+# docs are laid end-to-end in (lang, doc_id) order and cut into
+# fixed-length training sequences; each doc gets the sequence id and
+# intra-sequence offset where it starts, plus whether it straddles a
+# boundary.  One window cumsum per shard — plan-only, no data motion;
+# the actual token concatenation happens downstream in whatever
+# tokenizer job consumes this layout.
+# --------------------------------------------------------------------------
+
+SEQ_LEN = 256
+
+
+def pack_sequences(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(toks(F.col("text")))
+    d = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / SEQ_LEN).cast("bigint").alias("seq_id"),
+        (start % SEQ_LEN).cast("int").alias("seq_offset"),
+        (
+            F.floor(start / SEQ_LEN) != F.floor((start + F.col("n_tokens") - 1) / SEQ_LEN)
+        ).alias("straddles"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         sum(len(string_split(text, ' ')))
+           OVER (PARTITION BY lang ORDER BY doc_id)
+           - len(string_split(text, ' ')) AS start
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(start / {SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(start % {SEQ_LEN} AS INT) AS seq_offset,
+       floor(start / {SEQ_LEN})
+         <> floor((start + n_tokens - 1) / {SEQ_LEN}) AS straddles
+FROM t
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "chunk_sliding": chunk_sliding,
@@ -310,6 +359,7 @@ QUERIES = {
     "ngram_topk": ngram_topk,
     "tfidf_topk": tfidf_topk,
     "q_compact_plan": q_compact_plan,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -319,4 +369,5 @@ ORACLE_SQL = {
     "ngram_topk": SQL_NGRAM_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "q_compact_plan": SQL_COMPACT_PLAN,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
