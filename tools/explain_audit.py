@@ -192,11 +192,12 @@ def main() -> int:
         "broadcast idf join + window group limit",
     )
 
-    # 11. compaction planning runs in at most two exchanges (window by
-    #     partition key, then the bin rollup) — plan-only maintenance
-    p = plan_of(QUERIES["q_compact_plan"](spark, sf_dir))
-    n_ex = len(re.findall(r"Exchange \(\d+\)", p)) or p.count("Exchange")
-    check("compact_two_shuffles", n_ex <= 2, f"exchanges={n_ex}")
+    # 11. window-cumsum planners run in at most two exchanges (the
+    #     shard window, plus at most one rollup) — plan-only ops
+    for slug in ("q_compact_plan", "pack_sequences"):
+        p = plan_of(QUERIES[slug](spark, sf_dir))
+        n_ex = len(re.findall(r"Exchange \(\d+\)", p)) or p.count("Exchange")
+        check(f"two_shuffles_{slug}", n_ex <= 2, f"exchanges={n_ex}")
 
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
