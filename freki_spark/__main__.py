@@ -40,7 +40,15 @@ def sniff_dialect(text: str) -> str:
         return spec.KIND_HTML
     if "<textline" in head or "<textbox" in head or "pdf2txt" in head:
         return spec.KIND_PDFMINER
-    if "<Glyph" in text or "<Word" in head or "TET" in head:
+    # structural markers only — a bare 'TET' substring would misroute
+    # unrelated text (e.g. a title containing 'TETHERED') to the TETML
+    # parser instead of the accurate cannot-sniff error
+    if (
+        "<Glyph" in text
+        or "<Word" in head
+        or "<TET" in head
+        or "pdflib.com/XML/TET" in head
+    ):
         return spec.KIND_TETML
     raise SystemExit(
         "cannot sniff dialect (no TETML/pdfminer/HTML markers) — pass -r"

@@ -313,22 +313,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-SQL_DEDUP_JACCARD = f"""
-WITH {DUCK_CORPUS.strip()},
-ds AS (
+# shared rare-shingle edge construction (used by the jaccard oracle AND
+# the connected-components oracle — one definition, two consumers, so
+# the two oracles cannot desync from each other or from the Spark side)
+DUCK_EDGE_CTES = f"""ds AS (
   SELECT doc_id, unnest({DUCK_SHINGLES.format(l="string_split(text,' ')")}) AS sh
   FROM corpus
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
 rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
 cand AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
-overl AS (
+edges AS (
   SELECT c1.doc_id AS a, c2.doc_id AS b, count(DISTINCT c1.sh) AS common
   FROM cand c1 JOIN cand c2 ON c1.sh = c2.sh AND c1.doc_id < c2.doc_id
   GROUP BY 1, 2 HAVING count(DISTINCT c1.sh) >= 3
-)
+)"""
+
+SQL_DEDUP_JACCARD = f"""
+WITH {DUCK_CORPUS.strip()},
+{DUCK_EDGE_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id)
 SELECT a, b, round(common / (s1.n_sh + s2.n_sh - common), 4) AS jaccard
-FROM overl JOIN sizes s1 ON a = s1.doc_id JOIN sizes s2 ON b = s2.doc_id
+FROM edges JOIN sizes s1 ON a = s1.doc_id JOIN sizes s2 ON b = s2.doc_id
 """
 
 
@@ -450,23 +455,23 @@ def dedup_components(spark, sf_dir):
             lab = new
             break
         lab = new
+    else:
+        # a partial labeling is silently wrong (comp != min member id
+        # for the unconverged tail) — fail loudly instead; graphs with
+        # diameter > COMPONENT_MAX_ITERS need a large-star/small-star
+        # variant, not more of this loop
+        sym.unpersist()
+        raise RuntimeError(
+            f"component propagation did not converge in "
+            f"{COMPONENT_MAX_ITERS} rounds (graph diameter too large)"
+        )
     sym.unpersist()
     return lab.select(F.col("id").alias("doc_id"), "comp")
 
 
 SQL_DEDUP_COMPONENTS = f"""
 WITH RECURSIVE {DUCK_CORPUS.strip()},
-ds AS (
-  SELECT doc_id, unnest({DUCK_SHINGLES.format(l="string_split(text,' ')")}) AS sh
-  FROM corpus
-),
-rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
-cand AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
-edges AS (
-  SELECT c1.doc_id AS a, c2.doc_id AS b
-  FROM cand c1 JOIN cand c2 ON c1.sh = c2.sh AND c1.doc_id < c2.doc_id
-  GROUP BY 1, 2 HAVING count(DISTINCT c1.sh) >= 3
-),
+{DUCK_EDGE_CTES},
 sym AS (SELECT a AS src, b AS dst FROM edges
         UNION SELECT b, a FROM edges),
 reach(id, r) AS (

@@ -18,8 +18,10 @@ CPython Lib/html/parser.py):
   (charref/entityref regexes are copied verbatim);
 - bare ``&`` followed by a char outside ``[a-zA-Z#]`` emits a one-char
   data piece (goahead's ``elif (i + 1) < n`` branch);
-- unmatched ``&#`` with a ``;`` later in the buffer emits ``&#`` and
-  advances two chars (goahead's bail-out branch);
+- malformed ``&#`` is Ineligible: goahead's bail-out branch emits
+  ``&#`` and then unconditionally ``break``s, so inside ``close()``
+  the rest of the buffer flushes as raw unparsed data — behavior a
+  flat scan cannot mirror;
 - start tags restricted to a strict shape (name ``[a-zA-Z][-a-zA-Z0-9:._]*``,
   well-formed attrs, quoted values without ``<``); attr names
   lowercased and values unescaped exactly like parse_starttag;
@@ -106,11 +108,11 @@ def _amp(html: str, j: int, n: int, data) -> int:
             data(H.decode_charref(m.group()[2:-1]), j)
             k = m.end()
             return k if html[k - 1] == ";" else k - 1
-        # stdlib bails with '&#' as data when a ';' exists further on
-        if ";" in html[j:]:
-            data("&#", j)
-            return j + 2
-        raise Ineligible("unterminated &# at buffer end")
+        # stdlib's malformed-&# branch emits '&#' and then BREAKS out
+        # of goahead unconditionally; when that happens inside close()
+        # the rest of the buffer is flushed as raw data (tags never
+        # parsed).  A flat scan cannot mirror that — decline.
+        raise Ineligible("malformed &# reference")
     m = _ENTITYREF.match(html, j)
     if m:
         data(H.decode_entityref(m.group(1)), j)
