@@ -64,6 +64,12 @@ def fast_eligible(xml: str) -> bool:
     q = xml.find("<?")
     if q > 0 or (q == 0 and xml.find("<?", 2) != -1):
         return False  # processing instruction past a pos-0 prologue
+    if q == 0 and not xml.startswith(("<?xml ", "<?xml\t", "<?xml\r", "<?xml\n")):
+        # pos-0 '<?' must be a true XML declaration ('xml' is a
+        # forbidden PI target, so the prefix is unambiguous): a
+        # document-leading PI like '<?pi <Page ...> ?>' holds raw text
+        # the flat scan would read as markup while ET ignores it
+        return False
     if xml.count("<") != xml.count(">"):
         return False  # '>' inside attr values or text
     namp = xml.count("&")
@@ -107,19 +113,34 @@ def _normalize(xml: str) -> str:
 # shared bits
 # --------------------------------------------------------------------------
 
-_ATTR_RE = re.compile(r"([\w.:-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
+# anchored sequential attribute scan: names take ANY non-delimiter
+# chars (XML NameChars include codepoints outside \w, e.g. U+00B7 —
+# a findall scan could skip such a name and then "find" a fake
+# attribute inside its quoted value); any residue the scan cannot
+# account for means the blob shape is beyond this parser -> None,
+# and the caller falls back to the ET path instead of guessing
+_ATTR_SEQ = re.compile(r"\s*([^\s=/>]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
 
 
-def _attrs(blob: str) -> dict[str, str]:
+def _attrs(blob: str) -> dict[str, str] | None:
     out: dict[str, str] = {}
-    for name, dq, sq in _ATTR_RE.findall(blob):
-        v = dq if dq else sq
+    i = 0
+    while True:
+        m = _ATTR_SEQ.match(blob, i)
+        if m is None:
+            break
+        dq, sq = m.group(2), m.group(3)
+        v = dq if dq is not None else sq
         # XML attribute-value normalization: raw whitespace chars
         # become spaces (referenced chars like &#10; are exempt —
         # _unesc runs after, matching processor order)
         if "\n" in v or "\t" in v:
             v = v.replace("\n", " ").replace("\t", " ")
-        out[name] = _unesc(v)
+        out[m.group(1)] = _unesc(v)
+        i = m.end()
+    rest = blob[i:].strip()
+    if rest and rest != "/":
+        return None
     return out
 
 
@@ -142,7 +163,7 @@ _TET_EV = re.compile(
     r"<(?:"
     r"(?P<ws>(?:[\w.-]+:)?Word)(?=[\s/>])(?P<wattr>[^>]*)>"
     r"|(?P<we>/(?:[\w.-]+:)?Word)>"
-    r"|(?P<tx>(?:[\w.-]+:)?Text)(?=[\s>])(?P<tattr>[^>]*)>(?P<txt>[^<]*)"
+    r"|(?P<tx>(?:[\w.-]+:)?Text)(?=[\s/>])(?P<tattr>[^>]*)>(?P<txt>[^<]*)"
     r"|(?P<te>/(?:[\w.-]+:)?Text)>"
     r"|(?P<bx>(?:[\w.-]+:)?Box)(?=[\s/>])(?P<battr>[^>]*)>"
     r"|(?P<be>/(?:[\w.-]+:)?Box)>"
@@ -173,6 +194,8 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
     popens = list(_TET_PAGE.finditer(xml))
     for pi, pm in enumerate(popens):
         pa = _attrs(pm.group(1))
+        if pa is None:
+            return None  # page attr blob beyond the scan: ET decides
         cur = page_cls(
             int(pa.get("number", str(len(pages) + 1))),
             float(pa.get("width", "612")),
@@ -222,6 +245,8 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
                     fk = fk_memo.get(ga)
                     if fk is None:
                         d = _attrs(ga)
+                        if d is None:
+                            return None
                         fk = font_key(d.get("font", ""), float(d.get("size", "0")))
                         fk_memo[ga] = fk
                     w_fonts.append(fk)
@@ -233,8 +258,10 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
             elif t[3]:  # <Text ...>text
                 ta = t[4]
                 sc = ta.rstrip().endswith("/")
-                if in_word and wdepth == 0 and not sc:
-                    w_text = _unesc(t[5])
+                if in_word and wdepth == 0:
+                    # ET's walk is last-wins `text = ch.text`: a
+                    # self-closing <Text/> resets the text to None
+                    w_text = None if sc else _unesc(t[5])
                 if in_word and not sc:
                     wdepth += 1
             elif t[6]:  # </Text>
@@ -253,6 +280,8 @@ def parse_tetml_fast(xml: str, page_cls) -> list | None:
                         )
                     else:
                         d = _attrs(ba)
+                        if d is None:
+                            return None
                         w_box = (
                             float(d.get("llx")),
                             float(d.get("lly")),
@@ -335,6 +364,8 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
     popens = list(_PDM_PAGE.finditer(xml))
     for pi, pm in enumerate(popens):
         pa = _attrs(pm.group(1))
+        if pa is None:
+            return None  # page attr blob beyond the scan: ET decides
         pb = pa.get("bbox", "0,0,612,792").split(",")
         cur = page_cls(
             int(pa.get("id", str(len(pages) + 1))),
@@ -420,6 +451,8 @@ def parse_pdfminer_fast(xml: str, page_cls) -> list | None:
                 selfclosed = blob.rstrip().endswith("/")
                 t = "" if selfclosed else (_unesc(ev[7]) if has_amp else ev[7])
                 d = _attrs(blob)
+                if d is None:
+                    return None
                 bbox = d.get("bbox")
                 if not t or t.isspace() or bbox is None:
                     if open_word:

@@ -553,11 +553,7 @@ def finalize_records(doc_id: str, records: list, doc_fonts: dict) -> list[dict]:
 # media anchoring (page position per media span)
 # --------------------------------------------------------------------------
 
-PAGE_START_RE = {
-    spec.KIND_TETML: re.compile(r"<Page\b"),
-    spec.KIND_PDFMINER: re.compile(r"<page\b"),
-}
-PAGE_END_TAG = {spec.KIND_TETML: "</Page>", spec.KIND_PDFMINER: "</page>"}
+PAGE_START_RE = spec.PAGE_START_RE  # normative, shared with the oracle
 
 
 def media_page_positions(
@@ -623,7 +619,7 @@ def extract_document_rows(
         pages = _PARSERS[dialect](xml)
     except ET.ParseError as e:
         return [], f"xml-parse-error: {e}"
-    except (ValueError, TypeError) as e:
+    except (ValueError, TypeError, IndexError) as e:
         return [], f"xml-content-error: {e}"
 
     starts = [m.start() for m in PAGE_START_RE[dialect].finditer(xml)]
@@ -688,8 +684,9 @@ def extract_document_rows(
 def split_pages(xml: str, dialect: str) -> tuple[list[str], list[int]]:
     """Regex-split raw XML into standalone per-page pieces (stage 1).
 
-    Returns (pieces, page_starts).  Each piece is repaired lazily in
-    stage 2 via repair_page_piece.  Assumes page elements do not nest
+    Returns (pieces, page_starts).  Each piece is made standalone at
+    stage 1 via repair_page_piece (which needs the preamble's xmlns
+    declarations — only stage 1 sees the whole document).  Assumes page elements do not nest
     and no entity definitions live in the prologue (true for both
     supported dialects)."""
     starts = [m.start() for m in PAGE_START_RE[dialect].finditer(xml)]
@@ -700,13 +697,40 @@ def split_pages(xml: str, dialect: str) -> tuple[list[str], list[int]]:
     return pieces, starts
 
 
-def repair_page_piece(piece: str, dialect: str) -> str:
-    """Truncate after the page's close tag and wrap for standalone parse."""
-    end_tag = PAGE_END_TAG[dialect]
-    i = piece.rfind(end_tag)
-    if i >= 0:
-        piece = piece[: i + len(end_tag)]
-    return f"<R>{piece}</R>"
+_XMLNS_RE = re.compile(r"""(xmlns(?::[\w.-]+)?)\s*=\s*("[^"]*"|'[^']*')""")
+
+
+def collect_xmlns(preamble: str) -> str:
+    """Namespace declarations from the document preamble (the ancestor
+    tags before the first page element), deduped by prefix with the
+    last (innermost) binding winning — re-declared on the standalone
+    wrapper so prefixed page content parses outside its original root.
+    Returns '' or a leading-space attr string."""
+    seen: dict[str, str] = {}
+    for m in _XMLNS_RE.finditer(preamble):
+        seen[m.group(1)] = m.group(2)
+    if not seen:
+        return ""
+    return "".join(f" {k}={v}" for k, v in seen.items())
+
+
+def repair_page_piece(piece: str, dialect: str, decls: str = "") -> str:
+    """Truncate after the page's close tag and wrap for standalone
+    parse.  Handles all close forms the parsers accept: namespaced /
+    whitespace-bearing end tags and self-closing page elements (a
+    piece ending '<Page .../></TET>' must not drag the parent close
+    tags into the wrapped parse).  ``decls`` re-binds the preamble's
+    xmlns declarations on the wrapper (collect_xmlns)."""
+    last = None
+    for last in spec.PAGE_END_RE[dialect].finditer(piece):
+        pass
+    if last is not None:
+        piece = piece[: last.end()]
+    else:
+        m = re.match(r"<[^>]*>", piece)
+        if m is not None and m.group().rstrip().endswith("/>"):
+            piece = piece[: m.end()]  # self-closing page, no close tag
+    return f"<R{decls}>{piece}</R>"
 
 
 def extract_group_records(
@@ -742,10 +766,10 @@ def extract_group_records(
             seq += 1
             continue
         try:
-            pages = _PARSERS[dialect](repair_page_piece(it["payload"], dialect))
+            pages = _PARSERS[dialect](it["payload"])  # repaired in stage 1
         except ET.ParseError as e:
             return [], {}, 0, 0, f"xml-parse-error: {e}"
-        except (ValueError, TypeError) as e:
+        except (ValueError, TypeError, IndexError) as e:
             return [], {}, 0, 0, f"xml-content-error: {e}"
         for page in pages:
             line_no, seq = layout_page(page, records, line_no, seq, doc_fonts)

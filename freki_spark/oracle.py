@@ -576,7 +576,7 @@ def extract_document(doc_id: str, spans: list[dict]) -> tuple[list[dict], str | 
         pages = parse_document(xml_text, dialect)
     except ET.ParseError as e:
         return [], f"xml-parse-error: {e}"
-    except (ValueError, TypeError) as e:
+    except (ValueError, TypeError, IndexError) as e:
         return [], f"xml-content-error: {e}"
 
     anchors = media_anchor_pages(xml_chunks, media, dialect)

@@ -245,8 +245,20 @@ def _stage1_split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 starts,
                 [m["offset"] for m in media],
             )
+            decls = kernel.collect_xmlns(xml[: starts[0]])
             for p, piece in enumerate(pieces):
-                rows.append((doc_id, p // per_group, p, 0, "page", piece, "", dialect))
+                rows.append(
+                    (
+                        doc_id,
+                        p // per_group,
+                        p,
+                        0,
+                        "page",
+                        kernel.repair_page_piece(piece, dialect, decls),
+                        "",
+                        dialect,
+                    )
+                )
             ranks: dict[int, int] = {}
             for m, p in zip(media, mpos):
                 salt = 0 if p < 0 else min(p, len(pieces) - 1) // per_group
@@ -504,7 +516,21 @@ def extract_salted(df: DataFrame) -> DataFrame:
         F.lit([]).cast(T.ArrayType(SPAN_STRUCT)).alias("spans"),
         "error",
     )
-    return assembled.unionByName(quarantined)
+    # docs whose shards produced zero span records (all-empty pages,
+    # media-less docs with no page matches) have a null-error meta row
+    # but no rows in `sp` — without this anti-join they would vanish,
+    # while the unsalted path emits (doc_id, [], null) for them.  The
+    # join runs over per-mega-doc metadata only (tiny).
+    empty_ok = (
+        meta_doc.filter(F.col("error").isNull())
+        .join(assembled.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit([]).cast(T.ArrayType(SPAN_STRUCT)).alias("spans"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    return assembled.unionByName(empty_ok).unionByName(quarantined)
 
 
 # --------------------------------------------------------------------------
@@ -556,7 +582,10 @@ def extract(
             & s["text"].rlike(r"^<\?xml[ \t\r\n]"),
             F.locate("<?", s["text"], 2) > 0,
         ).otherwise(F.locate("<?", s["text"], 1) > 0)
-        return s["text"].contains("<!") | head_pi
+        # a chunk ending in '<' may complete to '<!'/'<?' in the NEXT
+        # chunk (chunk boundaries are arbitrary byte splits) — the
+        # per-chunk contains() can't see across, so flag it risky too
+        return s["text"].contains("<!") | head_pi | s["text"].endswith("<")
 
     risky = F.coalesce(F.exists(xml_chunks, _pi_or_markup_decl), F.lit(False))
     small = df.filter((n <= salt_threshold) | risky | has_html)

@@ -74,3 +74,22 @@ CHUNK_KINDS = (*XML_KINDS, KIND_HTML)
 
 # Separator used inside composite font keys ("<name>\x1f<size:.1f>").
 FONT_KEY_SEP = "\x1f"
+
+# --------------------------------------------------------------------------
+# Page-element lexical markers (S6 media anchoring + S7 page splitting).
+# Normative and shared by BOTH implementations (kernel and oracle must
+# anchor media to identical page positions, so this is spec, not
+# implementation).  The lookahead — not \b — keeps lookalike tags
+# (<Pagex>, <Page:foo>, <Page-y>) from counting as page starts, in
+# agreement with the parsers' namespace-tolerant element matching.
+# --------------------------------------------------------------------------
+import re as _re
+
+PAGE_START_RE = {
+    KIND_TETML: _re.compile(r"<(?:[\w.-]+:)?Page(?=[\s/>])"),
+    KIND_PDFMINER: _re.compile(r"<(?:[\w.-]+:)?page(?=[\s/>])"),
+}
+PAGE_END_RE = {
+    KIND_TETML: _re.compile(r"</(?:[\w.-]+:)?Page\s*>"),
+    KIND_PDFMINER: _re.compile(r"</(?:[\w.-]+:)?page\s*>"),
+}

@@ -399,3 +399,77 @@ def _assert_consistent(xml, fast, et):
         return  # fallback: wrapper would produce the ET answer
     assert ep is not None
     _same(fp, ep)
+
+
+# ---------------------------------------------------------------------------
+# review-found divergences (regression pins)
+# ---------------------------------------------------------------------------
+
+
+def test_leading_pi_with_markup_content_falls_back():
+    # ET ignores PIs entirely; a flat scan would read the PI's content
+    # as markup — only a true '<?xml ' declaration is eligible at pos 0
+    xml = (
+        '<?p <Page number="9"><Word><Text>PHANTOM</Text>'
+        '<Box llx="1" lly="1" urx="2" ury="2"/></Word></Page> ?>'
+        '<TET><Page number="1"><Word><Text>real</Text>'
+        '<Box llx="1" lly="1" urx="2" ury="2"/></Word></Page></TET>'
+    )
+    assert fastparse.parse_tetml_fast(xml, PageTokens) is None
+    assert [p.texts for p in _parse_tetml_et(xml)] == [["real"]]
+    decl = '<?xml version="1.0"?><TET><Page number="1"/></TET>'
+    assert fastparse.parse_tetml_fast(decl, PageTokens) is not None
+
+
+def test_selfclosing_text_resets_word_text():
+    # ET's direct-children walk is last-wins `text = ch.text`: a
+    # trailing <Text/> resets to None and the word is dropped
+    for frag in (
+        '<Text>abc</Text><Box llx="1" lly="1" urx="3" ury="4"/><Text/>',
+        '<Text>abc</Text><Box llx="1" lly="1" urx="3" ury="4"/><Text />',
+    ):
+        xml = f'<TET><Page number="1"><Word>{frag}</Word></Page></TET>'
+        _same(fastparse.parse_tetml_fast(xml, PageTokens), _parse_tetml_et(xml))
+        assert _parse_tetml_et(xml)[0].texts == []
+
+
+def test_exotic_attr_name_parses_exactly():
+    # U+00B7 is a valid XML NameChar outside \w; a findall attr scan
+    # skipped the real attribute and matched urx="99" inside its value
+    xml = (
+        '<TET><Page number="1"><Word><Text>w</Text>'
+        '<Box lly="1" llx="1" urx="3" ury="4" a·=\'urx="99"\'/>'
+        "</Word></Page></TET>"
+    )
+    fast = fastparse.parse_tetml_fast(xml, PageTokens)
+    et = _parse_tetml_et(xml)
+    if fast is not None:
+        _same(fast, et)
+    assert et[0].box.tolist() == [[1.0, 1.0, 3.0, 4.0]]
+    # residue the sequential scan can't account for -> None (fallback)
+    assert fastparse._attrs("a=b") is None
+    assert fastparse._attrs('name="v" junk') is None
+    assert fastparse._attrs('x="1" /') == {"x": "1"}
+
+
+def test_malformed_bbox_arity_quarantines_not_crashes():
+    from freki_spark import kernel as K
+
+    for kind, text in (
+        (
+            "pdfminer-xml",
+            '<pages><page id="1" bbox="0,0"><textline>'
+            '<text font="F" bbox="1,1,2,2" size="9">a</text>'
+            "</textline></page></pages>",
+        ),
+        (
+            "pdfminer-xml",
+            '<pages><page id="1" bbox="0,0,612,792"><textline>'
+            '<text font="F" bbox="1,1" size="9">a</text>'
+            "</textline></page></pages>",
+        ),
+    ):
+        rows, err = K.extract_document_rows(
+            "x", [{"kind": kind, "offset": 0, "media_ref": "", "text": text}]
+        )
+        assert rows == [] and err is not None and "error" in err

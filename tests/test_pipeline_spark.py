@@ -328,3 +328,109 @@ def test_mixed_xml_html_corpus(spark):
             [w["kind"], w["text"], w["media_ref"], w["offset"]] for w in rows
         ], d["doc_id"]
     assert got["mx-bad-0"].error is not None
+
+
+# ---------------------------------------------------------------------------
+# review-found salted-path divergences (regression pins)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_boundary_split_comment_routes_unsalted(spark):
+    """'<' ending one chunk and '!--' starting the next must still flag
+    the doc risky (whole-parse path): the comment could hold '<Page'
+    and create phantom piece boundaries on the salted path."""
+    from freki_spark import kernel as K
+
+    body = (
+        '<TET><Page number="1"><Word><Text>alpha</Text>'
+        '<Box llx="1" lly="1" urx="9" ury="9"/></Word></Page>'
+        "<!-- <Page number=\"7\"> phantom --></TET>"
+    )
+    cut = body.index("<!--") + 1  # split right after the '<'
+    spans = [
+        {"kind": "tetml", "text": body[:cut], "media_ref": "", "offset": 0},
+        {"kind": "tetml", "text": body[cut:], "media_ref": "", "offset": 1},
+    ]
+    df = docs_to_df(spark, [{"doc_id": "split-bang", "spans": spans}])
+    # salt_threshold=1 would salt this doc if the risky flag missed it
+    out = {r.doc_id: r for r in extract(df, salt_threshold=1).collect()}
+    ref_rows, ref_err = K.extract_document_rows(
+        "split-bang", [dict(s) for s in spans]
+    )
+    got = [(s.kind, s.text, s.media_ref, s.offset) for s in out["split-bang"].spans]
+    want = [(r["kind"], r["text"], r["media_ref"], r["offset"]) for r in ref_rows]
+    assert got == want and out["split-bang"].error == ref_err
+
+
+def test_salted_zero_record_doc_survives(spark):
+    """A doc whose shards emit zero span records (all-empty pages, no
+    media) must still appear as (doc_id, [], null) — same as unsalted."""
+    spans = [
+        {"kind": "tetml", "text": "<TET><Page number='1'/>", "media_ref": "", "offset": 0},
+        {"kind": "tetml", "text": "<Page number='2'/></TET>", "media_ref": "", "offset": 1},
+    ]
+    df = docs_to_df(spark, [{"doc_id": "empty-mega", "spans": spans}])
+    salted = {r.doc_id: r for r in extract(df, salt_threshold=1).collect()}
+    unsalted = {r.doc_id: r for r in extract(df, salt_threshold=100).collect()}
+    assert "empty-mega" in salted, "doc vanished on the salted path"
+    assert salted["empty-mega"].error is None
+    assert list(salted["empty-mega"].spans) == list(unsalted["empty-mega"].spans) == []
+
+
+def test_selfclosing_final_page_salted_parity(spark):
+    """A mega-doc ending with a self-closed page must extract the same
+    spans salted and unsalted (repair_page_piece used to drag '</TET>'
+    into the wrapped parse and quarantine the doc)."""
+    spans = [
+        {
+            "kind": "tetml",
+            "text": (
+                "<TET><Page number='1'><Word><Text>w1</Text>"
+                "<Box llx='1' lly='1' urx='9' ury='9'/></Word></Page>"
+            ),
+            "media_ref": "",
+            "offset": 0,
+        },
+        {"kind": "tetml", "text": "<Page number='2'/></TET>", "media_ref": "", "offset": 1},
+    ]
+    df = docs_to_df(spark, [{"doc_id": "sc-final", "spans": spans}])
+    salted = {r.doc_id: r for r in extract(df, salt_threshold=1).collect()}
+    unsalted = {r.doc_id: r for r in extract(df, salt_threshold=100).collect()}
+    assert salted["sc-final"].error is None, salted["sc-final"].error
+    assert list(salted["sc-final"].spans) == list(unsalted["sc-final"].spans)
+    assert len(salted["sc-final"].spans) > 0
+
+
+def test_namespaced_pages_salted_parity(spark):
+    """Namespace-prefixed page elements must split (and anchor media)
+    identically to how the parsers read them — the old '<Page\\b' regex
+    found zero pieces and the doc vanished from the salted path."""
+    spans = [
+        {
+            "kind": "tetml",
+            "text": (
+                "<t:TET xmlns:t='urn:x'><t:Page number='1'><t:Word>"
+                "<t:Text>ns1</t:Text><t:Box llx='1' lly='1' urx='9' ury='9'/>"
+                "</t:Word></t:Page>"
+            ),
+            "media_ref": "",
+            "offset": 0,
+        },
+        {
+            "kind": "tetml",
+            "text": (
+                "<t:Page number='2'><t:Word><t:Text>ns2</t:Text>"
+                "<t:Box llx='1' lly='1' urx='9' ury='9'/></t:Word></t:Page></t:TET>"
+            ),
+            "media_ref": "",
+            "offset": 1,
+        },
+    ]
+    df = docs_to_df(spark, [{"doc_id": "ns-mega", "spans": spans}])
+    salted = {r.doc_id: r for r in extract(df, salt_threshold=1).collect()}
+    unsalted = {r.doc_id: r for r in extract(df, salt_threshold=100).collect()}
+    assert "ns-mega" in salted, "namespaced doc vanished on the salted path"
+    assert salted["ns-mega"].error is None, salted["ns-mega"].error
+    assert list(salted["ns-mega"].spans) == list(unsalted["ns-mega"].spans)
+    texts = " ".join(s.text for s in salted["ns-mega"].spans)
+    assert "ns1" in texts and "ns2" in texts
