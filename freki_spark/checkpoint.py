@@ -26,6 +26,8 @@ Lineage schema follows FIXTURES.md §5.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,31 +86,6 @@ def lineage_n_batches(spark: SparkSession, out_dir: str) -> set[int]:
     return {r.n_batches for r in rows if r.n_batches is not None}
 
 
-def done_doc_ids(
-    spark: SparkSession, out_dir: str, committed: set[int]
-) -> DataFrame | None:
-    """doc_ids already accounted for (extracted or quarantined).
-
-    Reads ONLY the batch directories whose lineage row says committed.
-    A killed run leaves partially-written files in an uncommitted batch
-    dir; counting those as done would make the resume anti-join skip
-    their docs while the re-run's overwrite destroys the partial data —
-    silent loss (caught by an end-to-end kill test).
-    """
-    paths = []
-    for b in sorted(committed):
-        for sub in ("data", "quarantine"):
-            p = f"{out_dir}/{sub}/batch_id={b}"
-            if _exists(spark, p):
-                paths.append(p)
-    if not paths:
-        return None
-    out = spark.read.parquet(paths[0]).select("doc_id")
-    for p in paths[1:]:
-        out = out.unionByName(spark.read.parquet(p).select("doc_id"))
-    return out
-
-
 def run_extraction(
     spark: SparkSession,
     input_df: DataFrame,
@@ -138,12 +115,18 @@ def run_extraction(
         "batch_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)).cast("int")
     )
     if done:
+        # the batch filter IS the exactly-once guard: batch_id is a
+        # pure function of doc_id (pmod(xxhash64, n)) and n_batches is
+        # pinned, so every doc in a committed batch is excluded here —
+        # a doc-level anti-join against committed doc_ids can never
+        # remove anything more and would re-scan all committed output
+        # on every resume (prohibitive at 10^12 docs).  Corollary: a
+        # run assumes a static input snapshot; rows ADDED to the input
+        # after a batch committed would land in already-done batches
+        # and be skipped — ingest new docs with a new run_id/output
+        # (or Iceberg snapshot), never by mutating a half-done run's
+        # input.
         batched = batched.filter(~F.col("batch_id").isin(sorted(done)))
-        already = done_doc_ids(spark, out_dir, done)
-        if already is not None:
-            # doc-level guard over committed batches only: uncommitted
-            # dirs may hold partial writes from a killed run
-            batched = batched.join(already, "doc_id", "left_anti")
     batched = batched.persist()
 
     todo = sorted(
@@ -190,7 +173,7 @@ def run_extraction(
                 n_err,
                 wall_ms,
                 "committed",
-                __import__("datetime").datetime.now(),
+                _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
             )
         ]
         spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(

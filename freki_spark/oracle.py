@@ -36,6 +36,7 @@ from . import spec
 from .grammar import (
     font_key,
     font_label,
+    mode_first,
     render_block_header,
     render_line,
 )
@@ -125,14 +126,13 @@ def _local(tag: str) -> str:
 
 
 def _majority_font(pairs: list[tuple[str, float]]) -> tuple[str, float]:
-    """Most common (font, size) pair; ties -> first occurrence."""
-    keys = [font_key(f, s) for f, s in pairs]
-    counts = Counter(keys)
-    best = max(counts.values())
-    for (f, s), k in zip(pairs, keys):
-        if counts[k] == best:
-            return f, round(float(s), spec.FONT_SIZE_NDIGITS)
-    raise AssertionError("unreachable")
+    """Most common (font, size) pair; ties -> first occurrence.  The
+    vote itself is grammar.mode_first — part of the shared S1 contract
+    (both implementations must tie-break identically), so the single
+    implementation lives there."""
+    i = mode_first([font_key(f, s) for f, s in pairs])
+    f, s = pairs[i]
+    return f, round(float(s), spec.FONT_SIZE_NDIGITS)
 
 
 def parse_tetml(xml_text: str) -> list[Page]:
@@ -443,10 +443,9 @@ def segment_blocks(segments: list[list[Line]]) -> list[Block]:
 # S6 — serialization + media interleaving
 # --------------------------------------------------------------------------
 
-_PAGE_START_RE = {
-    spec.KIND_TETML: re.compile(r"<Page\b"),
-    spec.KIND_PDFMINER: re.compile(r"<page\b"),
-}
+# normative lexical marker shared with the kernel (spec.py): media
+# anchoring must agree bit-for-bit between the two implementations
+_PAGE_START_RE = spec.PAGE_START_RE
 
 
 def media_anchor_pages(

@@ -30,10 +30,15 @@ from pyspark.sql import functions as F
 
 from . import spec
 
-_RE_PAGE = r"page=(\d+)"
-_RE_BLOCK_K = r"block_id=\d+-(\d+)"
-_RE_BBOX = r"bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)"
-_RE_BLOCK_RANGE = r"bbox=\S+ (\d+) (\d+)$"
+# one $-anchored tail pattern for every block-header field: doc_id is
+# an arbitrary string rendered FIRST in the header, so an unanchored
+# first-match extract of 'page=(\d+)' would read a fake field out of a
+# doc_id like 'report_page=12.pdf'.  Anchoring the full structured
+# tail to $ makes the true (last) fields the only possible match.
+_RE_BLOCK_TAIL = (
+    r" page=(\d+) block_id=(\d+)-(\d+)"
+    r" bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+) (\d+) (\d+)$"
+)
 _RE_LINE_NO = r"^line=(\d+)"
 _RE_FONTS = r"^line=\d+ fonts=([^:]*):"
 _RE_LINE_PREFIX = r"^line=\d+ fonts=[^:]*:"
@@ -57,14 +62,14 @@ def read_freki_spans(exploded: DataFrame) -> DataFrame:
         "doc_id",
         "offset",
         "kind",
-        F.when(is_block, _ex(_RE_PAGE, 1).cast("int")).alias("page"),
-        F.when(is_block, _ex(_RE_BLOCK_K, 1).cast("int")).alias("block_k"),
-        F.when(is_block, _ex(_RE_BBOX, 1).cast("double")).alias("llx"),
-        F.when(is_block, _ex(_RE_BBOX, 2).cast("double")).alias("lly"),
-        F.when(is_block, _ex(_RE_BBOX, 3).cast("double")).alias("urx"),
-        F.when(is_block, _ex(_RE_BBOX, 4).cast("double")).alias("ury"),
-        F.when(is_block, _ex(_RE_BLOCK_RANGE, 1).cast("int")).alias("start_line"),
-        F.when(is_block, _ex(_RE_BLOCK_RANGE, 2).cast("int")).alias("end_line"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 1).cast("int")).alias("page"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 3).cast("int")).alias("block_k"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 4).cast("double")).alias("llx"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 5).cast("double")).alias("lly"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 6).cast("double")).alias("urx"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 7).cast("double")).alias("ury"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 8).cast("int")).alias("start_line"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 9).cast("int")).alias("end_line"),
         F.when(is_line, _ex(_RE_LINE_NO, 1).cast("int")).alias("line_no"),
         F.when(is_line, _ex(_RE_FONTS, 1)).alias("fonts"),
         F.when(is_line, F.regexp_replace("text", _RE_LINE_PREFIX, "")).alias("body"),

@@ -146,9 +146,16 @@ def stream_extract(
     tau = salt_threshold if salt_threshold is not None else spec.SALT_SPAN_THRESHOLD
 
     def process_batch(df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the data write
+        # and the streaming-offset commit replays the micro-batch, so
+        # plain append would duplicate every doc.  Writing each batch
+        # to its own batch_id-keyed dir with overwrite makes the replay
+        # idempotent (same rule as checkpoint.py's batch dirs).
         good, bad = split_quarantine(extract(df, salt_threshold=tau))
-        good.write.mode("append").parquet(f"{out_dir}/data")
-        bad.write.mode("append").parquet(f"{out_dir}/quarantine")
+        good.write.mode("overwrite").parquet(f"{out_dir}/data/batch_id={batch_id}")
+        bad.write.mode("overwrite").parquet(
+            f"{out_dir}/quarantine/batch_id={batch_id}"
+        )
 
     q = (
         spark.readStream.schema(DOC_SCHEMA)

@@ -52,6 +52,16 @@ def main() -> None:
     )
     spark = builder.getOrCreate()
 
+    if args.format == "iceberg":
+        # the read side goes through the io.py seam, but run_extraction
+        # writes batch-keyed parquet dirs; silently treating an Iceberg
+        # table name as a local path would misplace the output with
+        # none of the claimed commit atomicity
+        raise SystemExit(
+            "--format iceberg: output commit path not available in this "
+            "environment (no Iceberg runtime); see freki_spark/io.py for "
+            "the production seam"
+        )
     input_df = read_docs(spark, args.input, fmt=args.format)
     summary = run_extraction(
         spark,
@@ -59,7 +69,11 @@ def main() -> None:
         args.output,
         run_id=args.run_id,
         n_batches=args.n_batches,
-        salt_threshold=args.salt_threshold or spec.SALT_SPAN_THRESHOLD,
+        salt_threshold=(
+            spec.SALT_SPAN_THRESHOLD
+            if args.salt_threshold is None
+            else args.salt_threshold
+        ),
     )
     print(summary)
     metrics(spark, args.output).show(truncate=False)

@@ -434,3 +434,21 @@ def test_namespaced_pages_salted_parity(spark):
     assert list(salted["ns-mega"].spans) == list(unsalted["ns-mega"].spans)
     texts = " ".join(s.text for s in salted["ns-mega"].spans)
     assert "ns1" in texts and "ns2" in texts
+
+
+def test_reader_survives_hostile_doc_ids(spark):
+    """A doc_id containing 'page=NN block_id=...' lookalikes must not
+    corrupt the parsed block-header fields (the tail regex is
+    $-anchored, so only the true rendered fields can match)."""
+    from freki_spark.reader import read_freki_spans
+
+    hostile = "report_page=12.pdf block_id=9-9 bbox=7,7,8,8 5 6"
+    header = f"doc_id={hostile} page=3 block_id=3-1 bbox=1.0,2.0,9.0,8.0 4 5"
+    df = spark.createDataFrame(
+        [(hostile, "block", header, "", 0)],
+        "doc_id string, kind string, text string, media_ref string, offset int",
+    )
+    r = read_freki_spans(df).collect()[0]
+    assert (r.page, r.block_k) == (3, 1)
+    assert (r.llx, r.lly, r.urx, r.ury) == (1.0, 2.0, 9.0, 8.0)
+    assert (r.start_line, r.end_line) == (4, 5)
