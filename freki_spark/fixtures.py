@@ -454,9 +454,15 @@ def _gen_article_html(rng: np.random.Generator, profile: str) -> str:
 
     if profile == "messy":
         # unclosed <p>, stray close tags, uppercase tags, nested p,
-        # button inside p, valueless/duplicate attrs -- all tolerated
-        html = html.replace("<p>", "<P>", 1)
-        html = html.replace("</p>", "", 1)
+        # button inside p, valueless/duplicate attrs -- all tolerated.
+        # Mutate only AFTER <body>: the head's <style> block contains
+        # literal '<p>' text, and mutating that (as an earlier version
+        # did) exercises nothing — the CDATA content is inert.
+        b = html.index("<body>")
+        head, body = html[:b], html[b:]
+        body = body.replace("<p>", "<P>", 1)
+        body = body.replace("</p>", "", 1)
+        html = head + body
         i = html.find("</main>")
         html = (
             html[:i]

@@ -27,7 +27,10 @@ def toks(col) -> Column:
     return F.split(col, " ")
 
 
-def shingles(tok_col: Column, n: int = 3) -> Column:
+SHINGLE_N = 3  # single source of truth — DUCK_SHINGLES below encodes it
+
+
+def shingles(tok_col: Column, n: int = SHINGLE_N) -> Column:
     """Distinct n-token shingles (short docs degrade to one shingle)."""
     return F.array_distinct(
         F.transform(
@@ -38,8 +41,10 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
 
 
 # DuckDB mirror of shingles() over a token list `l` (1-based slicing,
-# inclusive bounds: l[i:i+2] is 3 elements)
+# inclusive bounds: l[i:i+N-1] is N elements).  Derived from SHINGLE_N
+# so tuning the width cannot silently desync the dedup oracles.
 DUCK_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(len({l}) - 1, 2)), "
-    "i -> array_to_string({l}[i:i+2], ' ')))"
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({{l}}) - {SHINGLE_N - 2}, 2)), "
+    f"i -> array_to_string({{l}}[i:i+{SHINGLE_N - 1}], ' ')))"
 )

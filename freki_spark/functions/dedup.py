@@ -40,7 +40,12 @@ def _near_dup_corpus(spark, sf_dir) -> DataFrame:
         d.filter(F.col("doc_id") < 50)
         .select(
             (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat_ws(" ", F.slice(tk, 1, F.size(tk) - 3)).alias("text"),
+            # greatest(.., 0): slice() raises on negative length, so a
+            # <=3-token doc would crash the job while the DuckDB
+            # mirror (l[1:len-3]) degrades to empty — degrade the same
+            F.concat_ws(
+                " ", F.slice(tk, 1, F.greatest(F.size(tk) - 3, F.lit(0)))
+            ).alias("text"),
         )
     )
     return d.unionByName(mut)
@@ -67,14 +72,14 @@ def dedup_exact(spark, sf_dir):
     return (
         c.groupBy(F.sha2("text", 256).alias("text_hash"))
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
-        .filter(F.col("n_copies") >= 1)
+        .filter(F.col("n_copies") >= 2)  # report only true dup groups
     )
 
 
 SQL_DEDUP_EXACT = f"""
 WITH {DUCK_CORPUS.strip()}
 SELECT sha256(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
-FROM corpus GROUP BY sha256(text) HAVING count(*) >= 1
+FROM corpus GROUP BY sha256(text) HAVING count(*) >= 2
 """
 
 

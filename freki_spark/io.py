@@ -41,7 +41,13 @@ def write_docs(
     df: DataFrame, path: str, fmt: str = "parquet", mode: str = "append"
 ) -> None:
     if fmt == "iceberg":
-        df.writeTo(path).append()
+        w = df.writeTo(path)
+        if mode == "overwrite":
+            # replace only partitions present in df (idempotent re-run
+            # of a batch); a full-table replace would be .replace()
+            w.overwritePartitions()
+        else:
+            w.append()
         return
     cols = df.columns
     out = with_bucket(df) if "bucket" not in cols else df

@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from . import fixtures
 from .io import docs_to_df
 from .pipeline import extract
-from .sources.documents_raw import synthesize_raw
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_JSONL = os.path.join(_REPO, "tests", "golden", "fixture_spans.jsonl")
@@ -878,11 +877,16 @@ def q_grouped_map_udf(spark, sf_dir):
         v = pdf["value"]
         std = v.std(ddof=1)
         z = (v - v.mean()) / std if std and std > 0 else v * 0.0
+        # floor-scaling, not .round(): pandas rounds half-to-even while
+        # DuckDB rounds half-away-from-zero — a rule mismatch on exact
+        # midpoints (0.03125), unlike the last-ulp noise F.round absorbs
+        import numpy as np
+
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "z": z.round(4),
+                "z": np.floor(z * 10000) / 10000.0,
             }
         )
 
@@ -894,9 +898,9 @@ def q_grouped_map_udf(spark, sf_dir):
 
 SQL_GROUPED_MAP_UDF = """
 SELECT event_id, user_id,
-       round(CASE WHEN stddev_samp(value) OVER w > 0
+       floor((CASE WHEN stddev_samp(value) OVER w > 0
              THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
-             ELSE 0.0 END, 4) AS z
+             ELSE 0.0 END) * 10000) / 10000.0 AS z
 FROM events WINDOW w AS (PARTITION BY user_id)
 """
 
