@@ -178,9 +178,12 @@ def main() -> None:
     # warm-up (JVM/codegen/Arrow) on a small slice, excluded from timing
     from freki_spark.pipeline import extract
 
-    extract(spark.read.parquet(corpus).limit(200)).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # salt_threshold=40 like the timed runs: the default threshold
+    # would warm only the narrow path and leave the salted stages'
+    # codegen/shuffle init inside the first timed run
+    extract(spark.read.parquet(corpus).limit(200), salt_threshold=40).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # the host's noise waves last minutes: spread the extraction timing
     # attempts across the whole bench window (before AND after the query

@@ -36,8 +36,13 @@ def mode_first(keys: list[str]) -> int:
 
 
 def font_key(font: str, size: float) -> str:
-    """Composite key for a (font-face, size) pair; size pre-rounded."""
-    return f"{font}{FONT_KEY_SEP}{round(float(size), FONT_SIZE_NDIGITS):.1f}"
+    """Composite key for a (font-face, size) pair; size pre-rounded.
+    The render width is derived from FONT_SIZE_NDIGITS so reconciling
+    the spec constant cannot silently collapse distinct keys."""
+    return (
+        f"{font}{FONT_KEY_SEP}"
+        f"{round(float(size), FONT_SIZE_NDIGITS):.{FONT_SIZE_NDIGITS}f}"
+    )
 
 
 def font_label(font_id: int, key: str) -> str:

@@ -29,7 +29,11 @@ from freki_spark.pipeline import extract
 cpus = int(sys.argv[1]); out = sys.argv[2]; n = int(sys.argv[3])
 spark = build_session(cpus, app=f"determinism-{{cpus}}")
 spark.sparkContext.setLogLevel("ERROR")
-df = spark.read.parquet(ensure_corpus(spark)).limit(n)
+# deterministic subset: limit() picks whatever split order the scan
+# produced (different at different parallelism) — filter by doc_id
+df = spark.read.parquet(ensure_corpus(spark)).filter(
+    f"doc_id < 'bench-{{n:07d}}'"
+)
 extract(df, salt_threshold=40).write.mode("overwrite").parquet(out)
 spark.stop()
 """
@@ -57,8 +61,9 @@ def main() -> int:
         "      FROM read_parquet('{p}/*.parquet'))"
     )
     a, b = (q.format(p=outs[4]), q.format(p=outs[16]))
-    d1 = con.execute(f"SELECT count(*) FROM ({a} EXCEPT {b})").fetchone()[0]
-    d2 = con.execute(f"SELECT count(*) FROM ({b} EXCEPT {a})").fetchone()[0]
+    # EXCEPT ALL: set-EXCEPT would hide multiplicity differences
+    d1 = con.execute(f"SELECT count(*) FROM ({a} EXCEPT ALL {b})").fetchone()[0]
+    d2 = con.execute(f"SELECT count(*) FROM ({b} EXCEPT ALL {a})").fetchone()[0]
     n1 = con.execute(f"SELECT count(*) FROM ({a})").fetchone()[0]
     n2 = con.execute(f"SELECT count(*) FROM ({b})").fetchone()[0]
     ok = d1 == 0 and d2 == 0 and n1 == n2 and n1 > 0

@@ -22,7 +22,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)  # + 0.0 canonicalizes -0.0
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (int,)):
