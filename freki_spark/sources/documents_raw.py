@@ -37,7 +37,12 @@ def text_to_tetml(text: str) -> str:
     x, nline = MARGIN, 0
     y = PAGE_H - MARGIN
     for w in words:
-        w = w.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        # width and glyph char come from the RAW word; escaping is
+        # per-XML-field (escaping first made '&amp;' 5 glyphs wide and
+        # emitted the raw '&' first char as unparseable element text,
+        # silently quarantining any doc with a '&'-leading token)
+        esc = w.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        c0 = w[0].replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         wid = CW * len(w)
         if x + wid > PAGE_W - MARGIN:
             x = MARGIN
@@ -49,9 +54,9 @@ def text_to_tetml(text: str) -> str:
                 nline = 0
                 y = PAGE_H - MARGIN
         cur_page.append(
-            f"<Word><Text>{w}</Text>"
+            f"<Word><Text>{esc}</Text>"
             f'<Box llx="{x:.2f}" lly="{y:.2f}" urx="{x + wid:.2f}" ury="{y + SIZE:.2f}"/>'
-            f'<Glyph font="F0" size="{SIZE:.1f}">{w[0]}</Glyph></Word>'
+            f'<Glyph font="F0" size="{SIZE:.1f}">{c0}</Glyph></Word>'
         )
         x += wid + CW
     pages.append(cur_page)

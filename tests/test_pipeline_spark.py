@@ -65,11 +65,11 @@ def test_extract_group_mode_matches_goldens(spark, matrix_df, golden):
 
 def test_quarantine_split(spark, matrix_df):
     good, bad = split_quarantine(extract(matrix_df))
-    bad_ids = {r.doc_id for r in bad.collect()}
+    bad_rows = bad.collect()  # one job; a second collect would re-extract
+    bad_ids = {r.doc_id for r in bad_rows}
     assert bad_ids == {f"fx-corrupt-{i:02d}" for i in range(4)}
     assert good.filter(good.doc_id.isin(list(bad_ids))).count() == 0
-    errors = {r.error for r in bad.collect()}
-    assert all("error" in e for e in errors)
+    assert all("error" in r.error for r in bad_rows)
 
 
 def test_salted_quarantine(spark, golden):

@@ -4,16 +4,15 @@ pushdown reaching the scan, broadcast where a side is small, whole-
 stage codegen on the hot relational paths, and no shuffle on the
 extraction fast path.
 
-Checks (printed PASS/FAIL, exit 1 on any FAIL):
-
-  scan_prune   q_scan_filter   PushedFilters carries the lang predicate
-               and ReadSchema is pruned to the selected columns.
-  bcast        q_broadcast_join  BroadcastHashJoin chosen (dim side).
-  codegen      q_hash_agg      WholeStageCodegen spans cover scan→agg.
-  narrow       extract fast path  physical plan has NO Exchange —
-               extraction must stay a narrow map (the 100 TB invariant:
-               document bytes never shuffle).
-  topk         q_sort_limit_topk  TakeOrderedAndProject (no global sort).
+Checks (printed PASS/FAIL, exit 1 on any FAIL): scan pruning/pushdown,
+broadcast join selection, map-side partial aggregation, whole-stage
+codegen on the final adaptive plan (>=2 codegen'd operators after
+execution), the zero-Exchange extraction fast path (the 100 TB
+invariant: document bytes never shuffle), top-k as
+TakeOrderedAndProject, zero-Exchange bucketed co-located join,
+single-shuffle as-of join, zero-Exchange corpus-prep flat-maps,
+partial-agg + WindowGroupLimit pushdown for the top-k aggregations,
+broadcast idf join, and <=2-Exchange window-cumsum planners.
 
 Usage: python tools/explain_audit.py [sf_dir]
 """
@@ -81,8 +80,14 @@ def main() -> int:
     #     exchange, so only pre-aggregated rows shuffle
     df = QUERIES["q_hash_agg"](spark, sf_dir)
     p = plan_of(df)
-    partial = "partial_sum" in p and p.index("partial_sum") < p.index("(3) Exchange")
-    n_exchange = p.count("Exchange (")
+    # node ids are execution order in `formatted` plans — compare ids,
+    # never hard-coded numbers or text positions
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    partial = (
+        "partial_sum" in p and bool(agg_ids and ex_ids) and min(agg_ids) < min(ex_ids)
+    )
+    n_exchange = len(set(ex_ids))
     check(
         "partial_agg",
         partial and n_exchange == 1,
@@ -147,7 +152,7 @@ def main() -> int:
     # 7. as-of join is union+window with exactly ONE shuffle (no
     #    pre-aggregation on a second key, no range-join explosion)
     p = plan_of(QUERIES["q_asof_join"](spark, sf_dir))
-    n_ex = p.count("Exchange (")
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
     check("asof_single_shuffle", n_ex == 1 and "Window" in p,
           f"union+window as-of join with exactly one Exchange (found {n_ex})")
 
@@ -196,7 +201,7 @@ def main() -> int:
     #     shard window, plus at most one rollup) — plan-only ops
     for slug in ("q_compact_plan", "pack_sequences"):
         p = plan_of(QUERIES[slug](spark, sf_dir))
-        n_ex = len(re.findall(r"Exchange \(\d+\)", p)) or p.count("Exchange")
+        n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
         check(f"two_shuffles_{slug}", n_ex <= 2, f"exchanges={n_ex}")
 
     spark.stop()
