@@ -226,13 +226,18 @@ TFIDF_TOPK = 3
 
 def tfidf_topk(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    n_docs = d.count()  # small scalar action; at scale: precomputed stat
+    # corpus size as a 1-row aggregate folded into the plan (broadcast
+    # to the vocabulary-sized df table) — no driver-side action, the
+    # count is computed by the same job that uses it
+    total = d.agg(F.count("*").cast("double").alias("n_docs_total"))
     e = d.select("doc_id", F.explode(toks(F.col("text"))).alias("term"))
     tf = e.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = (
         e.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(total))
+        .withColumn("idf", F.log(F.col("n_docs_total") / F.col("df")))
+        .drop("n_docs_total")
     )
     scored = tf.join(F.broadcast(df_), "term").withColumn(
         "score", F.floor(F.col("tf") * F.col("idf") * 10000) / 10000.0
