@@ -23,6 +23,15 @@ def md5i32(col: Column) -> Column:
 DUCK_MD5I32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
 
+def md5i60(col: Column) -> Column:
+    """Deterministic 60-bit-range hash (15 md5 hex chars < 2^60 — exact
+    in a signed bigint in both engines; 16 chars could overflow)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+DUCK_MD5I60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
 def toks(col) -> Column:
     return F.split(col, " ")
 

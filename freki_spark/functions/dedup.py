@@ -21,7 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .common import DUCK_MD5I32, DUCK_SHINGLES, md5i32, shingles, toks
+from .common import (
+    DUCK_MD5I32,
+    DUCK_MD5I60,
+    DUCK_SHINGLES,
+    md5i32,
+    md5i60,
+    shingles,
+    toks,
+)
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 rows per band
@@ -215,62 +223,116 @@ GROUP BY p.a, p.b
 
 
 # --------------------------------------------------------------------------
-# SimHash (32-bit, token-level)
+# SimHash (60-bit, shingle-level) with banded LSH candidate search.
+#
+# The fingerprint is computed per row as ONE narrow expression (nested
+# higher-order functions: for each of the 60 bits, sum the ±1 votes of
+# the shingle hashes and keep the sign) — no per-bit explode, nothing
+# shuffles until the fingerprints are banded.  Candidate pairs come
+# from banding the fingerprint into SIM_BANDS chunks of SIM_BAND_BITS
+# bits and equi-joining on (band, value) — the same discovery shape as
+# dedup_minhash_lsh, so unknown near-dup pairs are found, never only
+# pre-known ones.  A final Hamming filter (bit_count of xor) keeps real
+# near-dups.
+#
+# Scale notes (10^12 docs): fingerprinting is zero-shuffle; the only
+# shuffle key is (band, band_value) with 2^SIM_BAND_BITS values per
+# band, and AQE skew-split handles hot buckets (boilerplate).  60 bits
+# (15 md5 hex chars) is the widest simhash exact in a signed bigint in
+# both engines; shingle features (not tokens) keep the fingerprint
+# discriminative even over small vocabularies.
 # --------------------------------------------------------------------------
+
+SIM_BITS = 60
+SIM_BANDS = 6
+SIM_BAND_BITS = 10  # SIM_BANDS * SIM_BAND_BITS == SIM_BITS
+SIM_HAMMING_MAX = 8
+
+_SIMHASH_EXPR = f"""
+aggregate(
+  transform(sequence(0, {SIM_BITS - 1}), b ->
+    CASE WHEN aggregate(_hs, 0L, (acc, h) -> acc + ((shiftright(h, b) & 1) * 2 - 1)) > 0
+         THEN shiftleft(1L, b) ELSE 0L END),
+  0L, (acc, x) -> acc + x)
+"""
+
+
+def _with_simhash(c: DataFrame) -> DataFrame:
+    hs = F.transform(shingles(toks(F.col("text"))), md5i60)
+    return c.select("doc_id", hs.alias("_hs")).select(
+        "doc_id", F.expr(_SIMHASH_EXPR).alias("simhash")
+    )
 
 
 def dedup_simhash(spark, sf_dir):
-    c = _near_dup_corpus(spark, sf_dir)
-    tok = c.select(
-        "doc_id", F.explode(F.array_distinct(toks(F.col("text")))).alias("tok")
-    ).withColumn("h", md5i32(F.col("tok")))
-    bits = tok.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    )
-    sgn = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("s")
-    )
-    sim = sgn.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
-                F.lit(0)
+    sim = _with_simhash(_near_dup_corpus(spark, sf_dir))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("simhash"), SIM_BAND_BITS * k)
+                .bitwiseAND(F.lit(2**SIM_BAND_BITS - 1))
+                .alias("bv"),
             )
-        ).alias("simhash")
+            for k in range(SIM_BANDS)
+        ]
     )
-    orig = sim.filter(F.col("doc_id") < 100000).alias("o")
-    mut = sim.filter(F.col("doc_id") >= 100000).alias("m")
-    return orig.join(
-        mut, F.col("m.doc_id") == F.col("o.doc_id") + 100000, "left"
-    ).select(
-        F.col("o.doc_id").alias("doc_id"),
-        F.col("o.simhash").alias("simhash"),
-        F.expr("bit_count(o.simhash ^ m.simhash)").cast("int").alias("hamming_mut"),
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(band_arr).alias("x")
+    ).select("doc_id", "simhash", "x.band", "x.bv")
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    pairs = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bv") == F.col("b2.bv"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("a"),
+            F.col("b2.doc_id").alias("b"),
+            F.col("b1.simhash").alias("s1"),
+            F.col("b2.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIM_HAMMING_MAX)
+        .select("a", "b", "hamming")
     )
 
 
 SQL_DEDUP_SIMHASH = f"""
 WITH {DUCK_CORPUS.strip()},
-tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM corpus
-),
-bits AS (
-  SELECT doc_id, {DUCK_MD5I32.format(x="tok")} AS h, b.b
-  FROM tok, (SELECT unnest(range(0, 32)) AS b) b
-),
-sgn AS (
-  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s FROM bits GROUP BY doc_id, b
+sh AS (
+  SELECT doc_id, list_transform(
+           {DUCK_SHINGLES.format(l="string_split(text,' ')")},
+           g -> {DUCK_MD5I60.format(x="g")}) AS hs
+  FROM corpus
 ),
 sim AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS simhash
-  FROM sgn GROUP BY doc_id
+         CAST(list_sum(list_transform(range(0, {SIM_BITS}), b ->
+           CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS simhash
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, simhash, k.band,
+         (simhash >> (k.band * {SIM_BAND_BITS})) & {2**SIM_BAND_BITS - 1} AS bv
+  FROM sim, (SELECT unnest(range(0, {SIM_BANDS})) AS band) k
+),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b,
+         b1.simhash AS s1, b2.simhash AS s2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bv = b2.bv AND b1.doc_id < b2.doc_id
 )
-SELECT o.doc_id, o.simhash,
-       CAST(bit_count(xor(o.simhash, m.simhash)) AS INT) AS hamming_mut
-FROM (SELECT * FROM sim WHERE doc_id < 100000) o
-LEFT JOIN (SELECT * FROM sim WHERE doc_id >= 100000) m
-  ON m.doc_id = o.doc_id + 100000
+SELECT a, b, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(s1, s2)) <= {SIM_HAMMING_MAX}
 """
 
 

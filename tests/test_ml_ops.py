@@ -31,13 +31,17 @@ def test_jaccard_scores_high_for_mutated(spark):
     assert min(mut) > 0.5
 
 
-def test_simhash_hamming_small_for_mutated(spark):
-    from freki_spark.functions.dedup import dedup_simhash
+def test_simhash_banding_discovers_mutated_pairs(spark):
+    from freki_spark.functions.dedup import SIM_HAMMING_MAX, dedup_simhash
 
     rows = dedup_simhash(spark, SF).collect()
-    ham = {r.doc_id: r.hamming_mut for r in rows if r.hamming_mut is not None}
-    assert len(ham) == 50
-    assert sum(1 for h in ham.values() if h <= 8) >= 40
+    pairs = {(r.a, r.b): r.hamming for r in rows}
+    # the banded bucket join must DISCOVER the mutated near-dup pairs
+    # (they are never joined by construction) — banded-LSH recall over
+    # the 50 planted mutants is high but inherently < 1.0
+    hits = [(a, b) for (a, b) in pairs if b == a + 100000]
+    assert len(hits) >= 35
+    assert all(pairs[p] <= SIM_HAMMING_MAX for p in hits)
 
 
 def test_embedding_cosine_catches_scaled_copies(spark):

@@ -197,6 +197,17 @@ def main() -> int:
         "broadcast idf join + window group limit",
     )
 
+    # 11a. simhash fingerprint is narrow: every Generate (explode) in
+    #      the plan is the SIM_BANDS-element band-array explode — never
+    #      a per-bit sequence explode feeding a shuffle
+    p = plan_of(QUERIES["dedup_simhash"](spark, sf_dir))
+    exploded = re.findall(r"Arguments: explode\(([^\n]*)", p)
+    check(
+        "simhash_narrow_fp",
+        bool(exploded) and all("sequence(" not in e for e in exploded),
+        f"{len(exploded)} band explodes, no per-bit sequence explode",
+    )
+
     # 11. window-cumsum planners run in at most two exchanges (the
     #     shard window, plus at most one rollup) — plan-only ops
     for slug in ("q_compact_plan", "pack_sequences"):
