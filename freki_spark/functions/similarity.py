@@ -182,49 +182,80 @@ CENTROID_BASE = 100  # centroids = embeddings of vec_id in [100, 100+K)
 N_LISTS_PROBED = 4
 
 
+def _ivf_cents(em) -> "DataFrame":
+    return em.filter(
+        (F.col("vec_id") >= CENTROID_BASE)
+        & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+
+
+def ivf_assign(spark, sf_dir) -> "DataFrame":
+    """Inverted-list assignment as a NARROW map: the K centroids are
+    folded into ONE broadcast row (array of structs) and each vector
+    takes an argmax over that array in a single JVM expression — no
+    window, no K× row expansion, zero shuffle of the corpus.  The
+    argmax is ``array_max`` over ``struct(ccos, -cent_id)``: struct
+    ordering is lexicographic, so ties in the rounded cosine break to
+    the smallest cent_id, exactly mirroring the oracle's
+    ``row_number() ORDER BY ccos DESC, cent_id``."""
+    em = _emb(spark, sf_dir)
+    cents_arr = _ivf_cents(em).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
+        ).alias("cents")
+    )
+    ccand = F.transform(
+        "cents",
+        lambda c: F.struct(
+            F.round(
+                _dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"])), 5
+            ).alias("ccos"),
+            (-c["cent_id"]).alias("neg_id"),
+        ),
+    )
+    return (
+        em.crossJoin(F.broadcast(cents_arr))
+        .withColumn("best", F.array_max(ccand))
+        .select("vec_id", "v", (-F.col("best")["neg_id"]).alias("list_id"))
+    )
+
+
 def ann_ivf_flat(spark, sf_dir):
     """IVF-flat search: every vector is assigned to the inverted list of
-    its nearest coarse centroid (one narrow pass over a broadcast
-    centroid set); a probe scores only the vectors in its
-    ``N_LISTS_PROBED`` nearest lists.
+    its nearest coarse centroid (``ivf_assign`` — one narrow argmax
+    pass over a broadcast centroid array); a probe scores only the
+    vectors in its ``N_LISTS_PROBED`` nearest lists.
 
     Scale shape (10^9+ vectors): the centroid set is tiny → broadcast;
     assignment is a narrow map producing a ``list_id`` partition key;
     search is an equi-join on ``list_id`` touching nprobe/K of the
-    corpus instead of all of it.  Centroids here are a deterministic
+    corpus instead of all of it.  The ranking window exists only on the
+    probe side (probes × K rows).  Centroids here are a deterministic
     seed subset of the corpus (reproducible cluster-wide and exactly
     mirrored in the DuckDB oracle); production would train them offline
     with k-means — the search dataflow is identical either way.
     """
     em = _emb(spark, sf_dir)
-    cents = em.filter(
-        (F.col("vec_id") >= CENTROID_BASE)
-        & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    cents = _ivf_cents(em)
+    assigned = ivf_assign(spark, sf_dir)
 
     cos_vc = F.round(
         _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 5
     )
-    ranked = (
-        em.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cent_id", cos_vc.alias("ccos"))
+    probe_lists = (
+        em.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cos_vc.alias("ccos"))
         .withColumn(
             "crnk",
             F.row_number().over(
                 Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
             ),
         )
-    )
-    assigned = ranked.filter(F.col("crnk") == 1).select(
-        "vec_id", "v", F.col("cent_id").alias("list_id")
-    )
-    probe_lists = (
-        ranked.filter(
-            (F.col("vec_id") < N_PROBES) & (F.col("crnk") <= N_LISTS_PROBED)
-        )
+        .filter(F.col("crnk") <= N_LISTS_PROBED)
         .select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("list_id"))
     )
-    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+    probes = em.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     cand = probe_lists.join(assigned, "list_id").join(probes, "q_id")

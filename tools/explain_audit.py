@@ -208,6 +208,20 @@ def main() -> int:
         f"{len(exploded)} band explodes, no per-bit sequence explode",
     )
 
+    # 11b. IVF list assignment is narrow: the corpus never shuffles —
+    #      no Window, and the only Exchanges are the tiny centroid-agg
+    #      branch (SinglePartition) plus its broadcast; zero
+    #      hashpartitioning Exchange anywhere in the assignment plan
+    from freki_spark.functions.similarity import ivf_assign
+
+    p = plan_of(ivf_assign(spark, sf_dir))
+    no_hash_ex = not re.search(r"Arguments: hashpartitioning", p)
+    check(
+        "ivf_assign_narrow",
+        "Window" not in p and no_hash_ex,
+        f"no Window, no hashpartitioning Exchange (window={'Window' in p})",
+    )
+
     # 11. window-cumsum planners run in at most two exchanges (the
     #     shard window, plus at most one rollup) — plan-only ops
     for slug in ("q_compact_plan", "pack_sequences"):
