@@ -433,18 +433,37 @@ def _cosine(a, b):
 
 
 def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup detection with LSH-bucketed candidates: every
+    vector gets a random-hyperplane signature bucket (the same
+    ``_bucket`` the ANN operators use — one narrow pass), and cosine is
+    scored only WITHIN buckets (equi-join on the bucket id).  No
+    crossJoin: candidate sets are bucket-sized at any corpus size, and
+    scaled copies land in their original's bucket by construction
+    (scaling never flips a hyperplane sign).
+
+    Scale notes (10^12 docs): the only shuffle key is the bucket id;
+    recall/selectivity is tuned by N_PLANES; a dedup run where the
+    probe set IS the corpus stays O(sum of squared bucket sizes), never
+    O(n^2)."""
+    from .similarity import _bucket
+
     em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mut = em.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("embedding"),
     )
-    corpus = em.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    ).unionByName(mut)
+    corpus = (
+        em.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .unionByName(mut)
+        .withColumn("bucket", _bucket(F.col("embedding")))
+    )
     probes = corpus.filter(F.col("vec_id") >= 100000).alias("p")
     cos = F.round(_cosine(F.col("p.embedding"), F.col("c.embedding")), 4)
     return (
-        probes.crossJoin(corpus.alias("c"))
+        probes.join(corpus.alias("c"), F.col("p.bucket") == F.col("c.bucket"))
         .filter(F.col("p.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("p.vec_id").alias("probe_id"),
@@ -455,7 +474,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-SQL_DEDUP_EMBEDDING = """
+def _sql_dedup_embedding() -> str:
+    from .similarity import DUCK_PLANE_W, N_PLANES
+
+    return f"""
 WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
@@ -465,20 +487,37 @@ WITH corpus AS (
   FROM embeddings WHERE vec_id < 20
 ),
 ex AS (
-  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS j
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS j
   FROM corpus
 ),
+pd AS (
+  SELECT vec_id, p.p AS p, sum(x * (({DUCK_PLANE_W} % 2001 - 1000) / 1000.0)) AS dot
+  FROM ex, (SELECT unnest(range(0, {N_PLANES})) AS p) p
+  GROUP BY vec_id, p.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM pd GROUP BY vec_id
+),
 dots AS (
-  SELECT p.vec_id AS probe_id, c.vec_id AS match_id,
-         sum(p.v * c.v) AS dot,
-         sqrt(sum(p.v * p.v)) AS n1, sqrt(sum(c.v * c.v)) AS n2
-  FROM ex p JOIN ex c ON p.j = c.j
-  WHERE p.vec_id >= 100000 AND p.vec_id <> c.vec_id
+  SELECT bp.vec_id AS probe_id, bc.vec_id AS match_id,
+         sum(p.x * c.x) AS dot,
+         sqrt(sum(p.x * p.x)) AS n1, sqrt(sum(c.x * c.x)) AS n2
+  FROM buckets bp
+  JOIN buckets bc ON bp.bucket = bc.bucket
+  JOIN ex p ON p.vec_id = bp.vec_id
+  JOIN ex c ON c.vec_id = bc.vec_id AND c.j = p.j
+  WHERE bp.vec_id >= 100000 AND bp.vec_id <> bc.vec_id
   GROUP BY 1, 2
 )
 SELECT probe_id, match_id, round(dot / (n1 * n2), 4) AS cos
 FROM dots WHERE round(dot / (n1 * n2), 4) >= 0.99
 """
+
+
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
 
 
 # --------------------------------------------------------------------------

@@ -133,7 +133,11 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
-_W = DUCK_MD5I32.format(x="p || ',' || (j - 1)")
+# DuckDB mirror of the _bucket hyperplane weight at (plane p, dim j);
+# j is 1-based generate_subscripts, Spark's sequence index is 0-based.
+# Shared with dedup_embedding_cosine's oracle.
+DUCK_PLANE_W = DUCK_MD5I32.format(x="p || ',' || (j - 1)")
+_W = DUCK_PLANE_W
 
 SQL_ANN_LSH = f"""
 WITH em AS (

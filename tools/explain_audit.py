@@ -222,6 +222,15 @@ def main() -> int:
         f"no Window, no hashpartitioning Exchange (window={'Window' in p})",
     )
 
+    # 11c. embedding dedup generates candidates from LSH buckets — an
+    #      equi-join on the bucket id, never an all-pairs product
+    p = plan_of(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    check(
+        "embedding_dedup_bucketed",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "no CartesianProduct / BroadcastNestedLoopJoin in plan",
+    )
+
     # 11. window-cumsum planners run in at most two exchanges (the
     #     shard window, plus at most one rollup) — plan-only ops
     for slug in ("q_compact_plan", "pack_sequences"):
