@@ -278,12 +278,44 @@ WHERE rk <= {TFIDF_TOPK}
 
 COMPACT_TARGET_CHARS = 4000
 
+# doc_ids per cumsum shard.  The running-layout ops below need an
+# exclusive running sum in (lang, doc_id) order; hanging that on
+# Window.partitionBy(lang) caps parallelism at the number of languages
+# (~5 concurrent tasks over the whole corpus at 100 TB).  Instead:
+# shard = floor(doc_id / CUMSUM_SHARD) is monotone in doc_id, so a
+# per-(lang, shard) window plus a broadcast join of per-shard base
+# offsets (cumsum over shard TOTALS — a langs x shards row table)
+# reproduces the single-window result exactly, with shard-count
+# parallelism.  Same two-pass shape as pipeline.extract_salted's
+# distributed renumber.  At 10^12 docs, size CUMSUM_SHARD so the bases
+# table stays broadcastable (shards ~ max_doc_id / CUMSUM_SHARD).
+CUMSUM_SHARD = 1024
+
+
+def _sharded_running_start(d, val_col: str):
+    """Add `start` = exclusive running sum of ``val_col`` over doc_id
+    order within each lang, computed with (lang, shard)-grain windows
+    (see CUMSUM_SHARD note above)."""
+    d = d.withColumn("_shard", F.floor(F.col("doc_id") / CUMSUM_SHARD))
+    w1 = Window.partitionBy("lang", "_shard").orderBy("doc_id")
+    intra = F.sum(val_col).over(w1) - F.col(val_col)
+    tot = d.groupBy("lang", "_shard").agg(F.sum(val_col).alias("_tot"))
+    wb = Window.partitionBy("lang").orderBy("_shard")
+    bases = tot.withColumn(
+        "_base", F.sum("_tot").over(wb) - F.col("_tot")
+    ).drop("_tot")
+    return (
+        d.withColumn("_intra", intra)
+        .join(F.broadcast(bases), ["lang", "_shard"])
+        .withColumn("start", F.col("_base") + F.col("_intra"))
+        .drop("_shard", "_intra", "_base")
+    )
+
 
 def q_compact_plan(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    cum = F.sum("n_chars").over(w)
-    bin_id = F.floor((cum - F.col("n_chars")) / COMPACT_TARGET_CHARS)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    d = _sharded_running_start(d, "n_chars")
+    bin_id = F.floor(F.col("start") / COMPACT_TARGET_CHARS)
     d = d.select("doc_id", "lang", "n_chars", bin_id.alias("file_bin"))
     return d.groupBy("lang", "file_bin").agg(
         F.count("*").alias("n_docs"),
@@ -325,8 +357,8 @@ def pack_sequences(spark, sf_dir):
     d = _docs(spark, sf_dir)
     n_tok = F.size(toks(F.col("text")))
     d = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    d = _sharded_running_start(d, "n_tokens")
+    start = F.col("start")
     return d.select(
         "doc_id",
         "lang",

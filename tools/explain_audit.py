@@ -231,12 +231,23 @@ def main() -> int:
         "no CartesianProduct / BroadcastNestedLoopJoin in plan",
     )
 
-    # 11. window-cumsum planners run in at most two exchanges (the
-    #     shard window, plus at most one rollup) — plan-only ops
+    # 11. window-cumsum planners: the corpus-sized window runs at
+    #     (lang, _shard) grain — shard-count parallelism, never one
+    #     partition per language — with per-shard bases broadcast back;
+    #     total exchanges stay bounded (big path: shard window + final
+    #     agg; tiny bases branch: its own two; compact_plan adds one
+    #     more for its final (lang, file_bin) rollup)
     for slug in ("q_compact_plan", "pack_sequences"):
         p = plan_of(QUERIES[slug](spark, sf_dir))
+        sharded = bool(
+            re.search(r"windowspecdefinition\(lang#\d+, _shard#\d+L?, doc_id", p)
+        )
         n_ex = len(set(re.findall(r"Exchange \((\d+)\)", p)))
-        check(f"two_shuffles_{slug}", n_ex <= 2, f"exchanges={n_ex}")
+        check(
+            f"sharded_cumsum_{slug}",
+            sharded and n_ex <= 5,
+            f"(lang, _shard)-grain window={sharded}, exchanges={n_ex}",
+        )
 
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
