@@ -114,16 +114,36 @@ def _bucket(v):
 
 
 def ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed top-k with MULTI-PROBE recall: each probe searches
+    its own bucket plus the N_PLANES neighboring buckets reachable by
+    flipping one signature bit (the standard multi-probe LSH recall
+    lever — the nearest misses live one hyperplane away).  The probed
+    bucket keys are all distinct, and every candidate has exactly one
+    bucket, so no pair is scored twice.  Only the tiny probe side fans
+    out (x(N_PLANES+1)); the corpus is touched through the bucket
+    equi-join alone."""
     em = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("v"))).persist()
-    probes = em.filter(F.col("vec_id") < N_PROBES).alias("p")
+    probes = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    ).alias("p")
     cand = em.alias("c")
     cos = F.round(
-        _dot(F.col("p.v"), F.col("c.v"))
-        / (_norm(F.col("p.v")) * _norm(F.col("c.v"))),
+        _dot(F.col("p.qv"), F.col("c.v"))
+        / (_norm(F.col("p.qv")) * _norm(F.col("c.v"))),
         5,
     )
     scored = probes.join(cand, F.col("p.bucket") == F.col("c.bucket")).select(
-        F.col("p.vec_id").alias("q_id"),
+        F.col("p.q_id").alias("q_id"),
         F.col("c.vec_id").alias("vec_id"),
         cos.alias("cos"),
     )
@@ -158,14 +178,20 @@ buckets AS (
            AS bucket
   FROM pd GROUP BY vec_id
 ),
+pbuckets AS (
+  SELECT vec_id,
+         unnest([bucket] || list_transform(range(0, {N_PLANES}),
+                                           p -> xor(bucket, CAST(1 << p AS BIGINT))))
+           AS bucket
+  FROM buckets WHERE vec_id < {N_PROBES}
+),
 scored AS (
   SELECT bp.vec_id AS q_id, bc.vec_id AS vec_id,
          round(sum(p.x * c.x) / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.x * c.x))), 5) AS cos
-  FROM buckets bp
+  FROM pbuckets bp
   JOIN buckets bc ON bp.bucket = bc.bucket
   JOIN ex p ON p.vec_id = bp.vec_id
   JOIN ex c ON c.vec_id = bc.vec_id AND c.j = p.j
-  WHERE bp.vec_id < {N_PROBES}
   GROUP BY 1, 2
 ),
 ranked AS (

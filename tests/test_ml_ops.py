@@ -73,6 +73,27 @@ def test_ann_lsh_contains_self_and_subsets_bruteforce_buckets(spark):
         assert any(r.vec_id == q and r.rnk == 1 for r in rs)
 
 
+def test_ann_lsh_multiprobe_recall_floor(spark):
+    """Multi-probe LSH recall@k vs the brute-force ground truth.  The
+    fixture embeddings are random vectors (worst case for LSH — true
+    neighbors have low cosine), where 6 planes + 1-bit multi-probe
+    measure ~0.40 mean recall@5; pin a 0.30 floor so a recall
+    regression (e.g. losing the neighboring-bucket probes) fails."""
+    from freki_spark.functions.similarity import (
+        TOP_K,
+        ann_lsh_bucketed,
+        ann_topk_bruteforce,
+    )
+
+    bf, ls = {}, {}
+    for r in ann_topk_bruteforce(spark, SF).collect():
+        bf.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in ann_lsh_bucketed(spark, SF).collect():
+        ls.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [len(bf[q] & ls.get(q, set())) / TOP_K for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.30
+
+
 def test_multimodal_stub_and_plumbing(spark):
     from freki_spark.functions import multimodal as mm
 
