@@ -118,6 +118,7 @@ def _gen_page_words(
     fonts: list[tuple[str, float]],
     tabular: bool,
     full_width_header: bool,
+    three_column: bool = False,
 ) -> list[_Word]:
     words: list[_Word] = []
     top = PAGE_H - MARGIN
@@ -125,6 +126,30 @@ def _gen_page_words(
     if full_width_header and two_column:
         words += _gen_line_words(rng, top - 12.0, MARGIN, PAGE_W - MARGIN, fonts[0])
         top -= 40.0
+
+    if three_column:
+        # Channels at ~213-240 and ~381-408: centers stay inside the
+        # central 40% band even as variable line endings widen them
+        # leftward.  Columns share baselines (block structure drawn
+        # once, words per column random) so S2 merges each row into one
+        # provisional line carrying exactly the two channel gaps — the
+        # clean multi-column signal S4 v2 splits on.
+        col3 = [(MARGIN, 213.0), (240.0, 381.0), (408.0, PAGE_W - MARGIN)]
+        y = top
+        font_i = 0
+        for _b in range(n_blocks):
+            font = fonts[font_i % len(fonts)]
+            n_lines = int(rng.integers(2, 6))
+            for _li in range(n_lines):
+                y -= font[1] * 1.4
+                if y < MARGIN:
+                    break
+                for x0, x1 in col3:
+                    words += _gen_line_words(rng, y, x0, x1, font)
+            y -= font[1] * 3.0
+            if rng.random() < 0.5:
+                font_i += 1
+        return words
 
     if two_column:
         col_spans = [(MARGIN, 290.0), (322.0, PAGE_W - MARGIN)]
@@ -292,6 +317,9 @@ PROFILES = (
     "mega",
     "corrupt",
     "random",
+    # appended (never reordered): doc ids of earlier profiles — and so
+    # the committed goldens for them — are insertion-order-stable
+    "three_col",
 )
 
 
@@ -310,9 +338,13 @@ def make_doc(doc_id: str, seed: int = 42, profile: str = "random") -> dict:
     n_media = int(rng.integers(0, 4))
     n_chunks = int(rng.integers(1, 9))
     corrupt = False
+    three_col = False
 
     if profile == "single_col":
         two_col, header, tabular, n_media = False, False, False, 0
+    elif profile == "three_col":
+        two_col, header, tabular = False, False, False
+        three_col = True
     elif profile == "two_col":
         two_col, header, tabular = True, False, False
     elif profile == "fullwidth_header":
@@ -331,7 +363,9 @@ def make_doc(doc_id: str, seed: int = 42, profile: str = "random") -> dict:
         corrupt = True
 
     pages = [
-        _gen_page_words(rng, two_col, n_blocks, fonts, tabular, header)
+        _gen_page_words(
+            rng, two_col, n_blocks, fonts, tabular, header, three_column=three_col
+        )
         for _ in range(n_pages)
     ]
     xml = (

@@ -301,6 +301,11 @@ def _render_spacing_vec(box: np.ndarray, texts: list[str], cw: float) -> str:
 
 
 def detect_columns(page: PageTokens, lines: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Spec S4: the v1 single split (pooled median of qualifying gap
+    centers) is tried first — pages it accepts are bit-for-bit
+    unchanged from v1 — then the v2 multi-split fallback (interval-
+    overlap channel clustering, >= 3 columns) with the tab-grid
+    guard."""
     if len(lines) < 2:
         return [lines]
     box = page.box
@@ -326,66 +331,108 @@ def detect_columns(page: PageTokens, lines: list[np.ndarray]) -> list[list[np.nd
     lid = np.repeat(np.arange(n_lines), lens)[:-1]  # line id per pair
     pos = intra & (ge > gs)
 
-    width_ok = (ge - gs) >= spec.COLUMN_MIN_CHANNEL_PT
+    qual = pos & ((ge - gs) >= spec.COLUMN_MIN_CHANNEL_PT)
     c = (gs + ge) / 2.0
-    sel = pos & width_ok & (c >= lo) & (c <= hi)
+    sel = qual & (c >= lo) & (c <= hi)
     if not sel.any():
         return [lines]
-    mc = float(np.median(c[sel]))
 
-    # classify: 0=split 1=left 2=right 3=full
-    contains = np.zeros(n_lines, dtype=bool)
-    cm = pos & width_ok & (gs < mc) & (mc < ge)
-    if cm.any():
-        contains[np.unique(lid[cm])] = True
     line_max_urx = np.maximum.reduceat(box[cat, 2], starts)
     line_min_llx = np.minimum.reduceat(box[cat, 0], starts)
-    classes = np.where(
-        contains,
-        0,
-        np.where(line_max_urx <= mc, 1, np.where(line_min_llx >= mc, 2, 3)),
-    )
 
-    n_compat = int((classes != 3).sum())
-    has_left = bool(((classes == 0) | (classes == 1)).any())
-    has_right = bool(((classes == 0) | (classes == 2)).any())
-    if n_compat / len(lines) < spec.COLUMN_MIN_LINE_FRAC or not (has_left and has_right):
-        return [lines]
+    def try_splits(splits: list[float], strict: bool):
+        sp = np.asarray(splits, dtype=np.float64)
+        ns = len(splits)
+        # contains[l, i]: line l holds a qualifying gap over split i
+        contains = np.zeros((n_lines, ns), dtype=bool)
+        for i in range(ns):
+            cm = qual & (gs < sp[i]) & (sp[i] < ge)
+            if cm.any():
+                contains[np.unique(lid[cm]), i] = True
+        spans = (line_min_llx[:, None] < sp[None, :]) & (
+            sp[None, :] < line_max_urx[:, None]
+        )
+        compat = ~(spans & ~contains).any(axis=1)
+        if int(compat.sum()) / n_lines < spec.COLUMN_MIN_LINE_FRAC:
+            return None
+        if strict:
+            # tab-grid guard (spec S4 v2 rule c): most bridging lines
+            # holding a wide gap that contains NO proposed split means
+            # a tab grid, not columns
+            unc_pair = qual.copy()
+            for i in range(ns):
+                unc_pair &= ~((gs < sp[i]) & (sp[i] < ge))
+            unc_line = np.zeros(n_lines, dtype=bool)
+            if unc_pair.any():
+                unc_line[np.unique(lid[unc_pair])] = True
+            bridging = compat & spans.any(axis=1)
+            n_bridging = int(bridging.sum())
+            if n_bridging and int((bridging & unc_line).sum()) * 2 > n_bridging:
+                return None
 
-    left: list[np.ndarray] = []
-    right: list[np.ndarray] = []
-    full: list[np.ndarray] = []
-    for idx, cls in zip(lines, classes):
-        if cls == 0:
+        ncols = ns + 1
+        cols: list[list[np.ndarray]] = [[] for _ in range(ncols)]
+        full: list[np.ndarray] = []
+        for li, idx in enumerate(lines):
+            if not compat[li]:
+                full.append(idx)
+                continue
             xc = (box[idx, 0] + box[idx, 2]) / 2.0
-            lt, rt = idx[xc < mc], idx[xc >= mc]
-            if len(lt):
-                left.append(lt)
-            if len(rt):
-                right.append(rt)
-        elif cls == 1:
-            left.append(idx)
-        elif cls == 2:
-            right.append(idx)
+            b = np.searchsorted(sp, xc, side="right")
+            if b.min() == b.max():
+                cols[int(b[0])].append(idx)  # whole line in one column
+            else:
+                for bi in np.unique(b):
+                    cols[int(bi)].append(idx[b == bi])
+        if any(not cl for cl in cols):
+            return None
+
+        body = [i for cl in cols for i in cl]
+        body_top = max(float(box[i, 3].max()) for i in body)
+        body_bot = min(float(box[i, 1].min()) for i in body)
+        body_mid = (body_top + body_bot) / 2.0
+        headers, footers = [], []
+        for idx in full:
+            yc = (float(box[idx, 1].min()) + float(box[idx, 3].max())) / 2.0
+            (headers if yc >= body_mid else footers).append(idx)
+
+        segs = []
+        for seg in (headers, *cols, footers):
+            if seg:
+                mu = np.asarray([float(np.mean(box[i, 3])) for i in seg])
+                seg = [seg[j] for j in np.argsort(-mu, kind="stable")]
+            segs.append(seg)
+        return segs
+
+    mc = float(np.median(c[sel]))
+    segs = try_splits([mc], strict=False)
+    if segs is not None:
+        return segs
+
+    # v2 fallback: interval-overlap channel clustering of qualifying
+    # gaps (sorted by (gs, ge) like the oracle; membership only depends
+    # on gap starts vs the running max end)
+    order = np.lexsort((ge[sel], gs[sel]))
+    ggs, gge, gc = gs[sel][order], ge[sel][order], c[sel][order]
+    channels: list[list[int]] = [[0]]
+    max_ge = gge[0]
+    for j in range(1, len(ggs)):
+        if ggs[j] < max_ge:
+            channels[-1].append(j)
+            max_ge = max(max_ge, gge[j])
         else:
-            full.append(idx)
-
-    body = left + right
-    body_top = max(float(box[idx, 3].max()) for idx in body)
-    body_bot = min(float(box[idx, 1].min()) for idx in body)
-    body_mid = (body_top + body_bot) / 2.0
-    headers, footers = [], []
-    for idx in full:
-        yc = (float(box[idx, 1].min()) + float(box[idx, 3].max())) / 2.0
-        (headers if yc >= body_mid else footers).append(idx)
-
-    segs = []
-    for seg in (headers, left, right, footers):
-        if seg:
-            mu = np.asarray([float(np.mean(box[idx, 3])) for idx in seg])
-            seg = [seg[j] for j in np.argsort(-mu, kind="stable")]
-        segs.append(seg)
-    return segs
+            channels.append([j])
+            max_ge = gge[j]
+    splits = [
+        float(np.median(gc[ch]))
+        for ch in channels
+        if len(ch) >= spec.COLUMN_CHANNEL_MIN_GAPS
+    ]
+    if len(splits) >= 2:
+        segs = try_splits(splits, strict=True)
+        if segs is not None:
+            return segs
+    return [lines]
 
 
 # --------------------------------------------------------------------------

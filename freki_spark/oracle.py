@@ -314,77 +314,135 @@ def _line_gaps(line: Line) -> list[tuple[float, float]]:
     return gaps
 
 
-def detect_columns(lines: list[Line], page_width: float) -> list[list[Line]]:
-    """Split a page's lines into reading-order segments.
-
-    Single column -> ``[lines]``.  Two columns ->
-    ``[headers, left, right, footers]`` (each internally in descending-y
-    order); full-width lines become headers/footers by y-center
-    relative to the column body.  At most one split.
-    """
-    if len(lines) < 2:
-        return [lines]
-    lo = page_width * (0.5 - spec.COLUMN_CENTER_FRAC / 2.0)
-    hi = page_width * (0.5 + spec.COLUMN_CENTER_FRAC / 2.0)
-
-    centers = []
-    for ln in lines:
-        for gs, ge in _line_gaps(ln):
-            if ge - gs >= spec.COLUMN_MIN_CHANNEL_PT and lo <= (gs + ge) / 2.0 <= hi:
-                centers.append((gs + ge) / 2.0)
-    if not centers:
-        return [lines]
-    mc = float(np.median(np.asarray(centers, dtype=np.float64)))
-
-    SPLIT, LEFT, RIGHT, FULL = "split", "left", "right", "full"
-    classes = []
-    for ln in lines:
-        cls = FULL
-        if any(
-            gs < mc < ge and ge - gs >= spec.COLUMN_MIN_CHANNEL_PT
-            for gs, ge in _line_gaps(ln)
-        ):
-            cls = SPLIT
-        elif ln.urx <= mc:
-            cls = LEFT
-        elif ln.llx >= mc:
-            cls = RIGHT
-        classes.append(cls)
-
-    n_compat = sum(1 for c in classes if c != FULL)
-    has_left = any(c in (SPLIT, LEFT) for c in classes)
-    has_right = any(c in (SPLIT, RIGHT) for c in classes)
-    if n_compat / len(lines) < spec.COLUMN_MIN_LINE_FRAC or not (has_left and has_right):
-        return [lines]
-
-    left: list[Line] = []
-    right: list[Line] = []
-    full: list[Line] = []
-    for ln, cls in zip(lines, classes):
-        if cls == SPLIT:
-            lt = [t for t in ln.tokens if t.xcenter < mc]
-            rt = [t for t in ln.tokens if t.xcenter >= mc]
-            if lt:
-                left.append(Line(lt))
-            if rt:
-                right.append(Line(rt))
-        elif cls == LEFT:
-            left.append(ln)
-        elif cls == RIGHT:
-            right.append(ln)
+def _channel_splits(gaps: list[tuple[float, float]]) -> list[float]:
+    """Group qualifying gaps into channels by x-interval overlap (spec
+    S4 v2): sort by gap start; a gap joins the open channel while its
+    start precedes the channel's running max end.  Each channel with
+    >= COLUMN_CHANNEL_MIN_GAPS member gaps proposes a split at the
+    median of its member centers."""
+    ordered = sorted(gaps)
+    channels: list[list[tuple[float, float]]] = [[ordered[0]]]
+    max_ge = ordered[0][1]
+    for g in ordered[1:]:
+        if g[0] < max_ge:
+            channels[-1].append(g)
+            max_ge = max(max_ge, g[1])
         else:
-            full.append(ln)
+            channels.append([g])
+            max_ge = g[1]
+    return [
+        float(np.median(np.asarray([(gs + ge) / 2.0 for gs, ge in ch], np.float64)))
+        for ch in channels
+        if len(ch) >= spec.COLUMN_CHANNEL_MIN_GAPS
+    ]
 
-    body = left + right
+
+def _try_splits(
+    lines: list[Line], splits: list[float], strict: bool
+) -> list[list[Line]] | None:
+    """Classify + bin lines against the proposed splits; None if the
+    page does not support them (spec S4 acceptance rules).  ``strict``
+    adds the v2 respect-vs-bridge guard for the multi-split fallback."""
+    line_gaps = [_line_gaps(ln) for ln in lines]
+
+    def has_gap_over(gaps, s):
+        return any(
+            gs < s < ge and ge - gs >= spec.COLUMN_MIN_CHANNEL_PT for gs, ge in gaps
+        )
+
+    compat = [
+        all(
+            not (ln.llx < s < ln.urx) or has_gap_over(gaps, s)
+            for s in splits
+        )
+        for ln, gaps in zip(lines, line_gaps)
+    ]
+    if sum(compat) / len(lines) < spec.COLUMN_MIN_LINE_FRAC:
+        return None
+    if strict:
+        # tab-grid guard (spec S4 v2 rule c): a bridging line's wide
+        # gaps should all be proposed channels; uncovered wide gaps in
+        # most bridging lines mean a tab grid, not columns
+        n_bridging = n_uncovered = 0
+        for ln, gaps, ok in zip(lines, line_gaps, compat):
+            if not ok or not any(ln.llx < s < ln.urx for s in splits):
+                continue
+            n_bridging += 1
+            if any(
+                ge - gs >= spec.COLUMN_MIN_CHANNEL_PT
+                and not any(gs < s < ge for s in splits)
+                for gs, ge in gaps
+            ):
+                n_uncovered += 1
+        if n_bridging and n_uncovered * 2 > n_bridging:
+            return None
+
+    ncols = len(splits) + 1
+    cols: list[list[Line]] = [[] for _ in range(ncols)]
+    full: list[Line] = []
+    for ln, ok in zip(lines, compat):
+        if not ok:
+            full.append(ln)
+            continue
+        bins: list[list] = [[] for _ in range(ncols)]
+        for t in ln.tokens:
+            b = sum(1 for s in splits if t.xcenter >= s)
+            bins[b].append(t)
+        for b, ts in enumerate(bins):
+            if ts:
+                cols[b].append(ln if len(ts) == len(ln.tokens) else Line(ts))
+    if any(not c for c in cols):
+        return None
+
+    body = [ln for c in cols for ln in c]
     body_top = max(ln.ury for ln in body)
     body_bot = min(ln.lly for ln in body)
     body_mid = (body_top + body_bot) / 2.0
     headers = [ln for ln in full if ln.ycenter >= body_mid]
     footers = [ln for ln in full if ln.ycenter < body_mid]
 
-    for seg in (headers, left, right, footers):
+    segs = [headers, *cols, footers]
+    for seg in segs:
         seg.sort(key=lambda ln: -ln.mean_ury)
-    return [headers, left, right, footers]
+    return segs
+
+
+def detect_columns(lines: list[Line], page_width: float) -> list[list[Line]]:
+    """Split a page's lines into reading-order segments.
+
+    Single column -> ``[lines]``.  k accepted splits ->
+    ``[headers, col_0, ..., col_k, footers]`` (each internally in
+    descending-y order); lines that span a split without a qualifying
+    gap there become headers/footers by y-center relative to the
+    column body.  The v1 single split (pooled-median) is tried first —
+    pages it accepts are bit-for-bit unchanged from spec v1 — and the
+    interval-clustered multi-split fallback (>= 3 columns) only runs
+    when the v1 attempt fails (spec S4 v2).
+    """
+    if len(lines) < 2:
+        return [lines]
+    lo = page_width * (0.5 - spec.COLUMN_CENTER_FRAC / 2.0)
+    hi = page_width * (0.5 + spec.COLUMN_CENTER_FRAC / 2.0)
+
+    qgaps = []
+    for ln in lines:
+        for gs, ge in _line_gaps(ln):
+            if ge - gs >= spec.COLUMN_MIN_CHANNEL_PT and lo <= (gs + ge) / 2.0 <= hi:
+                qgaps.append((gs, ge))
+    if not qgaps:
+        return [lines]
+
+    mc = float(np.median(np.asarray([(gs + ge) / 2.0 for gs, ge in qgaps], np.float64)))
+    segs = _try_splits(lines, [mc], strict=False)
+    if segs is not None:
+        return segs
+
+    splits = _channel_splits(qgaps)
+    if len(splits) >= 2:
+        segs = _try_splits(lines, splits, strict=True)
+        if segs is not None:
+            return segs
+    return [lines]
 
 
 # --------------------------------------------------------------------------

@@ -35,14 +35,38 @@ LINE_OVERLAP_RATIO = 0.5
 SPACE_MIN_GAP_RATIO = 0.35
 
 # ---- S4: column detection -------------------------------------------------
-# A whitespace channel must be at least COLUMN_MIN_CHANNEL_PT wide,
-# centered within the central COLUMN_CENTER_FRAC of the page width,
-# and be compatible with at least COLUMN_MIN_LINE_FRAC of the page's
-# provisional lines.  At most one split (no 3-column support).
-# RECONCILE: all three constants and the full-width-line rule.
+# A qualifying whitespace gap is >= COLUMN_MIN_CHANNEL_PT wide with its
+# center inside the central COLUMN_CENTER_FRAC of the page width.
+#
+# v1 rule (tried FIRST, unchanged): one split at the median of all
+# qualifying gap centers; accept iff >= COLUMN_MIN_LINE_FRAC of the
+# page's provisional lines are compatible (entirely on one side, or
+# holding a qualifying gap over the split) and both sides are
+# non-empty.
+#
+# v2 multi-split fallback (ONLY when the v1 attempt fails, so v1-
+# accepted pages are bit-for-bit unchanged): qualifying gaps are
+# grouped into channels by x-interval overlap (sort by gap start; a
+# gap joins the open channel while its start precedes the channel's
+# running max end); each channel with >= COLUMN_CHANNEL_MIN_GAPS
+# member gaps proposes a split at the median of its member centers.
+# Requires >= 2 proposed splits (>= 3 columns — the 2-column case is
+# exactly v1).  All proposed splits are accepted JOINTLY iff
+# (a) >= COLUMN_MIN_LINE_FRAC of lines are compatible with every split
+# (entirely within one column, or holding a qualifying-width gap over
+# each split they span), (b) every resulting column is non-empty, and
+# (c) at most half of the bridging lines (compatible lines spanning
+# >= 1 split) carry a qualifying-WIDTH gap that contains NO proposed
+# split — such uncovered wide gaps are tab-grid evidence (a tab grid's
+# gap columns extend beyond the proposed channel set, e.g. outside the
+# central band), whereas a real multi-column page's wide gaps are
+# exactly its channels.  Otherwise single column.
+# RECONCILE: all four constants, the channel-clustering rule, the
+# tab-grid guard, and the full-width-line rule.
 COLUMN_MIN_CHANNEL_PT = 12.0
 COLUMN_CENTER_FRAC = 0.40          # channel center in [0.3W, 0.7W]
 COLUMN_MIN_LINE_FRAC = 0.75
+COLUMN_CHANNEL_MIN_GAPS = 2        # min member gaps for a v2 channel
 
 # ---- S5: block segmentation ----------------------------------------------
 # New block when inter-line gap > BLOCK_GAP_FACTOR * median positive

@@ -154,6 +154,60 @@ def test_detect_columns_fullwidth_header_footer():
     assert len(left) == 8 and len(right) == 8
 
 
+def _three_col_lines(n=4):
+    # channels ~(190, 240) and ~(360, 408): centers in the central band
+    lines = []
+    y = 712.0
+    for i in range(n):
+        lines.append(
+            Line(
+                [
+                    tok("colA", 72, y - 12, 130, y),
+                    tok("txt", 140, y - 12, 190, y),
+                    tok("colB", 240, y - 12, 300, y),
+                    tok("txt", 308, y - 12, 360, y),
+                    tok("colC", 408, y - 12, 470, y),
+                    tok("txt", 478, y - 12, 540, y),
+                ]
+            )
+        )
+        y -= 16.0
+    return lines
+
+
+def test_detect_columns_three_columns_and_order():
+    segs = detect_columns(_three_col_lines(), 612.0)
+    assert len(segs) == 5  # headers, colA, colB, colC, footers
+    headers, a, b, c, footers = segs
+    assert not headers and not footers
+    assert len(a) == len(b) == len(c) == 4
+    assert all(ln.urx <= 215 for ln in a)
+    assert all(215 <= ln.llx and ln.urx <= 384 for ln in b)
+    assert all(ln.llx >= 384 for ln in c)
+
+
+def test_detect_columns_tab_grid_stays_single_column():
+    # a page made of aligned tab rows: wide gaps at ~(106,142),
+    # (176,212), (246,282) — the third tab gap's center (~124) is an
+    # uncovered wide gap outside the proposed channels, so the v2
+    # tab-grid guard keeps the page single-column
+    lines = []
+    y = 712.0
+    for i in range(4):
+        lines.append(
+            Line(
+                [
+                    tok("cell", 72, y - 12, 106, y),
+                    tok("cell", 142, y - 12, 176, y),
+                    tok("cell", 212, y - 12, 246, y),
+                    tok("cell", 282, y - 12, 316, y),
+                ]
+            )
+        )
+        y -= 16.0
+    assert len(detect_columns(lines, 612.0)) == 1
+
+
 def test_detect_columns_single_column_no_channel():
     lines = [
         Line([tok("aaaa", 72, 712 - 16 * i - 12, 540, 712 - 16 * i)])
