@@ -61,10 +61,17 @@ def render_block_header(
     ury: float,
     start_line: int,
     end_line: int,
+    label: str = "",
 ) -> str:
+    """``label`` is the optional block classification (upstream it comes
+    from ODIN's igtdetect stage, a separate classifier [U]); rendered as
+    ``label=<l>`` between bbox and the line range ONLY when non-empty,
+    so unlabeled output — everything the extraction pipeline itself
+    emits — is byte-identical to the label-free grammar."""
+    lab = f"label={label} " if label else ""
     return (
         f"doc_id={doc_id} page={page} block_id={page}-{block_k} "
-        f"bbox={llx:.1f},{lly:.1f},{urx:.1f},{ury:.1f} {start_line} {end_line}"
+        f"bbox={llx:.1f},{lly:.1f},{urx:.1f},{ury:.1f} {lab}{start_line} {end_line}"
     )
 
 

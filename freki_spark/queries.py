@@ -341,13 +341,56 @@ SELECT doc_id, "offset", kind,
   CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 2) AS DOUBLE) END AS lly,
   CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 3) AS DOUBLE) END AS urx,
   CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)', 4) AS DOUBLE) END AS ury,
-  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=\\S+ (\\d+) (\\d+)$', 1) AS INT) END AS start_line,
-  CASE WHEN kind='block' THEN CAST(regexp_extract(text, 'bbox=\\S+ (\\d+) (\\d+)$', 2) AS INT) END AS end_line,
+  CASE WHEN kind='block' THEN nullif(regexp_extract(text, ' label=(\\S+) \\d+ \\d+$', 1), '') END AS label,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, '(?: label=\\S+)? (\\d+) (\\d+)$', 1) AS INT) END AS start_line,
+  CASE WHEN kind='block' THEN CAST(regexp_extract(text, '(?: label=\\S+)? (\\d+) (\\d+)$', 2) AS INT) END AS end_line,
   CASE WHEN kind='line' THEN CAST(regexp_extract(text, '^line=(\\d+)', 1) AS INT) END AS line_no,
   CASE WHEN kind='line' THEN regexp_extract(text, '^line=\\d+ fonts=([^:]*):', 1) END AS fonts,
   CASE WHEN kind='line' THEN regexp_replace(text, '^line=\\d+ fonts=[^:]*:', '') END AS body,
   CASE WHEN kind='media' THEN media_ref END AS media_ref2
 FROM {_G}
+"""
+
+
+def q_label_blocks(spark, sf_dir):
+    """Block labeling plumbing (upstream parity: ODIN's igtdetect
+    classifier assigns labels to freki blocks in a separate stage [U];
+    reference home unavailable — empty mount, SURVEY.md §0).  The
+    classifier itself is out of scope, so the labeler here is a
+    declared deterministic stand-in (single-line blocks -> 'H', others
+    -> 'B'); the REAL deliverable is the pipeline plumbing a label
+    consumer needs: parse extracted block headers, attach a label per
+    block, and re-render the header with the optional ``label=`` field
+    (grammar.py) that ``read_freki_spans`` parses back out.  At scale
+    the labels arrive as a (doc_id, page, block_k, label) table from
+    the classifier job and attach via the same narrow transform /
+    block-key equi-join; everything here is whole-stage-codegen string
+    kernels — no Python, no shuffle."""
+    sp = _fixture_spans(spark).filter(F.col("kind") == "block")
+    start = F.regexp_extract("text", r" (\d+) (\d+)$", 1).cast("int")
+    end = F.regexp_extract("text", r" (\d+) (\d+)$", 2).cast("int")
+    lab = F.when(start == end, F.lit("H")).otherwise(F.lit("B"))
+    labeled_text = F.regexp_replace(
+        F.col("text"),
+        F.lit(r" (\d+) (\d+)$"),
+        F.concat(F.lit(" label="), lab, F.lit(" $1 $2")),
+    )
+    return sp.select(
+        "doc_id", "offset", lab.alias("label"), labeled_text.alias("text")
+    )
+
+
+_DUCK_SE = "regexp_extract(text, ' (\\d+) (\\d+)$', {g})"
+_DUCK_LAB = (
+    f"CASE WHEN CAST({_DUCK_SE.format(g=1)} AS INT) = "
+    f"CAST({_DUCK_SE.format(g=2)} AS INT) THEN 'H' ELSE 'B' END"
+)
+
+SQL_LABEL_BLOCKS = f"""
+SELECT doc_id, "offset", {_DUCK_LAB} AS label,
+       regexp_replace(text, ' (\\d+) (\\d+)$',
+                      ' label=' || {_DUCK_LAB} || ' \\1 \\2') AS text
+FROM {_G} WHERE kind = 'block'
 """
 
 
@@ -1076,6 +1119,7 @@ QUERIES = {
     "html_extract": q_html_extract,
     "html_extract_sf": q_html_extract_sf,
     "freki_read": q_freki_read,
+    "label_blocks": q_label_blocks,
     "freki_write": q_freki_write,
     "salt_skew": q_salt_skew,
     "write_output": q_write_output,
@@ -1132,6 +1176,7 @@ ORACLE_SQL = {
     "html_extract": SQL_HTML_EXTRACT,
     "html_extract_sf": SQL_HTML_EXTRACT_SF,
     "freki_read": SQL_FREKI_READ,
+    "label_blocks": SQL_LABEL_BLOCKS,
     "freki_write": SQL_FREKI_WRITE,
     "salt_skew": SQL_SALT_SKEW,
     "write_output": SQL_WRITE_OUTPUT,
@@ -1194,7 +1239,7 @@ _PRIORITY = [
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",
     "cluster_lines", "render_spacing", "detect_columns", "segment_blocks",
     "interleave_media", "emit_spans", "html_extract_sf", "salt_skew",
-    "write_output", "resume_antijoin", "checkpoint_lineage",
+    "write_output", "resume_antijoin", "checkpoint_lineage", "label_blocks",
     # round-1 driver-unchecked: similarity search
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat",
     # round-1 driver-unchecked: text analysis

@@ -37,7 +37,8 @@ from . import spec
 # tail to $ makes the true (last) fields the only possible match.
 _RE_BLOCK_TAIL = (
     r" page=(\d+) block_id=(\d+)-(\d+)"
-    r" bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+) (\d+) (\d+)$"
+    r" bbox=(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)"
+    r"(?: label=(\S+))? (\d+) (\d+)$"
 )
 _RE_LINE_NO = r"^line=(\d+)"
 _RE_FONTS = r"^line=\d+ fonts=([^:]*):"
@@ -68,8 +69,9 @@ def read_freki_spans(exploded: DataFrame) -> DataFrame:
         F.when(is_block, _ex(_RE_BLOCK_TAIL, 5).cast("double")).alias("lly"),
         F.when(is_block, _ex(_RE_BLOCK_TAIL, 6).cast("double")).alias("urx"),
         F.when(is_block, _ex(_RE_BLOCK_TAIL, 7).cast("double")).alias("ury"),
-        F.when(is_block, _ex(_RE_BLOCK_TAIL, 8).cast("int")).alias("start_line"),
-        F.when(is_block, _ex(_RE_BLOCK_TAIL, 9).cast("int")).alias("end_line"),
+        F.when(is_block, F.nullif(_ex(_RE_BLOCK_TAIL, 8), F.lit(""))).alias("label"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 9).cast("int")).alias("start_line"),
+        F.when(is_block, _ex(_RE_BLOCK_TAIL, 10).cast("int")).alias("end_line"),
         F.when(is_line, _ex(_RE_LINE_NO, 1).cast("int")).alias("line_no"),
         F.when(is_line, _ex(_RE_FONTS, 1)).alias("fonts"),
         F.when(is_line, F.regexp_replace("text", _RE_LINE_PREFIX, "")).alias("body"),
@@ -111,6 +113,7 @@ def blocks(parsed: DataFrame) -> DataFrame:
         "lly",
         "urx",
         "ury",
+        "label",
         "start_line",
         "end_line",
     )

@@ -452,3 +452,25 @@ def test_reader_survives_hostile_doc_ids(spark):
     assert (r.page, r.block_k) == (3, 1)
     assert (r.llx, r.lly, r.urx, r.ury) == (1.0, 2.0, 9.0, 8.0)
     assert (r.start_line, r.end_line) == (4, 5)
+
+
+def test_block_label_render_and_roundtrip(spark):
+    """Optional block label (upstream: the igtdetect classifier stage):
+    rendered as 'label=<l>' between bbox and the line range only when
+    non-empty, and parsed back by the reader (NULL when absent)."""
+    from freki_spark.grammar import render_block_header
+    from freki_spark.reader import read_freki_spans
+
+    labeled = render_block_header("d", 1, 2, 72.0, 10.0, 540.0, 20.5, 3, 5, label="L")
+    plain = render_block_header("d", 1, 2, 72.0, 10.0, 540.0, 20.5, 3, 5)
+    assert " label=L 3 5" in labeled
+    assert "label=" not in plain
+    df = spark.createDataFrame(
+        [("d", "block", labeled, "", 0), ("d", "block", plain, "", 1)],
+        "doc_id string, kind string, text string, media_ref string, offset int",
+    )
+    rows = {r.offset: r for r in read_freki_spans(df).collect()}
+    assert rows[0].label == "L"
+    assert (rows[0].start_line, rows[0].end_line) == (3, 5)
+    assert rows[1].label is None
+    assert (rows[1].start_line, rows[1].end_line) == (3, 5)
