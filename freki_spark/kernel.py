@@ -373,13 +373,21 @@ def detect_columns(page: PageTokens, lines: list[np.ndarray]) -> list[list[np.nd
         ncols = ns + 1
         cols: list[list[np.ndarray]] = [[] for _ in range(ncols)]
         full: list[np.ndarray] = []
+        one_split = ns == 1
         for li, idx in enumerate(lines):
             if not compat[li]:
                 full.append(idx)
                 continue
             xc = (box[idx, 0] + box[idx, 2]) / 2.0
-            b = np.searchsorted(sp, xc, side="right")
-            if b.min() == b.max():
+            # bin = number of splits <= xcenter; the 1-split common case
+            # is a single vectorized compare (searchsorted on a 1-element
+            # array costs ~2x per line)
+            b = (
+                (xc >= sp[0]).astype(np.intp)
+                if one_split
+                else np.searchsorted(sp, xc, side="right")
+            )
+            if b[0] == b[-1] and (b == b[0]).all():
                 cols[int(b[0])].append(idx)  # whole line in one column
             else:
                 for bi in np.unique(b):
