@@ -14,13 +14,30 @@ the DuckDB oracle — no RNG state to ship).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .common import DUCK_MD5I32, md5i32
+from .common import DUCK_MD5I32
 
 N_PLANES = 6
 N_PROBES = 8
 TOP_K = 5
+
+# Hyperplane weights are DATA-INDEPENDENT (a function of (plane, dim)
+# only), so they are derived once here at import time — the exact same
+# md5 construction the DuckDB mirror (DUCK_PLANE_W) re-derives in SQL —
+# and shipped into the plan as array literals.  Evaluating the md5
+# expression per row (the old form) cost N_PLANES×dim md5 calls for
+# every corpus vector: ~6×dim×10^12 redundant hashes at target scale.
+LSH_MAX_DIM = 256
+
+
+def _plane_weight(p: int, j: int) -> float:
+    return (int(hashlib.md5(f"{p},{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000) / 1000.0
+
+
+_PLANE_W = [[_plane_weight(p, j) for j in range(LSH_MAX_DIM)] for p in range(N_PLANES)]
 
 
 def _emb(spark, sf_dir) -> DataFrame:
@@ -90,27 +107,24 @@ SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
 
 def _bucket(v):
     """Random-hyperplane LSH bucket: plane p weight at dim j is a
-    deterministic md5-derived value in [-1, 1]."""
+    deterministic md5-derived value in [-1, 1], precomputed as a plan
+    literal (see _PLANE_W) — zero md5 calls per row.  Vectors wider
+    than LSH_MAX_DIM fail loudly: a silent weight shortfall would
+    null the dot products and bucket everything together."""
 
     def plane_dot(p):
-        w = F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda j: (
-                md5i32(F.concat(p.cast("string"), F.lit(","), j.cast("string")))
-                % 2001
-                - 1000
-            )
-            / 1000.0,
-        )
-        return _dot(v, w)
+        return _dot(v, F.slice(F.lit(_PLANE_W[p]), 1, F.size(v)))
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
-        lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    total = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        total = total + F.when(
+            plane_dot(p) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return F.when(F.size(v) <= LSH_MAX_DIM, total).otherwise(
+        F.raise_error(
+            f"embedding dim exceeds LSH_MAX_DIM={LSH_MAX_DIM}; widen _PLANE_W"
+        ).cast("long")
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def ann_lsh_bucketed(spark, sf_dir):
@@ -299,8 +313,10 @@ def ann_ivf_flat(spark, sf_dir):
     )
 
 
-SQL_ANN_IVF = f"""
-WITH em AS (
+# shared IVF CTE chain (assignment of every vector to its nearest
+# centroid's inverted list) — one definition feeding both the search
+# oracle and the standalone ivf_assign oracle, so they cannot desync
+_IVF_CTES = f"""em AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -321,7 +337,24 @@ ranked_c AS (
 ),
 assigned AS (
   SELECT vec_id, cent_id AS list_id FROM ranked_c WHERE crnk = 1
-),
+)"""
+
+
+def q_ivf_assign(spark, sf_dir) -> "DataFrame":
+    """Registry surface for the inverted-list assignment itself (the
+    narrow broadcast-argmax map) so its (vec_id -> list_id) VALUES are
+    oracle-checked, not just its plan shape (tools/explain_audit.py
+    11b)."""
+    return ivf_assign(spark, sf_dir).select("vec_id", "list_id")
+
+
+SQL_IVF_ASSIGN = f"""
+WITH {_IVF_CTES}
+SELECT vec_id, list_id FROM assigned
+"""
+
+SQL_ANN_IVF = f"""
+WITH {_IVF_CTES},
 probe_lists AS (
   SELECT vec_id AS q_id, cent_id AS list_id FROM ranked_c
   WHERE vec_id < {N_PROBES} AND crnk <= {N_LISTS_PROBED}
@@ -348,10 +381,12 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_flat": ann_ivf_flat,
+    "ivf_assign": q_ivf_assign,
 }
 
 ORACLE_SQL = {
     "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
     "ann_ivf_flat": SQL_ANN_IVF,
+    "ivf_assign": SQL_IVF_ASSIGN,
 }

@@ -14,7 +14,16 @@ reference tree appears.
 
 from __future__ import annotations
 
+import re
+
 from .spec import FONT_KEY_SEP, FONT_SIZE_NDIGITS
+
+# the block-header grammar renders labels as ``label=<\S+>`` — the
+# reader's tail regex (reader.py _RE_BLOCK_TAIL) and the DuckDB
+# freki_read mirror both parse with ``label=(\S+)``, so a label with
+# whitespace would render a header NO consumer can parse (every block
+# field silently NULL).  Reject at render time instead.
+_LABEL_RE = re.compile(r"^\S+$")
 
 
 def mode_first(keys: list[str]) -> int:
@@ -67,8 +76,19 @@ def render_block_header(
     from ODIN's igtdetect stage, a separate classifier [U]); rendered as
     ``label=<l>`` between bbox and the line range ONLY when non-empty,
     so unlabeled output — everything the extraction pipeline itself
-    emits — is byte-identical to the label-free grammar."""
-    lab = f"label={label} " if label else ""
+    emits — is byte-identical to the label-free grammar.  Labels must
+    match ``\\S+`` (whitespace would break every parser of the header
+    grammar); anything else raises rather than emitting silent data
+    loss."""
+    lab = ""
+    if label:
+        if not _LABEL_RE.match(label):
+            raise ValueError(
+                f"block label {label!r} is not representable in the "
+                "block-header grammar (must match \\S+): the reader "
+                "would fail to parse the whole header"
+            )
+        lab = f"label={label} "
     return (
         f"doc_id={doc_id} page={page} block_id={page}-{block_k} "
         f"bbox={llx:.1f},{lly:.1f},{urx:.1f},{ury:.1f} {lab}{start_line} {end_line}"

@@ -1241,7 +1241,7 @@ _PRIORITY = [
     "interleave_media", "emit_spans", "html_extract_sf", "salt_skew",
     "write_output", "resume_antijoin", "checkpoint_lineage", "label_blocks",
     # round-1 driver-unchecked: similarity search
-    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat",
+    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat", "ivf_assign",
     # round-1 driver-unchecked: text analysis
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
     # round-1 driver-unchecked: corpus prep

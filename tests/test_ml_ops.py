@@ -32,7 +32,12 @@ def test_jaccard_scores_high_for_mutated(spark):
 
 
 def test_simhash_banding_discovers_mutated_pairs(spark):
-    from freki_spark.functions.dedup import SIM_HAMMING_MAX, dedup_simhash
+    from freki_spark.functions.dedup import (
+        SIM_HAMMING_MAX,
+        _near_dup_corpus,
+        _with_simhash,
+        dedup_simhash,
+    )
 
     rows = dedup_simhash(spark, SF).collect()
     pairs = {(r.a, r.b): r.hamming for r in rows}
@@ -41,7 +46,18 @@ def test_simhash_banding_discovers_mutated_pairs(spark):
     # the 50 planted mutants is high but inherently < 1.0
     hits = [(a, b) for (a, b) in pairs if b == a + 100000]
     assert len(hits) >= 35
-    assert all(pairs[p] <= SIM_HAMMING_MAX for p in hits)
+    # recompute Hamming INDEPENDENTLY (python popcount over the raw
+    # fingerprints): asserting the operator's own filter output against
+    # the operator's own constant would be tautological — a regressed
+    # xor/bit_count would pass its own filter
+    fp = {
+        r.doc_id: r.simhash
+        for r in _with_simhash(_near_dup_corpus(spark, SF)).collect()
+    }
+    assert pairs  # guard: empty output would vacuously pass the loop
+    for (a, b), h in pairs.items():
+        assert h == bin(fp[a] ^ fp[b]).count("1")
+        assert h <= SIM_HAMMING_MAX
 
 
 def test_embedding_cosine_catches_scaled_copies(spark):

@@ -474,3 +474,18 @@ def test_block_label_render_and_roundtrip(spark):
     assert (rows[0].start_line, rows[0].end_line) == (3, 5)
     assert rows[1].label is None
     assert (rows[1].start_line, rows[1].end_line) == (3, 5)
+
+
+def test_block_label_with_whitespace_is_rejected():
+    """A label containing whitespace cannot be represented in the
+    'label=\\S+' grammar — the reader would NULL every field of the
+    header.  The renderer must refuse, not silently corrupt."""
+    import pytest
+
+    from freki_spark.grammar import render_block_header
+
+    for bad in ("two words", "tab\tsep", "nl\nx", " lead", "trail "):
+        with pytest.raises(ValueError, match="not representable"):
+            render_block_header(
+                "d", 1, 2, 72.0, 10.0, 540.0, 20.5, 3, 5, label=bad
+            )
