@@ -229,24 +229,41 @@ GROUP BY p.a, p.b
 # higher-order functions: for each of the 60 bits, sum the ±1 votes of
 # the shingle hashes and keep the sign) — no per-bit explode, nothing
 # shuffles until the fingerprints are banded.  Candidate pairs come
-# from banding the fingerprint into SIM_BANDS chunks of SIM_BAND_BITS
-# bits and equi-joining on (band, value) — the same discovery shape as
-# dedup_minhash_lsh, so unknown near-dup pairs are found, never only
-# pre-known ones.  A final Hamming filter (bit_count of xor) keeps real
-# near-dups.
+# from Manku-style block combinations (Manku/Jain/Das Sarma, WWW'07):
+# the fingerprint splits into SIM_BANDS blocks of SIM_BAND_BITS bits,
+# and each doc is keyed by every SIM_MATCH_BANDS-subset of blocks —
+# C(SIM_BANDS, SIM_MATCH_BANDS) tables whose keys are
+# SIM_MATCH_BANDS×SIM_BAND_BITS bits wide.  Two docs within Hamming
+# distance k differ in at most k blocks, so they share an untouched
+# m-subset whenever k <= SIM_BANDS − SIM_MATCH_BANDS: recall is
+# GUARANTEED up to that radius and probabilistic beyond it, out to the
+# reported SIM_HAMMING_MAX filter.  A final Hamming check (bit_count of
+# xor) keeps real near-dups.
 #
 # Scale notes (10^12 docs): fingerprinting is zero-shuffle; the only
-# shuffle key is (band, band_value) with 2^SIM_BAND_BITS values per
-# band, and AQE skew-split handles hot buckets (boilerplate).  60 bits
-# (15 md5 hex chars) is the widest simhash exact in a signed bigint in
-# both engines; shingle features (not tokens) keep the fingerprint
-# discriminative even over small vocabularies.
+# shuffle key is (combo_id, key) and the expected bucket size is
+# n / 2^(SIM_MATCH_BANDS × SIM_BAND_BITS) — the candidate join is
+# quadratic IN THE BUCKET, so the key width is the scale dial and must
+# grow with log2(n).  m=2 (20-bit keys) keeps buckets O(1) to ~10^7
+# docs; 10^12 docs needs m=4 (40-bit keys, guaranteed radius 2, still
+# C(6,4)=15 tables).  A guaranteed radius ≥3 AND 40-bit keys can't
+# both come out of 60 bits — that configuration requires widening the
+# fingerprint (e.g. two independent 60-bit simhashes from disjoint
+# hash families), not shrinking the key.  60 bits (15 md5 hex chars)
+# is the widest simhash exact in a signed bigint in both engines;
+# shingle features (not tokens) keep the fingerprint discriminative
+# even over small vocabularies.
 # --------------------------------------------------------------------------
 
 SIM_BITS = 60
 SIM_BANDS = 6
 SIM_BAND_BITS = 10  # SIM_BANDS * SIM_BAND_BITS == SIM_BITS
+SIM_MATCH_BANDS = 2  # m: key width m×10 bits, guaranteed radius 6−m
 SIM_HAMMING_MAX = 8
+
+_SIM_COMBOS = list(
+    __import__("itertools").combinations(range(SIM_BANDS), SIM_MATCH_BANDS)
+)
 
 _SIMHASH_EXPR = f"""
 aggregate(
@@ -264,17 +281,27 @@ def _with_simhash(c: DataFrame) -> DataFrame:
     )
 
 
+def _sim_combo_key(col, combo):
+    """Concatenate the combo's block values into one integer key
+    (block at combo position p occupies bits [p*B, (p+1)*B))."""
+    key = F.lit(0).cast("long")
+    for pos, k in enumerate(combo):
+        block = F.shiftright(col, SIM_BAND_BITS * k).bitwiseAND(
+            F.lit(2**SIM_BAND_BITS - 1)
+        )
+        key = key + block * F.lit(2 ** (SIM_BAND_BITS * pos)).cast("long")
+    return key
+
+
 def dedup_simhash(spark, sf_dir):
     sim = _with_simhash(_near_dup_corpus(spark, sf_dir))
     band_arr = F.array(
         *[
             F.struct(
-                F.lit(k).alias("band"),
-                F.shiftright(F.col("simhash"), SIM_BAND_BITS * k)
-                .bitwiseAND(F.lit(2**SIM_BAND_BITS - 1))
-                .alias("bv"),
+                F.lit(ci).alias("band"),
+                _sim_combo_key(F.col("simhash"), combo).alias("bv"),
             )
-            for k in range(SIM_BANDS)
+            for ci, combo in enumerate(_SIM_COMBOS)
         ]
     )
     bands = sim.select(
@@ -304,6 +331,20 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+def _duck_combo_key(combo) -> str:
+    """DuckDB mirror of _sim_combo_key for one block combination."""
+    return " + ".join(
+        f"(((simhash >> {SIM_BAND_BITS * k}) & {2**SIM_BAND_BITS - 1})"
+        f" * {2 ** (SIM_BAND_BITS * pos)})"
+        for pos, k in enumerate(combo)
+    )
+
+
+_DUCK_SIM_BANDS = ",\n           ".join(
+    f"struct_pack(band := {ci}, bv := {_duck_combo_key(c)})"
+    for ci, c in enumerate(_SIM_COMBOS)
+)
+
 SQL_DEDUP_SIMHASH = f"""
 WITH {DUCK_CORPUS.strip()},
 sh AS (
@@ -320,10 +361,13 @@ sim AS (
            AS BIGINT) AS simhash
   FROM sh
 ),
+bandx AS (
+  SELECT doc_id, simhash,
+         unnest([{_DUCK_SIM_BANDS}]) AS x
+  FROM sim
+),
 bands AS (
-  SELECT doc_id, simhash, k.band,
-         (simhash >> (k.band * {SIM_BAND_BITS})) & {2**SIM_BAND_BITS - 1} AS bv
-  FROM sim, (SELECT unnest(range(0, {SIM_BANDS})) AS band) k
+  SELECT doc_id, simhash, x.band AS band, CAST(x.bv AS BIGINT) AS bv FROM bandx
 ),
 pairs AS (
   SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b,
@@ -435,17 +479,25 @@ def _cosine(a, b):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup detection with LSH-bucketed candidates: every
     vector gets a random-hyperplane signature bucket (the same
-    ``_bucket`` the ANN operators use — one narrow pass), and cosine is
-    scored only WITHIN buckets (equi-join on the bucket id).  No
-    crossJoin: candidate sets are bucket-sized at any corpus size, and
-    scaled copies land in their original's bucket by construction
-    (scaling never flips a hyperplane sign).
+    ``_bucket`` the ANN operators use — one narrow pass), probes search
+    their own bucket plus the N_PLANES one-bit-flip neighbors
+    (multi-probe: a true near-dup pair straddling ONE hyperplane is
+    still found), and cosine is scored only within the probed buckets.
 
-    Scale notes (10^12 docs): the only shuffle key is the bucket id;
-    recall/selectivity is tuned by N_PLANES; a dedup run where the
-    probe set IS the corpus stays O(sum of squared bucket sizes), never
-    O(n^2)."""
-    from .similarity import _bucket
+    This is an APPROXIMATE candidate generator — unlike the old
+    crossJoin it can miss a near-dup pair whose vectors differ in ≥2
+    hyperplane signs (for cos ≥ 0.99 the per-plane disagreement
+    probability is ~arccos(0.99)/π ≈ 4.5%, so ≥2-plane misses are
+    ~3% at N_PLANES=6 — the price of not being O(n²)).  Scaled copies
+    are always found (scaling never flips any sign).
+
+    Scale notes (10^12 docs): the only shuffle key is the bucket id.
+    With N_PLANES fixed, expected bucket size is n/2^N_PLANES and the
+    within-bucket join is quadratic IN THE BUCKET — so N_PLANES is the
+    scale dial and must grow with log2(n) (~40 planes at 10^12 to keep
+    buckets O(1)), with multi-probe (and more probes per miss budget)
+    paying back the recall each added plane costs."""
+    from .similarity import N_PLANES, _bucket
 
     em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mut = em.filter(F.col("vec_id") < 20).select(
@@ -460,7 +512,18 @@ def dedup_embedding_cosine(spark, sf_dir):
         .unionByName(mut)
         .withColumn("bucket", _bucket(F.col("embedding")))
     )
-    probes = corpus.filter(F.col("vec_id") >= 100000).alias("p")
+    # probe side fans out x(N_PLANES+1); every candidate has exactly one
+    # bucket and the probed keys are distinct, so no pair scores twice
+    probes = corpus.filter(F.col("vec_id") >= 100000).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+            )
+        ).alias("bucket"),
+    ).alias("p")
     cos = F.round(_cosine(F.col("p.embedding"), F.col("c.embedding")), 4)
     return (
         probes.join(corpus.alias("c"), F.col("p.bucket") == F.col("c.bucket"))
@@ -501,15 +564,22 @@ buckets AS (
            AS bucket
   FROM pd GROUP BY vec_id
 ),
+pbuckets AS (
+  SELECT vec_id,
+         unnest([bucket] || list_transform(range(0, {N_PLANES}),
+                                           p -> xor(bucket, CAST(1 << p AS BIGINT))))
+           AS bucket
+  FROM buckets WHERE vec_id >= 100000
+),
 dots AS (
   SELECT bp.vec_id AS probe_id, bc.vec_id AS match_id,
          sum(p.x * c.x) AS dot,
          sqrt(sum(p.x * p.x)) AS n1, sqrt(sum(c.x * c.x)) AS n2
-  FROM buckets bp
+  FROM pbuckets bp
   JOIN buckets bc ON bp.bucket = bc.bucket
   JOIN ex p ON p.vec_id = bp.vec_id
   JOIN ex c ON c.vec_id = bc.vec_id AND c.j = p.j
-  WHERE bp.vec_id >= 100000 AND bp.vec_id <> bc.vec_id
+  WHERE bp.vec_id <> bc.vec_id
   GROUP BY 1, 2
 )
 SELECT probe_id, match_id, round(dot / (n1 * n2), 4) AS cos

@@ -42,8 +42,10 @@ def test_simhash_banding_discovers_mutated_pairs(spark):
     rows = dedup_simhash(spark, SF).collect()
     pairs = {(r.a, r.b): r.hamming for r in rows}
     # the banded bucket join must DISCOVER the mutated near-dup pairs
-    # (they are never joined by construction) — banded-LSH recall over
-    # the 50 planted mutants is high but inherently < 1.0
+    # (they are never joined by construction) — block-combination LSH
+    # recall over the 50 planted mutants is guaranteed only up to
+    # Hamming 6-SIM_MATCH_BANDS and probabilistic beyond; measured 36
+    # reportable (h<=8) discoveries at m=2 on this deterministic corpus
     hits = [(a, b) for (a, b) in pairs if b == a + 100000]
     assert len(hits) >= 35
     # recompute Hamming INDEPENDENTLY (python popcount over the raw
