@@ -57,3 +57,13 @@ DUCK_SHINGLES = (
     f"range(1, greatest(len({{l}}) - {SHINGLE_N - 2}, 2)), "
     f"i -> array_to_string({{l}}[i:i+{SHINGLE_N - 1}], ' ')))"
 )
+
+
+def duck_shingles(l: str, n: int = SHINGLE_N) -> str:
+    """DUCK_SHINGLES generalized to any shingle width n (mirrors
+    ``shingles(col, n)`` including the short-doc degenerate shingle)."""
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len({l}) - {n - 2}, 2)), "
+        f"i -> array_to_string({l}[i:i+{n - 1}], ' ')))"
+    )

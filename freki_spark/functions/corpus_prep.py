@@ -389,6 +389,87 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# decontaminate_ngram — benchmark decontamination.  Training corpora
+# must not contain evaluation data; the standard defense is n-gram
+# overlap (e.g. GPT-3 App. C / PaLM §8: 8-13-token collisions against
+# every benchmark).  The driver corpus carries no real eval sets, so a
+# benchmark is synthesized deterministically: every (doc_id %
+# DECON_BENCH_MOD == DECON_BENCH_REM) document contributes one
+# DECON_WINDOW-token window as an "eval prompt"; what is verified
+# cross-engine is the overlap-detection mechanism itself.
+# --------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+DECON_WIN_START = 5  # 1-based token index where the prompt window starts
+DECON_WINDOW = 8
+DECON_BENCH_MOD = 97
+DECON_BENCH_REM = 3
+DECON_HIT_MIN = 2  # >= this many distinct benchmark n-grams -> contaminated
+
+
+def decontaminate_ngram(spark, sf_dir):
+    """Report every document sharing >=1 DECON_NGRAM-gram with the
+    benchmark set, with its hit count and a contaminated flag (real
+    pipelines drop or redact the flagged docs).
+
+    Scale shape (100 TB): the benchmark n-gram set is eval-sized
+    (~10^5 prompts, a few MB hashed) -> broadcast; the corpus side is a
+    flat-map explode + broadcast semi-join, then a partial-agg count on
+    doc_id over only the matched rows (a tiny fraction of the corpus).
+    One shuffle, never a corpus x benchmark shuffle join."""
+    from .common import shingles
+
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    win = F.slice(tk, DECON_WIN_START, DECON_WINDOW)
+    bench = (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
+        .select(win.alias("w"))
+        .filter(F.size("w") == DECON_WINDOW)
+        .select(F.explode(shingles(F.col("w"), DECON_NGRAM)).alias("sh"))
+        .distinct()
+    )
+    dsh = d.select("doc_id", F.explode(shingles(tk, DECON_NGRAM)).alias("sh"))
+    return (
+        dsh.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+        .withColumn(
+            "contaminated", (F.col("n_hits") >= DECON_HIT_MIN).cast("int")
+        )
+    )
+
+
+def _sql_decontaminate() -> str:
+    from .common import duck_shingles
+
+    toks_sql = "string_split(text, ' ')"
+    win_sql = f"{toks_sql}[{DECON_WIN_START}:{DECON_WIN_START + DECON_WINDOW - 1}]"
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({duck_shingles("w", DECON_NGRAM)}) AS sh
+  FROM (
+    SELECT {win_sql} AS w FROM documents
+    WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}
+      AND len({toks_sql}) >= {DECON_WIN_START + DECON_WINDOW - 1}
+  )
+),
+dsh AS (
+  SELECT doc_id, unnest({duck_shingles(toks_sql, DECON_NGRAM)}) AS sh
+  FROM documents
+)
+SELECT doc_id, count(DISTINCT d.sh) AS n_hits,
+       CASE WHEN count(DISTINCT d.sh) >= {DECON_HIT_MIN} THEN 1 ELSE 0 END
+         AS contaminated
+FROM dsh d JOIN bench b ON d.sh = b.sh
+GROUP BY doc_id
+"""
+
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "chunk_sliding": chunk_sliding,
@@ -397,9 +478,11 @@ QUERIES = {
     "tfidf_topk": tfidf_topk,
     "q_compact_plan": q_compact_plan,
     "pack_sequences": pack_sequences,
+    "decontaminate_ngram": decontaminate_ngram,
 }
 
 ORACLE_SQL = {
+    "decontaminate_ngram": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

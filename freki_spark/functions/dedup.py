@@ -385,6 +385,19 @@ FROM pairs WHERE bit_count(xor(s1, s2)) <= {SIM_HAMMING_MAX}
 # --------------------------------------------------------------------------
 
 
+# candidate shingles must appear in JACCARD_DF_MIN..JACCARD_DF_MAX
+# docs.  The upper cap bounds the within-shingle pair blowup (a df-d
+# shingle emits d(d-1)/2 pairs) — but it is a COVERAGE CAP, not just an
+# optimization: a duplicate cluster replicated in MORE than
+# JACCARD_DF_MAX copies has every shingle above the cap and emits NO
+# edges from this operator.  That regime is exact/boilerplate
+# duplication and is owned by dedup_exact and dedup_minhash_lsh (banded
+# keys never cap df); this operator's contract is scored edges between
+# rare-overlap pairs.
+JACCARD_DF_MIN = 2
+JACCARD_DF_MAX = 10
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     c = _near_dup_corpus(spark, sf_dir)
     ds = c.select(
@@ -392,7 +405,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).persist()
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(
-        F.col("df").between(2, 10)
+        F.col("df").between(JACCARD_DF_MIN, JACCARD_DF_MAX)
     )
     cand = ds.join(F.broadcast(rare.select("sh")), "sh")
     c1, c2 = cand.alias("c1"), cand.alias("c2")
@@ -431,7 +444,8 @@ DUCK_EDGE_CTES = f"""ds AS (
   SELECT doc_id, unnest({DUCK_SHINGLES.format(l="string_split(text,' ')")}) AS sh
   FROM corpus
 ),
-rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+rare AS (SELECT sh FROM ds GROUP BY sh
+         HAVING count(DISTINCT doc_id) BETWEEN {JACCARD_DF_MIN} AND {JACCARD_DF_MAX}),
 cand AS (SELECT ds.* FROM ds JOIN rare USING (sh)),
 edges AS (
   SELECT c1.doc_id AS a, c2.doc_id AS b, count(DISTINCT c1.sh) AS common

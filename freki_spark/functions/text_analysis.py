@@ -188,11 +188,86 @@ FROM e GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# gopher_repetition — repetition-based quality filter in the
+# Gopher/MassiveText style (Rae et al. 2021, App. A1.1): documents
+# dominated by one repeated bigram, or with a large duplicated-bigram
+# mass, are flagged.  ALL math is integer (counts + cross-multiplied
+# threshold comparisons) — zero float rounding to desync engines.
+# --------------------------------------------------------------------------
+
+# thresholds as exact rationals: flag when top_cnt/n_bigrams > 1/10 or
+# dup_cnt/n_bigrams > 1/5 (dup_cnt = occurrences of bigrams seen >= 2x)
+REP_TOP_DEN = 10
+REP_DUP_DEN = 5
+
+
+def gopher_repetition(spark, sf_dir):
+    """Per-doc bigram repetition stats + flag.
+
+    Scale shape (100 TB): the bigram explode is a flat-map; both
+    aggregations are partial-agg-friendly groupBys (map-side combine)
+    on high-cardinality keys ((doc_id, bigram), then doc_id) — no skew
+    pileup, no window over the whole corpus."""
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+    )
+    per = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_cnt"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+    flagged = (
+        (F.col("top_cnt") * REP_TOP_DEN > F.col("n_bigrams"))
+        | (F.col("dup_cnt") * REP_DUP_DEN > F.col("n_bigrams"))
+    ).cast("int")
+    return agg.select(
+        "doc_id", "n_bigrams", "top_cnt", "n_distinct", "dup_cnt",
+        flagged.alias("flagged"),
+    )
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                               i -> array_to_string(l[i:i+1], ' '))) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+per AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         max(cnt) AS top_cnt,
+         count(*) AS n_distinct,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_cnt, n_distinct, dup_cnt,
+       CASE WHEN top_cnt * {REP_TOP_DEN} > n_bigrams
+              OR dup_cnt * {REP_DUP_DEN} > n_bigrams
+            THEN 1 ELSE 0 END AS flagged
+FROM agg
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "quality_score": quality_score,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
+    "gopher_repetition": gopher_repetition,
 }
 
 ORACLE_SQL = {
@@ -200,4 +275,5 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY,
     "token_count_bpe": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
 }

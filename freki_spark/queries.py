@@ -1244,9 +1244,10 @@ _PRIORITY = [
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat", "ivf_assign",
     # round-1 driver-unchecked: text analysis
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
+    "gopher_repetition",
     # round-1 driver-unchecked: corpus prep
     "pii_scrub", "chunk_sliding", "sample_stratified", "ngram_topk",
-    "tfidf_topk", "q_compact_plan", "pack_sequences",
+    "tfidf_topk", "q_compact_plan", "pack_sequences", "decontaminate_ngram",
     # round-1 driver-unchecked: multimodal plumbing
     "media_features", "media_resize", "media_frame_sample",
     # round-1 driver-unchecked: streaming

@@ -291,6 +291,83 @@ def test_ngram_topk_ranks_and_counts(spark):
         assert cnts == sorted(cnts, reverse=True)
 
 
+def test_decontaminate_flags_benchmark_seed_docs(spark):
+    """Every doc that seeded a benchmark window must be reported as
+    contaminated (it contains all of its own window's n-grams); docs
+    sharing no 5-gram with any window are absent from the output."""
+    from freki_spark.functions.corpus_prep import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+        DECON_HIT_MIN,
+        DECON_NGRAM,
+        DECON_WIN_START,
+        DECON_WINDOW,
+        decontaminate_ngram,
+    )
+
+    rows = {r.doc_id: r for r in decontaminate_ngram(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    # independent python replica of the benchmark + hit count
+    bench = set()
+    for d in docs:
+        if d.doc_id % DECON_BENCH_MOD != DECON_BENCH_REM:
+            continue
+        w = d.text.split(" ")[DECON_WIN_START - 1 : DECON_WIN_START - 1 + DECON_WINDOW]
+        if len(w) == DECON_WINDOW:
+            for i in range(len(w) - DECON_NGRAM + 1):
+                bench.add(" ".join(w[i : i + DECON_NGRAM]))
+    assert bench  # fixture must actually seed a benchmark
+    seeds = 0
+    for d in docs:
+        tk = d.text.split(" ")
+        grams = {
+            " ".join(tk[i : i + DECON_NGRAM])
+            for i in range(max(len(tk) - DECON_NGRAM + 1, 1))
+        }
+        n_hits = len(grams & bench)
+        if n_hits == 0:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        assert r.n_hits == n_hits
+        assert r.contaminated == int(n_hits >= DECON_HIT_MIN)
+        if d.doc_id % DECON_BENCH_MOD == DECON_BENCH_REM and len(tk) >= (
+            DECON_WIN_START + DECON_WINDOW - 1
+        ):
+            assert r.contaminated == 1
+            seeds += 1
+    assert seeds >= 1
+
+
+def test_gopher_repetition_matches_naive_python(spark):
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import (
+        REP_DUP_DEN,
+        REP_TOP_DEN,
+        gopher_repetition,
+    )
+
+    got = {r.doc_id: r for r in gopher_repetition(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        tk = d.text.split(" ")
+        bgs = (
+            [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+            if len(tk) > 1
+            else [tk[0]]
+        )
+        c = Counter(bgs)
+        n, top = len(bgs), max(c.values())
+        dup = sum(v for v in c.values() if v >= 2)
+        r = got[d.doc_id]
+        assert (r.n_bigrams, r.top_cnt, r.n_distinct, r.dup_cnt) == (
+            n, top, len(c), dup,
+        )
+        assert r.flagged == int(top * REP_TOP_DEN > n or dup * REP_DUP_DEN > n)
+
+
 def test_dedup_components_cluster_mutants_with_originals(spark):
     from freki_spark.functions.dedup import dedup_components
 

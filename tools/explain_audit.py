@@ -249,6 +249,33 @@ def main() -> int:
             f"(lang, _shard)-grain window={sharded}, exchanges={n_ex}",
         )
 
+    # 12. decontamination: the benchmark n-gram set BROADCASTS (an
+    #     eval-sized build side — never a shuffle join against the
+    #     exploded corpus); the only hashpartitioning Exchanges are the
+    #     two phases of the doc_id distinct-count, which carry ONLY
+    #     already-bench-matched rows
+    p = plan_of(QUERIES["decontaminate_ngram"](spark, sf_dir))
+    n_hash_ex = len(re.findall(r"Arguments: hashpartitioning\(doc_id", p))
+    no_shuffle_join = "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    check(
+        "decon_bcast_semi",
+        "BroadcastHashJoin" in p and no_shuffle_join and n_hash_ex <= 2,
+        f"broadcast bench join (no shuffle join), post-match hash "
+        f"Exchanges={n_hash_ex}",
+    )
+
+    # 13. repetition filter: both groupBys partially aggregate map-side
+    #     (partial_count before the first Exchange — raw bigram rows
+    #     never shuffle unreduced)
+    p = plan_of(QUERIES["gopher_repetition"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    check(
+        "gopher_partial_agg",
+        "partial_count" in p and agg and ex and min(agg) < min(ex),
+        "partial agg below the first Exchange",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
