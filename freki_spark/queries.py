@@ -1242,6 +1242,7 @@ _PRIORITY = [
     "write_output", "resume_antijoin", "checkpoint_lineage", "label_blocks",
     # round-1 driver-unchecked: similarity search
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat", "ivf_assign",
+    "ann_topk_quantized",
     # round-1 driver-unchecked: text analysis
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
     "gopher_repetition",

@@ -112,6 +112,26 @@ def test_ann_lsh_multiprobe_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.30
 
 
+def test_ann_quantized_recall_near_exact(spark):
+    """int8 scalar quantization barely perturbs 64-d cosine ranking:
+    measured recall@5 = 1.0 vs the exact brute force on the fixture;
+    pin 0.9 so a quantization bug (scale, clamp, rounding) fails."""
+    from freki_spark.functions.similarity import (
+        TOP_K,
+        ann_topk_bruteforce,
+        ann_topk_quantized,
+    )
+
+    bf, qz = {}, {}
+    for r in ann_topk_bruteforce(spark, SF).collect():
+        bf.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in ann_topk_quantized(spark, SF).collect():
+        qz.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(qz) == set(bf)
+    recalls = [len(bf[q] & qz[q]) / TOP_K for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
 def test_multimodal_stub_and_plumbing(spark):
     from freki_spark.functions import multimodal as mm
 
