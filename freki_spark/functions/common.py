@@ -49,21 +49,17 @@ def shingles(tok_col: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
-# DuckDB mirror of shingles() over a token list `l` (1-based slicing,
-# inclusive bounds: l[i:i+N-1] is N elements).  Derived from SHINGLE_N
-# so tuning the width cannot silently desync the dedup oracles.
-DUCK_SHINGLES = (
-    "list_distinct(list_transform("
-    f"range(1, greatest(len({{l}}) - {SHINGLE_N - 2}, 2)), "
-    f"i -> array_to_string({{l}}[i:i+{SHINGLE_N - 1}], ' ')))"
-)
-
-
 def duck_shingles(l: str, n: int = SHINGLE_N) -> str:
-    """DUCK_SHINGLES generalized to any shingle width n (mirrors
-    ``shingles(col, n)`` including the short-doc degenerate shingle)."""
+    """DuckDB mirror of ``shingles(col, n)`` over a token list `l`
+    (1-based slicing, inclusive bounds: l[i:i+n-1] is n elements),
+    including the short-doc degenerate shingle."""
     return (
         "list_distinct(list_transform("
         f"range(1, greatest(len({l}) - {n - 2}, 2)), "
         f"i -> array_to_string({l}[i:i+{n - 1}], ' ')))"
     )
+
+
+# width-SHINGLE_N template (callers .format(l=...)) — defined THROUGH
+# duck_shingles so the two can never desync
+DUCK_SHINGLES = duck_shingles("{l}")

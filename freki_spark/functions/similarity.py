@@ -447,14 +447,15 @@ def ann_topk_quantized(spark, sf_dir):
 _DUCK_QUANT = f"""
 qem AS (
   SELECT vec_id,
-         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+         CASE WHEN s = 0
               THEN list_transform(v, x -> CAST(0 AS BIGINT))
               ELSE list_transform(v, x -> greatest(CAST(-{QUANT_LEVELS} AS BIGINT),
                      least(CAST({QUANT_LEVELS} AS BIGINT),
-                           CAST(floor(x / (list_max(list_transform(v, y -> abs(y)))
-                                           / {QUANT_LEVELS}.0) + 0.5) AS BIGINT))))
+                           CAST(floor(x / s + 0.5) AS BIGINT))))
          END AS q
-  FROM em
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / {QUANT_LEVELS}.0 AS s
+        FROM em)
 )
 """
 

@@ -23,7 +23,9 @@ from .spec import FONT_KEY_SEP, FONT_SIZE_NDIGITS
 # freki_read mirror both parse with ``label=(\S+)``, so a label with
 # whitespace would render a header NO consumer can parse (every block
 # field silently NULL).  Reject at render time instead.
-_LABEL_RE = re.compile(r"^\S+$")
+# fullmatch, not match-with-$: `$` matches before a trailing newline,
+# which would let "label\n" through and split the header line
+_LABEL_RE = re.compile(r"\S+")
 
 
 def mode_first(keys: list[str]) -> int:
@@ -82,7 +84,7 @@ def render_block_header(
     loss."""
     lab = ""
     if label:
-        if not _LABEL_RE.match(label):
+        if not _LABEL_RE.fullmatch(label):
             raise ValueError(
                 f"block label {label!r} is not representable in the "
                 "block-header grammar (must match \\S+): the reader "

@@ -484,7 +484,9 @@ def test_block_label_with_whitespace_is_rejected():
 
     from freki_spark.grammar import render_block_header
 
-    for bad in ("two words", "tab\tsep", "nl\nx", " lead", "trail "):
+    # "U\n" pins the fullmatch requirement: re.match(r"^\S+$") accepts a
+    # trailing newline, which would split the rendered header line
+    for bad in ("two words", "tab\tsep", "nl\nx", " lead", "trail ", "U\n"):
         with pytest.raises(ValueError, match="not representable"):
             render_block_header(
                 "d", 1, 2, 72.0, 10.0, 540.0, 20.5, 3, 5, label=bad
