@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -214,14 +214,74 @@ FROM m
 """
 
 
+MEDIA_CONTENT_GROUPS = 100
+
+
+def synth_media_dup_table(documents: DataFrame) -> DataFrame:
+    """Media rows where distinct refs share bytes: content is keyed by
+    ``doc_id % MEDIA_CONTENT_GROUPS``, so every 5th doc carries a blob
+    drawn from a small pool of distinct payloads — the re-hosted /
+    re-crawled-asset shape binary dedup exists for."""
+    d = documents.filter(F.col("doc_id") % 5 == 0)
+    ref = F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    blob_key = F.concat(
+        F.lit("blob://"), (F.col("doc_id") % MEDIA_CONTENT_GROUPS).cast("string")
+    )
+    return d.select(
+        "doc_id", ref.alias("media_ref"), F.unhex(F.sha2(blob_key, 256)).alias("content")
+    )
+
+
+def media_dedup(spark, sf_dir):
+    """Exact binary dedup over an opaque media column: hash the BYTES
+    (sha256 over the binary — never the ref, which differs per copy),
+    elect min(media_ref) per digest as canonical, flag the rest.
+
+    Scale shape: one narrow map computes the 32-byte digest, the blob
+    itself is projected away BEFORE the shuffle (only digest + ref
+    move), and one window over the digest partitions both elects the
+    canonical and flags duplicates — a single Exchange whose payload is
+    ~70 B/row regardless of asset size.  The oracle mirrors the
+    synthetic content construction (content is a function of
+    doc_id % groups), the same convention as SQL_MEDIA_FEATURES."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = synth_media_dup_table(docs).select(
+        "media_ref", F.sha2("content", 256).alias("ck")
+    )
+    w = Window.partitionBy("ck")
+    return m.select(
+        "media_ref",
+        F.min("media_ref").over(w).alias("canonical_ref"),
+    ).select(
+        "media_ref",
+        "canonical_ref",
+        (F.col("media_ref") != F.col("canonical_ref")).cast("int").alias("is_dup"),
+    )
+
+
+SQL_MEDIA_DEDUP = f"""
+WITH m AS (
+  SELECT 'img://' || doc_id || '/0' AS media_ref,
+         doc_id % {MEDIA_CONTENT_GROUPS} AS ck
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_ref,
+       min(media_ref) OVER (PARTITION BY ck) AS canonical_ref,
+       CAST(media_ref <> min(media_ref) OVER (PARTITION BY ck) AS INT) AS is_dup
+FROM m
+"""
+
+
 QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_dedup": media_dedup,
 }
 
 ORACLE_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "media_dedup": SQL_MEDIA_DEDUP,
 }

@@ -486,12 +486,189 @@ SELECT q_id, vec_id, qcos, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# ---- product quantization (FAISS PQ-style) ---------------------------------
+
+PQ_M = 8  # subvectors per vector
+PQ_SUB_DIM = 8  # dims per subvector (PQ_M * PQ_SUB_DIM = embedding dim 64)
+PQ_K = 16  # codewords per subvector codebook
+PQ_CODEBOOK_BASE = 200  # codewords = subvectors of vec_id in [200, 200+K)
+
+
+def _pq_codebook(em) -> "DataFrame":
+    """Codebook rows: one corpus vector per codeword id.  Deterministic
+    seed subset (reproducible cluster-wide, exactly mirrored in the
+    DuckDB oracle); production trains per-subvector k-means offline —
+    the encode/search dataflow is identical either way (same reason as
+    ``_ivf_cents``)."""
+    return em.filter(
+        (F.col("vec_id") >= PQ_CODEBOOK_BASE)
+        & (F.col("vec_id") < PQ_CODEBOOK_BASE + PQ_K)
+    ).select((F.col("vec_id") - PQ_CODEBOOK_BASE).alias("code_id"), F.col("v").alias("cw"))
+
+
+def _sub(col, s):
+    """1-based slice of subvector s."""
+    return F.slice(col, s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(spark, sf_dir) -> "DataFrame":
+    """Product-quantization encode as a NARROW map: the m×K codebook is
+    folded into ONE broadcast row and each vector takes m independent
+    argmins over it in a single JVM expression — no window, no K× row
+    expansion, zero shuffle of the corpus (same mechanism as
+    ``ivf_assign``).  Each 64-float vector compresses to m=8 4-bit
+    codes: 256 B → 8 B of scan payload per vector, the storage/scan
+    win PQ exists for.  Distances are rounded to 6 dp before the
+    argmin so the Spark left-fold and the oracle's unordered sum
+    cannot disagree in the last bit; ties break to the smaller code id
+    via lexicographic struct ordering (``array_min`` over
+    ``struct(d2, code_id)``)."""
+    em = _emb(spark, sf_dir)
+    cb = _pq_codebook(em).agg(
+        F.array_sort(F.collect_list(F.struct("code_id", "cw"))).alias("cb")
+    )
+    def best_code(s):
+        cand = F.transform(
+            "cb",
+            lambda c: F.struct(
+                F.round(_l2sq(_sub(F.col("v"), s), _sub(c["cw"], s)), 6).alias("d2"),
+                c["code_id"].alias("code_id"),
+            ),
+        )
+        return F.array_min(cand)["code_id"].cast("int").alias(f"c{s}")
+
+    return em.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "v", *[best_code(s) for s in range(PQ_M)]
+    )
+
+
+def q_pq_encode(spark, sf_dir):
+    return pq_encode(spark, sf_dir).drop("v")
+
+
+# shared PQ CTE chain: codebook + per-(vector, subvector) nearest
+# codeword — one definition feeding both the encode oracle and the
+# ADC-search oracle, so they cannot desync
+_PQ_CTES = f"""em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+cb AS (
+  SELECT vec_id - {PQ_CODEBOOK_BASE} AS code_id, x, j,
+         CAST((j - 1) // {PQ_SUB_DIM} AS INT) AS s
+  FROM ex
+  WHERE vec_id >= {PQ_CODEBOOK_BASE} AND vec_id < {PQ_CODEBOOK_BASE + PQ_K}
+),
+dist AS (
+  SELECT e.vec_id, c.s, c.code_id, round(sum((e.x - c.x) * (e.x - c.x)), 6) AS d2
+  FROM ex e JOIN cb c ON e.j = c.j
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, s, code_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, code_id) AS rn
+        FROM dist)
+  WHERE rn = 1
+)"""
+
+SQL_PQ_ENCODE = f"""
+WITH {_PQ_CTES}
+SELECT vec_id,
+       {", ".join(
+           f"CAST(max(CASE WHEN s = {s} THEN code_id END) AS INT) AS c{s}"
+           for s in range(PQ_M)
+       )}
+FROM best GROUP BY vec_id
+"""
+
+
+def ann_topk_pq(spark, sf_dir):
+    """ANN search over PQ codes via asymmetric distance (ADC): each
+    candidate's distance to the exact query is the L2 distance between
+    the query and the candidate's codebook RECONSTRUCTION — computed
+    on the fly from the 8-byte code and the broadcast codebook, never
+    from the original vector.  Scale shape: the corpus side scans only
+    ``(vec_id, c0..c7)`` (8 B payload/vector, 32× less than raw
+    floats), reconstruction + distance is one narrow codegen'd
+    expression, probes broadcast, and the only shuffle is the tiny
+    per-probe top-k window.  At 10^12 vectors this composes with the
+    IVF lists (``ann_ivf_flat``) exactly as FAISS IVF-PQ does: probe a
+    few lists, ADC-scan their codes, exact re-rank of the shortlist
+    (``ann_topk_bruteforce`` shape over ~k·nprobe candidates)."""
+    em = _emb(spark, sf_dir)
+    cb = _pq_codebook(em).agg(
+        F.array_sort(F.collect_list(F.struct("code_id", "cw"))).alias("cb")
+    )
+    codes = pq_encode(spark, sf_dir).drop("v")
+    recon = F.flatten(
+        F.array(
+            *[
+                _sub(F.element_at("cb", F.col(f"c{s}") + 1)["cw"], s)
+                for s in range(PQ_M)
+            ]
+        )
+    )
+    corpus = codes.crossJoin(F.broadcast(cb)).select(
+        "vec_id", recon.alias("rv")
+    )
+    probes = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "q_id",
+        "vec_id",
+        F.round(_l2sq(F.col("qv"), F.col("rv")), 5).alias("adc_d2"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+SQL_ANN_PQ = f"""
+WITH {_PQ_CTES},
+recon AS (
+  SELECT b.vec_id, c.j, c.x
+  FROM best b JOIN cb c ON c.code_id = b.code_id AND c.s = b.s
+),
+scored AS (
+  SELECT p.vec_id AS q_id, r.vec_id AS vec_id,
+         round(sum((p.x - r.x) * (p.x - r.x)), 5) AS adc_d2
+  FROM ex p JOIN recon r ON p.j = r.j
+  WHERE p.vec_id < {N_PROBES}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_d2, vec_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, adc_d2, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_flat": ann_ivf_flat,
     "ivf_assign": q_ivf_assign,
     "ann_topk_quantized": ann_topk_quantized,
+    "pq_encode": q_pq_encode,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 ORACLE_SQL = {
@@ -500,4 +677,6 @@ ORACLE_SQL = {
     "ann_ivf_flat": SQL_ANN_IVF,
     "ivf_assign": SQL_IVF_ASSIGN,
     "ann_topk_quantized": SQL_ANN_QUANTIZED,
+    "pq_encode": SQL_PQ_ENCODE,
+    "ann_topk_pq": SQL_ANN_PQ,
 }

@@ -262,12 +262,104 @@ FROM agg
 """
 
 
+# ---- real byte-pair-merge tokenizer -----------------------------------------
+
+# A valid BPE merge sequence (every side of a merge is a character or a
+# token produced by an EARLIER merge).  In production this table is the
+# artifact of an offline training job on a corpus sample, shipped to
+# executors as a broadcast/literal — exactly how it is used here.  The
+# alphabet is scoped to [a-z] (byte-level vocab is out of scope for the
+# demo; non-letters act as word boundaries).
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("e", "d"), ("i", "s"),
+    ("i", "t"), ("o", "u"), ("a", "l"), ("s", "t"), ("t", "o"),
+]
+
+# Tokens travel as a single string: each token wrapped in \x01
+# sentinels, tokens separated by one space.  Merging rank r's pair
+# (a, b) is then ONE literal string replacement
+# "\x01a\x01 \x01b\x01" -> "\x01ab\x01": the sentinels make token
+# boundaries unambiguous (no merge can match across a token's interior)
+# and adjacent occurrences share no characters, so the engines' native
+# leftmost non-overlapping replace IS the BPE merge step.  Applying the
+# table once-through in rank order equals the classic
+# repeat-lowest-rank loop because a merge can only create pairs that
+# involve its own output token, and any rule consuming that token sits
+# later in a valid merge sequence.
+_S = "\x01"
+
+
+def _bpe_encode_expr(word):
+    """Narrow JVM expression: word -> sentinel-wrapped token string."""
+    s = F.rtrim(F.regexp_replace(word, "(.)", f"{_S}$1{_S} "))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"{_S}{a}{_S} {_S}{b}{_S}"), F.lit(f"{_S}{a}{b}{_S}"))
+    return s
+
+
+def _bpe_encode_sql(var: str) -> str:
+    s = f"rtrim(regexp_replace({var}, '(.)', e'\\x01\\\\1\\x01 ', 'g'), ' ')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, e'\\x01{a}\\x01 \\x01{b}\\x01', e'\\x01{a}{b}\\x01')"
+    return s
+
+
+def bpe_encode(spark, sf_dir):
+    """Real BPE tokenization as a ZERO-SHUFFLE codegen'd map — no
+    Python, no UDF: per document, lowercase, split on non-letters,
+    encode every word by the merge table, and emit token totals plus
+    the first word's token sequence (a value-level witness that real
+    merging happened, not just counting).
+
+    Scale shape: one narrow pass over the corpus; the merge table is a
+    plan literal (broadcast-equivalent); cost is O(len(text) ·
+    n_merges) per row with no exchange anywhere — the same plan at
+    100 TB.  Contrast ``token_count_bpe``, which only approximates
+    token counts with a split regex."""
+    d = _docs(spark, sf_dir)
+    clean = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "))
+    words = F.filter(F.split(clean, " "), lambda w: w != "")
+    per_word = F.transform(words, lambda w: F.size(F.split(_bpe_encode_expr(w), " ")))
+    n_tokens = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+    first_tokens = F.when(F.size(words) > 0, F.translate(
+        _bpe_encode_expr(F.element_at(words, 1)), _S, ""
+    )).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        first_tokens.alias("first_tokens"),
+    )
+
+
+SQL_BPE_ENCODE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z]+', ' ', 'g')), ' '), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(words,
+            w -> len(string_split({_bpe_encode_sql('w')}, ' ')))), 0) AS INT)
+         AS n_tokens,
+       CASE WHEN len(words) > 0
+            THEN replace({_bpe_encode_sql('words[1]')}, chr(1), '')
+            ELSE '' END AS first_tokens
+FROM w
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "quality_score": quality_score,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
     "gopher_repetition": gopher_repetition,
+    "bpe_encode": bpe_encode,
 }
 
 ORACLE_SQL = {
@@ -276,4 +368,5 @@ ORACLE_SQL = {
     "token_count_bpe": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

@@ -1099,6 +1099,137 @@ FROM events GROUP BY user_id
 """
 
 
+def q_sessionize_batch(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): a session breaks when a
+    user is idle > 30 minutes; emit one row per session with bounds and
+    totals.  The batch twin of ``q_stream_sessionize`` (which holds the
+    same cut rule in ``applyInPandasWithState`` for unbounded input).
+
+    Scale shape: both windows share one ``(user_id)``-hash,
+    ``(ts, event_id)``-sort spec, so the whole islands computation costs
+    ONE Exchange + ONE Sort regardless of corpus size; partition key is
+    user_id (high cardinality — parallelism scales with users, and a
+    hot user is bounded by their own event count, not the corpus).  The
+    final per-session agg is a second, already-clustered shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess_no = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("sess_no", sess_no.cast("int"))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sess_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE_BATCH = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+            AS sess_no
+  FROM marked
+)
+SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end,
+       count(*) AS n_events, round(sum(value), 2) AS sess_value
+FROM islands GROUP BY user_id, sess_no
+"""
+
+
+def q_percentile_agg(spark, sf_dir):
+    """Exact ordered-statistics aggregation: quartiles of ``value`` per
+    event_type via Spark's exact ``percentile`` (linear interpolation at
+    (n-1)·p, the same definition as DuckDB's ``quantile_cont``).
+
+    Scale note: EXACT percentiles buffer per-group value counts, so
+    they belong on low-cardinality group keys like this one (5 event
+    types).  For high-cardinality groups or raw 100 TB columns the
+    scale path is ``approx_percentile`` (KLL-style mergeable sketch,
+    bounded memory) — exercised alongside ``q_distinct_approx``."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+    )
+
+
+SQL_PERCENTILE_AGG = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+SALT_JOIN_K = 8
+
+
+def q_salted_join(spark, sf_dir):
+    """Explicit salted join — the skew pattern for a hot-key join where
+    the dimension is too large to broadcast: the dim side is exploded
+    ×k (every key appears under every salt), the fact side takes a
+    deterministic salt from its own row id, and the join key becomes
+    (key, salt) so one hot user's rows spread over k tasks instead of
+    one.  The relational twin of the extraction pipeline's P13 mega-doc
+    salting (pipeline.py).  ``hint('shuffle_hash')`` pins the
+    shuffled-join shape the pattern exists for (the demo dim would
+    otherwise be broadcast and the salt keys optimized away).
+
+    Oracle = the same join UNSALTED: salting must be result-invisible.
+    """
+    e = _t(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("user_total"))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array([F.lit(i) for i in range(SALT_JOIN_K)]))
+    )
+    fact = e.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(SALT_JOIN_K)).cast("int")
+    )
+    return (
+        fact.join(salted_dim.hint("shuffle_hash"), ["user_id", "salt"])
+        .select(
+            "event_id",
+            "user_id",
+            "user_total",
+            F.round(F.col("value") / F.col("user_total"), 5).alias("value_share"),
+        )
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH dim AS (
+  SELECT user_id, round(sum(value), 2) AS user_total FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, d.user_total,
+       round(e.value / d.user_total, 5) AS value_share
+FROM events e JOIN dim d USING (user_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1151,6 +1282,9 @@ QUERIES = {
     "q_pandas_udf_scalar": q_pandas_udf_scalar,
     "q_grouped_agg_udf": q_grouped_agg_udf,
     "q_grouped_map_udf": q_grouped_map_udf,
+    "q_sessionize_batch": q_sessionize_batch,
+    "q_percentile_agg": q_percentile_agg,
+    "q_salted_join": q_salted_join,
 }
 
 GOLDEN_INPUTS_JSONL = os.path.join(_REPO, "tests", "golden", "fixture_inputs.jsonl")
@@ -1205,6 +1339,9 @@ ORACLE_SQL = {
     "q_pandas_udf_scalar": SQL_PANDAS_UDF_SCALAR,
     "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,
     "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,
+    "q_sessionize_batch": SQL_SESSIONIZE_BATCH,
+    "q_percentile_agg": SQL_PERCENTILE_AGG,
+    "q_salted_join": SQL_SALTED_JOIN,
 }
 
 # --------------------------------------------------------------------------
@@ -1240,21 +1377,23 @@ _PRIORITY = [
     "cluster_lines", "render_spacing", "detect_columns", "segment_blocks",
     "interleave_media", "emit_spans", "html_extract_sf", "salt_skew",
     "write_output", "resume_antijoin", "checkpoint_lineage", "label_blocks",
-    # round-1 driver-unchecked: similarity search
+    # round-1 driver-unchecked: similarity search (+ round-2 PQ family)
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat", "ivf_assign",
-    "ann_topk_quantized",
-    # round-1 driver-unchecked: text analysis
+    "ann_topk_quantized", "pq_encode", "ann_topk_pq",
+    # round-1 driver-unchecked: text analysis (+ round-2 BPE encoder)
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
-    "gopher_repetition",
+    "gopher_repetition", "bpe_encode",
     # round-1 driver-unchecked: corpus prep
     "pii_scrub", "chunk_sliding", "sample_stratified", "ngram_topk",
     "tfidf_topk", "q_compact_plan", "pack_sequences", "decontaminate_ngram",
-    # round-1 driver-unchecked: multimodal plumbing
-    "media_features", "media_resize", "media_frame_sample",
+    # round-1 driver-unchecked: multimodal plumbing (+ round-2 binary dedup)
+    "media_features", "media_resize", "media_frame_sample", "media_dedup",
     # round-1 driver-unchecked: streaming
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     "q_stream_extract",
-    # dedup family
+    # round-2 relational additions (never driver-checked)
+    "q_sessionize_batch", "q_percentile_agg", "q_salted_join",
+    # dedup family (driver-verified green in round 1)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_components",
     # representative Q-ops (one per join/agg/window/UDF shape)

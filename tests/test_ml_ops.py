@@ -10,6 +10,14 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
+# measured mean recall@5 of ann_topk_pq vs brute force on the fixture:
+# 0.25 (random unit vectors + a 16-sample codebook are PQ's worst case
+# — nothing for the codebook to exploit; a real corpus clusters).  The
+# floor is set so an encode/reconstruct regression (wrong slice,
+# off-by-one code index), which craters recall to ~TOP_K/N ≈ 0.01,
+# fails loudly, while codebook-quality noise does not.
+RECALL_FLOOR_PQ = 0.15
+
 
 def test_minhash_finds_mutated_near_dups(spark):
     from freki_spark.functions.dedup import dedup_minhash_lsh
@@ -403,3 +411,192 @@ def test_dedup_components_cluster_mutants_with_originals(spark):
         by_comp.setdefault(c, []).append(d)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_pq_encode_codes_valid_and_compress(spark):
+    """Every PQ code is a valid codebook index, and the codebook
+    vectors themselves encode to (near-)zero reconstruction error on
+    their own subvectors (their nearest codeword is themselves)."""
+    from freki_spark.functions.similarity import (
+        PQ_CODEBOOK_BASE,
+        PQ_K,
+        PQ_M,
+        pq_encode,
+    )
+
+    rows = pq_encode(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for s in range(PQ_M):
+            assert 0 <= r[f"c{s}"] < PQ_K
+    own = {r.vec_id: r for r in rows if PQ_CODEBOOK_BASE <= r.vec_id < PQ_CODEBOOK_BASE + PQ_K}
+    assert len(own) == PQ_K
+    for vid, r in own.items():
+        for s in range(PQ_M):
+            assert r[f"c{s}"] == vid - PQ_CODEBOOK_BASE
+
+
+def test_ann_pq_recall_floor(spark):
+    """ADC over 8x4-bit codes with a 16-sample codebook on random
+    unit vectors is the hardest case for PQ (no cluster structure to
+    exploit); measured recall@5 vs exact brute force on the fixture is
+    recorded in the assertion floor — a regression in encode/
+    reconstruct (wrong slice, off-by-one code index) craters it to
+    ~1/N and fails loudly."""
+    from freki_spark.functions.similarity import (
+        TOP_K,
+        ann_topk_bruteforce,
+        ann_topk_pq,
+    )
+
+    bf, pq = {}, {}
+    for r in ann_topk_bruteforce(spark, SF).collect():
+        bf.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in ann_topk_pq(spark, SF).collect():
+        pq.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(pq) == set(bf)
+    recalls = [len(bf[q] & pq[q]) / TOP_K for q in bf]
+    assert sum(recalls) / len(recalls) >= RECALL_FLOOR_PQ
+
+
+def test_bpe_encode_matches_reference_encoder(spark):
+    """The narrow replace-chain BPE must equal a classic
+    repeat-lowest-rank BPE encoder (independent implementation) on the
+    real corpus: token totals per doc and the first word's token
+    sequence."""
+    import re
+
+    from freki_spark.functions.text_analysis import BPE_MERGES, bpe_encode
+
+    ranks = {pair: i for i, pair in enumerate(BPE_MERGES)}
+
+    def ref_encode(word):
+        toks = list(word)
+        while True:
+            best = min(
+                (ranks[p] for p in zip(toks, toks[1:]) if p in ranks),
+                default=None,
+            )
+            if best is None:
+                return toks
+            a, b = BPE_MERGES[best]
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in bpe_encode(spark, SF).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        words = [w for w in re.sub(r"[^a-z]+", " ", text.lower()).split() if w]
+        exp_tokens = sum(len(ref_encode(w)) for w in words)
+        r = got[doc_id]
+        assert r.n_words == len(words)
+        assert r.n_tokens == exp_tokens
+        exp_first = " ".join(ref_encode(words[0])) if words else ""
+        assert r.first_tokens == exp_first
+
+
+def test_media_dedup_flags_shared_bytes(spark):
+    """Duplicate flags must reflect BYTE equality: refs sharing a blob
+    group collapse to one canonical (the min ref), all others flagged."""
+    from freki_spark.functions.multimodal import (
+        MEDIA_CONTENT_GROUPS,
+        media_dedup,
+    )
+
+    rows = media_dedup(spark, SF).collect()
+    assert len(rows) > 0
+
+    def group(ref):  # img://<doc_id>/0 -> blob group
+        return int(ref.split("//")[1].split("/")[0]) % MEDIA_CONTENT_GROUPS
+
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(group(r.media_ref), []).append(r)
+    assert any(len(v) > 1 for v in by_group.values())  # dups exist
+    for grp in by_group.values():
+        canon = min(r.media_ref for r in grp)
+        for r in grp:
+            assert r.canonical_ref == canon
+            assert r.is_dup == int(r.media_ref != canon)
+
+
+def test_sessionize_batch_matches_naive_python(spark):
+    from datetime import timedelta
+
+    from freki_spark.queries import q_sessionize_batch
+
+    events = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    exp = {}
+    last_ts, sess_no = {}, {}
+    for r in events:
+        u = r.user_id
+        if u not in last_ts or r.ts > last_ts[u] + timedelta(minutes=30):
+            sess_no[u] = sess_no.get(u, 0) + 1
+        last_ts[u] = r.ts
+        key = (u, sess_no[u])
+        st = exp.setdefault(key, {"n": 0, "v": 0.0, "lo": r.ts, "hi": r.ts})
+        st["n"] += 1
+        st["v"] += r.value
+        st["lo"], st["hi"] = min(st["lo"], r.ts), max(st["hi"], r.ts)
+
+    got = {(r.user_id, r.sess_no): r for r in q_sessionize_batch(spark, SF).collect()}
+    assert set(got) == set(exp)
+    for key, st in exp.items():
+        r = got[key]
+        assert (r.sess_start, r.sess_end, r.n_events) == (st["lo"], st["hi"], st["n"])
+        assert abs(r.sess_value - st["v"]) < 1e-6
+
+
+def test_salted_join_equals_unsalted(spark):
+    """Salting must be result-invisible: the salted join's rows equal
+    the plain unsalted join's."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.queries import q_salted_join
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    dim = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("user_total"))
+    plain = {
+        r.event_id: (r.user_total, r.value_share)
+        for r in e.join(dim, "user_id")
+        .select(
+            "event_id",
+            "user_total",
+            F.round(F.col("value") / F.col("user_total"), 5).alias("value_share"),
+        )
+        .collect()
+    }
+    got = {r.event_id: (r.user_total, r.value_share) for r in q_salted_join(spark, SF).collect()}
+    assert got == plain
+
+
+def test_percentile_agg_matches_numpy(spark):
+    import numpy as np
+
+    from freki_spark.queries import q_percentile_agg
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    vals = {}
+    for r in rows:
+        vals.setdefault(r.event_type, []).append(r.value)
+    got = {r.event_type: r for r in q_percentile_agg(spark, SF).collect()}
+    assert set(got) == set(vals)
+    for et, v in vals.items():
+        r = got[et]
+        assert r.n == len(v)
+        for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
+            assert abs(r[col] - np.percentile(v, q)) < 1e-3

@@ -276,6 +276,63 @@ def main() -> int:
         "partial agg below the first Exchange",
     )
 
+    # 14. PQ encode is narrow (same invariant as ivf_assign): the
+    #     corpus never shuffles — no Window, no hashpartitioning
+    #     Exchange; the only Exchange is the tiny codebook-agg branch
+    from freki_spark.functions.similarity import pq_encode
+
+    p = plan_of(pq_encode(spark, sf_dir))
+    check(
+        "pq_encode_narrow",
+        "Window" not in p and not re.search(r"Arguments: hashpartitioning", p),
+        "no Window, no hashpartitioning Exchange in the encode plan",
+    )
+
+    # 15. BPE encode is a ZERO-Exchange codegen'd map — the merge table
+    #     lives in the plan, the corpus never shuffles
+    p = plan_of(QUERIES["bpe_encode"](spark, sf_dir))
+    check(
+        "bpe_encode_narrow",
+        "Exchange" not in p and "codegen id" in p,
+        "zero Exchange (higher-order-fn Project sits on a codegen'd scan)",
+    )
+
+    # 16. binary media dedup shuffles digests, never blobs: the window
+    #     Exchange's hash key is the digest and the content column is
+    #     projected away before it (no 'content' below the Exchange
+    #     subtree — only the scan side may mention it)
+    p = plan_of(QUERIES["media_dedup"](spark, sf_dir))
+    ex_args = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    win_inputs = re.findall(r"Window.*\n(?:.*\n){0,6}?.*Input \[\d+\]: \[([^\]]*)\]", p)
+    check(
+        "media_dedup_digest_shuffle",
+        ex_args == ["ck"] and all("content" not in w for w in win_inputs),
+        f"hash keys={ex_args}, content absent from window input",
+    )
+
+    # 17. salted join: the join is a SHUFFLED join (the pattern's
+    #     premise) and its keys include the salt column on both sides
+    p = plan_of(QUERIES["q_salted_join"](spark, sf_dir))
+    shuffled = "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    salt_keyed = bool(re.search(r"Left keys \[2\]: \[user_id#\d+L?, salt#\d+\]", p))
+    check(
+        "salted_join_shape",
+        shuffled and salt_keyed and "BroadcastHashJoin" not in p,
+        f"shuffled join on (user_id, salt): {salt_keyed}",
+    )
+
+    # 18. batch sessionization: both windows share one (user_id) hash
+    #     Exchange + one Sort (the islands pass), the session agg adds
+    #     its own — bounded exchanges, user-grain parallelism
+    p = plan_of(QUERIES["q_sessionize_batch"](spark, sf_dir))
+    n_user_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id", p))
+    n_sort = len(re.findall(r"\bSort \(", p))
+    check(
+        "sessionize_single_island_pass",
+        n_user_ex == 1 and n_sort == 1 and p.count("Window") >= 2,
+        f"user_id Exchanges={n_user_ex}, Sorts={n_sort} for 2 windows",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
