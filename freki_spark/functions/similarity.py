@@ -519,6 +519,30 @@ def _l2sq(a, b):
     )
 
 
+def _pq_cb_row(em) -> "DataFrame":
+    """The m×K codebook folded into ONE row (array of structs) for
+    broadcasting — built once and shared by encode and search."""
+    return _pq_codebook(em).agg(
+        F.array_sort(F.collect_list(F.struct("code_id", "cw"))).alias("cb")
+    )
+
+
+def _pq_codes(em, cb_row) -> "DataFrame":
+    def best_code(s):
+        cand = F.transform(
+            "cb",
+            lambda c: F.struct(
+                F.round(_l2sq(_sub(F.col("v"), s), _sub(c["cw"], s)), 6).alias("d2"),
+                c["code_id"].alias("code_id"),
+            ),
+        )
+        return F.array_min(cand)["code_id"].cast("int").alias(f"c{s}")
+
+    return em.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id", "v", *[best_code(s) for s in range(PQ_M)]
+    )
+
+
 def pq_encode(spark, sf_dir) -> "DataFrame":
     """Product-quantization encode as a NARROW map: the m×K codebook is
     folded into ONE broadcast row and each vector takes m independent
@@ -532,22 +556,7 @@ def pq_encode(spark, sf_dir) -> "DataFrame":
     via lexicographic struct ordering (``array_min`` over
     ``struct(d2, code_id)``)."""
     em = _emb(spark, sf_dir)
-    cb = _pq_codebook(em).agg(
-        F.array_sort(F.collect_list(F.struct("code_id", "cw"))).alias("cb")
-    )
-    def best_code(s):
-        cand = F.transform(
-            "cb",
-            lambda c: F.struct(
-                F.round(_l2sq(_sub(F.col("v"), s), _sub(c["cw"], s)), 6).alias("d2"),
-                c["code_id"].alias("code_id"),
-            ),
-        )
-        return F.array_min(cand)["code_id"].cast("int").alias(f"c{s}")
-
-    return em.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "v", *[best_code(s) for s in range(PQ_M)]
-    )
+    return _pq_codes(em, _pq_cb_row(em))
 
 
 def q_pq_encode(spark, sf_dir):
@@ -608,10 +617,8 @@ def ann_topk_pq(spark, sf_dir):
     few lists, ADC-scan their codes, exact re-rank of the shortlist
     (``ann_topk_bruteforce`` shape over ~k·nprobe candidates)."""
     em = _emb(spark, sf_dir)
-    cb = _pq_codebook(em).agg(
-        F.array_sort(F.collect_list(F.struct("code_id", "cw"))).alias("cb")
-    )
-    codes = pq_encode(spark, sf_dir).drop("v")
+    cb = _pq_cb_row(em)  # ONE codebook subtree, shared by encode + ADC
+    codes = _pq_codes(em, cb).drop("v")
     recon = F.flatten(
         F.array(
             *[

@@ -277,6 +277,29 @@ BPE_MERGES = [
     ("i", "t"), ("o", "u"), ("a", "l"), ("s", "t"), ("t", "o"),
 ]
 
+
+def _validate_merges(merges) -> None:
+    """Import-time pin of the structural properties the once-through
+    replace chain's equivalence to classic BPE rests on (see the
+    comment below): every operand is a single [a-z] char or the output
+    of an EARLIER merge, and no two merges produce the same token.  A
+    violating edit would silently diverge from real BPE while Spark
+    and the DuckDB oracle still agreed with each other (both implement
+    the same chain), so the oracle gate alone cannot catch it."""
+    produced: set[str] = set()
+    for r, (a, b) in enumerate(merges):
+        for side in (a, b):
+            assert (len(side) == 1 and "a" <= side <= "z") or side in produced, (
+                f"merge #{r} ({a!r},{b!r}): operand {side!r} is neither a "
+                f"[a-z] char nor an earlier merge's output"
+            )
+        out = a + b
+        assert out not in produced, f"merge #{r}: duplicate output {out!r}"
+        produced.add(out)
+
+
+_validate_merges(BPE_MERGES)
+
 # Tokens travel as a single string: each token wrapped in \x01
 # sentinels, tokens separated by one space.  Merging rank r's pair
 # (a, b) is then ONE literal string replacement

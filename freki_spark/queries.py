@@ -1110,7 +1110,10 @@ def q_sessionize_batch(spark, sf_dir):
     ONE Exchange + ONE Sort regardless of corpus size; partition key is
     user_id (high cardinality — parallelism scales with users, and a
     hot user is bounded by their own event count, not the corpus).  The
-    final per-session agg is a second, already-clustered shuffle."""
+    per-session agg adds NO further exchange: hash(user_id)
+    partitioning already satisfies the (user_id, sess_no) grouping, so
+    Catalyst aggregates in place (plan-audited: exactly one user_id
+    Exchange in the whole plan)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)

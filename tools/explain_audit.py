@@ -306,8 +306,10 @@ def main() -> int:
     win_inputs = re.findall(r"Window.*\n(?:.*\n){0,6}?.*Input \[\d+\]: \[([^\]]*)\]", p)
     check(
         "media_dedup_digest_shuffle",
-        ex_args == ["ck"] and all("content" not in w for w in win_inputs),
-        f"hash keys={ex_args}, content absent from window input",
+        ex_args == ["ck"]
+        and bool(win_inputs)  # regex must MATCH — empty would pass vacuously
+        and all("content" not in w for w in win_inputs),
+        f"hash keys={ex_args}, window inputs={win_inputs or 'NOT FOUND'}",
     )
 
     # 17. salted join: the join is a SHUFFLED join (the pattern's
@@ -322,8 +324,9 @@ def main() -> int:
     )
 
     # 18. batch sessionization: both windows share one (user_id) hash
-    #     Exchange + one Sort (the islands pass), the session agg adds
-    #     its own — bounded exchanges, user-grain parallelism
+    #     Exchange + one Sort (the islands pass), and the session agg
+    #     adds NO further exchange — hash(user_id) already satisfies
+    #     the (user_id, sess_no) grouping, so ONE Exchange total
     p = plan_of(QUERIES["q_sessionize_batch"](spark, sf_dir))
     n_user_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id", p))
     n_sort = len(re.findall(r"\bSort \(", p))
