@@ -470,8 +470,90 @@ GROUP BY doc_id
 SQL_DECONTAMINATE = _sql_decontaminate()
 
 
+# --------------------------------------------------------------------------
+# url_normalize — URL canonicalization + registrable-domain extraction
+# (the keys web-corpus pipelines dedup on and cap crawl share by).  The
+# driver corpus has no URL column, so a deterministic messy URL is
+# synthesized per row from (source, doc_id) — the verified artifact is
+# the normalization mechanism.  Canonical steps (all narrow
+# Java∩RE2-dialect regex, zero shuffle except the per-domain rollup):
+# lowercase scheme+host, strip the default :443/:80 port, drop the
+# fragment, drop utm_* tracking params, strip a leading www.
+# --------------------------------------------------------------------------
+
+
+def _synth_url():
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Articles/"),
+        sid,
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=x#section-"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+
+
+def url_normalize(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", _synth_url().alias("url"))
+    # 1. drop fragment; 2. lowercase the scheme://host[:port] prefix
+    # (path/query case is significant and preserved); 3. strip default
+    # port; 4. drop utm_* params wherever they sit (leading ?utm_=..&,
+    # mid/trailing &utm_=..); 5. dangling '?' ; 6. leading www.
+    u = F.regexp_replace(F.col("url"), r"#.*", "")
+    prefix = F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1))
+    rest = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
+    u = F.concat(prefix, rest)
+    u = F.regexp_replace(u, r"^([a-z]+://[^/:]+):(443|80)(/|$)", r"$1$3")
+    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([a-z]+://)www\.", r"$1")
+    domain = F.regexp_extract(u, r"^[a-z]+://([^/:]+)", 1)
+    out = d.select("doc_id", u.alias("url_canon"), domain.alias("domain"))
+    per_domain = out.groupBy("domain").agg(F.count("*").alias("n_urls"))
+    return out.join(F.broadcast(per_domain), "domain").select(
+        "doc_id", "domain", "url_canon", "n_urls"
+    )
+
+
+def _sql_url_normalize() -> str:
+    synth = (
+        "'HTTPS://WWW.' || source || '.Example.COM:443/Articles/' || doc_id"
+        " || '/?utm_source=feed&id=' || (doc_id % 7)"
+        " || '&utm_campaign=x#section-' || (doc_id % 3)"
+    )
+    u = f"regexp_replace({synth}, '#.*', '', 'g')"
+    u = (
+        f"lower(regexp_extract({u}, '^([^/]*//[^/]*)', 1)) || "
+        f"regexp_replace({u}, '^[^/]*//[^/]*', '')"
+    )
+    u = f"regexp_replace({u}, '^([a-z]+://[^/:]+):(443|80)(/|$)', '\\1\\3')"
+    u = f"regexp_replace({u}, '\\?utm_[a-z]+=[^&#]*&', '?')"
+    u = f"regexp_replace({u}, '[?&]utm_[a-z]+=[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '^([a-z]+://)www\\.', '\\1')"
+    return f"""
+WITH c AS (
+  SELECT doc_id, {u} AS url_canon FROM documents
+),
+d AS (
+  SELECT doc_id, url_canon,
+         regexp_extract(url_canon, '^[a-z]+://([^/:]+)', 1) AS domain
+  FROM c
+)
+SELECT doc_id, domain, url_canon,
+       count(*) OVER (PARTITION BY domain) AS n_urls
+FROM d
+"""
+
+
+SQL_URL_NORMALIZE = _sql_url_normalize()
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
+    "url_normalize": url_normalize,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
     "ngram_topk": ngram_topk,
@@ -484,6 +566,7 @@ QUERIES = {
 ORACLE_SQL = {
     "decontaminate_ngram": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,
+    "url_normalize": SQL_URL_NORMALIZE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "ngram_topk": SQL_NGRAM_TOPK,

@@ -668,6 +668,94 @@ SELECT q_id, vec_id, adc_d2, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# ---- k-NN graph construction ------------------------------------------------
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph(spark, sf_dir):
+    """k-NN GRAPH construction — every corpus vector is a query (the
+    all-corpus pattern behind embedding clustering, near-dup mining,
+    and graph-based label propagation), so a broadcast probe side does
+    not exist.  Candidates come from the LSH bucket equi-join: each
+    vector scores only its same-bucket peers, then keeps its top
+    ``KNN_GRAPH_K`` directed edges.
+
+    Scale shape: the join key is the bucket id, so work is
+    sum-over-buckets of |bucket|² instead of n² — the number of planes
+    is the dial (more planes → smaller buckets → cheaper and lower
+    recall), a hot bucket is AQE-skew-splittable, and the ranking
+    window partitions on vec_id (full corpus cardinality).  Vectors
+    alone in their bucket get no edges (documented recall property of
+    single-bucket candidates; multi-probe would raise it at join-fanout
+    cost — see ``ann_lsh_bucketed``)."""
+    em = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("v"))).persist()
+    a, b = em.alias("a"), em.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        5,
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= KNN_GRAPH_K
+    )
+
+
+SQL_KNN_GRAPH = f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+pd AS (
+  SELECT vec_id, p.p AS p, sum(x * (({_W} % 2001 - 1000) / 1000.0)) AS dot
+  FROM ex, (SELECT unnest(range(0, {N_PLANES})) AS p) p
+  GROUP BY vec_id, p.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM pd GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT pr.vec_id, pr.nbr_id,
+         round(sum(pa.x * pb.x)
+               / (sqrt(sum(pa.x * pa.x)) * sqrt(sum(pb.x * pb.x))), 5) AS cos
+  FROM pairs pr
+  JOIN ex pa ON pa.vec_id = pr.vec_id
+  JOIN ex pb ON pb.vec_id = pr.nbr_id AND pb.j = pa.j
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, nbr_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT vec_id, nbr_id, cos, rnk FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -676,6 +764,7 @@ QUERIES = {
     "ann_topk_quantized": ann_topk_quantized,
     "pq_encode": q_pq_encode,
     "ann_topk_pq": ann_topk_pq,
+    "knn_graph": knn_graph,
 }
 
 ORACLE_SQL = {
@@ -686,4 +775,5 @@ ORACLE_SQL = {
     "ann_topk_quantized": SQL_ANN_QUANTIZED,
     "pq_encode": SQL_PQ_ENCODE,
     "ann_topk_pq": SQL_ANN_PQ,
+    "knn_graph": SQL_KNN_GRAPH,
 }

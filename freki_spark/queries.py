@@ -1382,13 +1382,14 @@ _PRIORITY = [
     "write_output", "resume_antijoin", "checkpoint_lineage", "label_blocks",
     # round-1 driver-unchecked: similarity search (+ round-2 PQ family)
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat", "ivf_assign",
-    "ann_topk_quantized", "pq_encode", "ann_topk_pq",
+    "ann_topk_quantized", "pq_encode", "ann_topk_pq", "knn_graph",
     # round-1 driver-unchecked: text analysis (+ round-2 BPE encoder)
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
     "gopher_repetition", "bpe_encode",
     # round-1 driver-unchecked: corpus prep
-    "pii_scrub", "chunk_sliding", "sample_stratified", "ngram_topk",
-    "tfidf_topk", "q_compact_plan", "pack_sequences", "decontaminate_ngram",
+    "pii_scrub", "url_normalize", "chunk_sliding", "sample_stratified",
+    "ngram_topk", "tfidf_topk", "q_compact_plan", "pack_sequences",
+    "decontaminate_ngram",
     # round-1 driver-unchecked: multimodal plumbing (+ round-2 binary dedup)
     "media_features", "media_resize", "media_frame_sample", "media_dedup",
     # round-1 driver-unchecked: streaming

@@ -600,3 +600,70 @@ def test_percentile_agg_matches_numpy(spark):
         assert r.n == len(v)
         for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
             assert abs(r[col] - np.percentile(v, q)) < 1e-3
+
+
+def test_knn_graph_matches_numpy_reference(spark):
+    """Edge set must equal an independent numpy recompute: same-bucket
+    candidates, cosine ranking, top-K directed edges."""
+    import numpy as np
+
+    from freki_spark.functions.similarity import (
+        KNN_GRAPH_K,
+        N_PLANES,
+        _PLANE_W,
+        knn_graph,
+    )
+
+    em = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    dim = len(next(iter(em.values())))
+    planes = np.array([w[:dim] for w in _PLANE_W], dtype=np.float64)
+    bucket = {
+        vid: sum(1 << p for p in range(N_PLANES) if planes[p] @ v > 0)
+        for vid, v in em.items()
+    }
+    by_bucket = {}
+    for vid, b in bucket.items():
+        by_bucket.setdefault(b, []).append(vid)
+
+    exp = set()
+    for vid, v in em.items():
+        cands = [c for c in by_bucket[bucket[vid]] if c != vid]
+        scored = sorted(
+            (
+                (-round(float(v @ em[c] / (np.linalg.norm(v) * np.linalg.norm(em[c]))), 5), c)
+                for c in cands
+            ),
+        )[:KNN_GRAPH_K]
+        exp.update((vid, c) for _, c in scored)
+
+    got = {(r.vec_id, r.nbr_id) for r in knn_graph(spark, SF).collect()}
+    assert got == exp
+    assert all(a != b for a, b in got)  # no self-edges
+
+
+def test_url_normalize_canonical_form(spark):
+    """Every canonical URL must drop the fragment, tracking params,
+    default port and www, lowercase the host, and preserve path case;
+    per-domain counts must sum to the corpus."""
+    from freki_spark.functions.corpus_prep import url_normalize
+
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = url_normalize(spark, SF).collect()
+    assert len(rows) == len(docs)
+    dom_count = {}
+    for src in docs.values():
+        d = f"{src.lower()}.example.com"
+        dom_count[d] = dom_count.get(d, 0) + 1
+    for r in rows:
+        src = docs[r.doc_id]
+        assert r.domain == f"{src.lower()}.example.com"
+        assert r.url_canon == (
+            f"https://{src.lower()}.example.com/Articles/{r.doc_id}/?id={r.doc_id % 7}"
+        )
+        assert r.n_urls == dom_count[r.domain]

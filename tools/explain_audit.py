@@ -276,6 +276,24 @@ def main() -> int:
         "partial agg below the first Exchange",
     )
 
+    # 13b. k-NN graph candidates come from the bucket equi-join — an
+    #      all-corpus op that must never degrade to an all-pairs product
+    p = plan_of(QUERIES["knn_graph"](spark, sf_dir))
+    check(
+        "knn_graph_bucket_join",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "bucket equi-join, no all-pairs product",
+    )
+
+    # 13c. URL normalization is a narrow regex chain; the per-domain
+    #      count joins back via broadcast (domain cardinality is tiny)
+    p = plan_of(QUERIES["url_normalize"](spark, sf_dir))
+    check(
+        "url_normalize_bcast_counts",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        "narrow canon chain + broadcast per-domain counts",
+    )
+
     # 14. PQ encode is narrow (same invariant as ivf_assign): the
     #     corpus never shuffles — no Window, no hashpartitioning
     #     Exchange; the only Exchange is the tiny codebook-agg branch
