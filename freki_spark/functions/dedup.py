@@ -673,6 +673,114 @@ SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
 """
 
 
+# --------------------------------------------------------------------------
+# dup_span_detect — exact duplicated-SUBSTRING detection (the
+# suffix-array dedup of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", approximated distributably): any word-span
+# duplicated across >= 2 documents and >= DUPSPAN_N words long produces
+# DUPSPAN_N-gram hits at every interior position, so merging runs of
+# overlapping hits recovers the MAXIMAL duplicated intervals — the
+# pieces exact-substring dedup cuts out of training text.  Two distinct
+# duplicated regions closer than DUPSPAN_N words coalesce (conservative
+# over-merge, same as span-coalescing in the original).
+#
+# Scale shape (100 TB): shingling is a narrow flat-map; the dup-shingle
+# set comes from a partial-agg'd distinct-doc count on the 32-bit
+# shingle hash; marking hits back is a hash LEFT SEMI join on that hash
+# (hot boilerplate shingles are AQE-skew-splittable); interval merging
+# is the gaps-and-islands double window at doc grain — one Exchange,
+# same pattern as q_sessionize_batch.
+# --------------------------------------------------------------------------
+
+DUPSPAN_N = 8
+
+
+def dup_span_detect(spark, sf_dir):
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", toks(F.col("text")).alias("w"))
+        .filter(F.size("w") >= DUPSPAN_N)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (DUPSPAN_N - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    md5i32(F.concat_ws(" ", F.slice("w", i, DUPSPAN_N))).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup_h, "h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    is_new = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + DUPSPAN_N),
+        1,
+    ).otherwise(0)
+    grp = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("is_new", is_new)
+        .withColumn("grp", grp.cast("int"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (DUPSPAN_N - 1)).alias("span_end"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+
+
+_DUCK_SH_HASH = DUCK_MD5I32.format(
+    x=f"array_to_string(ws[p:p+{DUPSPAN_N - 1}], ' ')"
+)
+
+SQL_DUP_SPAN = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, {_DUCK_SH_HASH} AS h
+  FROM w, unnest(range(1, len(ws) - {DUPSPAN_N - 2})) t(p)
+  WHERE len(ws) >= {DUPSPAN_N}
+),
+dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {DUPSPAN_N}
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS grp
+  FROM marked
+)
+SELECT doc_id, grp, min(pos) AS span_start,
+       max(pos) + {DUPSPAN_N - 1} AS span_end, count(*) AS n_hits
+FROM islands GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -680,6 +788,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
+    "dup_span_detect": dup_span_detect,
 }
 
 ORACLE_SQL = {
@@ -689,4 +798,5 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dup_span_detect": SQL_DUP_SPAN,
 }

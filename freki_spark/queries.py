@@ -1397,9 +1397,11 @@ _PRIORITY = [
     "q_stream_extract",
     # round-2 relational additions (never driver-checked)
     "q_sessionize_batch", "q_percentile_agg", "q_salted_join",
-    # dedup family (driver-verified green in round 1)
+    # dedup family (driver-verified green in round 1; dup_span_detect
+    # added round 2)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_components",
+    "dup_span_detect",
     # representative Q-ops (one per join/agg/window/UDF shape)
     "q_hash_agg", "q_broadcast_join", "q_smj_large", "q_window_rank",
     "q_range_join", "q_asof_join", "q_grouped_map_udf", "q_grouped_agg_udf",

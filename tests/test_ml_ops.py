@@ -667,3 +667,45 @@ def test_url_normalize_canonical_form(spark):
             f"https://{src.lower()}.example.com/Articles/{r.doc_id}/?id={r.doc_id % 7}"
         )
         assert r.n_urls == dom_count[r.domain]
+
+
+def test_dup_span_detect_matches_naive_python(spark):
+    """Maximal duplicated word-spans must equal a naive recompute that
+    uses RAW SHINGLE STRINGS (no hashing) — independently pinning the
+    flat-map positions, the cross-doc dup set, and the interval merge."""
+    from freki_spark.functions.dedup import DUPSPAN_N, dup_span_detect
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    occ = {}
+    for doc_id, ws in docs.items():
+        for p in range(len(ws) - DUPSPAN_N + 1):
+            occ.setdefault(" ".join(ws[p : p + DUPSPAN_N]), set()).add(doc_id)
+    dup = {s for s, ds in occ.items() if len(ds) >= 2}
+    exp = set()
+    for doc_id, ws in docs.items():
+        hits = [
+            p + 1  # 1-based, as the operator emits
+            for p in range(len(ws) - DUPSPAN_N + 1)
+            if " ".join(ws[p : p + DUPSPAN_N]) in dup
+        ]
+        start = prev = None
+        n = 0
+        for p in hits:
+            if prev is None or p > prev + DUPSPAN_N:
+                if prev is not None:
+                    exp.add((doc_id, start, prev + DUPSPAN_N - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        if prev is not None:
+            exp.add((doc_id, start, prev + DUPSPAN_N - 1, n))
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_hits)
+        for r in dup_span_detect(spark, SF).collect()
+    }
+    assert got == exp
+    assert exp  # fixture must actually contain cross-doc duplicates

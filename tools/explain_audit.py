@@ -276,6 +276,18 @@ def main() -> int:
         "partial agg below the first Exchange",
     )
 
+    # 13a2. duplicated-substring detection: the dup-shingle set is
+    #       marked back via a LEFT SEMI join (hits carry only
+    #       (doc_id, pos), never the shingle text), and the interval
+    #       merge is the single doc-grain window pass
+    p = plan_of(QUERIES["dup_span_detect"](spark, sf_dir))
+    check(
+        "dup_span_semi_join",
+        "LeftSemi" in p
+        and len(re.findall(r"Arguments: hashpartitioning\(doc_id", p)) == 1,
+        "left-semi dup marking + one doc-grain window Exchange",
+    )
+
     # 13b. k-NN graph candidates come from the bucket equi-join — an
     #      all-corpus op that must never degrade to an all-pairs product
     p = plan_of(QUERIES["knn_graph"](spark, sf_dir))
