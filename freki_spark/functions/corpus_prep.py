@@ -496,20 +496,36 @@ def _synth_url():
     )
 
 
-def url_normalize(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", _synth_url().alias("url"))
-    # 1. drop fragment; 2. lowercase the scheme://host[:port] prefix
-    # (path/query case is significant and preserved); 3. strip default
-    # port; 4. drop utm_* params wherever they sit (leading ?utm_=..&,
-    # mid/trailing &utm_=..); 5. dangling '?' ; 6. leading www.
-    u = F.regexp_replace(F.col("url"), r"#.*", "")
+def canon_url(url_col) -> "F.Column":
+    """Canonical URL expression (pure narrow column fn, testable on
+    arbitrary URLs): 1. drop fragment; 2. lowercase the
+    scheme://host[:port] prefix (path/query case is significant and
+    preserved); 3. strip default :443/:80 port; 4. strip utm_* params
+    delimiter-safely — split at the first '?', prefix every param with
+    '&' so each utm segment carries its own delimiter (consecutive
+    params never share the matched char), global-remove '&utm_x=v'
+    segments, re-attach with '?' only when params remain; 5. strip a
+    leading www."""
+    u = F.regexp_replace(url_col, r"#.*", "")
     prefix = F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1))
     rest = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
     u = F.concat(prefix, rest)
     u = F.regexp_replace(u, r"^([a-z]+://[^/:]+):(443|80)(/|$)", r"$1$3")
-    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*&", "?")
-    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", "")
-    u = F.regexp_replace(u, r"^([a-z]+://)www\.", r"$1")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    qs = F.regexp_replace(u, r"^[^?]*\??", "")
+    kept = F.regexp_replace(
+        F.concat(F.lit("&"), qs), r"&utm_[a-z]+=[^&]*", ""
+    )
+    u = F.when(
+        F.length(kept) > 1,  # '' (all stripped) or '&' (no query at all)
+        F.concat(base, F.lit("?"), F.substring(kept, 2, 1 << 30)),
+    ).otherwise(base)
+    return F.regexp_replace(u, r"^([a-z]+://)www\.", r"$1")
+
+
+def url_normalize(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", _synth_url().alias("url"))
+    u = canon_url(F.col("url"))
     domain = F.regexp_extract(u, r"^[a-z]+://([^/:]+)", 1)
     out = d.select("doc_id", u.alias("url_canon"), domain.alias("domain"))
     per_domain = out.groupBy("domain").agg(F.count("*").alias("n_urls"))
@@ -530,8 +546,15 @@ def _sql_url_normalize() -> str:
         f"regexp_replace({u}, '^[^/]*//[^/]*', '')"
     )
     u = f"regexp_replace({u}, '^([a-z]+://[^/:]+):(443|80)(/|$)', '\\1\\3')"
-    u = f"regexp_replace({u}, '\\?utm_[a-z]+=[^&#]*&', '?')"
-    u = f"regexp_replace({u}, '[?&]utm_[a-z]+=[^&#]*', '', 'g')"
+    base = f"regexp_extract({u}, '^([^?]*)', 1)"
+    kept = (
+        f"regexp_replace('&' || regexp_replace({u}, '^[^?]*\\??', ''),"
+        f" '&utm_[a-z]+=[^&]*', '', 'g')"
+    )
+    u = (
+        f"CASE WHEN len({kept}) > 1 THEN {base} || '?' || substr({kept}, 2)"
+        f" ELSE {base} END"
+    )
     u = f"regexp_replace({u}, '^([a-z]+://)www\\.', '\\1')"
     return f"""
 WITH c AS (

@@ -708,7 +708,15 @@ def dup_span_detect(spark, sf_dir):
                 F.sequence(F.lit(1), F.size("w") - (DUPSPAN_N - 1)),
                 lambda i: F.struct(
                     i.cast("int").alias("pos"),
-                    md5i32(F.concat_ws(" ", F.slice("w", i, DUPSPAN_N))).alias("h"),
+                    # 60-bit hash: 32 bits ALREADY collide at sf0.1
+                    # (224,694 distinct shingles -> 5 collisions -> 9
+                    # false duplicate hits, measured), and at 10^13
+                    # corpus shingles the 2^32 space saturates and
+                    # marks everything duplicated.  At 60 bits the
+                    # expected false-hit RATE at 10^13 shingles is
+                    # ~4e-6 (birthday bound) — negligible against the
+                    # conservative over-merge this op already accepts.
+                    md5i60(F.concat_ws(" ", F.slice("w", i, DUPSPAN_N))).alias("h"),
                 ),
             )
         ).alias("s"),
@@ -743,7 +751,7 @@ def dup_span_detect(spark, sf_dir):
     )
 
 
-_DUCK_SH_HASH = DUCK_MD5I32.format(
+_DUCK_SH_HASH = DUCK_MD5I60.format(
     x=f"array_to_string(ws[p:p+{DUPSPAN_N - 1}], ' ')"
 )
 

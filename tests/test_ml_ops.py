@@ -709,3 +709,27 @@ def test_dup_span_detect_matches_naive_python(spark):
     }
     assert got == exp
     assert exp  # fixture must actually contain cross-doc duplicates
+
+
+def test_canon_url_mechanism_adversarial(spark):
+    """The canonicalization mechanism on inputs the synthesized corpus
+    never produces: consecutive leading utm params, all-utm queries,
+    no query, utm-only trailing, mixed positions — no dangling '?',
+    no eaten delimiters (prior review found both bugs)."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.functions.corpus_prep import canon_url
+
+    cases = {
+        "https://x.com/?utm_a=1&utm_b=2&id=3": "https://x.com/?id=3",
+        "https://x.com/?utm_a=1&utm_b=2": "https://x.com/",
+        "https://x.com/?utm_a=1": "https://x.com/",
+        "https://x.com/?id=3&utm_a=1&id2=4": "https://x.com/?id=3&id2=4",
+        "https://x.com/path": "https://x.com/path",
+        "HTTPS://WWW.X.com:443/CaseKept?id=1#f": "https://x.com/CaseKept?id=1",
+        "http://x.com:80": "http://x.com",
+        "http://x.com:8080/a?utm_z=9&b=2": "http://x.com:8080/a?b=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.canon for r in df.select("url", canon_url(F.col("url")).alias("canon")).collect()}
+    assert got == cases
