@@ -574,6 +574,71 @@ FROM d
 SQL_URL_NORMALIZE = _sql_url_normalize()
 
 
+# --------------------------------------------------------------------------
+# shuffle_deterministic — seeded global training-order shuffle.  Every
+# epoch of LLM training consumes the corpus in a pseudorandom order
+# that must be DETERMINISTIC (resumable mid-epoch, reproducible across
+# retried tasks) and cheap to compute.  rand() fails both; a seeded
+# hash permutation fails neither: each doc's position is the dense
+# rank of md5(seed, doc_id).
+#
+# Scale shape (100 TB): the dense rank never runs as one global sort.
+# The hash's low bits split the corpus into SHUFFLE_SHARDS ranges;
+# within-shard ranks use (shard)-grain windows and the global offset
+# of each shard comes from a tiny count-per-shard agg broadcast back —
+# the exact two-pass rebase q_compact_plan/pack_sequences use.  Shard
+# count is the parallelism dial (2^10..2^20 at real scale); the
+# only full-data exchange is the one hash partition any dense global
+# numbering needs.
+# --------------------------------------------------------------------------
+
+SHUFFLE_SEED = 42
+SHUFFLE_SHARDS = 64
+
+
+def shuffle_deterministic(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    key = md5i32(
+        F.concat(F.lit(f"shuffle:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    d = d.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    d = d.withColumn("_intra", F.row_number().over(w) - 1)
+    counts = d.groupBy("shard").agg(F.count("*").alias("_n"))
+    wb = Window.orderBy("shard")  # SHUFFLE_SHARDS rows — driver-tiny
+    bases = counts.withColumn("_base", F.sum("_n").over(wb) - F.col("_n")).drop("_n")
+    return (
+        d.join(F.broadcast(bases), "shard")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            "shard",
+            (F.col("_base") + F.col("_intra")).alias("pos"),
+        )
+    )
+
+
+_SHUF_KEY = DUCK_MD5I32.format(
+    x=f"'shuffle:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)"
+)
+
+SQL_SHUFFLE_DETERMINISTIC = f"""
+WITH k AS (
+  SELECT doc_id, {_SHUF_KEY} AS shuffle_key,
+         CAST({_SHUF_KEY} % {SHUFFLE_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(row_number() OVER (ORDER BY shard, shuffle_key, doc_id) - 1 AS BIGINT)
+         AS pos
+FROM k
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "url_normalize": url_normalize,
@@ -584,6 +649,7 @@ QUERIES = {
     "q_compact_plan": q_compact_plan,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
+    "shuffle_deterministic": shuffle_deterministic,
 }
 
 ORACLE_SQL = {
@@ -596,4 +662,5 @@ ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "q_compact_plan": SQL_COMPACT_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
 }

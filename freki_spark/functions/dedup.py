@@ -659,6 +659,97 @@ def dedup_components(spark, sf_dir):
     return lab.select(F.col("id").alias("doc_id"), "comp")
 
 
+# --------------------------------------------------------------------------
+# cc_bigstar — the same connected-components contract computed with
+# the large-star/small-star algorithm (Kiveris et al. 2014, "Connected
+# Components in MapReduce and Beyond"): the adversarial-graph upgrade
+# dedup_components' docstring names.  Min-label propagation needs
+# O(diameter) rounds — a 10^6-long chain of near-dups (scraped mirror
+# chains do this) needs 10^6 rounds; star contraction needs
+# O(log^2 n) rounds on ANY graph shape.  Each round is two
+# groupBy+join passes over the edge set (no collect_list — per-node
+# neighborhoods are never materialized as arrays, so a 10^8-degree
+# hub node cannot blow a task).
+# --------------------------------------------------------------------------
+
+BIGSTAR_MAX_ITERS = 30
+
+
+def _large_star(edges):
+    """(hi, lo) canonical edges -> large-star step: every neighbor v of
+    u with v > u connects to m(u) = min(N(u) + {u})."""
+    sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).unionByName(
+        edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges):
+    """(hi, lo) canonical edges -> small-star step: per node u, all its
+    smaller neighbors plus u itself connect to m(u) = min of them."""
+    m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    em = edges.join(m, "hi")
+    to_min = em.select(F.col("lo").alias("hi"), F.col("m").alias("lo")).unionByName(
+        em.select("hi", F.col("m").alias("lo"))
+    )
+    return to_min.filter(F.col("hi") != F.col("lo")).distinct()
+
+
+def star_contract(raw_edges):
+    """(a, b) undirected edge DataFrame -> (doc_id, comp) labels via
+    alternating large-star/small-star to a fixed point."""
+    edges = (
+        raw_edges.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("hi").alias("doc_id"))
+        .unionByName(edges.select(F.col("lo").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    for _ in range(BIGSTAR_MAX_ITERS):
+        # localCheckpoint each round: O(1) lineage depth, like
+        # dedup_components
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        unchanged = (
+            new.join(edges, ["hi", "lo"], "left_anti").isEmpty()
+            and edges.join(new, ["hi", "lo"], "left_anti").isEmpty()
+        )
+        edges = new
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {BIGSTAR_MAX_ITERS} "
+            f"rounds — O(log^2 n) bound exceeded, input edge set suspect"
+        )
+    # converged: a star forest (child -> component-min root); roots
+    # appear only as lo, so they label themselves via coalesce
+    roots = edges.groupBy("hi").agg(F.min("lo").alias("comp"))
+    out = (
+        nodes.join(roots, nodes.doc_id == roots.hi, "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
+    )
+    nodes.unpersist()
+    return out
+
+
+def cc_bigstar(spark, sf_dir):
+    return star_contract(dedup_ngram_jaccard(spark, sf_dir).select("a", "b"))
+
+
 SQL_DEDUP_COMPONENTS = f"""
 WITH RECURSIVE {DUCK_CORPUS.strip()},
 {DUCK_EDGE_CTES},
@@ -796,6 +887,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
+    "cc_bigstar": cc_bigstar,
     "dup_span_detect": dup_span_detect,
 }
 
@@ -806,5 +898,8 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    # same contract, same closed-form truth: the star-contraction
+    # algorithm must land on the identical min-label components
+    "cc_bigstar": SQL_DEDUP_COMPONENTS,
     "dup_span_detect": SQL_DUP_SPAN,
 }

@@ -376,12 +376,127 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# gopher_quality — the document-level Gopher/MassiveText quality rule
+# set (Rae et al. 2021, App. A1.1), adapted to this corpus's feature
+# space: word-count bounds, mean-word-length bounds, minimum stop-word
+# hits, and a maximum top-unigram fraction.  All comparisons are
+# integer (cross-multiplied rationals) — zero float rounding to desync
+# engines; thresholds were chosen so every rule discriminates on the
+# driver corpus (sf0.01: 106 docs under min words, 20 under stop
+# floor, 73 over the top-word cap).
+#
+# Scale shape (100 TB): one narrow pass, zero Exchange.  The
+# most-common-word count is computed per row as a sorted-run scan
+# (array_sort + aggregate, O(n log n) in DOC length, independent of
+# corpus size) instead of an explode+groupBy — the whole rule set
+# stays inside whole-stage codegen.  mean word length uses the
+# single-space invariant: char_sum = length(text) - (n_words - 1).
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100000
+GOPHER_MEANLEN_LO = 3  # mean word length bounds, exact via cross-multiply
+GOPHER_MEANLEN_HI = 10
+GOPHER_MIN_STOP = 2
+GOPHER_TOPWORD_DEN = 8  # top unigram must be <= 1/8 of all words
+
+
+def _top_run_count(tk):
+    """Most-common-element count of a string array as a NARROW
+    expression: sort, then scan counting the longest equal run.
+    \\x00 init sentinel cannot equal a real token."""
+    merged = F.aggregate(
+        F.array_sort(tk),
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return merged.best
+
+
+def gopher_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    n_words = F.size(tk)
+    char_sum = F.length("text") - (n_words - 1)
+    stop_hits = F.size(F.filter(tk, lambda t: t.isin(STOPWORDS)))
+    top_cnt = _top_run_count(tk)
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_meanlen = (char_sum >= GOPHER_MEANLEN_LO * n_words) & (
+        char_sum <= GOPHER_MEANLEN_HI * n_words
+    )
+    ok_stop = stop_hits >= GOPHER_MIN_STOP
+    ok_topword = top_cnt * GOPHER_TOPWORD_DEN <= n_words
+    keep = ok_words & ok_meanlen & ok_stop & ok_topword
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        char_sum.alias("char_sum"),
+        stop_hits.alias("stop_hits"),
+        top_cnt.alias("top_cnt"),
+        ok_words.cast("int").alias("ok_words"),
+        ok_meanlen.cast("int").alias("ok_meanlen"),
+        ok_stop.cast("int").alias("ok_stop"),
+        ok_topword.cast("int").alias("ok_topword"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS INT)
+           AS char_sum,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains([{_STOP_LIST}], x))) AS INT) AS stop_hits
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(max(cnt) AS INT) AS top_cnt
+  FROM (SELECT doc_id, w, count(*) AS cnt FROM u GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, char_sum, stop_hits, top_cnt,
+  CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+        AND n_words <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS ok_words,
+  CASE WHEN char_sum >= {GOPHER_MEANLEN_LO} * n_words
+        AND char_sum <= {GOPHER_MEANLEN_HI} * n_words
+       THEN 1 ELSE 0 END AS ok_meanlen,
+  CASE WHEN stop_hits >= {GOPHER_MIN_STOP} THEN 1 ELSE 0 END AS ok_stop,
+  CASE WHEN top_cnt * {GOPHER_TOPWORD_DEN} <= n_words
+       THEN 1 ELSE 0 END AS ok_topword,
+  CASE WHEN n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND char_sum >= {GOPHER_MEANLEN_LO} * n_words
+        AND char_sum <= {GOPHER_MEANLEN_HI} * n_words
+        AND stop_hits >= {GOPHER_MIN_STOP}
+        AND top_cnt * {GOPHER_TOPWORD_DEN} <= n_words
+       THEN 1 ELSE 0 END AS keep
+FROM t JOIN c USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "quality_score": quality_score,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
     "gopher_repetition": gopher_repetition,
+    "gopher_quality": gopher_quality,
     "bpe_encode": bpe_encode,
 }
 
@@ -391,5 +506,6 @@ ORACLE_SQL = {
     "token_count_bpe": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "bpe_encode": SQL_BPE_ENCODE,
 }

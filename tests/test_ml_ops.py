@@ -733,3 +733,108 @@ def test_canon_url_mechanism_adversarial(spark):
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {r.url: r.canon for r in df.select("url", canon_url(F.col("url")).alias("canon")).collect()}
     assert got == cases
+
+
+def test_gopher_quality_matches_naive_python(spark):
+    """Every stat and rule flag recomputed naively (Counter over the
+    raw text), including the narrow sorted-run top-unigram count —
+    the one expression a regression (off-by-one run reset, sentinel
+    collision) would silently skew."""
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import (
+        GOPHER_MEANLEN_HI,
+        GOPHER_MEANLEN_LO,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_TOPWORD_DEN,
+        STOPWORDS,
+        gopher_quality,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in gopher_quality(spark, SF).collect()}
+    assert set(got) == set(docs)
+    kept, dropped = 0, 0
+    for doc_id, text in docs.items():
+        words = text.split(" ")
+        n = len(words)
+        char_sum = sum(len(w) for w in words)
+        stop = sum(1 for w in words if w in STOPWORDS)
+        top = max(Counter(words).values())
+        r = got[doc_id]
+        assert (r.n_words, r.char_sum, r.stop_hits, r.top_cnt) == (
+            n, char_sum, stop, top,
+        )
+        exp_keep = int(
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MEANLEN_LO * n <= char_sum <= GOPHER_MEANLEN_HI * n
+            and stop >= GOPHER_MIN_STOP
+            and top * GOPHER_TOPWORD_DEN <= n
+        )
+        assert r.keep == exp_keep
+        assert r.keep == (r.ok_words and r.ok_meanlen and r.ok_stop and r.ok_topword)
+        kept += exp_keep
+        dropped += 1 - exp_keep
+    # the filter must actually split the corpus, else the test is vacuous
+    assert kept > 0 and dropped > 0
+
+
+def test_shuffle_deterministic_is_bijective_permutation(spark):
+    """pos must be a dense permutation 0..n-1, stable across input
+    partition layouts, and equal to the naive global rank of the
+    seeded hash (the shard-rebase must be invisible)."""
+    import hashlib
+
+    from freki_spark.functions.corpus_prep import (
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+        shuffle_deterministic,
+    )
+
+    rows = shuffle_deterministic(spark, SF).collect()
+    n = len(rows)
+    assert sorted(r.pos for r in rows) == list(range(n))
+    # independent recompute: python md5 ranks
+    def key(doc_id):
+        h = hashlib.md5(f"shuffle:{SHUFFLE_SEED}:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    exp_order = sorted(
+        (r.doc_id for r in rows),
+        key=lambda d: (key(d) % SHUFFLE_SHARDS, key(d), d),
+    )
+    got_order = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+    assert got_order == exp_order
+    for r in rows:
+        assert r.shuffle_key == key(r.doc_id)
+        assert r.shard == key(r.doc_id) % SHUFFLE_SHARDS
+
+
+def test_star_contract_long_chain_and_agreement(spark):
+    """large-star/small-star must label a 96-node CHAIN — the graph
+    shape where min-label propagation needs O(n) rounds — within the
+    O(log^2 n) iteration cap, and cc_bigstar must agree label-for-label
+    with dedup_components on the corpus graph (same min-id contract)."""
+    from freki_spark.functions.dedup import (
+        cc_bigstar,
+        dedup_components,
+        star_contract,
+    )
+
+    # chain 0-1-2-...-95 plus a disjoint triangle {500, 501, 502}
+    chain = [(i, i + 1) for i in range(95)]
+    tri = [(500, 501), (501, 502), (500, 502)]
+    edges = spark.createDataFrame(chain + tri, ["a", "b"])
+    lab = {r.doc_id: r.comp for r in star_contract(edges).collect()}
+    assert all(lab[i] == 0 for i in range(96))
+    assert all(lab[i] == 500 for i in (500, 501, 502))
+    assert len(lab) == 99
+
+    want = {(r.doc_id, r.comp) for r in dedup_components(spark, SF).collect()}
+    got = {(r.doc_id, r.comp) for r in cc_bigstar(spark, SF).collect()}
+    assert got == want

@@ -366,6 +366,39 @@ def main() -> int:
         f"user_id Exchanges={n_user_ex}, Sorts={n_sort} for 2 windows",
     )
 
+    # 19. Gopher quality rules: ZERO Exchange — every stat including
+    #     the top-unigram count (sorted-run scan, not explode+groupBy)
+    #     is a narrow per-row expression
+    p = plan_of(QUERIES["gopher_quality"](spark, sf_dir))
+    check(
+        "gopher_quality_narrow",
+        "Exchange" not in p and "Generate" not in p,
+        "zero Exchange, zero explode in the rule-set plan",
+    )
+
+    # 20. deterministic shuffle: the corpus-sized dense rank runs at
+    #     _shard_ grain (windowspecdefinition on the shard key), the
+    #     per-shard bases join back via broadcast, and the only shard
+    #     Exchanges are (a) the window's hash partition of the big
+    #     side and (b) the counts branch — which must partially
+    #     aggregate map-side first, so it shuffles ≤64 count rows per
+    #     task, never corpus rows
+    p = plan_of(QUERIES["shuffle_deterministic"](spark, sf_dir))
+    sharded = bool(re.search(r"windowspecdefinition\(shard#\d+", p))
+    n_shard_ex = len(re.findall(r"Arguments: hashpartitioning\(shard", p))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    counts_partial = "partial_count" in p and agg and ex and min(agg) < max(ex)
+    check(
+        "shuffle_sharded_rank",
+        sharded
+        and n_shard_ex <= 2
+        and counts_partial
+        and "BroadcastHashJoin" in p,
+        f"shard-grain window={sharded}, shard Exchanges={n_shard_ex} "
+        "(counts branch partial-agg'd), broadcast base join",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
