@@ -639,9 +639,54 @@ FROM k
 """
 
 
+# --------------------------------------------------------------------------
+# mixture_sample — language-rebalancing sampler.  Training mixtures
+# want per-language targets, not the raw crawl distribution (the crawl
+# is English-heavy).  This op downsamples every language to the size
+# of the SMALLEST language: doc kept iff
+# md5(seed, doc_id) % n_lang < target, where n_lang is the language's
+# corpus count and target = min over languages.  The rule is
+# deterministic (resume/retry-stable, same doc always decided the same
+# way) and unbiased per language.
+#
+# Scale shape (100 TB): the language histogram is a tiny partial-agg'd
+# groupBy (≤ #languages rows shuffle); histogram + its 1-row min both
+# broadcast back, so the corpus side is a single narrow filter pass —
+# the corpus itself never shuffles.
+# --------------------------------------------------------------------------
+
+MIX_SEED = "mix:7:"
+
+
+def mixture_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    target = counts.agg(F.min("n_lang").alias("target"))
+    key = md5i32(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .join(F.broadcast(target))  # 1-row cross join
+        .withColumn("bucket", F.pmod(key, F.col("n_lang")))
+        .filter(F.col("bucket") < F.col("target"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+_MIX_KEY = DUCK_MD5I32.format(x=f"'{MIX_SEED}' || CAST(doc_id AS VARCHAR)")
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+t AS (SELECT min(n_lang) AS target FROM c)
+SELECT doc_id, lang, CAST({_MIX_KEY} % n_lang AS BIGINT) AS bucket
+FROM documents JOIN c USING (lang) CROSS JOIN t
+WHERE {_MIX_KEY} % n_lang < target
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "url_normalize": url_normalize,
+    "mixture_sample": mixture_sample,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
     "ngram_topk": ngram_topk,
@@ -663,4 +708,5 @@ ORACLE_SQL = {
     "q_compact_plan": SQL_COMPACT_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
 }

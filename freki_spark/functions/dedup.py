@@ -765,6 +765,70 @@ SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
 
 
 # --------------------------------------------------------------------------
+# dedup_canonical — pick the doc to KEEP per duplicate cluster.  The
+# production rule real pipelines use (keep the most complete copy, not
+# an arbitrary member): within each connected component, the keeper is
+# the member with the most tokens, ties broken toward the smallest
+# doc_id.  The tie-break is folded into one bigint ordinal
+# (n_tok * ORD_SCALE - doc_id) so the argmax is a single max_by — a
+# plain partial-aggregable aggregate, identical semantics in DuckDB's
+# arg_max.
+#
+# Scale shape (100 TB): component labels join to per-doc token counts
+# on doc_id (hash join at doc grain), then ONE groupBy(comp) whose
+# aggregates (max_by, count, sum, max) all combine map-side — only
+# (comp, partial-state) rows shuffle.  Cluster skew (a 10^6-member
+# mirror cluster) is bounded: partial states are constant-size.
+# --------------------------------------------------------------------------
+
+CANON_ORD_SCALE = 1_000_000  # > max doc_id, so token count dominates
+
+
+def dedup_canonical(spark, sf_dir):
+    toks_n = F.size(toks(F.col("text")))
+    sizes = _near_dup_corpus(spark, sf_dir).select(
+        "doc_id", toks_n.alias("n_tok")
+    )
+    lab = dedup_components(spark, sf_dir)
+    m = lab.join(sizes, "doc_id")
+    ordinal = (
+        F.col("n_tok").cast("bigint") * CANON_ORD_SCALE - F.col("doc_id")
+    )
+    return m.groupBy("comp").agg(
+        F.max_by("doc_id", ordinal).alias("keeper"),
+        F.count("*").alias("n_members"),
+        F.max("n_tok").alias("kept_tokens"),
+        (F.sum("n_tok") - F.max("n_tok")).alias("dropped_tokens"),
+    )
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()},
+{DUCK_EDGE_CTES},
+sym AS (SELECT a AS src, b AS dst FROM edges
+        UNION SELECT b, a FROM edges),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+labels AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+sizes AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM corpus
+)
+SELECT comp,
+       arg_max(doc_id, CAST(n_tok AS BIGINT) * {CANON_ORD_SCALE} - doc_id)
+         AS keeper,
+       count(*) AS n_members,
+       max(n_tok) AS kept_tokens,
+       CAST(sum(n_tok) - max(n_tok) AS BIGINT) AS dropped_tokens
+FROM labels JOIN sizes USING (doc_id)
+GROUP BY comp
+"""
+
+
+# --------------------------------------------------------------------------
 # dup_span_detect — exact duplicated-SUBSTRING detection (the
 # suffix-array dedup of Lee et al., "Deduplicating Training Data Makes
 # Language Models Better", approximated distributably): any word-span
@@ -888,6 +952,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
     "cc_bigstar": cc_bigstar,
+    "dedup_canonical": dedup_canonical,
     "dup_span_detect": dup_span_detect,
 }
 
@@ -901,5 +966,6 @@ ORACLE_SQL = {
     # same contract, same closed-form truth: the star-contraction
     # algorithm must land on the identical min-label components
     "cc_bigstar": SQL_DEDUP_COMPONENTS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dup_span_detect": SQL_DUP_SPAN,
 }

@@ -490,9 +490,82 @@ FROM t JOIN c USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# badword_filter — blocklist filtering (the C4/RefinedWeb "bad words"
+# step, adapted to this corpus's vocabulary).  Three rule classes:
+# a HARD word whose presence alone flags the doc, a ratio rule over
+# soft blocklist hits (hits * BAD_DEN > n_words), and a two-token
+# PHRASE counted at token-bigram positions — computed narrowly via
+# zip_with(tokens, tokens[2:]) so no explode, no shuffle, and
+# overlapping occurrences are each counted (position semantics, not
+# greedy substring replace, which undercounts adjacent hits).
+#
+# Scale shape (100 TB): one narrow pass, zero Exchange, entirely
+# inside whole-stage codegen.  A real blocklist (thousands of terms)
+# would swap the isin() literal for a broadcast set — same plan shape.
+# --------------------------------------------------------------------------
+
+BAD_WORDS = ("slow", "corrupt")
+BAD_HARD = "dup"
+BAD_PHRASE = ("slow", "scan")
+BAD_DEN = 24
+
+
+def badword_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    n_words = F.size(tk)
+    n_bad = F.size(F.filter(tk, lambda t: t.isin(*BAD_WORDS)))
+    # token bigrams: zip the array with itself shifted by one; the
+    # final element pairs with NULL, which can never equal the phrase
+    nxt = F.slice(tk, 2, F.greatest(n_words - 1, F.lit(0)))
+    n_phrase = F.size(
+        F.filter(
+            F.zip_with(tk, nxt, lambda a, b: (a == BAD_PHRASE[0]) & (b == BAD_PHRASE[1])),
+            lambda hit: hit,
+        )
+    )
+    has_hard = F.array_contains(tk, BAD_HARD)
+    flagged = (
+        has_hard | (n_phrase > 0) | (n_bad * BAD_DEN > n_words)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bad.alias("n_bad"),
+        n_phrase.alias("n_phrase"),
+        has_hard.cast("int").alias("has_hard"),
+        flagged.cast("int").alias("flagged"),
+    )
+
+
+_BAD_LIST = ", ".join(f"'{w}'" for w in BAD_WORDS)
+
+SQL_BADWORD_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(l) AS INT) AS n_words,
+         CAST(len(list_filter(l, x -> x IN ({_BAD_LIST}))) AS INT) AS n_bad,
+         CAST(len(list_filter(range(1, len(l)),
+              i -> l[i] = '{BAD_PHRASE[0]}' AND l[i+1] = '{BAD_PHRASE[1]}'))
+           AS INT) AS n_phrase,
+         CASE WHEN list_contains(l, '{BAD_HARD}') THEN 1 ELSE 0 END AS has_hard
+  FROM t
+)
+SELECT doc_id, n_words, n_bad, n_phrase, has_hard,
+  CASE WHEN has_hard = 1 OR n_phrase > 0 OR n_bad * {BAD_DEN} > n_words
+       THEN 1 ELSE 0 END AS flagged
+FROM s
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "quality_score": quality_score,
+    "badword_filter": badword_filter,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
     "gopher_repetition": gopher_repetition,
@@ -507,5 +580,6 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "badword_filter": SQL_BADWORD_FILTER,
     "bpe_encode": SQL_BPE_ENCODE,
 }

@@ -1408,6 +1408,10 @@ _PRIORITY = [
     # green row covers §2 Q20); the other three follow just past the
     # round-1 window boundary
     "q_stream_extract",
+    # round-2 late additions (local gate + pytest verified; sit just
+    # past the round-1 window boundary so they never displace the
+    # judge-mandated slugs above)
+    "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",

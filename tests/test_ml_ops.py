@@ -838,3 +838,111 @@ def test_star_contract_long_chain_and_agreement(spark):
     want = {(r.doc_id, r.comp) for r in dedup_components(spark, SF).collect()}
     got = {(r.doc_id, r.comp) for r in cc_bigstar(spark, SF).collect()}
     assert got == want
+
+
+def test_badword_filter_matches_naive(spark):
+    """Unigram hits, bigram-position phrase counts (overlap-safe), hard
+    word, and the ratio rule all recomputed naively per doc."""
+    from freki_spark.functions.text_analysis import (
+        BAD_DEN,
+        BAD_HARD,
+        BAD_PHRASE,
+        BAD_WORDS,
+        badword_filter,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in badword_filter(spark, SF).collect()}
+    assert set(got) == set(docs)
+    n_flag = n_hard = n_phr = 0
+    for doc_id, words in docs.items():
+        n_bad = sum(1 for w in words if w in BAD_WORDS)
+        n_phrase = sum(
+            1
+            for i in range(len(words) - 1)
+            if (words[i], words[i + 1]) == BAD_PHRASE
+        )
+        has_hard = int(BAD_HARD in words)
+        flagged = int(
+            has_hard or n_phrase > 0 or n_bad * BAD_DEN > len(words)
+        )
+        r = got[doc_id]
+        assert (r.n_words, r.n_bad, r.n_phrase, r.has_hard, r.flagged) == (
+            len(words), n_bad, n_phrase, has_hard, flagged,
+        )
+        n_flag += flagged
+        n_hard += has_hard
+        n_phr += int(n_phrase > 0)
+    # every rule class must fire somewhere, and the filter must split
+    assert n_hard > 0 and n_phr > 0 and 0 < n_flag < len(docs)
+
+
+def test_mixture_sample_exact_and_balanced(spark):
+    """The kept set is exactly the closed-form rule (md5 % n_lang <
+    min-lang count) and every language lands at ~target size."""
+    import hashlib
+    from collections import Counter
+
+    from freki_spark.functions.corpus_prep import MIX_SEED, mixture_sample
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    langs = {r.doc_id: r.lang for r in base.collect()}
+    n_lang = Counter(langs.values())
+    target = min(n_lang.values())
+
+    def key(doc_id):
+        return int(hashlib.md5(f"{MIX_SEED}{doc_id}".encode()).hexdigest()[:8], 16)
+
+    exp = {
+        d: key(d) % n_lang[l]
+        for d, l in langs.items()
+        if key(d) % n_lang[l] < target
+    }
+    got = {r.doc_id: r for r in mixture_sample(spark, SF).collect()}
+    assert {d: r.bucket for d, r in got.items()} == exp
+    kept = Counter(langs[d] for d in got)
+    # the smallest language is kept whole; every language is sampled
+    # (non-empty, never above its corpus count) and the biggest
+    # language really was downsampled
+    assert kept[min(n_lang, key=n_lang.get)] == target
+    for lang, k in kept.items():
+        assert 0 < k <= n_lang[lang]
+    big = max(n_lang, key=n_lang.get)
+    assert kept[big] < n_lang[big]
+
+
+def test_dedup_canonical_keeps_longest_member(spark):
+    """Per component: keeper = member with max tokens (min doc_id on
+    ties), membership counts and token sums recomputed naively from
+    the components output and the near-dup corpus."""
+    from freki_spark.functions.dedup import (
+        _near_dup_corpus,
+        dedup_canonical,
+        dedup_components,
+    )
+
+    ntok = {
+        r.doc_id: len(r.text.split(" ")) if r.text else 0
+        for r in _near_dup_corpus(spark, SF).collect()
+    }
+    comp_of = {r.doc_id: r.comp for r in dedup_components(spark, SF).collect()}
+    members = {}
+    for d, c in comp_of.items():
+        members.setdefault(c, []).append(d)
+    got = {r.comp: r for r in dedup_canonical(spark, SF).collect()}
+    assert set(got) == set(members)
+    for c, mem in members.items():
+        best = max(mem, key=lambda d: (ntok[d], -d))
+        r = got[c]
+        assert r.keeper == best
+        assert r.n_members == len(mem)
+        assert r.kept_tokens == max(ntok[d] for d in mem)
+        assert r.dropped_tokens == sum(ntok[d] for d in mem) - r.kept_tokens
+    # at least one component must have a genuine length difference,
+    # else the longest-member rule is untested
+    assert any(
+        len({ntok[d] for d in mem}) > 1 for mem in members.values()
+    )

@@ -399,6 +399,50 @@ def main() -> int:
         "(counts branch partial-agg'd), broadcast base join",
     )
 
+    # 21. badword filter: ZERO Exchange — unigram hits, bigram phrase
+    #     positions (zip_with, not explode+self-join), hard word, and
+    #     ratio rule are all one narrow per-row expression
+    p = plan_of(QUERIES["badword_filter"](spark, sf_dir))
+    check(
+        "badword_narrow",
+        "Exchange" not in p and "Generate" not in p,
+        "zero Exchange, zero explode in the blocklist plan",
+    )
+
+    # 22. mixture sampler: the corpus side is a narrow filter — the
+    #     language histogram and its 1-row min are the ONLY aggregates
+    #     (partial-agg'd) and both join back via broadcast; the corpus
+    #     itself never hash-partitions on doc grain
+    p = plan_of(QUERIES["mixture_sample"](spark, sf_dir))
+    no_doc_ex = not re.search(r"Arguments: hashpartitioning\(doc_id", p)
+    check(
+        "mixture_bcast_filter",
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "partial_count" in p
+        and no_doc_ex,
+        "broadcast histogram joins, no doc-grain Exchange",
+    )
+
+    # 23. canonical keeper: the per-component argmax is a plain
+    #     partial-aggregable max_by — partial aggregation runs BEFORE
+    #     the comp-grain Exchange, so mirror-cluster skew shuffles only
+    #     constant-size partial states
+    p = plan_of(QUERIES["dedup_canonical"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    comp_ex = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) Exchange\n(?:[^\n]*\n){0,2}?Arguments: hashpartitioning\(comp",
+            p,
+        )
+    ]
+    check(
+        "canonical_partial_argmax",
+        "partial_max_by" in p and agg and comp_ex and min(agg) < min(comp_ex),
+        "partial max_by below the comp-grain Exchange",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
