@@ -583,17 +583,24 @@ SQL_URL_NORMALIZE = _sql_url_normalize()
 # rank of md5(seed, doc_id).
 #
 # Scale shape (100 TB): the dense rank never runs as one global sort.
-# The hash's low bits split the corpus into SHUFFLE_SHARDS ranges;
-# within-shard ranks use (shard)-grain windows and the global offset
+# The hash's HIGH bits split the key space into 2^SHUFFLE_SHARD_BITS
+# contiguous RANGES (shard = key >> (32 - bits)), so concatenating
+# within-shard (key, doc_id) orders in shard order IS the global
+# (key, doc_id) order — the shard count is a pure parallelism dial
+# (2^10..2^20 at real scale) that can be retuned without changing a
+# single position, which is what makes a mid-epoch resume after a
+# parallelism change safe.  (Low-bit modulo sharding would interleave
+# the ranges and bake the shard count into the permutation itself.)
+# Within-shard ranks use (shard)-grain windows and the global offset
 # of each shard comes from a tiny count-per-shard agg broadcast back —
-# the exact two-pass rebase q_compact_plan/pack_sequences use.  Shard
-# count is the parallelism dial (2^10..2^20 at real scale); the
+# the exact two-pass rebase q_compact_plan/pack_sequences use.  The
 # only full-data exchange is the one hash partition any dense global
 # numbering needs.
 # --------------------------------------------------------------------------
 
 SHUFFLE_SEED = 42
-SHUFFLE_SHARDS = 64
+SHUFFLE_SHARD_BITS = 6  # 64 shards
+SHUFFLE_SHARDS = 1 << SHUFFLE_SHARD_BITS
 
 
 def shuffle_deterministic(spark, sf_dir):
@@ -601,10 +608,15 @@ def shuffle_deterministic(spark, sf_dir):
     key = md5i32(
         F.concat(F.lit(f"shuffle:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
     )
+    # module attr read at call time so tests can exercise the
+    # shard-count-invariance contract by monkeypatching the bits
+    import freki_spark.functions.corpus_prep as _self
+
+    bits = _self.SHUFFLE_SHARD_BITS
     d = d.select(
         "doc_id",
         key.alias("shuffle_key"),
-        F.pmod(key, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+        F.shiftright(key, 32 - bits).cast("int").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     d = d.withColumn("_intra", F.row_number().over(w) - 1)
@@ -626,14 +638,17 @@ _SHUF_KEY = DUCK_MD5I32.format(
     x=f"'shuffle:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)"
 )
 
+# high-bit range shards mean ORDER BY (shuffle_key, doc_id) alone
+# defines pos — the oracle states the op's REAL contract (global
+# seeded-hash order), independent of any shard count
 SQL_SHUFFLE_DETERMINISTIC = f"""
 WITH k AS (
   SELECT doc_id, {_SHUF_KEY} AS shuffle_key,
-         CAST({_SHUF_KEY} % {SHUFFLE_SHARDS} AS INT) AS shard
+         CAST({_SHUF_KEY} >> {32 - SHUFFLE_SHARD_BITS} AS INT) AS shard
   FROM documents
 )
 SELECT doc_id, shuffle_key, shard,
-       CAST(row_number() OVER (ORDER BY shard, shuffle_key, doc_id) - 1 AS BIGINT)
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
          AS pos
 FROM k
 """

@@ -672,7 +672,10 @@ def dedup_components(spark, sf_dir):
 # hub node cannot blow a task).
 # --------------------------------------------------------------------------
 
-BIGSTAR_MAX_ITERS = 30
+# round need grows ~log2(n)+~3.3/decade on pure chains (measured: 10^3
+# nodes -> 11 rounds, 10^6 -> 21, extrapolated 10^12 -> ~41); 64 keeps
+# headroom over any realizable corpus without masking true divergence
+BIGSTAR_MAX_ITERS = 64
 
 
 def _large_star(edges):
@@ -719,31 +722,38 @@ def star_contract(raw_edges):
         .distinct()
         .persist()
     )
-    for _ in range(BIGSTAR_MAX_ITERS):
-        # localCheckpoint each round: O(1) lineage depth, like
-        # dedup_components
-        new = _small_star(_large_star(edges)).localCheckpoint()
-        unchanged = (
-            new.join(edges, ["hi", "lo"], "left_anti").isEmpty()
-            and edges.join(new, ["hi", "lo"], "left_anti").isEmpty()
+    try:
+        for _ in range(BIGSTAR_MAX_ITERS):
+            # localCheckpoint each round: O(1) lineage depth, like
+            # dedup_components
+            new = _small_star(_large_star(edges)).localCheckpoint()
+            unchanged = (
+                new.join(edges, ["hi", "lo"], "left_anti").isEmpty()
+                and edges.join(new, ["hi", "lo"], "left_anti").isEmpty()
+            )
+            edges = new
+            if unchanged:
+                break
+        else:
+            raise RuntimeError(
+                f"large-star/small-star did not converge in "
+                f"{BIGSTAR_MAX_ITERS} rounds — O(log^2 n) bound exceeded, "
+                f"input edge set suspect"
+            )
+        # converged: a star forest (child -> component-min root); roots
+        # appear only as lo, so they label themselves via coalesce
+        roots = edges.groupBy("hi").agg(F.min("lo").alias("comp"))
+        out = (
+            nodes.join(roots, nodes.doc_id == roots.hi, "left")
+            .select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
+            # materialize before nodes.unpersist() in finally: out is
+            # returned lazily, so its nodes-side input must not lose
+            # its cache out from under the caller
+            .localCheckpoint()
         )
-        edges = new
-        if unchanged:
-            break
-    else:
-        raise RuntimeError(
-            f"large-star/small-star did not converge in {BIGSTAR_MAX_ITERS} "
-            f"rounds — O(log^2 n) bound exceeded, input edge set suspect"
-        )
-    # converged: a star forest (child -> component-min root); roots
-    # appear only as lo, so they label themselves via coalesce
-    roots = edges.groupBy("hi").agg(F.min("lo").alias("comp"))
-    out = (
-        nodes.join(roots, nodes.doc_id == roots.hi, "left")
-        .select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
-    )
-    nodes.unpersist()
-    return out
+        return out
+    finally:
+        nodes.unpersist()
 
 
 def cc_bigstar(spark, sf_dir):
@@ -774,14 +784,18 @@ SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
 # plain partial-aggregable aggregate, identical semantics in DuckDB's
 # arg_max.
 #
+# The argmax ordinal is a STRUCT (n_tok, -doc_id), not a folded
+# bigint: folding (n_tok * SCALE - doc_id) silently elects the wrong
+# keeper the moment any doc_id reaches SCALE, and at 10^12 docs every
+# fixed scale is eventually wrong.  Struct ordering is exact at any
+# id width; Spark's max_by still partially aggregates it.
+#
 # Scale shape (100 TB): component labels join to per-doc token counts
 # on doc_id (hash join at doc grain), then ONE groupBy(comp) whose
 # aggregates (max_by, count, sum, max) all combine map-side — only
 # (comp, partial-state) rows shuffle.  Cluster skew (a 10^6-member
 # mirror cluster) is bounded: partial states are constant-size.
 # --------------------------------------------------------------------------
-
-CANON_ORD_SCALE = 1_000_000  # > max doc_id, so token count dominates
 
 
 def dedup_canonical(spark, sf_dir):
@@ -791,8 +805,8 @@ def dedup_canonical(spark, sf_dir):
     )
     lab = dedup_components(spark, sf_dir)
     m = lab.join(sizes, "doc_id")
-    ordinal = (
-        F.col("n_tok").cast("bigint") * CANON_ORD_SCALE - F.col("doc_id")
+    ordinal = F.struct(
+        F.col("n_tok").alias("nt"), (-F.col("doc_id")).alias("negid")
     )
     return m.groupBy("comp").agg(
         F.max_by("doc_id", ordinal).alias("keeper"),
@@ -816,15 +830,23 @@ labels AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
 sizes AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
   FROM corpus
+),
+labeled AS (SELECT comp, doc_id, n_tok FROM labels JOIN sizes USING (doc_id)),
+agg AS (
+  SELECT comp, count(*) AS n_members, max(n_tok) AS kept_tokens,
+         CAST(sum(n_tok) - max(n_tok) AS BIGINT) AS dropped_tokens
+  FROM labeled GROUP BY comp
+),
+k AS (
+  SELECT comp, doc_id AS keeper FROM (
+    SELECT comp, doc_id,
+           row_number() OVER (PARTITION BY comp
+                              ORDER BY n_tok DESC, doc_id ASC) AS rn
+    FROM labeled
+  ) WHERE rn = 1
 )
-SELECT comp,
-       arg_max(doc_id, CAST(n_tok AS BIGINT) * {CANON_ORD_SCALE} - doc_id)
-         AS keeper,
-       count(*) AS n_members,
-       max(n_tok) AS kept_tokens,
-       CAST(sum(n_tok) - max(n_tok) AS BIGINT) AS dropped_tokens
-FROM labels JOIN sizes USING (doc_id)
-GROUP BY comp
+SELECT comp, keeper, n_members, kept_tokens, dropped_tokens
+FROM agg JOIN k USING (comp)
 """
 
 

@@ -429,22 +429,35 @@ def gopher_quality(spark, sf_dir):
     d = _docs(spark, sf_dir)
     tk = toks(F.col("text"))
     n_words = F.size(tk)
-    char_sum = F.length("text") - (n_words - 1)
-    stop_hits = F.size(F.filter(tk, lambda t: t.isin(STOPWORDS)))
-    top_cnt = _top_run_count(tk)
-    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    ok_meanlen = (char_sum >= GOPHER_MEANLEN_LO * n_words) & (
-        char_sum <= GOPHER_MEANLEN_HI * n_words
-    )
-    ok_stop = stop_hits >= GOPHER_MIN_STOP
-    ok_topword = top_cnt * GOPHER_TOPWORD_DEN <= n_words
-    keep = ok_words & ok_meanlen & ok_stop & ok_topword
-    return d.select(
+    # two-stage select: lambda-bearing higher-order expressions
+    # (filter, aggregate) are excluded from Spark's subexpression
+    # elimination (SPARK-35410), so referencing them from multiple
+    # output columns would evaluate the O(n log n) scans once PER
+    # REFERENCE.  Stage 1 computes each expensive stat exactly once;
+    # stage 2 derives the rule flags from plain column refs (cheap
+    # comparisons CollapseProject is free to inline).
+    stats = d.select(
         "doc_id",
         n_words.alias("n_words"),
-        char_sum.alias("char_sum"),
-        stop_hits.alias("stop_hits"),
-        top_cnt.alias("top_cnt"),
+        (F.length("text") - (n_words - 1)).alias("char_sum"),
+        F.size(F.filter(tk, lambda t: t.isin(STOPWORDS))).alias("stop_hits"),
+        _top_run_count(tk).alias("top_cnt"),
+    )
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_meanlen = (F.col("char_sum") >= GOPHER_MEANLEN_LO * F.col("n_words")) & (
+        F.col("char_sum") <= GOPHER_MEANLEN_HI * F.col("n_words")
+    )
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP
+    ok_topword = F.col("top_cnt") * GOPHER_TOPWORD_DEN <= F.col("n_words")
+    keep = ok_words & ok_meanlen & ok_stop & ok_topword
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "char_sum",
+        "stop_hits",
+        "top_cnt",
         ok_words.cast("int").alias("ok_words"),
         ok_meanlen.cast("int").alias("ok_meanlen"),
         ok_stop.cast("int").alias("ok_stop"),
@@ -526,15 +539,26 @@ def badword_filter(spark, sf_dir):
         )
     )
     has_hard = F.array_contains(tk, BAD_HARD)
-    flagged = (
-        has_hard | (n_phrase > 0) | (n_bad * BAD_DEN > n_words)
-    )
-    return d.select(
+    # stage 1 evaluates each lambda-bearing scan once (they are CSE-
+    # excluded, see gopher_quality); stage 2's flag is column-ref math
+    stats = d.select(
         "doc_id",
         n_words.alias("n_words"),
         n_bad.alias("n_bad"),
         n_phrase.alias("n_phrase"),
         has_hard.cast("int").alias("has_hard"),
+    )
+    flagged = (
+        (F.col("has_hard") == 1)
+        | (F.col("n_phrase") > 0)
+        | (F.col("n_bad") * BAD_DEN > F.col("n_words"))
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_bad",
+        "n_phrase",
+        "has_hard",
         flagged.cast("int").alias("flagged"),
     )
 

@@ -784,35 +784,35 @@ def test_gopher_quality_matches_naive_python(spark):
     assert kept > 0 and dropped > 0
 
 
-def test_shuffle_deterministic_is_bijective_permutation(spark):
-    """pos must be a dense permutation 0..n-1, stable across input
-    partition layouts, and equal to the naive global rank of the
-    seeded hash (the shard-rebase must be invisible)."""
+def test_shuffle_deterministic_is_bijective_permutation(spark, monkeypatch):
+    """pos must be a dense permutation 0..n-1 equal to the GLOBAL rank
+    of the seeded hash — the shard decomposition must be invisible:
+    re-running with a different shard count (monkeypatched bits) must
+    produce the identical permutation."""
     import hashlib
 
-    from freki_spark.functions.corpus_prep import (
-        SHUFFLE_SEED,
-        SHUFFLE_SHARDS,
-        shuffle_deterministic,
-    )
+    import freki_spark.functions.corpus_prep as cp
 
-    rows = shuffle_deterministic(spark, SF).collect()
+    rows = cp.shuffle_deterministic(spark, SF).collect()
     n = len(rows)
     assert sorted(r.pos for r in rows) == list(range(n))
-    # independent recompute: python md5 ranks
+    # independent recompute: python md5 ranks, NO shard term — the
+    # contract is the pure (key, doc_id) order
     def key(doc_id):
-        h = hashlib.md5(f"shuffle:{SHUFFLE_SEED}:{doc_id}".encode()).hexdigest()
+        h = hashlib.md5(f"shuffle:{cp.SHUFFLE_SEED}:{doc_id}".encode()).hexdigest()
         return int(h[:8], 16)
 
-    exp_order = sorted(
-        (r.doc_id for r in rows),
-        key=lambda d: (key(d) % SHUFFLE_SHARDS, key(d), d),
-    )
+    exp_order = sorted((r.doc_id for r in rows), key=lambda d: (key(d), d))
     got_order = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
     assert got_order == exp_order
     for r in rows:
         assert r.shuffle_key == key(r.doc_id)
-        assert r.shard == key(r.doc_id) % SHUFFLE_SHARDS
+        assert r.shard == key(r.doc_id) >> (32 - cp.SHUFFLE_SHARD_BITS)
+    # shard count is a parallelism dial, not a semantics dial: 8
+    # shards must yield the same doc_id -> pos map as 64
+    monkeypatch.setattr(cp, "SHUFFLE_SHARD_BITS", 3)
+    alt = {r.doc_id: r.pos for r in cp.shuffle_deterministic(spark, SF).collect()}
+    assert alt == {r.doc_id: r.pos for r in rows}
 
 
 def test_star_contract_long_chain_and_agreement(spark):
@@ -924,8 +924,10 @@ def test_dedup_canonical_keeps_longest_member(spark):
         dedup_components,
     )
 
+    # len(''.split(' ')) == 1 matches both engines' size(split(...))
+    # semantics for empty text — no special-casing
     ntok = {
-        r.doc_id: len(r.text.split(" ")) if r.text else 0
+        r.doc_id: len(r.text.split(" "))
         for r in _near_dup_corpus(spark, SF).collect()
     }
     comp_of = {r.doc_id: r.comp for r in dedup_components(spark, SF).collect()}

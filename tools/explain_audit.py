@@ -427,9 +427,14 @@ def main() -> int:
     # 23. canonical keeper: the per-component argmax is a plain
     #     partial-aggregable max_by — partial aggregation runs BEFORE
     #     the comp-grain Exchange, so mirror-cluster skew shuffles only
-    #     constant-size partial states
+    #     constant-size partial states.  (Struct-ordered max_by plans
+    #     as SortAggregate — the partial-before-shuffle property is
+    #     what matters, not the aggregate flavor.)
     p = plan_of(QUERIES["dedup_canonical"](spark, sf_dir))
-    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    agg = [
+        int(m)
+        for m in re.findall(r"(?:Hash|Sort|ObjectHash)Aggregate \((\d+)\)", p)
+    ]
     comp_ex = [
         int(m)
         for m in re.findall(
