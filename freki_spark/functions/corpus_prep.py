@@ -698,8 +698,244 @@ WHERE {_MIX_KEY} % n_lang < target
 """
 
 
+# --------------------------------------------------------------------------
+# text_normalize — Unicode + whitespace normalization, the first step
+# of every web-corpus pipeline: NFC composition, NBSP → space,
+# zero-width-space removal, whitespace collapse, trim.  The driver
+# corpus is ASCII, so a deterministic "dirty" variant is derived first
+# (combining acute after ' a ' tokens, NBSP+ZWSP around ' row ') — the
+# normalization mechanism is what is verified cross-engine, exactly
+# like pii_scrub synthesizes its PII.
+#
+# NFC runs in an Arrow-batched pandas UDF (Spark has no built-in
+# Unicode normalizer; DuckDB's nfc_normalize is the oracle — both
+# implement UAX#15 so the composed bytes agree).  Everything before
+# and after the UDF is JVM-side string work.
+#
+# Scale shape (100 TB): one narrow pass, zero Exchange; the only
+# Python is the Arrow-batched NFC map (columnar transfer, no per-row
+# serialization) — the unavoidable slice, kept minimal.
+# --------------------------------------------------------------------------
+
+NBSP = "\u00a0"
+ZWSP = "\u200b"
+COMB_ACUTE = "\u0301"
+
+
+def _dirty_text(col):
+    d = F.replace(col, F.lit(" a "), F.lit(f" a{COMB_ACUTE} "))
+    return F.replace(d, F.lit(" row "), F.lit(f"{NBSP}row{ZWSP} "))
+
+
+def text_normalize(spark, sf_dir):
+    import pandas as pd  # noqa: F401 — signature type only
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = _docs(spark, sf_dir)
+    stage = d.select("doc_id", _dirty_text(F.col("text")).alias("dirty"))
+    comp = nfc(F.col("dirty"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.replace(F.replace(comp, F.lit(NBSP), F.lit(" ")), F.lit(ZWSP), F.lit("")),
+            " +",
+            " ",
+        )
+    )
+    return stage.select(
+        "doc_id",
+        F.length("dirty").cast("int").alias("n_chars_dirty"),
+        F.length(clean).cast("int").alias("n_chars_clean"),
+        clean.alias("text_clean"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH dirty AS (
+  SELECT doc_id,
+         replace(replace(text, ' a ', ' a' || chr(769) || ' '),
+                 ' row ', chr(160) || 'row' || chr(8203) || ' ') AS dirty
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, dirty,
+         trim(regexp_replace(
+             replace(replace(nfc_normalize(dirty), chr(160), ' '),
+                     chr(8203), ''),
+             ' +', ' ', 'g')) AS text_clean
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(length(dirty) AS INT) AS n_chars_dirty,
+       CAST(length(text_clean) AS INT) AS n_chars_clean,
+       text_clean
+FROM clean
+"""
+
+
+# --------------------------------------------------------------------------
+# dehyphenate — repair line-break hyphenation, the classic PDF/layout
+# extraction post-step: when a line ends with "pre-" and the next line
+# starts lowercase, the split word is rejoined ("pre-" + "fix" →
+# "prefix") and the leftover first token removed from the next line.
+# The corpus has no real line breaks, so hyphenated lines are first
+# synthesized deterministically (6-token lines; every odd line whose
+# last token has ≥4 chars is split at its midpoint) — then the GENERIC
+# repair kernel (no knowledge of the synthesis) undoes them.  Because
+# the synthesis is constructed to be fully repairable and the corpus
+# is single-spaced lowercase, the repaired text equals the original
+# text and the oracle states that closed form (the kernel itself is
+# additionally pinned by an adversarial pytest against a naive-python
+# reference on pathological inputs the closed form never exercises).
+#
+# Scale shape (100 TB): entirely per-row array expressions — zero
+# Exchange, zero Python; a real deployment applies `_dehyph_pieces`
+# to the extracted line spans of each document (per-doc arrays, so
+# still narrow).
+# --------------------------------------------------------------------------
+
+LINE_W = 6
+HYPH_MIN_TOKEN = 4  # synthesized split applies to last tokens >= 4 chars
+
+
+def _last_tok(s):
+    return F.element_at(F.split(s, " "), -1)
+
+
+def _first_tok(s):
+    return F.element_at(F.split(s, " "), 1)
+
+
+def _mrg(hl, n, i):
+    """Line i merges into line i+1: ends with a multi-char '-' token
+    and the next line starts with a lowercase letter.  The bounds
+    check is a CaseWhen guard (lazy branch evaluation) so the
+    element_at calls never see an out-of-range index under ANSI."""
+    cur = F.element_at(hl, i)
+    nxt = F.element_at(hl, i + 1)
+    return F.when(
+        (i >= F.lit(1)) & (i < n),
+        F.endswith(cur, F.lit("-"))
+        & (F.length(_last_tok(cur)) >= 2)
+        & F.substring(nxt, 1, 1).rlike("^[a-z]$"),
+    ).otherwise(F.lit(False))
+
+
+def _dehyph_pieces(hl, n):
+    """Repaired per-line pieces of a hyphenated-lines array `hl` of
+    size `n` (generic kernel — used by the operator and unit-tested on
+    adversarial inputs).  Order: a line first loses its first token if
+    the previous line merged into it, then (independently) absorbs the
+    next line's first token if it merges forward."""
+
+    def piece(i):
+        cur = F.element_at(hl, i)
+        took = _mrg(hl, n, i - 1)  # previous line consumed our first token
+        base = F.when(
+            took,
+            F.when(
+                F.size(F.split(cur, " ")) > 1,
+                F.substring(cur, F.length(_first_tok(cur)) + 2, F.lit(2147483647)),
+            ).otherwise(F.lit("")),
+        ).otherwise(cur)
+        return F.when(
+            _mrg(hl, n, i),
+            F.concat(
+                F.substring(base, 1, F.length(base) - 1),
+                _first_tok(F.element_at(hl, i + 1)),
+            ),
+        ).otherwise(base)
+
+    return F.filter(
+        F.transform(F.sequence(F.lit(1), n), piece), lambda p: p != ""
+    )
+
+
+def dehyphenate(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    n_lines = F.expr(f"(size(split(text, ' ')) + {LINE_W - 1}) DIV {LINE_W}")
+    raw_lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * LINE_W + 1, LINE_W)),
+    )
+    stage1 = d.select(
+        "doc_id", raw_lines.alias("lines"), n_lines.cast("int").alias("n_lines")
+    )
+
+    lines, n = F.col("lines"), F.col("n_lines")
+
+    def split_here(i):
+        return (
+            (i % 2 == 1)
+            & (i < n)
+            & (F.length(_last_tok(F.element_at(lines, i))) >= HYPH_MIN_TOKEN)
+        )
+
+    def hline(i):
+        cur = F.element_at(lines, i)
+        lt = _last_tok(cur)
+        half = F.floor(F.length(lt) / 2).cast("int")
+        base = F.when(
+            split_here(i),
+            F.concat(
+                F.substring(cur, 1, F.length(cur) - F.length(lt)),
+                F.substring(lt, 1, half),
+                F.lit("-"),
+            ),
+        ).otherwise(cur)
+
+        def from_prev():
+            plt = _last_tok(F.element_at(lines, i - 1))
+            phalf = F.floor(F.length(plt) / 2).cast("int")
+            suf = F.substring(plt, phalf + 1, F.lit(2147483647))
+            return F.concat(suf, F.lit(" "), base)
+
+        return F.when((i > F.lit(1)) & split_here(i - 1), from_prev()).otherwise(base)
+
+    stage2 = stage1.select(
+        "doc_id",
+        "n_lines",
+        F.transform(F.sequence(F.lit(1), n), hline).alias("hlines"),
+    )
+    hl, nh = F.col("hlines"), F.col("n_lines")
+    n_repairs = F.size(
+        F.filter(F.sequence(F.lit(1), nh - 1), lambda i: _mrg(hl, nh, i))
+    )
+    return stage2.select(
+        "doc_id",
+        "n_lines",
+        n_repairs.cast("int").alias("n_repairs"),
+        F.array_join(_dehyph_pieces(hl, nh), " ").alias("text_out"),
+    )
+
+
+SQL_DEHYPHENATE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         (len(string_split(text, ' ')) + {LINE_W - 1}) // {LINE_W} AS n_lines
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(len(list_filter(range(1, n_lines),
+            i -> (i % 2) = 1
+             AND length(l[CAST(i * {LINE_W} AS INT)]) >= {HYPH_MIN_TOKEN}))
+         AS INT) AS n_repairs,
+       array_to_string(l, ' ') AS text_out
+FROM t
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
+    "text_normalize": text_normalize,
+    "dehyphenate": dehyphenate,
     "url_normalize": url_normalize,
     "mixture_sample": mixture_sample,
     "chunk_sliding": chunk_sliding,
@@ -715,6 +951,8 @@ QUERIES = {
 ORACLE_SQL = {
     "decontaminate_ngram": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,
+    "text_normalize": SQL_TEXT_NORMALIZE,
+    "dehyphenate": SQL_DEHYPHENATE,
     "url_normalize": SQL_URL_NORMALIZE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -966,8 +966,98 @@ FROM islands GROUP BY doc_id, grp
 """
 
 
+# --------------------------------------------------------------------------
+# paragraph_dedup — CCNet-style corpus-wide paragraph deduplication
+# (Wenzek et al. 2020): split every document into paragraphs, hash
+# each, keep only the FIRST occurrence of each paragraph corpus-wide
+# (ordered by (doc_id, position)), and reassemble the surviving text.
+# Paragraph = fixed 4-token chunk here (the synthetic corpus has no
+# newlines); the mutated near-dup corpus guarantees real cross-doc
+# duplicate paragraphs (mutants share chunk-aligned prefixes with
+# their originals), and the small vocabulary adds natural collisions.
+#
+# Scale shape (100 TB): chunking is a zero-Exchange flat map; the
+# first-occurrence election is ONE partial-aggregated groupBy on the
+# 60-bit hash (never text); the keep decision is a hash equi-join
+# (AQE-skew-splittable — boilerplate paragraphs are exactly the skew
+# case); reassembly is a per-doc groupBy whose state is bounded by
+# document length.  Text shuffles at paragraph grain once — the same
+# shape CCNet runs at web scale.
+# --------------------------------------------------------------------------
+
+PARA_W = 4  # tokens per paragraph
+PARA_WKEY = 100_000  # wkey = doc_id * PARA_WKEY + pos (pos < PARA_WKEY)
+
+
+def paragraph_dedup(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    tk = toks(F.col("text"))
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {PARA_W - 1}) DIV {PARA_W}")
+    paras = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * PARA_W + 1, PARA_W)),
+    )
+    e = (
+        c.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+        .withColumn("h", md5i60(F.col("para")))
+        .withColumn("wkey", F.col("doc_id") * PARA_WKEY + F.col("pos"))
+    )
+    win = e.groupBy("h").agg(F.min("wkey").alias("wmin"))
+    kept = (F.col("wkey") == F.col("wmin")).cast("int")
+    return (
+        e.join(win, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.sum(kept).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept == 1, F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH {DUCK_CORPUS.strip().rstrip()},
+t AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+p AS (
+  SELECT doc_id, l,
+         unnest(range(1, (len(l) + {PARA_W - 1}) // {PARA_W} + 1)) AS i
+  FROM t
+),
+q AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(l[(i-1)*{PARA_W}+1:(i-1)*{PARA_W}+{PARA_W}], ' ') AS para
+  FROM p
+),
+q2 AS (
+  SELECT doc_id, pos, para,
+         {DUCK_MD5I60.format(x="para")} AS h,
+         doc_id * {PARA_WKEY} + pos AS wkey
+  FROM q
+),
+w AS (SELECT h, min(wkey) AS wmin FROM q2 GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_paras,
+       CAST(sum(CASE WHEN wkey = wmin THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       coalesce(string_agg(para, ' ' ORDER BY pos)
+                  FILTER (WHERE wkey = wmin), '') AS text_kept
+FROM q2 JOIN w USING (h)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -980,6 +1070,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,

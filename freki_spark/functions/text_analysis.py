@@ -586,8 +586,96 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# lexical_diversity — vocabulary-richness stats used by corpus quality
+# filters: type/token ratio and Simpson's repeat index, both as exact
+# integers (fixed-point TTR via integer division; Simpson's index kept
+# as an exact numerator/denominator pair plus a fixed-point quotient)
+# so no float summation order can desync engines.
+#
+# Scale shape (100 TB): one narrow pass, zero Exchange.  The repeat
+# mass Σ cnt·(cnt−1) is computed per row by a sorted-run scan over the
+# token array (O(n log n) in DOC length, independent of corpus size)
+# — the same pattern as gopher_quality's top-run count — instead of an
+# explode + groupBy shuffle.
+# --------------------------------------------------------------------------
+
+
+def _repeat_mass(tk):
+    """Σ cnt·(cnt−1) over token multiplicities as a NARROW expression:
+    sort, scan runs, close each run's cnt·(cnt−1) at its boundary.
+    \\x00 init sentinel cannot equal a real token."""
+    return F.aggregate(
+        F.array_sort(tk),
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("rep"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias(
+                "run"
+            ),
+            F.when(x == acc.prev, acc.rep)
+            .otherwise(acc.rep + acc.run * (acc.run - 1))
+            .alias("rep"),
+        ),
+        lambda acc: acc.rep + acc.run * (acc.run - 1),
+    )
+
+
+def lexical_diversity(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    # lambda-bearing scans are CSE-excluded (SPARK-35410, see
+    # gopher_quality) — stage 1 computes each once, stage 2 derives
+    stats = d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("n_distinct"),
+        _repeat_mass(tk).alias("rep_mass"),
+    )
+    n = F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "rep_mass",
+        F.expr("n_distinct * 10000 DIV n_tokens").alias("ttr_x1e4"),
+        (n * (n - 1)).alias("pairs"),
+        F.when(n > 1, F.expr("rep_mass * 10000 DIV (n_tokens * (n_tokens - 1))"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("simpson_x1e4"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH u AS (
+  SELECT doc_id, w, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+a AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS rep_mass
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, rep_mass,
+       (n_distinct * 10000) // n_tokens AS ttr_x1e4,
+       n_tokens * (n_tokens - 1) AS pairs,
+       CASE WHEN n_tokens > 1
+            THEN (rep_mass * 10000) // (n_tokens * (n_tokens - 1))
+            ELSE 0 END AS simpson_x1e4
+FROM a
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
+    "lexical_diversity": lexical_diversity,
     "quality_score": quality_score,
     "badword_filter": badword_filter,
     "token_count_bpe": token_count_bpe,
@@ -599,6 +687,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lang_id_ngram": SQL_LANG_ID,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "quality_score": SQL_QUALITY,
     "token_count_bpe": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,

@@ -1354,12 +1354,13 @@ ORACLE_SQL = {
 
 from .functions import corpus_prep as _cp  # noqa: E402
 from .functions import dedup as _dedup  # noqa: E402
+from .functions import graph as _graph  # noqa: E402
 from .functions import multimodal as _mm  # noqa: E402
 from .functions import similarity as _sim  # noqa: E402
 from .functions import text_analysis as _ta  # noqa: E402
 from .streaming import jobs as _stream  # noqa: E402
 
-for _mod in (_dedup, _sim, _ta, _mm, _cp, _stream):
+for _mod in (_dedup, _sim, _ta, _mm, _cp, _graph, _stream):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 
@@ -1411,6 +1412,8 @@ _PRIORITY = [
     # round-2 late additions (local gate + pytest verified; sit just
     # past the round-1 window boundary so they never displace the
     # judge-mandated slugs above)
+    "pagerank_iter", "paragraph_dedup", "text_normalize", "dehyphenate",
+    "lexical_diversity",
     "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows

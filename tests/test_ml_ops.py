@@ -948,3 +948,251 @@ def test_dedup_canonical_keeps_longest_member(spark):
     assert any(
         len({ntok[d] for d in mem}) > 1 for mem in members.values()
     )
+
+
+def test_pagerank_matches_naive_integer_reference(spark):
+    """Exact integer fixed-point PageRank recomputed in pure python
+    from the same deterministic edge rule — every rank must match
+    bit-for-bit (no float tolerance: the op is all-integer)."""
+    import hashlib
+
+    from freki_spark.functions.graph import (
+        PR_BASE,
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_FANOUT,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_iter,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    targets = {
+        d: [
+            t
+            for t in dict.fromkeys(
+                h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+            )
+            if t != d
+        ]
+        for d in docs
+    }
+    rank = {d: PR_SCALE for d in docs}
+    for _ in range(PR_ITERS):
+        insum = {d: 0 for d in docs}
+        for d, ts in targets.items():
+            if ts:
+                c = rank[d] // len(ts)
+                for t in ts:
+                    insum[t] += c
+        rank = {d: PR_BASE + PR_D_NUM * insum[d] // PR_D_DEN for d in docs}
+
+    rows = pagerank_iter(spark, SF).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r.rank == rank[r.doc_id], r.doc_id
+        assert r.out_deg == len(targets[r.doc_id])
+    # the graph must actually discriminate (not all equal ranks)
+    assert len({r.rank for r in rows}) > n // 2
+
+
+def test_lexical_diversity_matches_naive_python(spark):
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import lexical_diversity
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in lexical_diversity(spark, SF).collect():
+        cnt = Counter(texts[r.doc_id].split(" "))
+        n = sum(cnt.values())
+        u = len(cnt)
+        rep = sum(c * (c - 1) for c in cnt.values())
+        assert r.n_tokens == n
+        assert r.n_distinct == u
+        assert r.rep_mass == rep
+        assert r.ttr_x1e4 == u * 10000 // n
+        assert r.pairs == n * (n - 1)
+        assert r.simpson_x1e4 == (rep * 10000 // (n * (n - 1)) if n > 1 else 0)
+
+
+def test_paragraph_dedup_first_occurrence_semantics(spark):
+    """Naive recompute of the CCNet keep-first rule over the near-dup
+    corpus; also asserts real cross-doc duplicate paragraphs exist
+    (mutant copies guarantee them), else the op is untested."""
+    from freki_spark.functions.dedup import (
+        PARA_W,
+        _near_dup_corpus,
+        paragraph_dedup,
+    )
+
+    texts = {r.doc_id: r.text for r in _near_dup_corpus(spark, SF).collect()}
+    paras = {}  # doc -> [para]
+    for d, t in texts.items():
+        tk = t.split(" ")
+        paras[d] = [
+            " ".join(tk[i : i + PARA_W]) for i in range(0, len(tk), PARA_W)
+        ]
+    first = {}  # para -> (doc, pos)
+    for d in sorted(paras):
+        for p, para in enumerate(paras[d]):
+            if para not in first or (d, p) < first[para]:
+                first[para] = (d, p)
+    got = {r.doc_id: r for r in paragraph_dedup(spark, SF).collect()}
+    assert set(got) == set(texts)
+    cross_doc_dups = 0
+    for d, plist in paras.items():
+        kept = [p for i, p in enumerate(plist) if first[p] == (d, i)]
+        r = got[d]
+        assert r.n_paras == len(plist)
+        assert r.n_kept == len(kept)
+        assert r.text_kept == " ".join(kept)
+        cross_doc_dups += len(plist) - len(kept)
+    assert cross_doc_dups > 50  # mutants share chunk-aligned prefixes
+
+
+def test_text_normalize_nfc_and_whitespace(spark):
+    """Recompute the dirty->clean transform with python unicodedata;
+    also asserts the dirty variant really contains combining marks and
+    NBSP/ZWSP (mechanism exercised, not a no-op)."""
+    import re
+    import unicodedata
+
+    from freki_spark.functions.corpus_prep import (
+        COMB_ACUTE,
+        NBSP,
+        ZWSP,
+        text_normalize,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def dirty(t):
+        d = t.replace(" a ", f" a{COMB_ACUTE} ")
+        return d.replace(" row ", f"{NBSP}row{ZWSP} ")
+
+    saw_acute = saw_nbsp = 0
+    for r in text_normalize(spark, SF).collect():
+        d = dirty(texts[r.doc_id])
+        saw_acute += COMB_ACUTE in d
+        saw_nbsp += NBSP in d
+        clean = unicodedata.normalize("NFC", d)
+        clean = clean.replace(NBSP, " ").replace(ZWSP, "")
+        clean = re.sub(" +", " ", clean).strip()
+        assert r.n_chars_dirty == len(d)
+        assert r.n_chars_clean == len(clean)
+        assert r.text_clean == clean
+        assert COMB_ACUTE not in clean and NBSP not in clean
+    assert saw_acute > 20 and saw_nbsp > 20
+
+
+def _naive_dehyph(lines):
+    """Python reference of the generic dehyphenation kernel (same
+    rules as corpus_prep._dehyph_pieces, independently written)."""
+    n = len(lines)
+
+    def mrg(i):  # 1-based: line i merges into line i+1
+        if not (1 <= i < n):
+            return False
+        cur, nxt = lines[i - 1], lines[i]
+        head = nxt[:1]
+        return (
+            cur.endswith("-")
+            and len(cur.split(" ")[-1]) >= 2
+            and head != ""
+            and "a" <= head <= "z"
+        )
+
+    pieces = []
+    for i in range(1, n + 1):
+        base = lines[i - 1]
+        if mrg(i - 1):
+            parts = base.split(" ")
+            base = " ".join(parts[1:]) if len(parts) > 1 else ""
+        if mrg(i):
+            base = base[:-1] + lines[i].split(" ")[0]
+        if base != "":
+            pieces.append(base)
+    return " ".join(pieces), sum(mrg(i) for i in range(1, n))
+
+
+def test_dehyphenate_corpus_identity_and_repair_counts(spark):
+    """On the synthesized corpus every split is repairable, so the
+    output text must equal the original document text; repairs must
+    actually happen (non-zero) and match the synthesis rule count."""
+    from freki_spark.functions.corpus_prep import (
+        HYPH_MIN_TOKEN,
+        LINE_W,
+        dehyphenate,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    total_rep = 0
+    for r in dehyphenate(spark, SF).collect():
+        t = texts[r.doc_id]
+        tk = t.split(" ")
+        n_lines = (len(tk) + LINE_W - 1) // LINE_W
+        expect_rep = sum(
+            1
+            for i in range(1, n_lines)
+            if i % 2 == 1 and len(tk[i * LINE_W - 1]) >= HYPH_MIN_TOKEN
+        )
+        assert r.text_out == t
+        assert r.n_lines == n_lines
+        assert r.n_repairs == expect_rep
+        total_rep += r.n_repairs
+    assert total_rep > 100
+
+
+def test_dehyphenate_kernel_adversarial(spark):
+    """The generic repair kernel against pathological line arrays a
+    closed-form corpus never exercises: bare '-' tokens, uppercase
+    next lines, terminal hyphens, single-token consumed lines, and
+    chained merges."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.functions.corpus_prep import _dehyph_pieces, _mrg
+
+    cases = [
+        ["alpha beta-", "gamma delta"],
+        ["x-"],
+        ["foo -", "bar"],
+        ["pre-", "Big"],
+        ["ab-", "cd", "ef"],
+        ["a xy-", "zw-", "qr"],
+        ["z-", "a b-", "c"],
+        ["one two", "three four"],
+        ["tail-", ""],
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, hlines array<string>"
+    )
+    hl, n = F.col("hlines"), F.size("hlines")
+    out = df.select(
+        "id",
+        F.array_join(_dehyph_pieces(hl, n), " ").alias("text_out"),
+        F.size(
+            F.filter(F.sequence(F.lit(1), n - 1), lambda i: _mrg(hl, n, i))
+        ).alias("n_repairs"),
+    ).collect()
+    for r in out:
+        want_text, want_rep = _naive_dehyph(cases[r.id])
+        assert r.text_out == want_text, (cases[r.id], r.text_out, want_text)
+        assert r.n_repairs == want_rep, (cases[r.id], r.n_repairs, want_rep)
