@@ -738,11 +738,20 @@ def text_normalize(spark, sf_dir):
         return s.map(lambda x: unicodedata.normalize("NFC", x))
 
     d = _docs(spark, sf_dir)
-    stage = d.select("doc_id", _dirty_text(F.col("text")).alias("dirty"))
-    comp = nfc(F.col("dirty"))
+    # materialize the UDF output in its own projection: python UDF
+    # expressions referenced from multiple output columns otherwise
+    # plan as TWO ArrowEvalPython stages (the NFC map would run twice
+    # per row — explain_audit pins n_arrow == 1)
+    stage = d.select(
+        "doc_id", _dirty_text(F.col("text")).alias("dirty")
+    ).withColumn("comp", nfc(F.col("dirty")))
     clean = F.trim(
         F.regexp_replace(
-            F.replace(F.replace(comp, F.lit(NBSP), F.lit(" ")), F.lit(ZWSP), F.lit("")),
+            F.replace(
+                F.replace(F.col("comp"), F.lit(NBSP), F.lit(" ")),
+                F.lit(ZWSP),
+                F.lit(""),
+            ),
             " +",
             " ",
         )

@@ -448,6 +448,50 @@ def main() -> int:
         "partial max_by below the comp-grain Exchange",
     )
 
+    # 25. round-2 narrow text ops: dehyphenation and the lexical-
+    #     diversity sorted-run scan are pure per-row expressions —
+    #     zero Exchange at any corpus size
+    for slug in ("dehyphenate", "lexical_diversity"):
+        p = plan_of(QUERIES[slug](spark, sf_dir))
+        check(f"narrow_{slug}", "Exchange" not in p, "no Exchange in plan")
+
+    # 26. text_normalize: exactly one Arrow-batched python stage (the
+    #     NFC map) and no Exchange — the UDF must not force a shuffle
+    p = plan_of(QUERIES["text_normalize"](spark, sf_dir))
+    # count plan NODES (`(n) ArrowEvalPython` detail headers), not raw
+    # string hits — the tree section repeats each node name once
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+    check(
+        "normalize_arrow_narrow",
+        n_arrow == 1 and "Exchange" not in p and "BatchEvalPython" not in p,
+        f"ArrowEvalPython x{n_arrow} (NFC runs once), no row-at-a-time python, "
+        "no Exchange",
+    )
+
+    # 27. paragraph_dedup: the first-occurrence election partially
+    #     aggregates map-side (partial_min on wkey below the hash
+    #     Exchange), so only (hash, partial-min) rows shuffle
+    p = plan_of(QUERIES["paragraph_dedup"](spark, sf_dir))
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    check(
+        "paradedup_partial_min",
+        "partial_min" in p and bool(agg_ids and ex_ids) and min(agg_ids) < min(ex_ids),
+        "partial min(wkey) below the hash Exchange",
+    )
+
+    # 28. pagerank: contributions combine map-side every iteration
+    #     (partial_sum per groupBy(dst)) and no all-pairs join sneaks
+    #     in (the only BroadcastNestedLoopJoin allowed is the 1-row
+    #     node-count literal join)
+    p = plan_of(QUERIES["pagerank_iter"](spark, sf_dir))
+    n_psum = len(re.findall(r"partial_sum", p))
+    check(
+        "pagerank_partial_sums",
+        n_psum >= 3 and "CartesianProduct" not in p,
+        f"partial_sum x{n_psum} (one per iteration), no CartesianProduct",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
