@@ -860,9 +860,15 @@ def _dehyph_pieces(hl, n):
             ),
         ).otherwise(base)
 
-    return F.filter(
-        F.transform(F.sequence(F.lit(1), n), piece), lambda p: p != ""
-    )
+    # n = 0 guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, so
+    # without this CaseWhen (lazy branch evaluation) an empty lines
+    # array would feed out-of-range indices to the element_at calls in
+    # piece() and crash under ANSI.  Zero-line documents are a real
+    # input class for the generic kernel (extraction can yield none).
+    return F.when(
+        n >= F.lit(1),
+        F.filter(F.transform(F.sequence(F.lit(1), n), piece), lambda p: p != ""),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def dehyphenate(spark, sf_dir):

@@ -128,7 +128,14 @@ def _with_minhash(c: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).persist()
+    # eager localCheckpoint, not persist: the minhash scan (shingles +
+    # md5 over full text) is referenced three times below (bands, m1,
+    # m2) and must compute ONCE; checkpoint blocks are released by the
+    # ContextCleaner when the result goes out of scope, whereas an
+    # in-operator persist has no safe unpersist point (the caller's
+    # action runs after we return) and pins the unified cache for the
+    # rest of the session.
+    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).localCheckpoint()
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -986,7 +993,24 @@ FROM islands GROUP BY doc_id, grp
 # --------------------------------------------------------------------------
 
 PARA_W = 4  # tokens per paragraph
-PARA_WKEY = 100_000  # wkey = doc_id * PARA_WKEY + pos (pos < PARA_WKEY)
+
+
+def _first_occurrence(e: DataFrame):
+    """First-occurrence election over an exploded frame with columns
+    (doc_id, pos, h, ...): returns (e joined with its per-hash winner,
+    kept int flag).  Lexicographic struct min over (doc_id, pos) — a
+    partial-aggregating ordinal with no capacity cliff (a folded bigint
+    key ``doc_id * K + pos`` silently mis-elects once any document has
+    >= K paragraphs; mega-docs in this corpus make that a real input
+    class, and a folded oracle would agree on the wrong answer).  Same
+    pattern as dedup_canonical's keeper; unit-tested past the old
+    fold's collision point in tests/test_ml_ops.py."""
+    ordinal = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+    win = e.groupBy("h").agg(F.min(ordinal).alias("wmin"))
+    kept = (
+        (F.col("doc_id") == F.col("wmin.d")) & (F.col("pos") == F.col("wmin.p"))
+    ).cast("int")
+    return e.join(win, "h"), kept
 
 
 def paragraph_dedup(spark, sf_dir):
@@ -997,15 +1021,12 @@ def paragraph_dedup(spark, sf_dir):
         F.sequence(F.lit(1), n_chunks),
         lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * PARA_W + 1, PARA_W)),
     )
-    e = (
-        c.select("doc_id", F.posexplode(paras).alias("pos", "para"))
-        .withColumn("h", md5i60(F.col("para")))
-        .withColumn("wkey", F.col("doc_id") * PARA_WKEY + F.col("pos"))
+    e = c.select("doc_id", F.posexplode(paras).alias("pos", "para")).withColumn(
+        "h", md5i60(F.col("para"))
     )
-    win = e.groupBy("h").agg(F.min("wkey").alias("wmin"))
-    kept = (F.col("wkey") == F.col("wmin")).cast("int")
+    joined, kept = _first_occurrence(e)
     return (
-        e.join(win, "h")
+        joined
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_paras"),
@@ -1040,17 +1061,22 @@ q AS (
 ),
 q2 AS (
   SELECT doc_id, pos, para,
-         {DUCK_MD5I60.format(x="para")} AS h,
-         doc_id * {PARA_WKEY} + pos AS wkey
+         {DUCK_MD5I60.format(x="para")} AS h
   FROM q
 ),
-w AS (SELECT h, min(wkey) AS wmin FROM q2 GROUP BY h)
+-- first occurrence by true (doc_id, pos) tuple order; deliberately a
+-- window rank (NOT the Spark side's struct-min) so the two engines
+-- reach the election independently
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM q2
+)
 SELECT doc_id,
        CAST(count(*) AS INT) AS n_paras,
-       CAST(sum(CASE WHEN wkey = wmin THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
        coalesce(string_agg(para, ' ' ORDER BY pos)
-                  FILTER (WHERE wkey = wmin), '') AS text_kept
-FROM q2 JOIN w USING (h)
+                  FILTER (WHERE rn = 1), '') AS text_kept
+FROM r
 GROUP BY doc_id
 """
 

@@ -66,11 +66,16 @@ def pagerank_iter(spark, sf_dir):
     n = d.agg(F.count("*").alias("n_nodes"))
     withn = d.crossJoin(F.broadcast(n))
     targets = _targets_expr(F.col("n_nodes"))
+    # deliberately NOT persisted: the subtree is a narrow md5 expansion
+    # over the doc_id column alone (no text), so recomputing it once
+    # per iteration is far cheaper than pinning an edge-table cache for
+    # the rest of the session (an in-operator persist has no safe
+    # unpersist point — the caller's action runs after we return)
     edges = withn.select(
         F.col("doc_id").alias("src"),
         F.explode(targets).alias("dst"),
         F.size(targets).alias("out_deg"),
-    ).persist()
+    )
     ranks = d.select("doc_id", F.lit(PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(PR_ITERS):
         contrib = edges.join(ranks, edges.src == ranks.doc_id).select(

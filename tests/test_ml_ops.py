@@ -1100,6 +1100,27 @@ def test_text_normalize_nfc_and_whitespace(spark):
     assert saw_acute > 20 and saw_nbsp > 20
 
 
+def test_first_occurrence_election_no_capacity_cliff(spark):
+    """The first-occurrence election must follow true (doc_id, pos)
+    tuple order with no fold-key collisions.  (7, 100000) vs (8, 0) is
+    exactly the pair the old ``doc_id * 100_000 + pos`` fold mapped to
+    the SAME key (both 800000) — a mega-doc with >= 100k paragraphs —
+    which tied the election and flagged both rows kept."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.functions.dedup import _first_occurrence
+
+    e = spark.createDataFrame(
+        [(7, 100_000, 42), (8, 0, 42), (9, 1, 42), (5, 3, 99)],
+        "doc_id long, pos int, h long",
+    )
+    joined, kept = _first_occurrence(e)
+    rows = joined.select("doc_id", "pos", kept.alias("kept")).collect()
+    kept_rows = sorted((r.doc_id, r.pos) for r in rows if r.kept == 1)
+    assert kept_rows == [(5, 3), (7, 100_000)]
+    assert sum(r.kept for r in rows) == 2  # exactly one winner per hash
+
+
 def _naive_dehyph(lines):
     """Python reference of the generic dehyphenation kernel (same
     rules as corpus_prep._dehyph_pieces, independently written)."""
@@ -1180,6 +1201,8 @@ def test_dehyphenate_kernel_adversarial(spark):
         ["z-", "a b-", "c"],
         ["one two", "three four"],
         ["tail-", ""],
+        [],  # zero extracted lines: sequence(1, 0) would go descending
+        [""],
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "id long, hlines array<string>"

@@ -469,15 +469,23 @@ def main() -> int:
     )
 
     # 27. paragraph_dedup: the first-occurrence election partially
-    #     aggregates map-side (partial_min on wkey below the hash
-    #     Exchange), so only (hash, partial-min) rows shuffle
+    #     aggregates map-side (partial_min on the (doc_id, pos) struct
+    #     ordinal below the hash Exchange), so only (hash, partial-min)
+    #     rows shuffle
     p = plan_of(QUERIES["paragraph_dedup"](spark, sf_dir))
-    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    # the struct-ordinal min compiles to SortAggregate (structs are not
+    # hash-aggregable); it still partial-aggregates map-side
+    agg_ids = [
+        int(m)
+        for m in re.findall(
+            r"(?:HashAggregate|SortAggregate|ObjectHashAggregate) \((\d+)\)", p
+        )
+    ]
     ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
     check(
         "paradedup_partial_min",
         "partial_min" in p and bool(agg_ids and ex_ids) and min(agg_ids) < min(ex_ids),
-        "partial min(wkey) below the hash Exchange",
+        "partial min(struct ordinal) below the hash Exchange",
     )
 
     # 28. pagerank: contributions combine map-side every iteration
