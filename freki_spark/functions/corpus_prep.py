@@ -947,6 +947,191 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# C4-style line-level filtering (Raffel et al. 2020, §2.2): keep only
+# lines that end in terminal punctuation, have >= 5 words, and don't
+# mention javascript; drop whole pages with < 3 retained lines or
+# containing "lorem ipsum" / "{".  The corpus has no real lines or
+# punctuation, so a deterministic line structure is synthesized first
+# (variable 3-8-token lines via md5 widths; ~70% get a terminal '.';
+# rare lines get a "javascript" token and rare docs a "lorem ipsum"
+# line, so every rule actually fires in the testdata) — then the
+# GENERIC rule set runs over the lines with no knowledge of the
+# synthesis.
+#
+# Scale shape (100 TB): entirely per-row array expressions — the width
+# prefix-sum is an O(n) array fold (not an O(n^2) per-slot re-sum, so
+# mega-docs stay linear), rules are narrow string predicates, zero
+# Exchange, zero Python (plan-audited).
+# --------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_W_BASE = 3  # line widths in [3, 3 + C4_W_MOD)
+C4_W_MOD = 6
+C4_PUNCT_DEN = 10
+C4_PUNCT_LT = 7  # ~70% of lines end with '.'
+C4_JS_DEN = 37  # ~1/37 lines get a 'javascript' token
+C4_LOREM_DEN = 29  # ~1/29 docs get a 'lorem ipsum.' line
+
+
+def _c4_lines(doc_id, tk):
+    """Synthesized line array over the token stream: slot i has
+    md5-derived width in [C4_W_BASE, C4_W_BASE+C4_W_MOD), an optional
+    injected 'javascript' token, and an optional terminal '.' — all
+    deterministic functions of (doc_id, i) mirrored in the oracle.
+    Slot ends come from one O(n) array fold (running prefix sum);
+    slots starting past the last token are dropped, the final line is
+    clipped."""
+    n = F.size(tk)
+    slots = F.ceil(n / F.lit(C4_W_BASE)).cast("int")
+    ds = doc_id.cast("string")
+
+    def h(tag, i):
+        return md5i32(F.concat(ds, F.lit(tag), i.cast("string")))
+
+    wseq = F.transform(
+        F.sequence(F.lit(1), slots),
+        lambda i: F.lit(C4_W_BASE) + h("/", i) % C4_W_MOD,
+    )
+    ends = F.aggregate(
+        wseq,
+        F.array().cast("array<bigint>"),
+        lambda acc, w: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, w).otherwise(
+                    F.element_at(acc, F.size(acc)) + w
+                )
+            ),
+        ),
+    )
+
+    def line(i):
+        w = F.element_at(wseq, i)
+        e = F.element_at(ends, i)
+        start = e - w + 1
+        base = F.concat_ws(
+            " ",
+            F.slice(tk, start.cast("int"), F.least(w, n - start + 1).cast("int")),
+        )
+        js = F.when(
+            h("j", i) % C4_JS_DEN == 0, F.concat(base, F.lit(" javascript"))
+        ).otherwise(base)
+        return F.when(
+            h(".", i) % C4_PUNCT_DEN < C4_PUNCT_LT, F.concat(js, F.lit("."))
+        ).otherwise(js)
+
+    valid = F.filter(
+        F.sequence(F.lit(1), slots),
+        lambda i: F.element_at(ends, i) - F.element_at(wseq, i) + 1 <= n,
+    )
+    return F.transform(valid, line)
+
+
+def c4_line_filter(spark, sf_dir):
+    """C4 line + page filtering over the synthesized line structure
+    (see module comment above): per doc, the line count, retained-line
+    count, page keep/drop decision, and the retained text."""
+    d = _docs(spark, sf_dir)
+    lines = _c4_lines(F.col("doc_id"), toks(F.col("text")))
+    lorem = (
+        md5i32(F.concat(F.lit("lorem/"), F.col("doc_id").cast("string")))
+        % C4_LOREM_DEN
+        == 0
+    )
+    all_lines = F.when(
+        lorem, F.concat(lines, F.array(F.lit("lorem ipsum.")))
+    ).otherwise(lines)
+
+    def keep_line(s):
+        return (
+            (F.size(F.split(s, " ")) >= C4_MIN_LINE_WORDS)
+            & s.endswith(".")
+            & ~s.contains("javascript")
+        )
+
+    kept = F.filter(all_lines, keep_line)
+    has_bad = F.exists(
+        all_lines, lambda s: s.contains("lorem ipsum") | s.contains("{")
+    )
+    n_kept = F.size(kept)
+    return d.select(
+        "doc_id",
+        F.size(all_lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        ((n_kept >= C4_MIN_KEPT_LINES) & ~has_bad).cast("int").alias("keep"),
+        F.concat_ws(" | ", kept).alias("text_kept"),
+    )
+
+
+_C4_H_W = DUCK_MD5I32.format(x="doc_id || '/' || i")
+_C4_H_J = DUCK_MD5I32.format(x="doc_id || 'j' || i")
+_C4_H_P = DUCK_MD5I32.format(x="doc_id || '.' || i")
+_C4_H_L = DUCK_MD5I32.format(x="'lorem/' || doc_id")
+
+SQL_C4_LINE_FILTER = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+slots AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(range(1, CAST(ceil(len(tk) / {C4_W_BASE}.0) AS BIGINT) + 1)) AS i
+  FROM d
+),
+wl AS (
+  SELECT *, {C4_W_BASE} + ({_C4_H_W} % {C4_W_MOD}) AS w FROM slots
+),
+el AS (
+  SELECT *, sum(w) OVER (PARTITION BY doc_id ORDER BY i) AS e FROM wl
+),
+base AS (
+  SELECT doc_id, i,
+         array_to_string(tk[e - w + 1:least(e, n)], ' ') AS s
+  FROM el WHERE e - w + 1 <= n
+),
+lines1 AS (
+  SELECT doc_id, i,
+         CASE WHEN {_C4_H_J} % {C4_JS_DEN} = 0
+              THEN s || ' javascript' ELSE s END AS s2
+  FROM base
+),
+lines2 AS (
+  SELECT doc_id, i,
+         CASE WHEN {_C4_H_P} % {C4_PUNCT_DEN} < {C4_PUNCT_LT}
+              THEN s2 || '.' ELSE s2 END AS line
+  FROM lines1
+),
+lines AS (
+  SELECT doc_id, i, line FROM lines2
+  UNION ALL
+  SELECT doc_id, 1000000 AS i, 'lorem ipsum.' AS line FROM documents
+  WHERE {_C4_H_L} % {C4_LOREM_DEN} = 0
+),
+flagged AS (
+  SELECT *,
+         (len(string_split(line, ' ')) >= {C4_MIN_LINE_WORDS}
+          AND line LIKE '%.' AND line NOT LIKE '%javascript%') AS keep_line
+  FROM lines
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_lines,
+         CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         coalesce(string_agg(line, ' | ' ORDER BY i) FILTER (WHERE keep_line),
+                  '') AS text_kept,
+         max(CASE WHEN line LIKE '%lorem ipsum%' OR line LIKE '%{{%'
+                  THEN 1 ELSE 0 END) AS bad
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept,
+       CASE WHEN n_kept >= {C4_MIN_KEPT_LINES} AND bad = 0
+            THEN 1 ELSE 0 END AS keep,
+       text_kept
+FROM agg
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -961,6 +1146,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "shuffle_deterministic": shuffle_deterministic,
+    "c4_line_filter": c4_line_filter,
 }
 
 ORACLE_SQL = {
@@ -977,4 +1163,5 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
 }

@@ -612,6 +612,134 @@ SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
 
 
 # --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means clustering + within-cluster
+# cosine (Abbas et al. 2023, arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.99
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embedding corpus: every vector is assigned to
+    its nearest coarse-centroid cluster (``similarity._assign_lists``
+    — the narrow broadcast-argmax map, zero corpus shuffle), candidate
+    pairs exist WITHIN a cluster only, and a vector is a semantic
+    duplicate iff some lower-id cluster-mate has cosine >= SEMDEDUP_T
+    (keeper = the smallest such id — first-occurrence election, the
+    same keep rule as ``paragraph_dedup``).  The corpus is embeddings
+    ∪ scaled copies (+100000, x1.01) so real epsilon-ball duplicates
+    exist in the small testdata: scaling never changes any cosine, so
+    each copy lands in its original's cluster and scores cos = 1.
+
+    Scale shape (10^9+ vectors): the only shuffle keys are the cluster
+    id (candidate equi-join, AQE-skew-splittable) and the dup-side
+    vec_id (min-keeper agg, partial map-side).  Work is
+    sum-over-clusters of |cluster|^2, never n^2 — K is the scale dial
+    and must grow ~n/const to keep clusters bounded (SemDeDup itself
+    runs 50k-100k clusters at LAION scale; K=16 here matches the
+    testdata's IVF setup).  Unlike the LSH candidate generator of
+    ``dedup_embedding_cosine`` this finds every within-cluster pair
+    exactly — the approximation is the clustering boundary itself
+    (a pair split across clusters is unseen; the paper accepts this)."""
+    from .similarity import _assign_lists
+
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    mut = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.01).alias("v"),
+    )
+    assigned = _assign_lists(em.unionByName(mut))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 4)
+    hits = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("cand"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("keeper"))
+    )
+    return (
+        assigned.select("vec_id", "list_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.when(F.col("keeper").isNotNull(), 1).otherwise(0).alias("is_dup"),
+            "keeper",
+        )
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    from .similarity import CENTROID_BASE, N_CENTROIDS
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+  FROM embeddings WHERE vec_id < 20
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM corpus
+),
+ccos AS (
+  SELECT e.vec_id, c.vec_id AS cent_id,
+         round(sum(e.x * c.x) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.x * c.x))), 5)
+           AS ccos
+  FROM ex e JOIN ex c ON e.j = c.j
+  WHERE c.vec_id >= {CENTROID_BASE} AND c.vec_id < {CENTROID_BASE + N_CENTROIDS}
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id) AS crnk
+    FROM ccos
+  ) WHERE crnk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS cand, b.vec_id AS vec_id
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.vec_id, p.cand,
+         round(sum(pa.x * pb.x)
+               / (sqrt(sum(pa.x * pa.x)) * sqrt(sum(pb.x * pb.x))), 4) AS cos
+  FROM pairs p
+  JOIN ex pa ON pa.vec_id = p.cand
+  JOIN ex pb ON pb.vec_id = p.vec_id AND pb.j = pa.j
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT vec_id, min(cand) AS keeper FROM scored
+  WHERE cos >= {SEMDEDUP_T} GROUP BY vec_id
+)
+SELECT a.vec_id, a.list_id,
+       CASE WHEN h.keeper IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       h.keeper
+FROM assigned a LEFT JOIN hits h ON a.vec_id = h.vec_id
+"""
+
+
+SQL_DEDUP_SEMANTIC = _sql_dedup_semantic()
+
+
+# --------------------------------------------------------------------------
 # near-dup clusters: connected components over the jaccard pair graph
 # (iterative min-label propagation — the canonical "pick one canonical
 # doc per duplicate cluster" step of a dedup pipeline).  Loops to a
@@ -1088,6 +1216,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
     "dedup_components": dedup_components,
     "cc_bigstar": cc_bigstar,
     "dedup_canonical": dedup_canonical,
@@ -1101,6 +1230,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     # same contract, same closed-form truth: the star-contraction
     # algorithm must land on the identical min-label components

@@ -242,7 +242,16 @@ def ivf_assign(spark, sf_dir) -> "DataFrame":
     ordering is lexicographic, so ties in the rounded cosine break to
     the smallest cent_id, exactly mirroring the oracle's
     ``row_number() ORDER BY ccos DESC, cent_id``."""
-    em = _emb(spark, sf_dir)
+    return _assign_lists(_emb(spark, sf_dir))
+
+
+def _assign_lists(em: DataFrame) -> DataFrame:
+    """Core of ``ivf_assign`` over any (vec_id, v) frame (also drives
+    ``dedup_semantic``'s union corpus): returns (vec_id, v, list_id)
+    via the broadcast-argmax narrow map documented above.  Centroids
+    are the seed-id subset of ``em`` (``_ivf_cents`` — rows outside
+    [CENTROID_BASE, CENTROID_BASE+K) never become centroids, so
+    synthetic >=100000 ids in a derived corpus cannot pollute them)."""
     cents_arr = _ivf_cents(em).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
@@ -351,6 +360,57 @@ def q_ivf_assign(spark, sf_dir) -> "DataFrame":
 SQL_IVF_ASSIGN = f"""
 WITH {_IVF_CTES}
 SELECT vec_id, list_id FROM assigned
+"""
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd) update step — trains the IVF coarse quantizer
+# in-engine instead of assuming offline centroids
+# --------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000  # fixed-point quantum: 1e-6 per coordinate unit
+
+
+def kmeans_update(spark, sf_dir) -> "DataFrame":
+    """One Lloyd k-means UPDATE step over the inverted-list assignment
+    (assign = ``ivf_assign``'s broadcast-argmax narrow map; update =
+    this): per (list, dimension), the exact fixed-point coordinate sum
+    and the member count of the list.  New centroid j-th coordinate =
+    ``sum_q / (n_members * KMEANS_SCALE)`` — sums and counts are
+    emitted instead of the mean so the result is integer-exact in both
+    engines (bigint sums have one value; a cross-engine double mean or
+    integer division would hang correctness on rounding/truncation
+    semantics the consumer may not want anyway when re-broadcasting
+    centroids for the next iteration).
+
+    Scale shape (10^9+ vectors, dim d, K lists): the per-dimension
+    posexplode is a NARROW d-fanout of (list_id, j, xq) triples —
+    no text, no vectors — and the groupBy partial-aggregates map-side,
+    so the single Exchange carries only ~tasks x K x d partial rows
+    (plan-audited: partial_sum below the Exchange).  Iterating Lloyd =
+    re-broadcast the K x d sums (tiny) as the next centroid array and
+    rerun; production would iterate on a sample then freeze."""
+    assigned = _assign_lists(_emb(spark, sf_dir))
+    e = assigned.select("list_id", F.posexplode("v").alias("pos", "x")).select(
+        "list_id",
+        (F.col("pos") + 1).cast("int").alias("j"),
+        F.round(F.col("x") * KMEANS_SCALE, 0).cast("bigint").alias("xq"),
+    )
+    return e.groupBy("list_id", "j").agg(
+        F.sum("xq").alias("sum_q"),
+        F.count("*").cast("int").alias("n_members"),
+    )
+
+
+SQL_KMEANS_UPDATE = f"""
+WITH {_IVF_CTES},
+q AS (
+  SELECT a.list_id, CAST(e.j AS INT) AS j,
+         CAST(round(e.x * {KMEANS_SCALE}) AS BIGINT) AS xq
+  FROM assigned a JOIN ex e ON a.vec_id = e.vec_id
+)
+SELECT list_id, j, sum(xq) AS sum_q, CAST(count(*) AS INT) AS n_members
+FROM q GROUP BY list_id, j
 """
 
 SQL_ANN_IVF = f"""
@@ -765,6 +825,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "ann_topk_pq": ann_topk_pq,
     "knn_graph": knn_graph,
+    "kmeans_update": kmeans_update,
 }
 
 ORACLE_SQL = {
@@ -776,4 +837,5 @@ ORACLE_SQL = {
     "pq_encode": SQL_PQ_ENCODE,
     "ann_topk_pq": SQL_ANN_PQ,
     "knn_graph": SQL_KNN_GRAPH,
+    "kmeans_update": SQL_KMEANS_UPDATE,
 }

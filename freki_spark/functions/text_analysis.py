@@ -673,6 +673,93 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# fastText-style linear quality classifier (hashing trick)
+# --------------------------------------------------------------------------
+
+QC_BUCKETS = 4096  # feature-hash space (fastText's `-bucket`)
+QC_BIAS = 0
+
+
+def _qc_weight_py(b: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"qw,{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+
+# the weight table is DATA-INDEPENDENT (a stand-in for trained model
+# weights — the container has no fastText, and a real .bin would be an
+# external artifact), so it ships as ONE array literal in the plan:
+# zero per-row md5 for the weight lookup, exactly the import-time
+# discipline of similarity._PLANE_W.  The DuckDB oracle re-derives the
+# same md5 construction per feature instead (it has no cheap way to
+# carry a 4096-literal, and the oracle is not the perf path).
+_QC_W = [_qc_weight_py(b) for b in range(QC_BUCKETS)]
+
+
+def quality_classifier(spark, sf_dir):
+    """Model-based quality scoring, the DCLM / FineWeb-Edu-style gate:
+    a fastText-shaped LINEAR classifier over hashed unigram + word-
+    bigram features (the hashing trick — token -> md5 bucket ->
+    weight), score = sum of feature weights + bias, keep = score > 0.
+    Weights here are a deterministic md5 stand-in for trained
+    parameters; swapping in a real trained table changes one literal
+    array, not the dataflow.
+
+    Scale shape: one narrow whole-stage-codegen pass — tokens and
+    bigrams stay inside per-row array expressions (transform +
+    aggregate), the weight table is a plan literal, and nothing
+    shuffles (plan-audited zero Exchange).  This is the economics that
+    make classifier-filtering 100 TB feasible: embarrassingly parallel,
+    IO-bound, no Python."""
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(tk, bigrams)
+    w_of = lambda f: F.element_at(  # noqa: E731
+        F.lit(_QC_W), (md5i32(f) % QC_BUCKETS + 1).cast("int")
+    ).cast("bigint")
+    score = F.aggregate(
+        F.transform(feats, w_of), F.lit(QC_BIAS).cast("bigint"), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+_QC_B = f"({DUCK_MD5I32.format(x='f')} % {QC_BUCKETS})"
+_QC_FEAT = "'qw,' || CAST(" + _QC_B + " AS VARCHAR)"
+_QC_WEIGHT = f"({DUCK_MD5I32.format(x=_QC_FEAT)} % 2001 - 1000)"
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH q AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         unnest(l || list_transform(range(1, greatest(len(l), 1)),
+                                    i -> l[i] || ' ' || l[i + 1])) AS f
+  FROM q
+),
+scored AS (
+  SELECT doc_id, CAST({QC_BIAS} + sum({_QC_WEIGHT}) AS BIGINT) AS score
+  FROM feats GROUP BY doc_id
+)
+SELECT doc_id, score, CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "lexical_diversity": lexical_diversity,
@@ -683,6 +770,7 @@ QUERIES = {
     "gopher_repetition": gopher_repetition,
     "gopher_quality": gopher_quality,
     "bpe_encode": bpe_encode,
+    "quality_classifier": quality_classifier,
 }
 
 ORACLE_SQL = {
@@ -695,4 +783,5 @@ ORACLE_SQL = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "badword_filter": SQL_BADWORD_FILTER,
     "bpe_encode": SQL_BPE_ENCODE,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

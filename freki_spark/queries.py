@@ -1414,6 +1414,7 @@ _PRIORITY = [
     # judge-mandated slugs above)
     "pagerank_iter", "paragraph_dedup", "text_normalize", "dehyphenate",
     "lexical_diversity",
+    "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows

@@ -1219,3 +1219,132 @@ def test_dehyphenate_kernel_adversarial(spark):
         want_text, want_rep = _naive_dehyph(cases[r.id])
         assert r.text_out == want_text, (cases[r.id], r.text_out, want_text)
         assert r.n_repairs == want_rep, (cases[r.id], r.n_repairs, want_rep)
+
+
+def _half_up(v: float) -> int:
+    """Spark ROUND (HALF_UP, away from zero) for the fixed-point tests."""
+    import math
+
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def test_kmeans_update_matches_numpy(spark):
+    """One Lloyd update: per-(list, dim) fixed-point sums and member
+    counts must equal an independent numpy recompute of the full
+    assign-then-sum (argmax over round-5 cosines, smallest-centroid
+    tie-break — the exact ivf_assign contract)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from freki_spark.functions.similarity import (
+        CENTROID_BASE,
+        KMEANS_SCALE,
+        N_CENTROIDS,
+        kmeans_update,
+    )
+
+    rows = kmeans_update(spark, SF).collect()
+    got = {(r.list_id, r.j): (r.sum_q, r.n_members) for r in rows}
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    emb = {v: np.asarray(e, dtype=np.float64) for v, e in zip(t["vec_id"], t["embedding"])}
+    cents = {
+        v: e for v, e in emb.items() if CENTROID_BASE <= v < CENTROID_BASE + N_CENTROIDS
+    }
+    dim = len(next(iter(emb.values())))
+    sums = {}
+    counts = {}
+    for v, x in emb.items():
+        best = max(
+            (
+                (round(float(x @ c) / (np.linalg.norm(x) * np.linalg.norm(c)), 5), -cid)
+                for cid, c in cents.items()
+            ),
+        )
+        lid = -best[1]
+        counts[lid] = counts.get(lid, 0) + 1
+        acc = sums.setdefault(lid, [0] * dim)
+        for j in range(dim):
+            acc[j] += _half_up(float(x[j]) * KMEANS_SCALE)
+    want = {
+        (lid, j + 1): (acc[j], counts[lid])
+        for lid, acc in sums.items()
+        for j in range(dim)
+    }
+    assert got == want
+    assert sum(counts.values()) == len(emb)
+
+
+def test_semantic_dedup_flags_scaled_copies(spark):
+    from freki_spark.functions.dedup import dedup_semantic
+
+    rows = dedup_semantic(spark, SF).collect()
+    lists = {r.vec_id: r.list_id for r in rows}
+    dups = {r.vec_id: r.keeper for r in rows if r.is_dup == 1}
+    # every scaled copy is a dup of exactly its original (cos = 1.0,
+    # same cluster — scaling never moves a vector across a boundary)
+    mut = {v: k for v, k in dups.items() if v >= 100000}
+    assert len(mut) == 20
+    assert all(k == v - 100000 for v, k in mut.items())
+    assert all(lists[v] == lists[v - 100000] for v in mut)
+    # the natural corpus has no 0.99-cosine pairs at dim 64
+    assert all(v >= 100000 for v in dups)
+    assert len(rows) == 520
+
+
+def test_quality_classifier_matches_hashlib(spark):
+    """Independent recompute: hash every unigram/bigram and re-derive
+    the md5 weight DIRECTLY (not via the operator's _QC_W table), so a
+    table-construction bug and a lookup bug both fail the test."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from freki_spark.functions.text_analysis import QC_BUCKETS, quality_classifier
+
+    rows = quality_classifier(spark, SF).collect()
+    got = {r.doc_id: (r.score, r.keep) for r in rows}
+    assert len(got) == 500
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    checked = 0
+    t = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    for doc_id, text in zip(t["doc_id"], t["text"]):
+        if doc_id % 25:
+            continue  # spot-check; full value equality is the oracle's job
+        tk = text.split(" ")
+        feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        score = sum(h32(f"qw,{h32(f) % QC_BUCKETS}") % 2001 - 1000 for f in feats)
+        assert got[doc_id] == (score, int(score > 0)), doc_id
+        checked += 1
+    assert checked >= 15
+    keeps = sum(k for _, k in got.values())
+    assert 0 < keeps < len(got)  # the gate actually separates the corpus
+
+
+def test_c4_line_filter_rules_fire(spark):
+    import hashlib
+
+    from freki_spark.functions.corpus_prep import c4_line_filter
+
+    rows = c4_line_filter(spark, SF).collect()
+    assert len(rows) == 500
+    assert any(r.keep == 0 for r in rows) and any(r.keep == 1 for r in rows)
+    # line rules drop real lines (no-punct ~30%, short, javascript)
+    assert sum(r.n_lines - r.n_kept for r in rows) > 200
+    # every retained line honors every line rule
+    for r in rows:
+        if not r.text_kept:
+            continue
+        for line in r.text_kept.split(" | "):
+            assert line.endswith(".") and len(line.split(" ")) >= 5, (r.doc_id, line)
+            assert "javascript" not in line
+    # page rule: lorem-flagged docs are dropped no matter their lines
+    lorem = [
+        r
+        for r in rows
+        if int(hashlib.md5(f"lorem/{r.doc_id}".encode()).hexdigest()[:8], 16) % 29 == 0
+    ]
+    assert lorem and all(r.keep == 0 for r in lorem)

@@ -500,6 +500,51 @@ def main() -> int:
         f"partial_sum x{n_psum} (one per iteration), no CartesianProduct",
     )
 
+    # 29. quality_classifier: the hashed linear model is one narrow
+    #     codegen pass — weights are plan literals, features stay in
+    #     per-row array expressions
+    p = plan_of(QUERIES["quality_classifier"](spark, sf_dir))
+    check(
+        "quality_classifier_narrow",
+        "Exchange" not in p and "Python" not in p,
+        "zero Exchange, zero python in the classifier plan",
+    )
+
+    # 30. c4_line_filter: line synthesis (O(n) prefix-sum fold) and
+    #     the C4 rules are per-row array expressions — zero Exchange,
+    #     zero explode
+    p = plan_of(QUERIES["c4_line_filter"](spark, sf_dir))
+    check(
+        "c4_line_filter_narrow",
+        "Exchange" not in p and "Generate" not in p,
+        "zero Exchange, zero explode in the C4 rule plan",
+    )
+
+    # 31. kmeans_update: the per-dimension fanout partial-aggregates
+    #     map-side, so the ONLY hash Exchange carries (list_id, j)
+    #     partial rows; no Window anywhere (the old IVF anti-pattern)
+    p = plan_of(QUERIES["kmeans_update"](spark, sf_dir))
+    n_hash = len(re.findall(r"hashpartitioning\(list_id#\d+L?, j#", p))
+    check(
+        "kmeans_partial_sum",
+        "partial_sum" in p and n_hash == 1 and "Window" not in p,
+        f"partial_sum map-side, (list_id, j) hash Exchanges={n_hash}, no Window",
+    )
+
+    # 32. dedup_semantic: candidate pairs come from the within-cluster
+    #     EQUI-join — join keys are [list_id], never an all-pairs
+    #     product (the broadcast 1-row centroid-array joins are the
+    #     only nested-loop joins allowed).  At this SF Catalyst may
+    #     pick broadcast-hash over sort-merge for it (build side fits);
+    #     both carry the list_id key, which is what survives scale-up.
+    p = plan_of(QUERIES["dedup_semantic"](spark, sf_dir))
+    check(
+        "semantic_cluster_join",
+        "CartesianProduct" not in p
+        and bool(re.search(r"keys \[1\]: \[list_id#\d+L?\]", p)),
+        "within-cluster equi-join keyed on list_id, no CartesianProduct",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
