@@ -953,22 +953,26 @@ FROM t
 # mention javascript; drop whole pages with < 3 retained lines or
 # containing "lorem ipsum" / "{".  The corpus has no real lines or
 # punctuation, so a deterministic line structure is synthesized first
-# (variable 3-8-token lines via md5 widths; ~70% get a terminal '.';
-# rare lines get a "javascript" token and rare docs a "lorem ipsum"
-# line, so every rule actually fires in the testdata) — then the
-# GENERIC rule set runs over the lines with no knowledge of the
-# synthesis.
+# (jittered-grid slot boundaries giving 3-7-token lines; ~70% get a
+# terminal '.'; rare lines get a "javascript" token and rare docs a
+# "lorem ipsum" line, so every rule actually fires in the testdata) —
+# then the GENERIC rule set runs over the lines with no knowledge of
+# the synthesis.
 #
-# Scale shape (100 TB): entirely per-row array expressions — the width
-# prefix-sum is an O(n) array fold (not an O(n^2) per-slot re-sum, so
-# mega-docs stay linear), rules are narrow string predicates, zero
-# Exchange, zero Python (plan-audited).
+# Scale shape (100 TB): entirely per-row array expressions, and every
+# slot boundary is CLOSED-FORM (grid point + md5 jitter — no prefix
+# sum), so per-doc cost is O(n): no fold that copies an accumulator
+# array per step, and the higher-order-function lambdas only touch
+# bound row columns (tk) and O(1) jitter hashes — never an
+# unmaterialized subtree that interpreted HOF eval would recompute
+# per element.  Rules are narrow string predicates, zero Exchange,
+# zero Python (plan-audited).
 # --------------------------------------------------------------------------
 
 C4_MIN_LINE_WORDS = 5
 C4_MIN_KEPT_LINES = 3
-C4_W_BASE = 3  # line widths in [3, 3 + C4_W_MOD)
-C4_W_MOD = 6
+C4_GRID = 5  # slot i ends near 5*i; widths land in [3, 7]
+C4_JITTER_MOD = 3  # boundary jitter in {0, 1, 2}
 C4_PUNCT_DEN = 10
 C4_PUNCT_LT = 7  # ~70% of lines end with '.'
 C4_JS_DEN = 37  # ~1/37 lines get a 'javascript' token
@@ -976,44 +980,36 @@ C4_LOREM_DEN = 29  # ~1/29 docs get a 'lorem ipsum.' line
 
 
 def _c4_lines(doc_id, tk):
-    """Synthesized line array over the token stream: slot i has
-    md5-derived width in [C4_W_BASE, C4_W_BASE+C4_W_MOD), an optional
-    injected 'javascript' token, and an optional terminal '.' — all
-    deterministic functions of (doc_id, i) mirrored in the oracle.
-    Slot ends come from one O(n) array fold (running prefix sum);
-    slots starting past the last token are dropped, the final line is
-    clipped."""
+    """Synthesized line array over a BOUND token-array column `tk`
+    (callers must materialize it — passing a raw split() expression
+    here would be re-evaluated per element by interpreted HOF eval):
+    slot i spans tokens [grid(i-1) + jitter(i-1) + 1, grid(i) +
+    jitter(i)] — contiguous, non-overlapping, widths in
+    [C4_GRID - C4_JITTER_MOD + 1, C4_GRID + C4_JITTER_MOD - 1] — with
+    an optional injected 'javascript' token and an optional terminal
+    '.', all O(1) closed-form functions of (doc_id, i) mirrored in
+    the oracle.  Slots starting past the last token are dropped, the
+    final line is clipped."""
     n = F.size(tk)
-    slots = F.ceil(n / F.lit(C4_W_BASE)).cast("int")
+    slots = (F.ceil(n / F.lit(C4_GRID)) + 1).cast("int")
     ds = doc_id.cast("string")
 
     def h(tag, i):
         return md5i32(F.concat(ds, F.lit(tag), i.cast("string")))
 
-    wseq = F.transform(
-        F.sequence(F.lit(1), slots),
-        lambda i: F.lit(C4_W_BASE) + h("/", i) % C4_W_MOD,
-    )
-    ends = F.aggregate(
-        wseq,
-        F.array().cast("array<bigint>"),
-        lambda acc, w: F.concat(
-            acc,
-            F.array(
-                F.when(F.size(acc) == 0, w).otherwise(
-                    F.element_at(acc, F.size(acc)) + w
-                )
-            ),
-        ),
-    )
+    def jit(i):
+        return F.when(i == 0, F.lit(0).cast("bigint")).otherwise(
+            h("/", i) % C4_JITTER_MOD
+        )
+
+    def start(i):
+        return F.lit(C4_GRID).cast("bigint") * (i - 1) + jit(i - 1) + 1
 
     def line(i):
-        w = F.element_at(wseq, i)
-        e = F.element_at(ends, i)
-        start = e - w + 1
+        st = start(i)
+        en = F.least(F.lit(C4_GRID).cast("bigint") * i + jit(i), n.cast("bigint"))
         base = F.concat_ws(
-            " ",
-            F.slice(tk, start.cast("int"), F.least(w, n - start + 1).cast("int")),
+            " ", F.slice(tk, st.cast("int"), (en - st + 1).cast("int"))
         )
         js = F.when(
             h("j", i) % C4_JS_DEN == 0, F.concat(base, F.lit(" javascript"))
@@ -1022,10 +1018,7 @@ def _c4_lines(doc_id, tk):
             h(".", i) % C4_PUNCT_DEN < C4_PUNCT_LT, F.concat(js, F.lit("."))
         ).otherwise(js)
 
-    valid = F.filter(
-        F.sequence(F.lit(1), slots),
-        lambda i: F.element_at(ends, i) - F.element_at(wseq, i) + 1 <= n,
-    )
+    valid = F.filter(F.sequence(F.lit(1), slots), lambda i: start(i) <= n)
     return F.transform(valid, line)
 
 
@@ -1033,8 +1026,8 @@ def c4_line_filter(spark, sf_dir):
     """C4 line + page filtering over the synthesized line structure
     (see module comment above): per doc, the line count, retained-line
     count, page keep/drop decision, and the retained text."""
-    d = _docs(spark, sf_dir)
-    lines = _c4_lines(F.col("doc_id"), toks(F.col("text")))
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("tk"))
+    lines = _c4_lines(F.col("doc_id"), F.col("tk"))
     lorem = (
         md5i32(F.concat(F.lit("lorem/"), F.col("doc_id").cast("string")))
         % C4_LOREM_DEN
@@ -1065,7 +1058,8 @@ def c4_line_filter(spark, sf_dir):
     )
 
 
-_C4_H_W = DUCK_MD5I32.format(x="doc_id || '/' || i")
+_C4_H_JIT = DUCK_MD5I32.format(x="doc_id || '/' || i")
+_C4_H_JIT_PREV = DUCK_MD5I32.format(x="doc_id || '/' || (i - 1)")
 _C4_H_J = DUCK_MD5I32.format(x="doc_id || 'j' || i")
 _C4_H_P = DUCK_MD5I32.format(x="doc_id || '.' || i")
 _C4_H_L = DUCK_MD5I32.format(x="'lorem/' || doc_id")
@@ -1076,19 +1070,20 @@ WITH d AS (
 ),
 slots AS (
   SELECT doc_id, tk, len(tk) AS n,
-         unnest(range(1, CAST(ceil(len(tk) / {C4_W_BASE}.0) AS BIGINT) + 1)) AS i
+         unnest(range(1, CAST(ceil(len(tk) / {C4_GRID}.0) AS BIGINT) + 2)) AS i
   FROM d
 ),
-wl AS (
-  SELECT *, {C4_W_BASE} + ({_C4_H_W} % {C4_W_MOD}) AS w FROM slots
-),
-el AS (
-  SELECT *, sum(w) OVER (PARTITION BY doc_id ORDER BY i) AS e FROM wl
+bounds AS (
+  SELECT *,
+         {C4_GRID} * (i - 1)
+           + (CASE WHEN i = 1 THEN 0
+                   ELSE {_C4_H_JIT_PREV} % {C4_JITTER_MOD} END) + 1 AS st,
+         least({C4_GRID} * i + ({_C4_H_JIT} % {C4_JITTER_MOD}), n) AS en
+  FROM slots
 ),
 base AS (
-  SELECT doc_id, i,
-         array_to_string(tk[e - w + 1:least(e, n)], ' ') AS s
-  FROM el WHERE e - w + 1 <= n
+  SELECT doc_id, i, array_to_string(tk[st:en], ' ') AS s
+  FROM bounds WHERE st <= n
 ),
 lines1 AS (
   SELECT doc_id, i,

@@ -641,17 +641,20 @@ def dedup_semantic(spark, sf_dir):
     ``dedup_embedding_cosine`` this finds every within-cluster pair
     exactly — the approximation is the clustering boundary itself
     (a pair split across clusters is unseen; the paper accepts this)."""
-    from .similarity import _assign_lists
+    from .similarity import _assign_lists, _emb
 
-    em = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    em = _emb(spark, sf_dir)
     mut = em.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.01).alias("v"),
     )
-    assigned = _assign_lists(em.unionByName(mut))
+    # eager localCheckpoint: the scan + K x d broadcast-argmax
+    # assignment feeds three consumers (both self-join sides and the
+    # final left join) and must compute once; blocks are released by
+    # the ContextCleaner when the result goes out of scope (an
+    # in-operator persist has no safe unpersist point — see
+    # dedup_minhash_lsh)
+    assigned = _assign_lists(em.unionByName(mut)).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 4)
     hits = (

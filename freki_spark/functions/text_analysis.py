@@ -706,14 +706,19 @@ def quality_classifier(spark, sf_dir):
     parameters; swapping in a real trained table changes one literal
     array, not the dataflow.
 
-    Scale shape: one narrow whole-stage-codegen pass — tokens and
-    bigrams stay inside per-row array expressions (transform +
-    aggregate), the weight table is a plan literal, and nothing
-    shuffles (plan-audited zero Exchange).  This is the economics that
-    make classifier-filtering 100 TB feasible: embarrassingly parallel,
-    IO-bound, no Python."""
-    d = _docs(spark, sf_dir)
-    tk = toks(F.col("text"))
+    Scale shape: one narrow shuffle-free pass — tokens and bigrams
+    stay inside per-row JVM array expressions (transform + aggregate;
+    higher-order functions are CodegenFallback but never leave the
+    JVM), the weight table is a plan literal, and nothing shuffles
+    (plan-audited zero Exchange).  The token array is materialized as
+    a named column FIRST: interpreted HOF eval re-evaluates lambda-
+    body subtrees per element, so an unmaterialized split() inside
+    the bigram lambda would re-split the whole document per bigram —
+    O(n^2) per doc (measured) — while a bound column read is O(1).
+    This is the economics that make classifier-filtering 100 TB
+    feasible: embarrassingly parallel, IO-bound, no Python."""
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("tk"))
+    tk = F.col("tk")
     bigrams = F.when(
         F.size(tk) >= 2,
         F.transform(

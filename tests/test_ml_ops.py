@@ -1221,19 +1221,37 @@ def test_dehyphenate_kernel_adversarial(spark):
         assert r.n_repairs == want_rep, (cases[r.id], r.n_repairs, want_rep)
 
 
-def _half_up(v: float) -> int:
-    """Spark ROUND (HALF_UP, away from zero) for the fixed-point tests."""
-    import math
+def _half_up(v: float, digits: int = 0) -> float:
+    """Spark ROUND on a double: Java BigDecimal.valueOf(d) parses the
+    SHORTEST round-trip decimal (== python repr), then HALF_UP (away
+    from zero).  Python's round() is banker's and floor(v+0.5) breaks
+    at float-representability edges, so mirror the real semantics."""
+    import decimal
 
-    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(v)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold dot product — the exact summation order of
+    Spark's aggregate(zip_with(...)), unlike numpy's pairwise/SIMD
+    reduction which can differ in the last ulp."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
 
 def test_kmeans_update_matches_numpy(spark):
     """One Lloyd update: per-(list, dim) fixed-point sums and member
-    counts must equal an independent numpy recompute of the full
+    counts must equal an independent python recompute of the full
     assign-then-sum (argmax over round-5 cosines, smallest-centroid
-    tie-break — the exact ivf_assign contract)."""
-    import numpy as np
+    tie-break — the exact ivf_assign contract, including Spark's
+    left-fold summation order and HALF_UP rounding)."""
+    import math
+
     import pyarrow.parquet as pq
 
     from freki_spark.functions.similarity import (
@@ -1247,7 +1265,7 @@ def test_kmeans_update_matches_numpy(spark):
     got = {(r.list_id, r.j): (r.sum_q, r.n_members) for r in rows}
 
     t = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
-    emb = {v: np.asarray(e, dtype=np.float64) for v, e in zip(t["vec_id"], t["embedding"])}
+    emb = {v: [float(x) for x in e] for v, e in zip(t["vec_id"], t["embedding"])}
     cents = {
         v: e for v, e in emb.items() if CENTROID_BASE <= v < CENTROID_BASE + N_CENTROIDS
     }
@@ -1255,17 +1273,16 @@ def test_kmeans_update_matches_numpy(spark):
     sums = {}
     counts = {}
     for v, x in emb.items():
+        nx = math.sqrt(_fold_dot(x, x))
         best = max(
-            (
-                (round(float(x @ c) / (np.linalg.norm(x) * np.linalg.norm(c)), 5), -cid)
-                for cid, c in cents.items()
-            ),
+            (_half_up(_fold_dot(x, c) / (nx * math.sqrt(_fold_dot(c, c))), 5), -cid)
+            for cid, c in cents.items()
         )
         lid = -best[1]
         counts[lid] = counts.get(lid, 0) + 1
         acc = sums.setdefault(lid, [0] * dim)
         for j in range(dim):
-            acc[j] += _half_up(float(x[j]) * KMEANS_SCALE)
+            acc[j] += int(_half_up(x[j] * KMEANS_SCALE))
     want = {
         (lid, j + 1): (acc[j], counts[lid])
         for lid, acc in sums.items()
