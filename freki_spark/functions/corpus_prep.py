@@ -420,8 +420,11 @@ def decontaminate_ngram(spark, sf_dir):
     One shuffle, never a corpus x benchmark shuffle join."""
     from .common import shingles
 
-    d = _docs(spark, sf_dir)
-    tk = toks(F.col("text"))
+    # tokens bound first — shingles()' slice lambda over a raw split()
+    # expression is O(n^2) per doc (the CLAUDE.md HOF rule); the bench
+    # side already works over the bound `w` window column
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
     win = F.slice(tk, DECON_WIN_START, DECON_WINDOW)
     bench = (
         d.filter(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
@@ -872,9 +875,12 @@ def _dehyph_pieces(hl, n):
 
 
 def dehyphenate(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    tk = toks(F.col("text"))
-    n_lines = F.expr(f"(size(split(text, ' ')) + {LINE_W - 1}) DIV {LINE_W}")
+    # tokens bound first — the line-chunking lambda slices the token
+    # array per line, and an unmaterialized split() there re-splits
+    # the whole text per line (O(n^2) per doc, the CLAUDE.md HOF rule)
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
+    n_lines = F.expr(f"(size(_tk) + {LINE_W - 1}) DIV {LINE_W}")
     raw_lines = F.transform(
         F.sequence(F.lit(1), n_lines),
         lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * LINE_W + 1, LINE_W)),

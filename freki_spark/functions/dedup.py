@@ -112,7 +112,13 @@ _B = [
 
 
 def _with_minhash(c: DataFrame) -> DataFrame:
-    sh_h = F.transform(shingles(toks(F.col("text"))), lambda g: md5i32(g) % _P31)
+    # tokens bound as a column FIRST: shingles()' slice lambda reads
+    # the token array per element, and interpreted HOF eval re-runs
+    # lambda-body outer refs per element — handing it the raw split()
+    # expression re-splits the whole text per shingle, O(n^2) per doc
+    # (the CLAUDE.md HOF rule)
+    t = c.select("doc_id", toks(F.col("text")).alias("_tk"))
+    sh_h = F.transform(shingles(F.col("_tk")), lambda g: md5i32(g) % _P31)
     mh = F.array(
         *[
             F.array_min(
@@ -124,7 +130,7 @@ def _with_minhash(c: DataFrame) -> DataFrame:
             for s in range(N_MINHASH)
         ]
     )
-    return c.select("doc_id", sh_h.alias("_hs")).select("doc_id", mh.alias("mh"))
+    return t.select("doc_id", sh_h.alias("_hs")).select("doc_id", mh.alias("mh"))
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -282,8 +288,10 @@ aggregate(
 
 
 def _with_simhash(c: DataFrame) -> DataFrame:
-    hs = F.transform(shingles(toks(F.col("text"))), md5i60)
-    return c.select("doc_id", hs.alias("_hs")).select(
+    # tokens bound first — same O(n^2) HOF trap as _with_minhash
+    t = c.select("doc_id", toks(F.col("text")).alias("_tk"))
+    hs = F.transform(shingles(F.col("_tk")), md5i60)
+    return t.select("doc_id", hs.alias("_hs")).select(
         "doc_id", F.expr(_SIMHASH_EXPR).alias("simhash")
     )
 
@@ -407,9 +415,12 @@ JACCARD_DF_MAX = 10
 
 def dedup_ngram_jaccard(spark, sf_dir):
     c = _near_dup_corpus(spark, sf_dir)
-    ds = c.select(
-        "doc_id", F.explode(shingles(toks(F.col("text")))).alias("sh")
-    ).persist()
+    ds = (
+        # tokens bound first — same O(n^2) HOF trap as _with_minhash
+        c.select("doc_id", toks(F.col("text")).alias("_tk"))
+        .select("doc_id", F.explode(shingles(F.col("_tk"))).alias("sh"))
+        .persist()
+    )
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(
         F.col("df").between(JACCARD_DF_MIN, JACCARD_DF_MAX)
@@ -1145,9 +1156,14 @@ def _first_occurrence(e: DataFrame):
 
 
 def paragraph_dedup(spark, sf_dir):
-    c = _near_dup_corpus(spark, sf_dir)
-    tk = toks(F.col("text"))
-    n_chunks = F.expr(f"(size(split(text, ' ')) + {PARA_W - 1}) DIV {PARA_W}")
+    # tokens bound first — the chunking lambda slices the token array
+    # per paragraph, and an unmaterialized split() there re-splits the
+    # whole text per chunk (O(n^2) per doc, the CLAUDE.md HOF rule)
+    c = _near_dup_corpus(spark, sf_dir).select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    )
+    tk = F.col("_tk")
+    n_chunks = F.expr(f"(size(_tk) + {PARA_W - 1}) DIV {PARA_W}")
     paras = F.transform(
         F.sequence(F.lit(1), n_chunks),
         lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * PARA_W + 1, PARA_W)),

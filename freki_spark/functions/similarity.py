@@ -450,11 +450,20 @@ SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
 QUANT_LEVELS = 127
 
 
-def _quantize(v):
-    scale = F.aggregate(
+def _q_scale(v):
+    return F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
     ) / F.lit(float(QUANT_LEVELS))
-    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+
+
+def _q_apply(v, scale):
+    """Quantize with `scale` as a BOUND column: referencing the
+    max-abs aggregate directly inside the per-element lambda would
+    make interpreted HOF eval recompute it per element — O(d^2) per
+    vector (the CLAUDE.md HOF rule), a 64x waste at dim 64."""
+    return F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
         F.transform(
             v,
             lambda x: F.greatest(
@@ -466,7 +475,6 @@ def _quantize(v):
             ),
         )
     )
-    return q
 
 
 def ann_topk_quantized(spark, sf_dir):
@@ -477,7 +485,11 @@ def ann_topk_quantized(spark, sf_dir):
     ``ann_topk_bruteforce`` at a quarter of the scan bytes; at 10^12
     vectors this composes with the IVF lists (quantized scan inside
     each probed list, exact re-rank of the shortlist)."""
-    em = _emb(spark, sf_dir).select("vec_id", _quantize(F.col("v")).alias("q"))
+    em = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v", _q_scale(F.col("v")).alias("_qs"))
+        .select("vec_id", _q_apply(F.col("v"), F.col("_qs")).alias("q"))
+    )
     probes = em.filter(F.col("vec_id") < N_PROBES).alias("p")
     corpus = em.alias("c")
     qdot = F.aggregate(

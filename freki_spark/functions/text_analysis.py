@@ -209,8 +209,11 @@ def gopher_repetition(spark, sf_dir):
     aggregations are partial-agg-friendly groupBys (map-side combine)
     on high-cardinality keys ((doc_id, bigram), then doc_id) — no skew
     pileup, no window over the whole corpus."""
-    d = _docs(spark, sf_dir)
-    tk = toks(F.col("text"))
+    # tokens bound first — the bigram lambda slices the token array
+    # per element, and an unmaterialized split() there re-splits the
+    # whole text per bigram (O(n^2) per doc, the CLAUDE.md HOF rule)
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),

@@ -1365,3 +1365,27 @@ def test_c4_line_filter_rules_fire(spark):
         if int(hashlib.md5(f"lorem/{r.doc_id}".encode()).hexdigest()[:8], 16) % 29 == 0
     ]
     assert lorem and all(r.keep == 0 for r in lorem)
+
+
+def test_shingle_paths_stay_linear_on_mega_docs(spark):
+    """Canary for the CLAUDE.md HOF rule: the minhash shingling path
+    must be O(n) in doc length.  With the token array bound as a
+    column this runs ~0.6s on a 76.8k-token doc; the old form (raw
+    split() referenced inside shingles' slice lambda) re-split the
+    text per shingle — measured ~95s at HALF this length, i.e. ~380s
+    here.  The 45s bound leaves wide headroom for this host's 10x
+    noise waves while failing any reintroduced quadratic by ~8x."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from freki_spark.functions.dedup import _with_minhash
+
+    text = " ".join(f"w{i % 97}" for i in range(76_800))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    _with_minhash(d.limit(1)).collect()  # warm the codepaths
+    t0 = time.time()
+    rows = _with_minhash(d).collect()
+    wall = time.time() - t0
+    assert len(rows) == 1 and len(rows[0].mh) > 0
+    assert wall < 45, f"mega-doc minhash took {wall:.1f}s — quadratic regression?"
