@@ -1133,6 +1133,195 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# dsir_select — Data Selection with Importance Resampling (Xie et al.
+# 2023): score every document by the log-likelihood ratio of its hashed
+# n-gram features under a target-domain model vs the raw-corpus model,
+# and keep documents whose features look target-like.  The target here
+# is a source stratum of the corpus itself (in production: Wikipedia /
+# books vs CommonCrawl); the mechanism — two hashed-feature count
+# models, a broadcast λ table, a narrow per-doc weighted sum — is the
+# real DSIR pipeline shape.
+#
+# Scale shape (100 TB): feature extraction is a flat-map; both count
+# models are partial-agg groupBys onto a FIXED-width key space (the
+# hash-bucket table has exactly DSIR_BUCKETS rows no matter the corpus
+# size), so the λ table always broadcasts; scoring is one broadcast
+# join + per-doc partial agg.  No windows, no global sorts.
+#
+# Cross-engine determinism: λ(f) is floored to a µ-nat bigint per
+# FEATURE before any per-doc summation (sums stay integer and
+# order-independent).  The four ln() calls run on identical doubles in
+# a fixed association — bit-identical per the tfidf_topk precedent.
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def dsir_select(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    # hashed bigram features; tokens bound first (CLAUDE.md HOF rule)
+    docs = d.select("doc_id", tgt.cast("int").alias("is_tgt"),
+                    toks(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+    )
+    occ = docs.select(
+        "doc_id", "is_tgt", F.explode(bigrams).alias("bg")
+    ).select(
+        "doc_id", "is_tgt",
+        F.pmod(md5i32(F.col("bg")), F.lit(DSIR_BUCKETS)).alias("f"),
+    )
+    counts = occ.groupBy("f").agg(
+        F.sum("is_tgt").alias("c_t"),
+        F.count("*").alias("c_r"),
+    )
+    totals = occ.agg(
+        F.sum("is_tgt").alias("n_t"),
+        F.count("*").alias("n_r"),
+    )
+    # λ(f) = ln p_tgt(f) - ln p_raw(f), add-one smoothed, fixed
+    # association: ((ln(c_t+1) + ln(n_r+B)) - ln(c_r+1)) - ln(n_t+B)
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.floor(
+            (
+                (
+                    (F.log(F.col("c_t") + 1.0)
+                     + F.log(F.col("n_r") + float(DSIR_BUCKETS)))
+                    - F.log(F.col("c_r") + 1.0)
+                )
+                - F.log(F.col("n_t") + float(DSIR_BUCKETS))
+            )
+            * DSIR_SCALE
+        )
+        .cast("bigint")
+        .alias("lam"),
+    )
+    scored = (
+        occ.join(F.broadcast(lam), "f")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lam").alias("weight"))
+    )
+    return scored.select(
+        "doc_id", "n_feats", "weight",
+        (F.col("weight") > 0).cast("int").alias("selected"),
+    )
+
+
+_DSIR_TGT_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+SQL_DSIR_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, CAST(source IN ({_DSIR_TGT_IN}) AS INT) AS is_tgt,
+         string_split(text, ' ') AS l
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, is_tgt,
+         {DUCK_MD5I32.format(x="bg")} % {DSIR_BUCKETS} AS f
+  FROM (SELECT doc_id, is_tgt,
+               unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                                     i -> array_to_string(l[i:i+1], ' '))) AS bg
+        FROM t)
+),
+counts AS (SELECT f, CAST(sum(is_tgt) AS BIGINT) AS c_t,
+                  CAST(count(*) AS BIGINT) AS c_r
+           FROM occ GROUP BY f),
+totals AS (SELECT CAST(sum(is_tgt) AS BIGINT) AS n_t,
+                  CAST(count(*) AS BIGINT) AS n_r
+           FROM occ),
+lam AS (
+  SELECT f,
+         CAST(floor((((ln(c_t + 1.0) + ln(n_r + {DSIR_BUCKETS}.0))
+                      - ln(c_r + 1.0)) - ln(n_t + {DSIR_BUCKETS}.0))
+                    * {DSIR_SCALE}) AS BIGINT) AS lam
+  FROM counts CROSS JOIN totals
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lam) AS BIGINT) AS weight,
+       CAST(sum(lam) > 0 AS INT) AS selected
+FROM occ JOIN lam USING (f)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# domain_stats — per-domain corpus rollup (the FineWeb/RefinedWeb
+# domain-filtering stage: doc counts, volume share, mean quality per
+# registered domain, ranked).  The driver corpus is synthetic (no URL
+# column), so the op first derives a deterministic URL per row from
+# (source, doc_id) — what is verified cross-engine is the host-parsing
+# + rollup mechanism itself (same convention as pii_scrub).
+#
+# Scale shape (100 TB): URL→domain is a narrow regexp; the rollup is
+# one partial-agg groupBy on domain; the share denominator is a 1-row
+# broadcast aggregate; the rank window runs over the domain table
+# (bounded by the number of registered domains, not corpus size).
+# --------------------------------------------------------------------------
+
+DOMAIN_RE = r"^https?://(?:[a-z0-9-]+\.)*?([a-z0-9-]+\.(?:com|org|net))/"
+
+
+def domain_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("cdn.")),
+        F.col("source"), F.lit("-site."), tld,
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
+    dom = F.regexp_extract(url, DOMAIN_RE, 1)
+    per = d.select(dom.alias("domain"), "n_chars")
+    total = per.agg(F.count("*").cast("double").alias("n_total"))
+    agg = per.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    agg = agg.crossJoin(F.broadcast(total)).select(
+        "domain", "n_docs", "sum_chars",
+        F.floor(F.col("n_docs") * 1_000_000 / F.col("n_total"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.expr("sum_chars div n_docs").alias("mean_chars"),
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("domain"))
+    return agg.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+SQL_DOMAIN_STATS = f"""
+WITH u AS (
+  SELECT 'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END
+           || source || '-site.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 + 1 AS INT)]
+           || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+         n_chars
+  FROM documents
+),
+per AS (SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain, n_chars FROM u),
+agg AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM per GROUP BY domain
+)
+SELECT domain, n_docs, sum_chars,
+       CAST(floor(n_docs * 1000000 / (SELECT count(*) FROM per)) AS BIGINT)
+         AS share_ppm,
+       sum_chars // n_docs AS mean_chars,
+       CAST(row_number() OVER (ORDER BY n_docs DESC, domain) AS INT) AS rank
+FROM agg
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -1148,6 +1337,8 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "shuffle_deterministic": shuffle_deterministic,
     "c4_line_filter": c4_line_filter,
+    "dsir_select": dsir_select,
+    "domain_stats": domain_stats,
 }
 
 ORACLE_SQL = {
@@ -1165,4 +1356,6 @@ ORACLE_SQL = {
     "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "c4_line_filter": SQL_C4_LINE_FILTER,
+    "dsir_select": SQL_DSIR_SELECT,
+    "domain_stats": SQL_DOMAIN_STATS,
 }

@@ -10,6 +10,7 @@ fingerprint is pure integer math via the shared md5 hash.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .common import DUCK_MD5I32, MOD31, md5i32, toks
@@ -768,6 +769,242 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# perplexity_bucket — CCNet-style LM-perplexity filtering (Wenzek et
+# al. 2020): score every document under a language model trained on
+# the corpus itself, then route it to a head / middle / tail bucket by
+# per-language thresholds.  The LM here is an add-one-smoothed token
+# bigram model (KenLM stands in for it in production; the *pipeline
+# shape* — train counts on the corpus, broadcast the model, score
+# narrowly, bucket by precomputed per-lang cutoffs — is identical and
+# is what this operator demonstrates).
+#
+# Scale shape (100 TB): two partial-agg-friendly groupBys build the
+# count model (map-side combine on bigram / first-token keys); the
+# vocabulary-size scalar is a 1-row aggregate folded into the plan
+# (crossJoin broadcast, no driver action); scoring is one equi-join of
+# bigram occurrences against the (bigram → surprise) table followed by
+# a per-doc partial agg.  Bucket thresholds are constants (CCNet's
+# production design: cutoffs are precomputed per language from a
+# sample, shipped as literals) — no global sort, no quantile window.
+#
+# Cross-engine determinism: the surprise of a bigram type is
+# floor(ln((c1 + V) / (c2 + 1)) * 1e6) — ONE integer-exact division,
+# ONE ln of an identical double (bit-identical per the tfidf_topk
+# precedent), scaled and floored to a bigint BEFORE any summation, so
+# per-doc sums are integer and order-independent.  c1 >= c2 and V >= 1
+# make every surprise non-negative, so bigint `div` (truncation) is
+# floor division in both engines.
+# --------------------------------------------------------------------------
+
+PPL_SCALE = 1_000_000
+# per-lang (head_max, middle_max) cutoffs in µ-nats/bigram, set at the
+# lang's observed ~q25/~q75 on the synthetic corpus (in production:
+# measured on a sample per language, shipped as constants)
+PPL_CUTOFFS = {
+    "en": (3_368_000, 3_405_000),
+    "es": (3_362_000, 3_400_000),
+    "de": (3_356_000, 3_405_000),
+    "fr": (3_373_000, 3_402_000),
+    "zh": (3_370_000, 3_405_000),
+}
+
+
+def perplexity_bucket(spark, sf_dir):
+    """Per-doc bigram-LM surprise score + CCNet head/middle/tail bucket."""
+    return _perplexity_scored(_docs(spark, sf_dir))
+
+
+def _perplexity_scored(docs):
+    """Score a (doc_id, lang, text) DataFrame; split out so tests can
+    pin the LM semantics on constructed corpora."""
+    # tokens bound as a column first (CLAUDE.md HOF rule)
+    d = docs.select("doc_id", "lang", toks(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("w1"),
+            F.concat_ws(" ", F.slice(tk, i, 2)).alias("bg"),
+        ),
+    )
+    occ = d.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+    c2 = occ.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    # vocabulary size for add-one smoothing: distinct successor tokens,
+    # folded into the plan as a broadcast 1-row aggregate
+    # F.get (0-based) is NULL-safe out of bounds under ANSI mode, so a
+    # degenerate single-token "bigram" contributes no successor (the
+    # DuckDB list_extract mirror also yields NULL there)
+    vsz = occ.agg(
+        F.countDistinct(F.get(F.split("bg", " "), 1)).alias("vsz")
+    )
+    # assemble the (bigram → surprise) model table: equi-join the two
+    # partial-agg'd count tables (both vocabulary-, not corpus-sized)
+    surp_tbl = (
+        c2.crossJoin(F.broadcast(vsz))
+        .join(c1.withColumnRenamed("w1", "_w1"), F.split(c2["bg"], " ")[0] == F.col("_w1"))
+        .select(
+            "bg",
+            F.floor(
+                F.log((F.col("c1") + F.col("vsz")) / (F.col("c2") + F.lit(1.0)))
+                * PPL_SCALE
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    scored = (
+        occ.join(surp_tbl, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s").alias("sum_surp"),
+        )
+        .withColumn("score", F.expr("sum_surp div n_bigrams"))
+    )
+    head = F.create_map(
+        *[x for l, (h, _) in sorted(PPL_CUTOFFS.items()) for x in (F.lit(l), F.lit(h))]
+    )
+    mid = F.create_map(
+        *[x for l, (_, m) in sorted(PPL_CUTOFFS.items()) for x in (F.lit(l), F.lit(m))]
+    )
+    bucket = (
+        F.when(F.col("score") < head[F.col("lang")], F.lit("head"))
+        .when(F.col("score") < mid[F.col("lang")], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", "sum_surp", "score", bucket.alias("bucket")
+    )
+
+
+def _ppl_cutoff_case(which: int) -> str:
+    return (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{l}' THEN {cut[which]}" for l, cut in sorted(PPL_CUTOFFS.items())
+        )
+        + " END"
+    )
+
+
+SQL_PERPLEXITY_BUCKET = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+occ AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                               i -> l[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                               i -> array_to_string(l[i:i+1], ' '))) AS bg
+  FROM t
+),
+c2 AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+v AS (SELECT count(DISTINCT list_extract(string_split(bg, ' '), 2)) AS vsz
+      FROM occ),
+surp AS (
+  SELECT c2.bg,
+         CAST(floor(ln((c1.c1 + v.vsz) / (c2.c2 + 1.0)) * {PPL_SCALE})
+              AS BIGINT) AS s
+  FROM c2 CROSS JOIN v
+  JOIN c1 ON list_extract(string_split(c2.bg, ' '), 1) = c1.w1
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(s) AS BIGINT) AS sum_surp,
+         CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS score
+  FROM occ JOIN surp USING (bg)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams, sum_surp, score,
+       CASE WHEN score < ({_ppl_cutoff_case(0)}) THEN 'head'
+            WHEN score < ({_ppl_cutoff_case(1)}) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# bpe_train — one distributed iteration of byte-pair-encoding merge
+# learning (Sennrich et al. 2016): count adjacent symbol pairs across
+# the corpus and rank the merge candidates.  Production BPE training is
+# a driver loop over exactly this step (count pairs → pick argmax →
+# apply merge → recount), the same one-distributed-update-per-iteration
+# shape as kmeans_update; bpe_encode above consumes the learned table.
+#
+# Scale shape (100 TB): the classic compression — aggregate the corpus
+# to its unique-word frequency table FIRST (partial-agg groupBy; the
+# word table is vocabulary-sized, not corpus-sized), then pair-count
+# over unique words weighted by frequency.  The pair table is bounded
+# by symbol-vocab², not corpus size, so the final ranking window runs
+# over at most a few thousand rows.
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_TOPK = 16
+
+
+def bpe_train(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(toks(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z][a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # adjacent char pairs per unique word: explode positions then
+    # substr of the bound word column — a pure flat-map, and each
+    # substr is O(1) per element (CLAUDE.md HOF rule)
+    pos = words.select(
+        "w",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    )
+    pc = (
+        pos.select(
+            F.expr("substr(w, i, 1)").alias("left"),
+            F.expr("substr(w, i + 1, 1)").alias("right"),
+            "freq",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+    return (
+        pc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TRAIN_TOPK)
+        .select("rank", "left", "right", "cnt")
+    )
+
+
+SQL_BPE_TRAIN = f"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_full_match(w, '[a-z][a-z]+')
+  GROUP BY w
+),
+pos AS (
+  SELECT w, freq, unnest(range(1, len(w))) AS i FROM words
+),
+pc AS (
+  SELECT w[i:i] AS "left", w[i+1:i+1] AS "right",
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM pos GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, "left", "right") AS INT)
+         AS rank,
+       "left", "right", cnt
+FROM pc
+QUALIFY rank <= {BPE_TRAIN_TOPK}
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "lexical_diversity": lexical_diversity,
@@ -779,6 +1016,8 @@ QUERIES = {
     "gopher_quality": gopher_quality,
     "bpe_encode": bpe_encode,
     "quality_classifier": quality_classifier,
+    "perplexity_bucket": perplexity_bucket,
+    "bpe_train": bpe_train,
 }
 
 ORACLE_SQL = {
@@ -792,4 +1031,6 @@ ORACLE_SQL = {
     "badword_filter": SQL_BADWORD_FILTER,
     "bpe_encode": SQL_BPE_ENCODE,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
+    "bpe_train": SQL_BPE_TRAIN,
 }

@@ -1389,3 +1389,107 @@ def test_shingle_paths_stay_linear_on_mega_docs(spark):
     wall = time.time() - t0
     assert len(rows) == 1 and len(rows[0].mh) > 0
     assert wall < 45, f"mega-doc minhash took {wall:.1f}s — quadratic regression?"
+
+
+def test_perplexity_bucket_lm_semantics(spark):
+    """A document that is one bigram repeated must score LOWER surprise
+    than a same-length document of corpus-unique bigrams under the
+    corpus-trained bigram LM (repetition = high bigram count = low
+    -ln P), and the bucket must be a pure threshold function of
+    (lang, score)."""
+    from freki_spark.functions.text_analysis import (
+        PPL_CUTOFFS,
+        _perplexity_scored,
+        perplexity_bucket,
+    )
+
+    rep = " ".join(["spark lake"] * 40)
+    uniq = " ".join(f"tok{i}" for i in range(80))
+    filler = [(100 + i, "en", f"common words {i % 3} appear common words") for i in range(6)]
+    d = spark.createDataFrame(
+        [(1, "en", rep), (2, "en", uniq)] + filler,
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.doc_id: r for r in _perplexity_scored(d).collect()}
+    assert rows[1].score < rows[2].score
+    for r in rows.values():
+        assert r.score == r.sum_surp // r.n_bigrams
+        head, mid = PPL_CUTOFFS[r.lang]
+        want = "head" if r.score < head else ("middle" if r.score < mid else "tail")
+        assert r.bucket == want
+
+    # corpus smoke: every doc scored, buckets only from the enum
+    docs_n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    out = perplexity_bucket(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == docs_n
+    assert {r.bucket for r in out} <= {"head", "middle", "tail"}
+
+
+def test_dsir_select_prefers_target_sources(spark):
+    """Docs drawn from the DSIR target strata must average a higher
+    importance weight than the rest of the corpus (their hashed-bigram
+    features define the target distribution), and `selected` must be
+    exactly weight > 0."""
+    from freki_spark.functions.corpus_prep import DSIR_TARGET_SOURCES, dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    rows = dsir_select(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(src)
+    tgt_w = [r.weight / r.n_feats for r in rows if src[r.doc_id] in DSIR_TARGET_SOURCES]
+    rest_w = [r.weight / r.n_feats for r in rows if src[r.doc_id] not in DSIR_TARGET_SOURCES]
+    assert tgt_w and rest_w
+    assert sum(tgt_w) / len(tgt_w) > sum(rest_w) / len(rest_w)
+    for r in rows:
+        assert r.selected == int(r.weight > 0)
+
+
+def test_bpe_train_matches_naive_python(spark):
+    """Top merge candidates (pair counts over unique lowercase words
+    weighted by word frequency, ties broken by pair) must equal a
+    direct Python recount of the same corpus."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.text_analysis import BPE_TRAIN_TOPK, bpe_train
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    ]
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if re.fullmatch("[a-z][a-z]+", w):
+                words[w] += 1
+    pairs = Counter()
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += f
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TRAIN_TOPK]
+
+    rows = bpe_train(spark, "/root/testdata/sf0.001").collect()
+    got = [((r.left, r.right), r.cnt) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == want
+
+
+def test_domain_stats_rollup_consistency(spark):
+    """Domain shares, means, and ranks must be internally consistent
+    and the doc counts must partition the corpus exactly."""
+    from freki_spark.functions.corpus_prep import domain_stats
+
+    docs_n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    rows = domain_stats(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == docs_n
+    for r in rows:
+        assert r.domain.endswith((".com", ".org", ".net"))
+        assert "-site." in r.domain and not r.domain.startswith(("www.", "cdn."))
+        assert r.share_ppm == r.n_docs * 1_000_000 // total
+        assert r.mean_chars == r.sum_chars // r.n_docs
+    ranked = sorted(rows, key=lambda r: (-r.n_docs, r.domain))
+    assert [r.rank for r in ranked] == list(range(1, len(rows) + 1))

@@ -545,6 +545,65 @@ def main() -> int:
         "within-cluster equi-join keyed on list_id, no CartesianProduct",
     )
 
+    # 33. perplexity_bucket: every count-model groupBy partially
+    #     aggregates map-side (raw bigram occurrences never shuffle
+    #     unreduced), no quantile/global Window anywhere (CCNet cutoffs
+    #     are plan literals), no all-pairs product
+    p = plan_of(QUERIES["perplexity_bucket"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    # shuffle Exchanges only — a BroadcastExchange below the first agg
+    # (the folded vsz scalar) is exactly the designed plan
+    ex = [int(m) for m in re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", p)]
+    check(
+        "ppl_partial_agg_no_window",
+        "partial_count" in p
+        and agg and ex and min(agg) < min(ex)
+        and "Window" not in p
+        and "CartesianProduct" not in p,
+        "partial agg below first Exchange, no Window, no CartesianProduct",
+    )
+
+    # 34. dsir_select: the λ table (fixed DSIR_BUCKETS rows) joins back
+    #     to the feature stream via BROADCAST — never a shuffle join —
+    #     and the count models partial-agg map-side
+    p = plan_of(QUERIES["dsir_select"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    check(
+        "dsir_bcast_lambda",
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and agg and ex and min(agg) < min(ex),
+        "broadcast λ join, partial agg below first Exchange",
+    )
+
+    # 35. bpe_train: the corpus compresses to the unique-word frequency
+    #     table BEFORE pair counting (partial_count below the first
+    #     Exchange), and the ranking Window runs only over the
+    #     already-aggregated pair table (window node above all aggs)
+    p = plan_of(QUERIES["bpe_train"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    win = [int(m) for m in re.findall(r"Window \((\d+)\)", p)]
+    check(
+        "bpe_train_word_compress",
+        "partial_count" in p and agg and win and max(agg) < min(win),
+        "word-freq compression + pair agg below the ranking window",
+    )
+
+    # 36. domain_stats: URL→domain is a narrow regexp feeding ONE
+    #     partial-agg'd rollup; the share denominator folds in as a
+    #     broadcast 1-row aggregate (no driver action, no shuffle join)
+    p = plan_of(QUERIES["domain_stats"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    check(
+        "domain_stats_partial_rollup",
+        "partial_count" in p
+        and agg and ex and min(agg) < min(ex)
+        and "SortMergeJoin" not in p,
+        "partial rollup below first Exchange, broadcast total join",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
