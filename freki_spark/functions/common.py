@@ -49,6 +49,28 @@ def shingles(tok_col: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+def bigrams(tok_col: Column) -> Column:
+    """All adjacent-token bigrams WITH multiplicity (unlike shingles:
+    no distinct), short docs degrading to one single-token "bigram".
+    Callers must bind the token array as a named column first — an
+    unmaterialized split() here re-splits the text per element
+    (the CLAUDE.md HOF rule)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, 2)),
+    )
+
+
+def duck_bigrams(l: str) -> str:
+    """DuckDB mirror of ``bigrams(col)`` over a token list `l` —
+    single source of the slice/degenerate-doc convention so the two
+    engines can never desync (same contract as duck_shingles)."""
+    return (
+        f"list_transform(range(1, greatest(len({l}) - 1, 1) + 1), "
+        f"i -> array_to_string({l}[i:i+1], ' '))"
+    )
+
+
 def duck_shingles(l: str, n: int = SHINGLE_N) -> str:
     """DuckDB mirror of ``shingles(col, n)`` over a token list `l`
     (1-based slicing, inclusive bounds: l[i:i+n-1] is n elements),

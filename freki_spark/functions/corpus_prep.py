@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import DUCK_MD5I32, md5i32, toks
+from .common import DUCK_MD5I32, bigrams, duck_bigrams, md5i32, toks
 
 # regexes valid and equivalent in Java regex AND RE2 (no lookaround)
 EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+"
@@ -1166,13 +1166,8 @@ def dsir_select(spark, sf_dir):
     # hashed bigram features; tokens bound first (CLAUDE.md HOF rule)
     docs = d.select("doc_id", tgt.cast("int").alias("is_tgt"),
                     toks(F.col("text")).alias("_tk"))
-    tk = F.col("_tk")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
-    )
     occ = docs.select(
-        "doc_id", "is_tgt", F.explode(bigrams).alias("bg")
+        "doc_id", "is_tgt", F.explode(bigrams(F.col("_tk"))).alias("bg")
     ).select(
         "doc_id", "is_tgt",
         F.pmod(md5i32(F.col("bg")), F.lit(DSIR_BUCKETS)).alias("f"),
@@ -1181,9 +1176,11 @@ def dsir_select(spark, sf_dir):
         F.sum("is_tgt").alias("c_t"),
         F.count("*").alias("c_r"),
     )
-    totals = occ.agg(
-        F.sum("is_tgt").alias("n_t"),
-        F.count("*").alias("n_r"),
+    # totals are exactly the column sums of the fixed 1024-row counts
+    # table — never a second corpus-sized scan
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
     )
     # λ(f) = ln p_tgt(f) - ln p_raw(f), add-one smoothed, fixed
     # association: ((ln(c_t+1) + ln(n_r+B)) - ln(c_r+1)) - ln(n_t+B)
@@ -1225,17 +1222,14 @@ WITH t AS (
 occ AS (
   SELECT doc_id, is_tgt,
          {DUCK_MD5I32.format(x="bg")} % {DSIR_BUCKETS} AS f
-  FROM (SELECT doc_id, is_tgt,
-               unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
-                                     i -> array_to_string(l[i:i+1], ' '))) AS bg
-        FROM t)
+  FROM (SELECT doc_id, is_tgt, unnest({duck_bigrams("l")}) AS bg FROM t)
 ),
 counts AS (SELECT f, CAST(sum(is_tgt) AS BIGINT) AS c_t,
                   CAST(count(*) AS BIGINT) AS c_r
            FROM occ GROUP BY f),
-totals AS (SELECT CAST(sum(is_tgt) AS BIGINT) AS n_t,
-                  CAST(count(*) AS BIGINT) AS n_r
-           FROM occ),
+totals AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                  CAST(sum(c_r) AS BIGINT) AS n_r
+           FROM counts),
 lam AS (
   SELECT f,
          CAST(floor((((ln(c_t + 1.0) + ln(n_r + {DSIR_BUCKETS}.0))
@@ -1282,11 +1276,13 @@ def domain_stats(spark, sf_dir):
     )
     dom = F.regexp_extract(url, DOMAIN_RE, 1)
     per = d.select(dom.alias("domain"), "n_chars")
-    total = per.agg(F.count("*").cast("double").alias("n_total"))
     agg = per.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+    # the share denominator is the column sum of the domain-bounded
+    # rollup — never a second corpus scan re-running the URL regex
+    total = agg.agg(F.sum("n_docs").cast("double").alias("n_total"))
     agg = agg.crossJoin(F.broadcast(total)).select(
         "domain", "n_docs", "sum_chars",
         F.floor(F.col("n_docs") * 1_000_000 / F.col("n_total"))
@@ -1314,7 +1310,7 @@ agg AS (
   FROM per GROUP BY domain
 )
 SELECT domain, n_docs, sum_chars,
-       CAST(floor(n_docs * 1000000 / (SELECT count(*) FROM per)) AS BIGINT)
+       CAST(floor(n_docs * 1000000 / (SELECT sum(n_docs) FROM agg)) AS BIGINT)
          AS share_ppm,
        sum_chars // n_docs AS mean_chars,
        CAST(row_number() OVER (ORDER BY n_docs DESC, domain) AS INT) AS rank

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import DUCK_MD5I32, MOD31, md5i32, toks
+from .common import DUCK_MD5I32, MOD31, bigrams, duck_bigrams, md5i32, toks
 
 # fixed marker-token lists (the corpus is synthetic; the *mechanism* —
 # n-gram/markers scoring with deterministic tie-break — is what scales)
@@ -210,17 +210,12 @@ def gopher_repetition(spark, sf_dir):
     aggregations are partial-agg-friendly groupBys (map-side combine)
     on high-cardinality keys ((doc_id, bigram), then doc_id) — no skew
     pileup, no window over the whole corpus."""
-    # tokens bound first — the bigram lambda slices the token array
-    # per element, and an unmaterialized split() there re-splits the
-    # whole text per bigram (O(n^2) per doc, the CLAUDE.md HOF rule)
+    # tokens bound first — the shared bigram lambda slices the token
+    # array per element, and an unmaterialized split() there re-splits
+    # the whole text per bigram (O(n^2) per doc, the CLAUDE.md HOF rule)
     d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
-    tk = F.col("_tk")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
-    )
     per = (
-        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        d.select("doc_id", F.explode(bigrams(F.col("_tk"))).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("cnt"))
     )
@@ -244,9 +239,7 @@ def gopher_repetition(spark, sf_dir):
 
 SQL_GOPHER_REPETITION = f"""
 WITH bg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
-                               i -> array_to_string(l[i:i+1], ' '))) AS bg
+  SELECT doc_id, unnest({duck_bigrams("l")}) AS bg
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 ),
 per AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
@@ -820,34 +813,33 @@ def _perplexity_scored(docs):
     pin the LM semantics on constructed corpora."""
     # tokens bound as a column first (CLAUDE.md HOF rule)
     d = docs.select("doc_id", "lang", toks(F.col("text")).alias("_tk"))
-    tk = F.col("_tk")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(tk, i).alias("w1"),
-            F.concat_ws(" ", F.slice(tk, i, 2)).alias("bg"),
-        ),
-    )
     occ = d.select(
-        "doc_id", "lang", F.explode(pairs).alias("p")
-    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+        "doc_id", "lang", F.explode(bigrams(F.col("_tk"))).alias("bg")
+    )
 
+    # ONE corpus-sized aggregation builds the whole model: first-token
+    # counts and the successor-vocabulary scalar both derive exactly
+    # from the vocabulary-sized c2 table (c1(w) = Σ c2 over bigrams
+    # starting w; distinct successors of occurrences == distinct
+    # successors of bigram types), so the corpus scans twice total
+    # (model + scoring), never four times
     c2 = occ.groupBy("bg").agg(F.count("*").alias("c2"))
-    c1 = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    c1 = c2.groupBy(F.split("bg", " ")[0].alias("_w1")).agg(
+        F.sum("c2").alias("c1")
+    )
     # vocabulary size for add-one smoothing: distinct successor tokens,
     # folded into the plan as a broadcast 1-row aggregate
     # F.get (0-based) is NULL-safe out of bounds under ANSI mode, so a
     # degenerate single-token "bigram" contributes no successor (the
     # DuckDB list_extract mirror also yields NULL there)
-    vsz = occ.agg(
+    vsz = c2.agg(
         F.countDistinct(F.get(F.split("bg", " "), 1)).alias("vsz")
     )
     # assemble the (bigram → surprise) model table: equi-join the two
     # partial-agg'd count tables (both vocabulary-, not corpus-sized)
     surp_tbl = (
         c2.crossJoin(F.broadcast(vsz))
-        .join(c1.withColumnRenamed("w1", "_w1"), F.split(c2["bg"], " ")[0] == F.col("_w1"))
+        .join(c1, F.split(c2["bg"], " ")[0] == F.col("_w1"))
         .select(
             "bg",
             F.floor(
@@ -896,17 +888,14 @@ def _ppl_cutoff_case(which: int) -> str:
 SQL_PERPLEXITY_BUCKET = f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
 occ AS (
-  SELECT doc_id, lang,
-         unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
-                               i -> l[i])) AS w1,
-         unnest(list_transform(range(1, greatest(len(l) - 1, 1) + 1),
-                               i -> array_to_string(l[i:i+1], ' '))) AS bg
-  FROM t
+  SELECT doc_id, lang, unnest({duck_bigrams("l")}) AS bg FROM t
 ),
 c2 AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
-c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+c1 AS (SELECT list_extract(string_split(bg, ' '), 1) AS w1,
+              CAST(sum(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY 1),
 v AS (SELECT count(DISTINCT list_extract(string_split(bg, ' '), 2)) AS vsz
-      FROM occ),
+      FROM c2),
 surp AS (
   SELECT c2.bg,
          CAST(floor(ln((c1.c1 + v.vsz) / (c2.c2 + 1.0)) * {PPL_SCALE})
@@ -953,7 +942,11 @@ def bpe_train(spark, sf_dir):
     d = _docs(spark, sf_dir)
     words = (
         d.select(F.explode(toks(F.lower(F.col("text")))).alias("w"))
-        .filter(F.col("w").rlike("^[a-z][a-z]+$"))
+        # \z, not $: Java's non-MULTILINE $ also matches just before a
+        # trailing newline, which full-match semantics (the DuckDB
+        # regexp_full_match oracle) do not — a token like 'abc\n'
+        # would desync the engines
+        .filter(F.col("w").rlike(r"^[a-z][a-z]+\z"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )

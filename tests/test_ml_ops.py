@@ -1493,3 +1493,33 @@ def test_domain_stats_rollup_consistency(spark):
         assert r.mean_chars == r.sum_chars // r.n_docs
     ranked = sorted(rows, key=lambda r: (-r.n_docs, r.domain))
     assert [r.rank for r in ranked] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_train_word_regex_rejects_trailing_newline(spark):
+    """Java's non-MULTILINE '$' matches before a trailing newline but
+    DuckDB's regexp_full_match does not — the op must use \\z so both
+    engines reject a token like 'abc\\n' identically."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    bad = "abc\n"
+    df = spark.createDataFrame([(bad,), ("abc",)], "w string")
+    got = {
+        r.w: r.m
+        for r in df.select(
+            "w", F.col("w").rlike(r"^[a-z][a-z]+\z").alias("m")
+        ).collect()
+    }
+    duck = {
+        w: duckdb.sql(
+            "SELECT regexp_full_match(?, '[a-z][a-z]+')", params=[w]
+        ).fetchone()[0]
+        for w in (bad, "abc")
+    }
+    # the buggy '$' anchor accepts 'abc\n' on the Spark side only
+    dollar = df.select(
+        "w", F.col("w").rlike("^[a-z][a-z]+$").alias("m")
+    ).collect()
+    assert {r.w: r.m for r in dollar}[bad] is True  # the trap is real
+    assert got == duck == {bad: False, "abc": True}
