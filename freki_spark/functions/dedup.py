@@ -19,7 +19,7 @@ candidate-pair path end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .common import (
     DUCK_MD5I32,
@@ -39,24 +39,26 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _mutated(d: DataFrame) -> DataFrame:
+    """Near-dup mutations of the first 50 docs (last 3 tokens cut),
+    re-keyed at +100000."""
+    tk = toks(F.col("text"))
+    return d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        # greatest(.., 0): slice() raises on negative length, so a
+        # <=3-token doc would crash the job while the DuckDB
+        # mirror (l[1:len-3]) degrades to empty — degrade the same
+        F.concat_ws(
+            " ", F.slice(tk, 1, F.greatest(F.size(tk) - 3, F.lit(0)))
+        ).alias("text"),
+    )
+
+
 def _near_dup_corpus(spark, sf_dir) -> DataFrame:
     """documents ∪ mutated copies (first 50 docs, last 3 tokens cut):
     guarantees real near-duplicate pairs in the small testdata."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tk = toks(F.col("text"))
-    mut = (
-        d.filter(F.col("doc_id") < 50)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            # greatest(.., 0): slice() raises on negative length, so a
-            # <=3-token doc would crash the job while the DuckDB
-            # mirror (l[1:len-3]) degrades to empty — degrade the same
-            F.concat_ws(
-                " ", F.slice(tk, 1, F.greatest(F.size(tk) - 3, F.lit(0)))
-            ).alias("text"),
-        )
-    )
-    return d.unionByName(mut)
+    return d.unionByName(_mutated(d))
 
 
 DUCK_CORPUS = """
@@ -133,16 +135,11 @@ def _with_minhash(c: DataFrame) -> DataFrame:
     return t.select("doc_id", sh_h.alias("_hs")).select("doc_id", mh.alias("mh"))
 
 
-def dedup_minhash_lsh(spark, sf_dir):
-    # eager localCheckpoint, not persist: the minhash scan (shingles +
-    # md5 over full text) is referenced three times below (bands, m1,
-    # m2) and must compute ONCE; checkpoint blocks are released by the
-    # ContextCleaner when the result goes out of scope, whereas an
-    # in-operator persist has no safe unpersist point (the caller's
-    # action runs after we return) and pins the unified cache for the
-    # rest of the session.
-    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).localCheckpoint()
-    bands = mh.select(
+def _bands(mh_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bv) LSH band keys from a (doc_id, mh) table —
+    the one banding convention shared by the batch and incremental
+    dedup paths (and mirrored once in the _MH_CTES `bands` SQL)."""
+    return mh_df.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -158,6 +155,18 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("x"),
     ).select("doc_id", "x.band", "x.bv")
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    # eager localCheckpoint, not persist: the minhash scan (shingles +
+    # md5 over full text) is referenced three times below (bands, m1,
+    # m2) and must compute ONCE; checkpoint blocks are released by the
+    # ContextCleaner when the result goes out of scope, whereas an
+    # in-operator persist has no safe unpersist point (the caller's
+    # action runs after we return) and pins the unified cache for the
+    # rest of the session.
+    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).localCheckpoint()
+    bands = _bands(mh)
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     pairs = (
         b1.join(
@@ -233,6 +242,164 @@ JOIN ex e2 ON e2.doc_id = p.b AND e2.i = e1.i
 GROUP BY p.a, p.b
 """
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental — new-batch-vs-corpus dedup (the daily-crawl
+# shape): the EXISTING corpus carries a minhash band index (in
+# production a stored table, appended to per batch and bucketed by
+# band value), the new batch minhashes itself, equi-joins the index on
+# the band key, verifies candidates by minhash agreement, and emits a
+# per-new-doc keep/drop decision with its best corpus match.  New docs
+# are never compared to each other here — intra-batch dedup is the
+# standard dedup_minhash_lsh pass; this op is the cross-snapshot half
+# that avoids rescanning 10^12 existing docs per increment.
+#
+# Scale shape: the index probe is an equi-join on (band, bv); with the
+# stored index bucketed by bv only the increment (10^9 vs 10^12)
+# shuffles.  Verification joins fetch only candidate signatures, and
+# the best-match election windows on new_id — batch-cardinality keys,
+# no skew pileup.  The increment here is synthesized deterministically
+# (mutated near-dups of existing docs + md5-fresh docs) so both the
+# hit and the miss paths are exercised and oracle-checked.
+# --------------------------------------------------------------------------
+
+INC_DUP_MIN_MATCH2 = N_MINHASH  # is_dup ⇔ n_match * 2 >= N_MINHASH (sim ≥ 0.5)
+
+
+def _fresh_batch(d: DataFrame) -> DataFrame:
+    """Deterministic genuinely-new docs (first 20 ids, re-keyed at
+    +300000): 8 md5-derived tokens that match nothing in the corpus."""
+    sid = F.col("doc_id").cast("string")
+    words = [
+        F.concat(
+            F.lit("zz"),
+            F.substring(F.md5(F.concat(F.lit(f"fresh|{i}|"), sid)), 1, 6),
+        )
+        for i in range(8)
+    ]
+    return d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+
+
+def dedup_incremental(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base_mh = _with_minhash(d)
+    inc_mh = _with_minhash(_mutated(d).unionByName(_fresh_batch(d)))
+    base_bands = _bands(base_mh).withColumnRenamed("doc_id", "old_id")
+    inc_bands = _bands(inc_mh).withColumnRenamed("doc_id", "new_id")
+    cand = (
+        inc_bands.join(base_bands, ["band", "bv"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            base_mh.select(F.col("doc_id").alias("old_id"), F.col("mh").alias("mh_o")),
+            "old_id",
+        )
+        .join(
+            inc_mh.select(F.col("doc_id").alias("new_id"), F.col("mh").alias("mh_n")),
+            "new_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.size(
+                F.filter(F.zip_with("mh_n", "mh_o", lambda x, y: x == y), lambda z: z)
+            ).alias("n_match"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("n_match"), F.asc("old_id"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("new_id", F.col("old_id").alias("best_old"), "n_match")
+    )
+    inc_ids = inc_mh.select(F.col("doc_id").alias("new_id"))
+    nm = F.coalesce("n_match", F.lit(0))
+    return inc_ids.join(best, "new_id", "left").select(
+        "new_id",
+        "best_old",
+        nm.alias("n_match"),
+        (nm * 2 >= INC_DUP_MIN_MATCH2).cast("int").alias("is_dup"),
+    )
+
+
+def _duck_fresh_words() -> str:
+    return " || ' ' || ".join(
+        f"'zz' || substr(md5('fresh|{i}|' || CAST(doc_id AS VARCHAR)), 1, 6)"
+        for i in range(8)
+    )
+
+
+def _duck_mh_ctes(src: str, pfx: str) -> str:
+    """sh/mh/bands/ex CTEs for an arbitrary (doc_id, text) source —
+    the same minhash + banding formulas as _MH_CTES, parameterized so
+    the incremental op can model two corpora in one query."""
+    return f"""
+{pfx}sh AS (
+  SELECT doc_id, list_transform(
+           {DUCK_SHINGLES.format(l="string_split(text,' ')")},
+           g -> {DUCK_MD5I32.format(x="g")} % {_P31}) AS hs
+  FROM {src}
+),
+{pfx}mh AS (
+  SELECT doc_id,
+         list_transform(range(1, {N_MINHASH + 1}), i ->
+           list_min(list_transform(hs,
+             h -> ({_A_LIST}[i] * h + {_B_LIST}[i]) % {_P31}))) AS mh
+  FROM {pfx}sh
+),
+{pfx}bands AS (
+  SELECT doc_id, b.band,
+         mh[b.band * 2 + 1] || '_' || mh[b.band * 2 + 2] AS bv
+  FROM {pfx}mh, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+),
+{pfx}ex AS (
+  SELECT doc_id, unnest(mh) AS v, generate_subscripts(mh, 1) AS i FROM {pfx}mh
+)"""
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+inc AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-3], ' ') AS text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, {_duck_fresh_words()} AS text
+  FROM documents WHERE doc_id < 20
+),
+{_duck_mh_ctes("base", "b").lstrip()},
+{_duck_mh_ctes("inc", "n").lstrip()},
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, bb.doc_id AS old_id
+  FROM nbands nb JOIN bbands bb ON nb.band = bb.band AND nb.bv = bb.bv
+),
+sc AS (
+  SELECT c.new_id, c.old_id,
+         CAST(sum(CASE WHEN e1.v = e2.v THEN 1 ELSE 0 END) AS INT) AS n_match
+  FROM cand c
+  JOIN nex e1 ON e1.doc_id = c.new_id
+  JOIN bex e2 ON e2.doc_id = c.old_id AND e2.i = e1.i
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT new_id, old_id AS best_old, n_match
+  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                                     ORDER BY n_match DESC, old_id) AS rk
+        FROM sc)
+  WHERE rk = 1
+)
+SELECT i.doc_id AS new_id, best.best_old,
+       CAST(coalesce(best.n_match, 0) AS INT) AS n_match,
+       CAST(coalesce(best.n_match, 0) * 2 >= {INC_DUP_MIN_MATCH2} AS INT)
+         AS is_dup
+FROM inc i LEFT JOIN best ON best.new_id = i.doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1232,6 +1399,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1246,6 +1414,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,

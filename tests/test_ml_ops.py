@@ -1523,3 +1523,51 @@ def test_bpe_train_word_regex_rejects_trailing_newline(spark):
     ).collect()
     assert {r.w: r.m for r in dollar}[bad] is True  # the trap is real
     assert got == duck == {bad: False, "abc": True}
+
+
+def test_dedup_incremental_hits_and_misses(spark):
+    """Mutated new docs must be flagged as duplicates of a corpus doc
+    at least as minhash-similar as their own source (the corpus
+    contains some mutually-near-identical docs, so the elected match
+    may legitimately be a lower-id twin of the source); md5-fresh new
+    docs must never be flagged."""
+    from freki_spark.functions.dedup import (
+        N_MINHASH,
+        _fresh_batch,
+        _mutated,
+        _t,
+        _with_minhash,
+        dedup_incremental,
+    )
+
+    rows = {r.new_id: r for r in dedup_incremental(spark, SF).collect()}
+    mut = [r for nid, r in rows.items() if 100000 <= nid < 200000]
+    fresh = [r for nid, r in rows.items() if nid >= 300000]
+    assert len(mut) == 50 and len(fresh) == 20
+
+    d = _t(spark, SF, "documents").select("doc_id", "text")
+    base_sig = {r.doc_id: tuple(r.mh) for r in _with_minhash(d).collect()}
+    inc_sig = {
+        r.doc_id: tuple(r.mh)
+        for r in _with_minhash(
+            _mutated(d).unionByName(_fresh_batch(d))
+        ).collect()
+    }
+
+    def match(a, b):
+        return sum(x == y for x, y in zip(a, b))
+
+    dup_hits = [r for r in mut if r.is_dup == 1]
+    # LSH recall is high but not 1.0 (same contract as the batch op)
+    assert len(dup_hits) >= 40
+    for r in dup_hits:
+        got = match(inc_sig[r.new_id], base_sig[r.best_old])
+        src = match(inc_sig[r.new_id], base_sig[r.new_id - 100000])
+        assert got == r.n_match  # the op's count is the real count
+        assert got >= src  # elected match is never worse than the source
+        assert r.n_match * 2 >= N_MINHASH
+    for r in fresh:
+        assert r.is_dup == 0
+    for r in rows.values():
+        assert r.is_dup == int(r.n_match * 2 >= N_MINHASH)
+        assert (r.best_old is None) == (r.n_match == 0)

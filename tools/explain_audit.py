@@ -604,6 +604,20 @@ def main() -> int:
         "partial rollup below first Exchange, broadcast total join",
     )
 
+    # 37. dedup_incremental: the corpus index probe is an equi-join on
+    #     the band key (never an all-pairs product against 10^12 docs),
+    #     and the best-match election windows on new_id (batch-
+    #     cardinality partitions)
+    p = plan_of(QUERIES["dedup_incremental"](spark, sf_dir))
+    win_key = bool(re.search(r"windowspecdefinition\(new_id#\d+L?,", p))
+    check(
+        "incremental_band_probe",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and win_key,
+        f"band equi-join only, new_id-grain election window={win_key}",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
