@@ -45,9 +45,9 @@ def _mutated(d: DataFrame) -> DataFrame:
     tk = toks(F.col("text"))
     return d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
-        # greatest(.., 0): slice() raises on negative length, so a
-        # <=3-token doc would crash the job while the DuckDB
-        # mirror (l[1:len-3]) degrades to empty — degrade the same
+        # greatest(.., 0): slice() raises on negative length; a
+        # <=3-token doc degrades to '' — DUCK_MUTATED mirrors both the
+        # greatest() clamp and the ''-for-empty-list rendering
         F.concat_ws(
             " ", F.slice(tk, 1, F.greatest(F.size(tk) - 3, F.lit(0)))
         ).alias("text"),
@@ -61,13 +61,22 @@ def _near_dup_corpus(spark, sf_dir) -> DataFrame:
     return d.unionByName(_mutated(d))
 
 
-DUCK_CORPUS = """
+# the ONE SQL mirror of _mutated (used by DUCK_CORPUS and the
+# incremental op's inc CTE).  greatest(len-3, 0) matches Spark's
+# clamped slice on <4-token docs (a bare l[1:len-3] returns the FULL
+# list at len=2 — negative ends count from the back — and NULL at
+# len 1/3), and coalesce(...,'') matches concat_ws's '' on the empty
+# slice (array_to_string([]) is NULL in DuckDB).
+DUCK_MUTATED = """SELECT doc_id + 100000 AS doc_id,
+         coalesce(array_to_string(l[1:greatest(len(l) - 3, 0)], ' '), '') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  WHERE doc_id < 50"""
+
+DUCK_CORPUS = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id,
-         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-3], ' ') AS text
-  FROM documents WHERE doc_id < 50
+  {DUCK_MUTATED}
 )
 """
 
@@ -138,7 +147,7 @@ def _with_minhash(c: DataFrame) -> DataFrame:
 def _bands(mh_df: DataFrame) -> DataFrame:
     """(doc_id, band, bv) LSH band keys from a (doc_id, mh) table —
     the one banding convention shared by the batch and incremental
-    dedup paths (and mirrored once in the _MH_CTES `bands` SQL)."""
+    dedup paths (mirrored once, in _duck_mh_ctes' `bands` CTE)."""
     return mh_df.select(
         "doc_id",
         F.explode(
@@ -201,33 +210,43 @@ def dedup_minhash_lsh(spark, sf_dir):
 _A_LIST = "[" + ", ".join(str(a) for a in _A) + "]"
 _B_LIST = "[" + ", ".join(str(b) for b in _B) + "]"
 
-_MH_CTES = f"""
-WITH {DUCK_CORPUS.strip()},
-sh AS (
+
+def _duck_mh_ctes(src: str, pfx: str) -> str:
+    """sh/mh/bands/ex CTEs for an arbitrary (doc_id, text) source —
+    the ONE SQL mirror of the minhash + banding formulas (_MH_CTES is
+    defined THROUGH this, and the incremental op instantiates it twice
+    to model two corpora in one query — the two can never desync)."""
+    return f"""
+{pfx}sh AS (
   SELECT doc_id, list_transform(
            {DUCK_SHINGLES.format(l="string_split(text,' ')")},
            g -> {DUCK_MD5I32.format(x="g")} % {_P31}) AS hs
-  FROM corpus
+  FROM {src}
 ),
-mh AS (
+{pfx}mh AS (
   SELECT doc_id,
          list_transform(range(1, {N_MINHASH + 1}), i ->
            list_min(list_transform(hs,
              h -> ({_A_LIST}[i] * h + {_B_LIST}[i]) % {_P31}))) AS mh
-  FROM sh
+  FROM {pfx}sh
 ),
-bands AS (
+{pfx}bands AS (
   SELECT doc_id, b.band,
          mh[b.band * 2 + 1] || '_' || mh[b.band * 2 + 2] AS bv
-  FROM mh, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+  FROM {pfx}mh, (SELECT unnest(range(0, {N_BANDS})) AS band) b
 ),
+{pfx}ex AS (
+  SELECT doc_id, unnest(mh) AS v, generate_subscripts(mh, 1) AS i FROM {pfx}mh
+)"""
+
+
+_MH_CTES = f"""
+WITH {DUCK_CORPUS.strip()},
+{_duck_mh_ctes("corpus", "").lstrip()},
 pairs AS (
   SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
   FROM bands b1 JOIN bands b2
     ON b1.band = b2.band AND b1.bv = b2.bv AND b1.doc_id < b2.doc_id
-),
-ex AS (
-  SELECT doc_id, unnest(mh) AS v, generate_subscripts(mh, 1) AS i FROM mh
 )
 """
 
@@ -286,8 +305,16 @@ def _fresh_batch(d: DataFrame) -> DataFrame:
 
 def dedup_incremental(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base_mh = _with_minhash(d)
-    inc_mh = _with_minhash(_mutated(d).unionByName(_fresh_batch(d)))
+    # eager localCheckpoint on both signature tables — each is
+    # referenced by multiple branches below (bands + the verification
+    # join, + inc_ids) and the shingle+md5 minhash derivation must
+    # compute ONCE per corpus, not once per reference (same rationale
+    # as dedup_minhash_lsh; without it the plan re-scans the corpus
+    # per branch).  In production base_mh IS the stored index table.
+    base_mh = _with_minhash(d).localCheckpoint()
+    inc_mh = _with_minhash(
+        _mutated(d).unionByName(_fresh_batch(d))
+    ).localCheckpoint()
     base_bands = _bands(base_mh).withColumnRenamed("doc_id", "old_id")
     inc_bands = _bands(inc_mh).withColumnRenamed("doc_id", "new_id")
     cand = (
@@ -335,40 +362,10 @@ def _duck_fresh_words() -> str:
     )
 
 
-def _duck_mh_ctes(src: str, pfx: str) -> str:
-    """sh/mh/bands/ex CTEs for an arbitrary (doc_id, text) source —
-    the same minhash + banding formulas as _MH_CTES, parameterized so
-    the incremental op can model two corpora in one query."""
-    return f"""
-{pfx}sh AS (
-  SELECT doc_id, list_transform(
-           {DUCK_SHINGLES.format(l="string_split(text,' ')")},
-           g -> {DUCK_MD5I32.format(x="g")} % {_P31}) AS hs
-  FROM {src}
-),
-{pfx}mh AS (
-  SELECT doc_id,
-         list_transform(range(1, {N_MINHASH + 1}), i ->
-           list_min(list_transform(hs,
-             h -> ({_A_LIST}[i] * h + {_B_LIST}[i]) % {_P31}))) AS mh
-  FROM {pfx}sh
-),
-{pfx}bands AS (
-  SELECT doc_id, b.band,
-         mh[b.band * 2 + 1] || '_' || mh[b.band * 2 + 2] AS bv
-  FROM {pfx}mh, (SELECT unnest(range(0, {N_BANDS})) AS band) b
-),
-{pfx}ex AS (
-  SELECT doc_id, unnest(mh) AS v, generate_subscripts(mh, 1) AS i FROM {pfx}mh
-)"""
-
-
 SQL_DEDUP_INCREMENTAL = f"""
 WITH base AS (SELECT doc_id, text FROM documents),
 inc AS (
-  SELECT doc_id + 100000 AS doc_id,
-         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-3], ' ') AS text
-  FROM documents WHERE doc_id < 50
+  {DUCK_MUTATED}
   UNION ALL
   SELECT doc_id + 300000 AS doc_id, {_duck_fresh_words()} AS text
   FROM documents WHERE doc_id < 20

@@ -610,12 +610,18 @@ def main() -> int:
     #     cardinality partitions)
     p = plan_of(QUERIES["dedup_incremental"](spark, sf_dir))
     win_key = bool(re.search(r"windowspecdefinition\(new_id#\d+L?,", p))
+    # both signature tables are checkpointed before fan-out, so the
+    # downstream plan must contain ZERO raw corpus scans — every
+    # branch reads the materialized (doc_id, mh) tables
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "incremental_band_probe",
         "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
-        and win_key,
-        f"band equi-join only, new_id-grain election window={win_key}",
+        and win_key
+        and n_scans == 0,
+        f"band equi-join only, new_id-grain election window={win_key}, "
+        f"corpus re-scans={n_scans}",
     )
 
     spark.stop()
