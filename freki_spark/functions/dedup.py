@@ -315,6 +315,15 @@ def dedup_incremental(spark, sf_dir):
     inc_mh = _with_minhash(
         _mutated(d).unionByName(_fresh_batch(d))
     ).localCheckpoint()
+    return _score_increment(inc_mh, base_mh)
+
+
+def _score_increment(inc_mh: DataFrame, base_mh: DataFrame) -> DataFrame:
+    """Probe the corpus signature index with an increment's signatures
+    and elect each new doc's best corpus match.  Callers pass
+    checkpointed/stored signature tables (both are referenced by
+    multiple branches); the streaming ingest path reuses this per
+    micro-batch against the same static index."""
     base_bands = _bands(base_mh).withColumnRenamed("doc_id", "old_id")
     inc_bands = _bands(inc_mh).withColumnRenamed("doc_id", "new_id")
     cand = (

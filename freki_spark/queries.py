@@ -1416,7 +1416,7 @@ _PRIORITY = [
     "lexical_diversity",
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "dsir_select", "bpe_train", "domain_stats",
-    "dedup_incremental",
+    "dedup_incremental", "q_stream_incremental_dedup",
     "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows

@@ -255,6 +255,55 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming new-batch-vs-corpus dedup: the increment arrives as a
+    stream (4 files, one per micro-batch via ``maxFilesPerTrigger``)
+    and every micro-batch probes the SAME static corpus signature
+    index — the stream-static shape of a continuous crawl ingest.  The
+    per-batch scoring is literally the batch operator's
+    ``_score_increment`` inside ``foreachBatch`` (writes are keyed by
+    batch id, so retries are idempotent), and the oracle is the batch
+    op's own SQL: stream == batch == DuckDB, three-way checked.
+
+    Correctness note: each new doc lives in exactly one source file,
+    so its candidate set is complete within its micro-batch and the
+    per-batch election equals the global one."""
+    from ..functions.dedup import (
+        _fresh_batch,
+        _mutated,
+        _score_increment,
+        _t,
+        _with_minhash,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the static side: in production this IS the stored index table
+    base_mh = _with_minhash(d).localCheckpoint()
+
+    base = tempfile.mkdtemp(prefix="freki_sinc_")
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    _mutated(d).unionByName(_fresh_batch(d)).repartition(4).write.parquet(src)
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        res = _score_increment(_with_minhash(df).localCheckpoint(), base_mh)
+        res.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/b*")
+
+
+def q_stream_incremental_dedup(spark, sf_dir):
+    return stream_incremental_dedup(spark, sf_dir)
+
+
 def q_stream_extract(spark, sf_dir):
     """Fixture matrix through the STREAMING extraction path; the oracle
     is the same golden span set the batch paths are checked against, so
@@ -284,11 +333,14 @@ SQL_STREAM_EXTRACT = (
 )
 
 
+from ..functions.dedup import SQL_DEDUP_INCREMENTAL  # noqa: E402
+
 QUERIES = {
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_extract": q_stream_extract,
+    "q_stream_incremental_dedup": q_stream_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -296,4 +348,6 @@ ORACLE_SQL = {
     "q_stream_sessionize": SQL_STREAM_SESSIONIZE,
     "q_stream_dedup": SQL_STREAM_DEDUP,
     "q_stream_extract": SQL_STREAM_EXTRACT,
+    # the batch operator's own oracle: stream == batch == DuckDB
+    "q_stream_incremental_dedup": SQL_DEDUP_INCREMENTAL,
 }

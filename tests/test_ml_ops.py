@@ -1571,3 +1571,16 @@ def test_dedup_incremental_hits_and_misses(spark):
     for r in rows.values():
         assert r.is_dup == int(r.n_match * 2 >= N_MINHASH)
         assert (r.best_old is None) == (r.n_match == 0)
+
+
+def test_stream_incremental_dedup_equals_batch(spark):
+    """The streamed increment (4 micro-batches probing the static
+    corpus index) must produce exactly the batch operator's rows —
+    micro-batching is invisible in the result."""
+    from freki_spark.functions.dedup import dedup_incremental
+    from freki_spark.streaming.jobs import stream_incremental_dedup
+
+    batch = {tuple(r) for r in dedup_incremental(spark, SF).collect()}
+    stream = {tuple(r) for r in stream_incremental_dedup(spark, SF).collect()}
+    assert stream == batch
+    assert len(stream) == 70
