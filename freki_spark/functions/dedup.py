@@ -318,13 +318,19 @@ def dedup_incremental(spark, sf_dir):
     return _score_increment(inc_mh, base_mh)
 
 
-def _score_increment(inc_mh: DataFrame, base_mh: DataFrame) -> DataFrame:
+def _score_increment(
+    inc_mh: DataFrame, base_mh: DataFrame, base_bands: DataFrame | None = None
+) -> DataFrame:
     """Probe the corpus signature index with an increment's signatures
     and elect each new doc's best corpus match.  Callers pass
     checkpointed/stored signature tables (both are referenced by
-    multiple branches); the streaming ingest path reuses this per
-    micro-batch against the same static index."""
-    base_bands = _bands(base_mh).withColumnRenamed("doc_id", "old_id")
+    multiple branches); a caller scoring MANY increments against one
+    corpus (the streaming ingest loop) passes the band index
+    precomputed so the corpus is never re-banded per batch — in
+    production both base tables are stored, band-bucketed tables."""
+    if base_bands is None:
+        base_bands = _bands(base_mh)
+    base_bands = base_bands.withColumnRenamed("doc_id", "old_id")
     inc_bands = _bands(inc_mh).withColumnRenamed("doc_id", "new_id")
     cand = (
         inc_bands.join(base_bands, ["band", "bv"])

@@ -269,6 +269,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so its candidate set is complete within its micro-batch and the
     per-batch election equals the global one."""
     from ..functions.dedup import (
+        _bands,
         _fresh_batch,
         _mutated,
         _score_increment,
@@ -277,15 +278,21 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # the static side: in production this IS the stored index table
+    # the static side: in production these ARE stored tables (the
+    # signature table and its band-bucketed index).  Both checkpoint
+    # ONCE, outside the micro-batch loop — the corpus is never
+    # re-minhashed or re-banded per increment batch.
     base_mh = _with_minhash(d).localCheckpoint()
+    base_bands = _bands(base_mh).localCheckpoint()
 
     base = tempfile.mkdtemp(prefix="freki_sinc_")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     _mutated(d).unionByName(_fresh_batch(d)).repartition(4).write.parquet(src)
 
     def process_batch(df: DataFrame, batch_id: int) -> None:
-        res = _score_increment(_with_minhash(df).localCheckpoint(), base_mh)
+        res = _score_increment(
+            _with_minhash(df).localCheckpoint(), base_mh, base_bands
+        )
         res.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
 
     q = (

@@ -1580,7 +1580,14 @@ def test_stream_incremental_dedup_equals_batch(spark):
     from freki_spark.functions.dedup import dedup_incremental
     from freki_spark.streaming.jobs import stream_incremental_dedup
 
-    batch = {tuple(r) for r in dedup_incremental(spark, SF).collect()}
-    stream = {tuple(r) for r in stream_incremental_dedup(spark, SF).collect()}
+    # sorted LISTS, not sets: a set compare would mask duplicated rows,
+    # the exact failure a replayed/double-admitted micro-batch produces
+    def key(r):
+        return (r[0], r[1] if r[1] is not None else -1, r[2], r[3])
+
+    batch = sorted((tuple(r) for r in dedup_incremental(spark, SF).collect()), key=key)
+    stream = sorted(
+        (tuple(r) for r in stream_incremental_dedup(spark, SF).collect()), key=key
+    )
     assert stream == batch
     assert len(stream) == 70
