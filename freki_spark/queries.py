@@ -479,6 +479,27 @@ def q_scan_jsonl(spark, sf_dir):
     )
 
 
+def q_scan_csv(spark, sf_dir):
+    """CSV source round-trip: documents -> quoted CSV export ->
+    explicit-schema read-back.  quoteAll + explicit schema pin the
+    lossy spots of the format (commas/quotes in text, type inference);
+    the oracle reads the ORIGINAL parquet, so any escaping or parsing
+    loss hash-fails.  Scale shape: both sides are narrow scans — CSV
+    splits per-file/offset exactly like any text source."""
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_csv_"), "docs")
+    d = _t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("header", True).csv(path)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_SCAN_CSV = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     from .checkpoint import run_extraction
 
@@ -1242,6 +1263,7 @@ QUERIES = {
     "scan_documents": q_scan_documents,
     "explode_spans": q_explode_spans,
     "q_scan_jsonl": q_scan_jsonl,
+    "q_scan_csv": q_scan_csv,
     "reassemble_xml": q_reassemble_xml,
     "parse_glyphs": q_parse_glyphs,
     "cluster_lines": q_cluster_lines,
@@ -1302,6 +1324,7 @@ ORACLE_SQL = {
     "scan_documents": SQL_SCAN_DOCUMENTS,
     "explode_spans": SQL_EXPLODE_SPANS,
     "q_scan_jsonl": SQL_EXPLODE_SPANS,
+    "q_scan_csv": SQL_SCAN_CSV,
     "reassemble_xml": SQL_REASSEMBLE_XML,
     "parse_glyphs": SQL_PARSE_GLYPHS,
     "cluster_lines": SQL_CLUSTER_LINES,
@@ -1358,9 +1381,10 @@ from .functions import graph as _graph  # noqa: E402
 from .functions import multimodal as _mm  # noqa: E402
 from .functions import similarity as _sim  # noqa: E402
 from .functions import text_analysis as _ta  # noqa: E402
+from .sources import warc as _warc  # noqa: E402
 from .streaming import jobs as _stream  # noqa: E402
 
-for _mod in (_dedup, _sim, _ta, _mm, _cp, _graph, _stream):
+for _mod in (_dedup, _sim, _ta, _mm, _cp, _graph, _stream, _warc):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 
@@ -1416,7 +1440,8 @@ _PRIORITY = [
     "lexical_diversity",
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "dsir_select", "bpe_train", "domain_stats",
-    "dedup_incremental", "q_stream_incremental_dedup",
+    "dedup_incremental", "q_stream_incremental_dedup", "q_warc_scan",
+    "q_scan_csv",
     "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows

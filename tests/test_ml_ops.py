@@ -1591,3 +1591,37 @@ def test_stream_incremental_dedup_equals_batch(spark):
     )
     assert stream == batch
     assert len(stream) == 70
+
+
+def test_warc_parser_is_length_framed_not_separator_split(spark):
+    """The WARC parser must frame records by Content-Length BYTES:
+    payloads containing 'WARC/1.0\\r\\n', blank CRLF lines, and
+    multi-byte UTF-8 (where byte length != char length) must all
+    round-trip exactly."""
+    from freki_spark.functions.dedup import _t
+    from freki_spark.sources.warc import (
+        parse_warc_records,
+        q_warc_scan,
+        synth_warc_chunks,
+    )
+    from pyspark.sql import functions as F
+
+    evil = "before WARC/1.0\r\n\r\n\r\nafter"      # fake frame inside payload
+    uni = "héllo wörld é中文"          # multi-byte UTF-8
+    d = spark.createDataFrame(
+        [(1, "srcX", evil), (2, "srcY", uni), (3, "srcZ", "plain")],
+        "doc_id long, source string, text string",
+    )
+    blobs = [r.blob for r in synth_warc_chunks(d).collect()]
+    recs = sorted(r for b in blobs for r in parse_warc_records(b))
+    assert [r[0] for r in recs] == [1, 2, 3]
+    assert recs[0][3] == evil
+    assert recs[1][3] == uni
+    assert recs[1][2] == len(uni.encode("utf-8"))  # byte, not char, count
+    assert recs[1][2] != len(uni)
+
+    # corpus smoke: every document round-trips through the archive
+    docs_n = _t(spark, SF, "documents").count()
+    out = q_warc_scan(spark, SF)
+    assert out.count() == docs_n
+    assert out.filter(F.col("payload").isNull()).count() == 0
