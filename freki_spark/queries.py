@@ -481,20 +481,45 @@ def q_scan_jsonl(spark, sf_dir):
 
 def q_scan_csv(spark, sf_dir):
     """CSV source round-trip: documents -> quoted CSV export ->
-    explicit-schema read-back.  quoteAll + explicit schema pin the
-    lossy spots of the format (commas/quotes in text, type inference);
-    the oracle reads the ORIGINAL parquet, so any escaping or parsing
-    loss hash-fails.  Scale shape: both sides are narrow scans — CSV
-    splits per-file/offset exactly like any text source."""
+    explicit-schema read-back, lossless for real crawl text.  The
+    non-default options are the point: quoteAll (commas/quotes),
+    multiLine on read (embedded newlines must not shatter records),
+    and ignore*WhiteSpace=False on BOTH sides (Spark's CSV writer AND
+    reader silently trim padded fields by default).  The oracle reads
+    the ORIGINAL parquet, so any escaping or parsing loss hash-fails;
+    tests pin the newline/padding cases the fixture corpus lacks.
+    Scale note: multiLine makes a CSV file non-splittable (records can
+    span line boundaries) — parallelism comes from many files, the
+    same contract as gzip'd WARC."""
     path = os.path.join(tempfile.mkdtemp(prefix="freki_csv_"), "docs")
     d = _t(spark, sf_dir, "documents")
-    d.write.mode("overwrite").option("header", True).option(
-        "quoteAll", True
-    ).csv(path)
-    back = spark.read.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
-    ).option("header", True).csv(path)
-    return back.select("doc_id", "text", "lang", "source", "n_chars")
+    _write_csv(d, path)
+    return _read_csv_docs(spark, path)
+
+
+def _write_csv(d, path):
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
+def _read_csv_docs(spark, path):
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
 
 
 SQL_SCAN_CSV = "SELECT doc_id, text, lang, source, n_chars FROM documents"

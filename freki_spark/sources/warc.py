@@ -50,7 +50,20 @@ def synth_warc_chunks(d: DataFrame) -> DataFrame:
         F.lit("-site.example/page/"),
         F.col("doc_id").cast("string"),
     )
+    # loud NULL guard: concat null-propagates and array_join silently
+    # SKIPS null elements, so a NULL text/source would otherwise make
+    # the document vanish from the archive without an error.  When the
+    # condition holds assert_true is NULL → coalesce '' → no-op; when
+    # it fails the job throws at synthesis.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("text").isNotNull() & F.col("source").isNotNull(),
+            F.lit("warc synth: NULL text/source would silently drop the doc"),
+        ).cast("string"),
+        F.lit(""),
+    )
     rec = F.concat(
+        guard,
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: response\r\n"),
         F.lit("WARC-Record-ID: <urn:uuid:doc-"),
@@ -120,11 +133,15 @@ def parse_warc_records(blob: str) -> list[tuple[int, str, int, str]]:
 
 def parse_warc(chunks: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "uri", "content_length", "payload"]
         for pdf in batches:
-            rows = [r for blob in pdf["blob"] for r in parse_warc_records(blob)]
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "uri", "content_length", "payload"]
-            )
+            # one output frame PER ARCHIVE, not per Arrow batch: a
+            # batch can carry thousands of blobs (arrow
+            # maxRecordsPerBatch), and holding every decoded payload
+            # of the whole batch at once is exactly the mega-doc OOM
+            # the docstring's memory bound promises away
+            for blob in pdf["blob"]:
+                yield pd.DataFrame(parse_warc_records(blob), columns=cols)
 
     return chunks.mapInPandas(gen, OUT_SCHEMA)
 

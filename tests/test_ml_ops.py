@@ -1625,3 +1625,44 @@ def test_warc_parser_is_length_framed_not_separator_split(spark):
     out = q_warc_scan(spark, SF)
     assert out.count() == docs_n
     assert out.filter(F.col("payload").isNull()).count() == 0
+
+
+def test_csv_round_trip_newlines_and_padding(spark):
+    """The CSV source must round-trip exactly the text classes the
+    fixture corpus lacks: embedded newlines (multiLine read), leading/
+    trailing whitespace (no silent trim on either side), quotes and
+    commas."""
+    import tempfile, os
+
+    from freki_spark.queries import _read_csv_docs, _write_csv
+
+    rows = [
+        (1, "line1\nline2\nline3", "en", "s1", 17),
+        (2, "  padded  ", "es", "s2", 10),
+        (3, 'quote " and, comma', "de", "s3", 18),
+        (4, "\ttab lead and trail\t", "fr", "s4", 20),
+        (5, "plain", "zh", "s5", 5),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_csvrt_"), "docs")
+    _write_csv(d, path)
+    back = sorted(tuple(r) for r in _read_csv_docs(spark, path).collect())
+    assert back == sorted(rows)
+
+
+def test_warc_synth_raises_on_null_text(spark):
+    """A NULL text must fail the synthesis job loudly, never silently
+    drop the document from the archive."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from freki_spark.sources.warc import parse_warc, synth_warc_chunks
+
+    d = spark.createDataFrame(
+        [(1, "s1", "ok"), (2, "s2", None)],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(SparkRuntimeException, match="silently drop"):
+        parse_warc(synth_warc_chunks(d)).collect()
