@@ -238,7 +238,13 @@ def cluster_lines(page: PageTokens) -> list[np.ndarray]:
         a = np.asarray(idx, dtype=np.int64)
         a = a[np.argsort(box[a, 0], kind="stable")]
         out.append(a)
-    mean_ury = np.asarray([float(np.mean(box[a, 3])) for a in out])
+    # add.reduce/n is np.mean's own computation (pairwise sum, one
+    # divide) without the fromnumeric dispatch — bit-identical on
+    # float64 1-d input and ~3x faster at line-sized arrays (the
+    # goldens and kernel-parity tests pin the bit-identity)
+    mean_ury = np.asarray(
+        [float(np.add.reduce(box[a, 3]) / a.shape[0]) for a in out]
+    )
     return [out[j] for j in np.argsort(-mean_ury, kind="stable")]
 
 
@@ -407,7 +413,10 @@ def detect_columns(page: PageTokens, lines: list[np.ndarray]) -> list[list[np.nd
         segs = []
         for seg in (headers, *cols, footers):
             if seg:
-                mu = np.asarray([float(np.mean(box[i, 3])) for i in seg])
+                # same bit-identical add.reduce/n as cluster_lines
+                mu = np.asarray(
+                    [float(np.add.reduce(box[i, 3]) / i.shape[0]) for i in seg]
+                )
                 seg = [seg[j] for j in np.argsort(-mu, kind="stable")]
             segs.append(seg)
         return segs
