@@ -222,6 +222,60 @@ SQL_INTERLEAVE_MEDIA = (
 )
 
 
+def q_media_span_join(spark, sf_dir):
+    """Interleaved text+media integration: the EXTRACTED media spans
+    (real pipeline output — the goldens) join back to the media
+    metadata dimension and roll up per document.  The metadata values
+    are a deterministic function of media_ref (md5-derived — in
+    production this is the media table keyed by ref), so the oracle
+    reconstructs the whole join + rollup including the extraction-
+    derived span offsets.  Scale shape: the metadata side is a
+    broadcast dim (distinct refs), the rollup is one partial-agg'd
+    doc-grain groupBy."""
+    from .functions.common import md5i32
+
+    sp = _fixture_spans(spark).filter(F.col("kind") == "media")
+    refs = sp.select("media_ref").distinct()
+    meta = refs.select(
+        "media_ref",
+        (64 + F.pmod(md5i32(F.col("media_ref")), F.lit(512)))
+        .cast("int")
+        .alias("width"),
+        (
+            64
+            + F.pmod(md5i32(F.concat(F.col("media_ref"), F.lit("|h"))), F.lit(256))
+        )
+        .cast("int")
+        .alias("height"),
+    )
+    j = sp.join(F.broadcast(meta), "media_ref")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_media"),
+        F.min("offset").alias("first_media_offset"),
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_px"),
+        F.max("width").alias("max_width"),
+    )
+
+
+from .functions.common import DUCK_MD5I32 as _DMD5  # noqa: E402
+
+SQL_MEDIA_SPAN_JOIN = f"""
+WITH sp AS (SELECT doc_id, media_ref, "offset" FROM {_G} WHERE kind = 'media'),
+meta AS (
+  SELECT media_ref,
+         CAST(64 + {_DMD5.format(x="media_ref")} % 512 AS INT) AS width,
+         CAST(64 + {_DMD5.format(x="media_ref || '|h'")} % 256 AS INT) AS height
+  FROM (SELECT DISTINCT media_ref FROM sp)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min("offset") AS INT) AS first_media_offset,
+       CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_px,
+       max(width) AS max_width
+FROM sp JOIN meta USING (media_ref)
+GROUP BY doc_id
+"""
+
+
 def q_emit_spans(spark, sf_dir):
     return _fixture_spans(spark)
 
@@ -1296,6 +1350,7 @@ QUERIES = {
     "detect_columns": q_detect_columns,
     "segment_blocks": q_segment_blocks,
     "interleave_media": q_interleave_media,
+    "media_span_join": q_media_span_join,
     "emit_spans": q_emit_spans,
     "html_extract": q_html_extract,
     "html_extract_sf": q_html_extract_sf,
@@ -1357,6 +1412,7 @@ ORACLE_SQL = {
     "detect_columns": SQL_DETECT_COLUMNS,
     "segment_blocks": SQL_SEGMENT_BLOCKS,
     "interleave_media": SQL_INTERLEAVE_MEDIA,
+    "media_span_join": SQL_MEDIA_SPAN_JOIN,
     "emit_spans": SQL_EMIT_SPANS,
     "html_extract": SQL_HTML_EXTRACT,
     "html_extract_sf": SQL_HTML_EXTRACT_SF,
@@ -1454,6 +1510,7 @@ _PRIORITY = [
     "decontaminate_ngram", "shuffle_deterministic",
     # round-1 driver-unchecked: multimodal plumbing (+ round-2 dedup)
     "media_features", "media_dedup", "media_resize", "media_frame_sample",
+    "media_span_join",
     # streaming: q_stream_extract is the golden-checked flagship (one
     # green row covers §2 Q20); the other three follow just past the
     # round-1 window boundary
