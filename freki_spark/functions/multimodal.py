@@ -53,20 +53,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def media_dims(k):
+    """THE synthetic media dimension shape (width 64..575, height
+    64..319) — single source shared by synth_media_table (keyed by
+    doc_id) and queries.q_media_span_join (keyed by md5i32(media_ref))
+    so the two synthetic dimensions can never drift apart."""
+    return (
+        (64 + F.pmod(k, F.lit(512))).cast("int"),
+        (64 + F.pmod(k, F.lit(256))).cast("int"),
+    )
+
+
 def synth_media_table(documents: DataFrame) -> DataFrame:
     """Deterministic opaque media rows for every 5th document: content
     bytes are unhex(sha256(media_ref)) — a stand-in for real image
     bytes with a stable value per ref."""
     d = documents.filter(F.col("doc_id") % 5 == 0)
     ref = F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    width, height = media_dims(F.col("doc_id"))
     return d.select(
         "doc_id",
         ref.alias("media_ref"),
         F.unhex(F.sha2(ref, 256)).alias("content"),
         F.struct(
             F.lit("image/fake").alias("mime"),
-            (64 + F.col("doc_id") % 512).cast("int").alias("width"),
-            (64 + F.col("doc_id") % 256).cast("int").alias("height"),
+            width.alias("width"),
+            height.alias("height"),
             (1 + F.col("doc_id") % 16).cast("int").alias("n_frames"),
         ).alias("meta"),
     )

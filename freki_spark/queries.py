@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import fixtures
+from .functions.common import DUCK_MD5I32, md5i32
 from .io import docs_to_df
 from .pipeline import extract
 
@@ -232,21 +233,13 @@ def q_media_span_join(spark, sf_dir):
     derived span offsets.  Scale shape: the metadata side is a
     broadcast dim (distinct refs), the rollup is one partial-agg'd
     doc-grain groupBy."""
-    from .functions.common import md5i32
+    from .functions.multimodal import media_dims
 
     sp = _fixture_spans(spark).filter(F.col("kind") == "media")
     refs = sp.select("media_ref").distinct()
+    width, height = media_dims(md5i32(F.col("media_ref")))
     meta = refs.select(
-        "media_ref",
-        (64 + F.pmod(md5i32(F.col("media_ref")), F.lit(512)))
-        .cast("int")
-        .alias("width"),
-        (
-            64
-            + F.pmod(md5i32(F.concat(F.col("media_ref"), F.lit("|h"))), F.lit(256))
-        )
-        .cast("int")
-        .alias("height"),
+        "media_ref", width.alias("width"), height.alias("height")
     )
     j = sp.join(F.broadcast(meta), "media_ref")
     return j.groupBy("doc_id").agg(
@@ -257,14 +250,12 @@ def q_media_span_join(spark, sf_dir):
     )
 
 
-from .functions.common import DUCK_MD5I32 as _DMD5  # noqa: E402
-
 SQL_MEDIA_SPAN_JOIN = f"""
 WITH sp AS (SELECT doc_id, media_ref, "offset" FROM {_G} WHERE kind = 'media'),
 meta AS (
   SELECT media_ref,
-         CAST(64 + {_DMD5.format(x="media_ref")} % 512 AS INT) AS width,
-         CAST(64 + {_DMD5.format(x="media_ref || '|h'")} % 256 AS INT) AS height
+         CAST(64 + {DUCK_MD5I32.format(x="media_ref")} % 512 AS INT) AS width,
+         CAST(64 + {DUCK_MD5I32.format(x="media_ref")} % 256 AS INT) AS height
   FROM (SELECT DISTINCT media_ref FROM sp)
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media,
@@ -1510,7 +1501,6 @@ _PRIORITY = [
     "decontaminate_ngram", "shuffle_deterministic",
     # round-1 driver-unchecked: multimodal plumbing (+ round-2 dedup)
     "media_features", "media_dedup", "media_resize", "media_frame_sample",
-    "media_span_join",
     # streaming: q_stream_extract is the golden-checked flagship (one
     # green row covers §2 Q20); the other three follow just past the
     # round-1 window boundary
@@ -1523,7 +1513,7 @@ _PRIORITY = [
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "dsir_select", "bpe_train", "domain_stats",
     "dedup_incremental", "q_stream_incremental_dedup", "q_warc_scan",
-    "q_scan_csv",
+    "q_scan_csv", "media_span_join",
     "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows
