@@ -570,6 +570,41 @@ def _read_csv_docs(spark, path):
 SQL_SCAN_CSV = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
+def q_scan_orc(spark, sf_dir):
+    """ORC source round-trip over the NESTED document shape: the raw
+    fixture docs (doc_id + spans array<struct<kind,text,media_ref,
+    offset>>, including null media_refs on text spans) are written to
+    zstd ORC and read back with an explicit schema, then re-exploded
+    against the same pure-python input golden as q_scan_jsonl — so
+    the check pins that ORC's nested encoding (struct streams, array
+    length streams, null bitmaps) loses nothing.  Scale shape: ORC is
+    splittable + columnar with nested column pruning and predicate
+    pushdown, the natural interchange format between this engine and
+    Hive-era corpora; the explicit read schema avoids a footer-scan
+    inference pass over 10^6 files."""
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_orc_"), "docs")
+    _write_orc_docs(docs_to_df(spark, fixtures.fixture_matrix()), path)
+    docs = _read_orc_docs(spark, path)
+    return docs.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.length("s.text").alias("text_len"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _write_orc_docs(d, path):
+    d.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
+def _read_orc_docs(spark, path):
+    return spark.read.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    ).orc(path)
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     from .checkpoint import run_extraction
 
@@ -1334,6 +1369,7 @@ QUERIES = {
     "explode_spans": q_explode_spans,
     "q_scan_jsonl": q_scan_jsonl,
     "q_scan_csv": q_scan_csv,
+    "q_scan_orc": q_scan_orc,
     "reassemble_xml": q_reassemble_xml,
     "parse_glyphs": q_parse_glyphs,
     "cluster_lines": q_cluster_lines,
@@ -1396,6 +1432,7 @@ ORACLE_SQL = {
     "explode_spans": SQL_EXPLODE_SPANS,
     "q_scan_jsonl": SQL_EXPLODE_SPANS,
     "q_scan_csv": SQL_SCAN_CSV,
+    "q_scan_orc": SQL_EXPLODE_SPANS,
     "reassemble_xml": SQL_REASSEMBLE_XML,
     "parse_glyphs": SQL_PARSE_GLYPHS,
     "cluster_lines": SQL_CLUSTER_LINES,
@@ -1513,7 +1550,7 @@ _PRIORITY = [
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "dsir_select", "bpe_train", "domain_stats",
     "dedup_incremental", "q_stream_incremental_dedup", "q_warc_scan",
-    "q_scan_csv", "media_span_join",
+    "q_scan_csv", "q_scan_orc", "media_span_join",
     "dedup_canonical", "mixture_sample", "badword_filter",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows

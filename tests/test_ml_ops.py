@@ -1652,6 +1652,35 @@ def test_csv_round_trip_newlines_and_padding(spark):
     assert back == sorted(rows)
 
 
+def test_orc_round_trip_nested_nulls(spark):
+    """The ORC source must round-trip the nested doc shape exactly:
+    null media_ref inside a struct, an empty spans array, a NULL spans
+    array, empty-string text, and multi-byte unicode — the null-bitmap
+    / length-stream cases of ORC's nested encoding."""
+    import os
+    import tempfile
+
+    from freki_spark.pipeline import DOC_SCHEMA
+    from freki_spark.queries import _read_orc_docs, _write_orc_docs
+
+    rows = [
+        ("d1", [("text", "héllo — ünicode", None, 0), ("media", "", "img://1/0", 1)]),
+        ("d2", []),
+        ("d3", None),
+        ("d4", [("text", "", None, 0)]),
+    ]
+    d = spark.createDataFrame(rows, DOC_SCHEMA)
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_orcrt_"), "docs")
+    _write_orc_docs(d, path)
+    back = _read_orc_docs(spark, path)
+    assert back.schema == d.schema
+    canon = lambda df: sorted(
+        (r.doc_id, None if r.spans is None else [tuple(s) for s in r.spans])
+        for r in df.collect()
+    )
+    assert canon(back) == canon(d)
+
+
 def test_warc_synth_raises_on_null_text(spark):
     """A NULL text must fail the synthesis job loudly, never silently
     drop the document from the archive."""
