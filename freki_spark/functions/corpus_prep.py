@@ -408,6 +408,28 @@ DECON_BENCH_REM = 3
 DECON_HIT_MIN = 2  # >= this many distinct benchmark n-grams -> contaminated
 
 
+def _decon_tokens(spark, sf_dir):
+    # tokens bound first — shingles()' slice lambda over a raw split()
+    # expression is O(n^2) per doc (the CLAUDE.md HOF rule); the bench
+    # side already works over the bound `w` window column
+    return _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+
+
+def _decon_bench(d):
+    """The synthesized benchmark shingle set over token-bound docs `d`
+    (shared by the exact and bloom-prefiltered decontamination ops)."""
+    from .common import shingles
+
+    win = F.slice(F.col("_tk"), DECON_WIN_START, DECON_WINDOW)
+    return (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
+        .select(win.alias("w"))
+        .filter(F.size("w") == DECON_WINDOW)
+        .select(F.explode(shingles(F.col("w"), DECON_NGRAM)).alias("sh"))
+        .distinct()
+    )
+
+
 def decontaminate_ngram(spark, sf_dir):
     """Report every document sharing >=1 DECON_NGRAM-gram with the
     benchmark set, with its hit count and a contaminated flag (real
@@ -420,20 +442,11 @@ def decontaminate_ngram(spark, sf_dir):
     One shuffle, never a corpus x benchmark shuffle join."""
     from .common import shingles
 
-    # tokens bound first — shingles()' slice lambda over a raw split()
-    # expression is O(n^2) per doc (the CLAUDE.md HOF rule); the bench
-    # side already works over the bound `w` window column
-    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
-    tk = F.col("_tk")
-    win = F.slice(tk, DECON_WIN_START, DECON_WINDOW)
-    bench = (
-        d.filter(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
-        .select(win.alias("w"))
-        .filter(F.size("w") == DECON_WINDOW)
-        .select(F.explode(shingles(F.col("w"), DECON_NGRAM)).alias("sh"))
-        .distinct()
+    d = _decon_tokens(spark, sf_dir)
+    bench = _decon_bench(d)
+    dsh = d.select(
+        "doc_id", F.explode(shingles(F.col("_tk"), DECON_NGRAM)).alias("sh")
     )
-    dsh = d.select("doc_id", F.explode(shingles(tk, DECON_NGRAM)).alias("sh"))
     return (
         dsh.join(F.broadcast(bench), "sh")
         .groupBy("doc_id")
@@ -471,6 +484,90 @@ GROUP BY doc_id
 
 
 SQL_DECONTAMINATE = _sql_decontaminate()
+
+
+# --------------------------------------------------------------------------
+# decontaminate_bloom — the same contract as decontaminate_ngram, but
+# the corpus side never reaches the explode/join unless a narrow
+# Bloom-filter prefilter fires (the production shape: GPT-3 App. C /
+# The Pile built their eval-set filters OFFLINE and shipped them to
+# every worker).  The filter over the benchmark shingles is built
+# driver-side — legitimate because the benchmark is eval-sized, never
+# the corpus; in production it is a precomputed artifact loaded from
+# the eval-set registry — and shipped as ONE plan literal (the
+# quality_classifier weight-table precedent).  At 10^12 docs the win
+# is that non-candidate documents (the overwhelming majority) are
+# dropped by a zero-Exchange scan-side filter without ever exploding
+# into shingle rows; only Bloom candidates pay the exact verify join,
+# and Bloom false positives are removed there, so the output is
+# EXACTLY the n-gram overlap relation (oracle-shared with
+# decontaminate_ngram).  No false negatives by construction: every
+# true-hit shingle has all DECON_BLOOM_K bits set.  m=2^16 bits fits
+# the synthesized benchmark (~10^3 shingles -> FP/shingle ~1e-5); at
+# real eval-set sizes (~10^6-10^7 shingles) m scales to 2^27-2^30 —
+# still a one-copy-per-executor broadcast of 16-128 MB.
+# --------------------------------------------------------------------------
+
+DECON_BLOOM_BITS = 1 << 16
+DECON_BLOOM_K = 3
+
+
+def _bloom_positions(sh_col):
+    """K bit positions per shingle: independent hashes via xxhash64
+    over seed-suffixed strings, folded into [0, DECON_BLOOM_BITS)."""
+    return [
+        F.pmod(
+            F.xxhash64(F.concat(sh_col, F.lit(f"|{i}"))),
+            F.lit(DECON_BLOOM_BITS),
+        ).cast("int")
+        for i in range(DECON_BLOOM_K)
+    ]
+
+
+def _bloom_literal(bench) -> str:
+    """Aggregate the benchmark's bit positions (Spark-side distinct,
+    so the driver collect is bounded by min(K x |bench|, m)) into a
+    '0'/'1' bit string."""
+    pos = bench.select(
+        F.explode(F.array(*_bloom_positions(F.col("sh")))).alias("p")
+    ).distinct()
+    bits = {r.p for r in pos.collect()}
+    return "".join("1" if i in bits else "0" for i in range(DECON_BLOOM_BITS))
+
+
+def _bloom_candidates(d, bloom: str):
+    """Zero-Exchange prefilter: keep docs where ANY shingle has all K
+    bloom bits set.  `_sh` stays bound for the verify stage."""
+    lit = F.lit(bloom)
+    from .common import shingles
+
+    dsh = d.select("doc_id", shingles(F.col("_tk"), DECON_NGRAM).alias("_sh"))
+
+    def hit(g):
+        cond = F.lit(True)
+        for p in _bloom_positions(g):
+            cond = cond & (F.substring(lit, p + 1, F.lit(1)) == "1")
+        return cond
+
+    return dsh.filter(F.exists(F.col("_sh"), hit))
+
+
+def decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered benchmark decontamination: identical output
+    to decontaminate_ngram (same oracle SQL), but the corpus explodes
+    into shingle rows ONLY for Bloom-candidate documents."""
+    d = _decon_tokens(spark, sf_dir)
+    bench = _decon_bench(d)
+    cand = _bloom_candidates(d, _bloom_literal(bench))
+    return (
+        cand.select("doc_id", F.explode("_sh").alias("sh"))
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+        .withColumn(
+            "contaminated", (F.col("n_hits") >= DECON_HIT_MIN).cast("int")
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1331,6 +1428,7 @@ QUERIES = {
     "q_compact_plan": q_compact_plan,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
+    "decontaminate_bloom": decontaminate_bloom,
     "shuffle_deterministic": shuffle_deterministic,
     "c4_line_filter": c4_line_filter,
     "dsir_select": dsir_select,
@@ -1339,6 +1437,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "decontaminate_ngram": SQL_DECONTAMINATE,
+    "decontaminate_bloom": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "dehyphenate": SQL_DEHYPHENATE,

@@ -319,6 +319,44 @@ def test_ngram_topk_ranks_and_counts(spark):
         assert cnts == sorted(cnts, reverse=True)
 
 
+def test_decontaminate_bloom_prefilter_mechanism(spark):
+    """The Bloom path must (a) produce EXACTLY the exact-overlap
+    relation, (b) prefilter to a candidate set that is a superset of
+    the hit docs but far smaller than the corpus, and (c) run the
+    prefilter as a zero-Exchange narrow plan (the 100 TB point: the
+    non-candidate majority never explodes into shingle rows)."""
+    from freki_spark.functions.corpus_prep import (
+        _bloom_candidates,
+        _bloom_literal,
+        _decon_bench,
+        _decon_tokens,
+        decontaminate_bloom,
+        decontaminate_ngram,
+    )
+
+    exact = {tuple(r) for r in decontaminate_ngram(spark, SF).collect()}
+    bloom = {tuple(r) for r in decontaminate_bloom(spark, SF).collect()}
+    assert bloom == exact and exact  # identical relation, non-empty
+
+    d = _decon_tokens(spark, SF)
+    lit = _bloom_literal(_decon_bench(d))
+    assert set(lit) <= {"0", "1"} and "1" in lit
+    cand = _bloom_candidates(d, lit)
+    cand_ids = {r.doc_id for r in cand.select("doc_id").collect()}
+    hit_ids = {t[0] for t in exact}
+    assert hit_ids <= cand_ids  # no false negatives, ever
+    n_docs = d.count()
+    assert len(cand_ids) < n_docs / 10  # the prefilter actually filters
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
 def test_decontaminate_flags_benchmark_seed_docs(spark):
     """Every doc that seeded a benchmark window must be reported as
     contaminated (it contains all of its own window's n-grams); docs

@@ -162,6 +162,21 @@ def main() -> int:
         p = plan_of(QUERIES[slug](spark, sf_dir))
         check(f"narrow_{slug}", "Exchange" not in p, "no Exchange in plan")
 
+    # 8b. decontaminate_bloom: the candidate prefilter (the stage the
+    #    non-candidate corpus majority terminates at) is a narrow
+    #    scan-side filter — zero Exchange at any corpus size
+    from freki_spark.functions.corpus_prep import (
+        _bloom_candidates,
+        _bloom_literal,
+        _decon_bench,
+        _decon_tokens,
+    )
+
+    _d = _decon_tokens(spark, sf_dir)
+    p = plan_of(_bloom_candidates(_d, _bloom_literal(_decon_bench(_d))))
+    check("narrow_decon_bloom_prefilter", "Exchange" not in p,
+          "no Exchange in bloom candidate prefilter")
+
     # 9. ngram_topk: bigram counts partially aggregate map-side (only
     #    (lang, bigram, partial-count) rows shuffle — never raw bigrams)
     #    and the rank<=k filter is pushed below the shuffle as a
