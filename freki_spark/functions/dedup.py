@@ -1144,10 +1144,10 @@ def dedup_canonical(spark, sf_dir):
     )
 
 
-SQL_DEDUP_CANONICAL = f"""
-WITH RECURSIVE {DUCK_CORPUS.strip()},
-{DUCK_EDGE_CTES},
-sym AS (SELECT a AS src, b AS dst FROM edges
+# the ONE SQL mirror of the components labeling + keeper election
+# (shared by SQL_DEDUP_CANONICAL and SQL_DEDUP_KEEP so the keeper rule
+# can never drift between them)
+DUCK_LABELED_CTES = f"""sym AS (SELECT a AS src, b AS dst FROM edges
         UNION SELECT b, a FROM edges),
 reach(id, r) AS (
   SELECT src, src FROM sym
@@ -1160,11 +1160,6 @@ sizes AS (
   FROM corpus
 ),
 labeled AS (SELECT comp, doc_id, n_tok FROM labels JOIN sizes USING (doc_id)),
-agg AS (
-  SELECT comp, count(*) AS n_members, max(n_tok) AS kept_tokens,
-         CAST(sum(n_tok) - max(n_tok) AS BIGINT) AS dropped_tokens
-  FROM labeled GROUP BY comp
-),
 k AS (
   SELECT comp, doc_id AS keeper FROM (
     SELECT comp, doc_id,
@@ -1172,9 +1167,65 @@ k AS (
                               ORDER BY n_tok DESC, doc_id ASC) AS rn
     FROM labeled
   ) WHERE rn = 1
+)"""
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()},
+{DUCK_EDGE_CTES},
+{DUCK_LABELED_CTES},
+agg AS (
+  SELECT comp, count(*) AS n_members, max(n_tok) AS kept_tokens,
+         CAST(sum(n_tok) - max(n_tok) AS BIGINT) AS dropped_tokens
+  FROM labeled GROUP BY comp
 )
 SELECT comp, keeper, n_members, kept_tokens, dropped_tokens
 FROM agg JOIN k USING (comp)
+"""
+
+
+def dedup_keep(spark, sf_dir):
+    """The end-to-end dedup DECISION relation — one row per corpus
+    document: kept=1 for cluster keepers and for docs in no dup
+    cluster, kept=0 for dropped near-duplicates.  This is the table a
+    user anti-joins training input against; it composes the whole
+    family (banded candidates -> jaccard edges -> components ->
+    keeper election) into the one output that matters downstream.
+
+    Scale shape (100 TB): reuses the banded candidate graph (never
+    all-pairs); the keeper election is the same partial-aggregable
+    max_by as dedup_canonical (constant-size partial state, safe on
+    10^6-member mirror clusters); member flagging is a hash join keyed
+    on comp (AQE-skew-splittable); untouched docs arrive via a doc_id
+    anti-join.  Only (doc_id, n_tok, comp) triples ever shuffle — the
+    corpus text stays where the scan put it."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sizes = corpus.select("doc_id", F.size(toks(F.col("text"))).alias("n_tok"))
+    lab = dedup_components(spark, sf_dir)
+    m = lab.join(sizes, "doc_id")
+    ordinal = F.struct(
+        F.col("n_tok").alias("nt"), (-F.col("doc_id")).alias("negid")
+    )
+    keepers = m.groupBy("comp").agg(F.max_by("doc_id", ordinal).alias("keeper"))
+    flagged = m.join(keepers, "comp").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).cast("int").alias("kept")
+    )
+    solo = (
+        corpus.select("doc_id")
+        .join(lab, "doc_id", "left_anti")
+        .select("doc_id", F.lit(1).alias("kept"))
+    )
+    return flagged.unionByName(solo)
+
+
+SQL_DEDUP_KEEP = f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()},
+{DUCK_EDGE_CTES},
+{DUCK_LABELED_CTES}
+SELECT doc_id, CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS kept
+FROM labeled JOIN k USING (comp)
+UNION ALL
+SELECT doc_id, 1 AS kept FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM labels)
 """
 
 
@@ -1419,6 +1470,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "cc_bigstar": cc_bigstar,
     "dedup_canonical": dedup_canonical,
+    "dedup_keep": dedup_keep,
     "dup_span_detect": dup_span_detect,
 }
 
@@ -1436,5 +1488,6 @@ ORACLE_SQL = {
     # algorithm must land on the identical min-label components
     "cc_bigstar": SQL_DEDUP_COMPONENTS,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "dedup_keep": SQL_DEDUP_KEEP,
     "dup_span_detect": SQL_DUP_SPAN,
 }

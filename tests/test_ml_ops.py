@@ -952,6 +952,33 @@ def test_mixture_sample_exact_and_balanced(spark):
     assert kept[big] < n_lang[big]
 
 
+def test_dedup_keep_partitions_the_corpus(spark):
+    """dedup_keep must emit exactly one row per corpus doc; within
+    every dup cluster exactly the canonical keeper is kept; every doc
+    outside the pair graph is kept; dropped docs are precisely the
+    non-keeper cluster members."""
+    from freki_spark.functions.dedup import (
+        _near_dup_corpus,
+        dedup_canonical,
+        dedup_components,
+        dedup_keep,
+    )
+
+    corpus_ids = {r.doc_id for r in _near_dup_corpus(spark, SF).collect()}
+    rows = dedup_keep(spark, SF).collect()
+    assert len(rows) == len(corpus_ids)
+    kept = {r.doc_id: r.kept for r in rows}
+    assert set(kept) == corpus_ids
+    comp_of = {r.doc_id: r.comp for r in dedup_components(spark, SF).collect()}
+    keepers = {r.keeper for r in dedup_canonical(spark, SF).collect()}
+    for d in corpus_ids:
+        if d not in comp_of:
+            assert kept[d] == 1  # untouched docs always survive
+        else:
+            assert kept[d] == (1 if d in keepers else 0)
+    assert 0 in kept.values()  # the fixture must exercise drops
+
+
 def test_dedup_canonical_keeps_longest_member(spark):
     """Per component: keeper = member with max tokens (min doc_id on
     ties), membership counts and token sums recomputed naively from
