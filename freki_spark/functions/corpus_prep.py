@@ -447,6 +447,14 @@ def decontaminate_ngram(spark, sf_dir):
     dsh = d.select(
         "doc_id", F.explode(shingles(F.col("_tk"), DECON_NGRAM)).alias("sh")
     )
+    return _decon_score(dsh, bench)
+
+
+def _decon_score(dsh, bench):
+    """The shared output tail of both decontamination ops: exact
+    verify join over (doc_id, sh) rows + per-doc distinct-hit count +
+    contaminated flag — one place, so the hit/flag rule can't drift
+    between the exact and bloom paths."""
     return (
         dsh.join(F.broadcast(bench), "sh")
         .groupBy("doc_id")
@@ -555,19 +563,16 @@ def _bloom_candidates(d, bloom: str):
 def decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination: identical output
     to decontaminate_ngram (same oracle SQL), but the corpus explodes
-    into shingle rows ONLY for Bloom-candidate documents."""
+    into shingle rows ONLY for Bloom-candidate documents.
+
+    Note: constructing this DataFrame runs one eager Spark job (the
+    bench-position collect that builds the plan literal) — inherent to
+    a data-dependent literal; the bench is persisted so the verify
+    join reuses the materialization instead of recomputing it."""
     d = _decon_tokens(spark, sf_dir)
-    bench = _decon_bench(d)
+    bench = _decon_bench(d).persist()
     cand = _bloom_candidates(d, _bloom_literal(bench))
-    return (
-        cand.select("doc_id", F.explode("_sh").alias("sh"))
-        .join(F.broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("sh").alias("n_hits"))
-        .withColumn(
-            "contaminated", (F.col("n_hits") >= DECON_HIT_MIN).cast("int")
-        )
-    )
+    return _decon_score(cand.select("doc_id", F.explode("_sh").alias("sh")), bench)
 
 
 # --------------------------------------------------------------------------

@@ -1126,18 +1126,28 @@ SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
 # --------------------------------------------------------------------------
 
 
-def dedup_canonical(spark, sf_dir):
-    toks_n = F.size(toks(F.col("text")))
+def _labeled_sizes(spark, sf_dir):
+    """(doc_id, comp, n_tok) for every doc in the dup-pair graph — the
+    shared election input of dedup_canonical and dedup_keep."""
     sizes = _near_dup_corpus(spark, sf_dir).select(
-        "doc_id", toks_n.alias("n_tok")
+        "doc_id", F.size(toks(F.col("text"))).alias("n_tok")
     )
-    lab = dedup_components(spark, sf_dir)
-    m = lab.join(sizes, "doc_id")
-    ordinal = F.struct(
+    return dedup_components(spark, sf_dir).join(sizes, "doc_id")
+
+
+def _keeper_ordinal():
+    """THE keeper rule (most tokens, min doc_id tie-break) — the one
+    Spark-side source, mirrored once in SQL by DUCK_LABELED_CTES'
+    row_number ordering."""
+    return F.struct(
         F.col("n_tok").alias("nt"), (-F.col("doc_id")).alias("negid")
     )
+
+
+def dedup_canonical(spark, sf_dir):
+    m = _labeled_sizes(spark, sf_dir)
     return m.groupBy("comp").agg(
-        F.max_by("doc_id", ordinal).alias("keeper"),
+        F.max_by("doc_id", _keeper_ordinal()).alias("keeper"),
         F.count("*").alias("n_members"),
         F.max("n_tok").alias("kept_tokens"),
         (F.sum("n_tok") - F.max("n_tok")).alias("dropped_tokens"),
@@ -1198,20 +1208,17 @@ def dedup_keep(spark, sf_dir):
     on comp (AQE-skew-splittable); untouched docs arrive via a doc_id
     anti-join.  Only (doc_id, n_tok, comp) triples ever shuffle — the
     corpus text stays where the scan put it."""
-    corpus = _near_dup_corpus(spark, sf_dir)
-    sizes = corpus.select("doc_id", F.size(toks(F.col("text"))).alias("n_tok"))
-    lab = dedup_components(spark, sf_dir)
-    m = lab.join(sizes, "doc_id")
-    ordinal = F.struct(
-        F.col("n_tok").alias("nt"), (-F.col("doc_id")).alias("negid")
+    m = _labeled_sizes(spark, sf_dir)
+    keepers = m.groupBy("comp").agg(
+        F.max_by("doc_id", _keeper_ordinal()).alias("keeper")
     )
-    keepers = m.groupBy("comp").agg(F.max_by("doc_id", ordinal).alias("keeper"))
     flagged = m.join(keepers, "comp").select(
         "doc_id", (F.col("doc_id") == F.col("keeper")).cast("int").alias("kept")
     )
     solo = (
-        corpus.select("doc_id")
-        .join(lab, "doc_id", "left_anti")
+        _near_dup_corpus(spark, sf_dir)
+        .select("doc_id")
+        .join(m.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.lit(1).alias("kept"))
     )
     return flagged.unionByName(solo)

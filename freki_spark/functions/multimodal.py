@@ -54,13 +54,16 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def media_dims(k):
-    """THE synthetic media dimension shape (width 64..575, height
-    64..319) — single source shared by synth_media_table (keyed by
-    doc_id) and queries.q_media_span_join (keyed by md5i32(media_ref))
-    so the two synthetic dimensions can never drift apart."""
+    """THE synthetic media dimension FORMULA (width 64..575 from the
+    low 9 key bits, height 64..319 from the next 8 — decorrelated so a
+    height-only bug can't hide behind a width check).  Shared by
+    synth_media_table (keyed by doc_id) and queries.q_media_span_join
+    (keyed by md5i32(media_ref)): the two dims use different key
+    spaces, so their VALUES differ for the same ref — what is unified
+    is the formula and its SQL mirrors."""
     return (
         (64 + F.pmod(k, F.lit(512))).cast("int"),
-        (64 + F.pmod(k, F.lit(256))).cast("int"),
+        (64 + F.pmod(F.shiftright(k, 9), F.lit(256))).cast("int"),
     )
 
 
@@ -192,7 +195,8 @@ def q_media_resize(spark, sf_dir):
 SQL_MEDIA_RESIZE = """
 WITH m AS (
   SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref,
-         CAST(64 + doc_id % 512 AS INT) AS w, CAST(64 + doc_id % 256 AS INT) AS h
+         CAST(64 + doc_id % 512 AS INT) AS w,
+         CAST(64 + (doc_id >> 9) % 256 AS INT) AS h
   FROM documents WHERE doc_id % 5 = 0
 ),
 s AS (

@@ -255,7 +255,8 @@ WITH sp AS (SELECT doc_id, media_ref, "offset" FROM {_G} WHERE kind = 'media'),
 meta AS (
   SELECT media_ref,
          CAST(64 + {DUCK_MD5I32.format(x="media_ref")} % 512 AS INT) AS width,
-         CAST(64 + {DUCK_MD5I32.format(x="media_ref")} % 256 AS INT) AS height
+         CAST(64 + ({DUCK_MD5I32.format(x="media_ref")} >> 9) % 256 AS INT)
+           AS height
   FROM (SELECT DISTINCT media_ref FROM sp)
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media,
