@@ -1318,8 +1318,10 @@ _DUCK_SH_HASH = DUCK_MD5I60.format(
     x=f"array_to_string(ws[p:p+{DUPSPAN_N - 1}], ' ')"
 )
 
-SQL_DUP_SPAN = f"""
-WITH w AS (
+# the ONE SQL mirror of tokenization -> dup-hash election -> island
+# merge -> maximal spans (shared by SQL_DUP_SPAN and
+# SQL_DUP_SPAN_REMOVE so the interval semantics can't drift)
+DUCK_DUPSPAN_CTES = f"""w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
 g AS (
@@ -1345,10 +1347,96 @@ islands AS (
   SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS grp
   FROM marked
+),
+spans AS (
+  SELECT doc_id, grp, min(pos) AS span_start,
+         max(pos) + {DUPSPAN_N - 1} AS span_end, count(*) AS n_hits
+  FROM islands GROUP BY doc_id, grp
+)"""
+
+SQL_DUP_SPAN = f"""
+WITH {DUCK_DUPSPAN_CTES}
+SELECT doc_id, grp, span_start, span_end, n_hits FROM spans
+"""
+
+
+def dup_span_remove(spark, sf_dir):
+    """The cut step of exact-substring dedup (Lee et al. remove the
+    duplicated substring from all but... in fact from every occurrence
+    — this mirror cuts every detected interval, the conservative
+    variant): one row per document with the duplicated word intervals
+    of dup_span_detect excised and the survivors re-joined.
+
+    Scale shape (100 TB): detection reuses dup_span_detect's plan
+    (partial-agg'd dup-hash election, left-semi hit marking, one
+    doc-grain window); the interval list per doc is tiny (merged
+    maximal spans, not hits) and joins back to the corpus on doc_id —
+    with the corpus bucketed by doc_id (the io.py storage convention)
+    that join is co-located and the text never shuffles; the cut
+    itself is a narrow array pass (positions filtered against the
+    bound interval list, O(n_tok x n_ivl) per doc)."""
+    ivl = (
+        dup_span_detect(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("a"), F.col("span_end").alias("b")
+                )
+            ).alias("ivl")
+        )
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", toks(F.col("text")).alias("w"))
+    )
+    empty = F.array().cast("array<struct<a:int,b:int>>")
+    j = d.join(ivl, "doc_id", "left").select(
+        "doc_id", "w", F.coalesce(F.col("ivl"), empty).alias("_ivl")
+    )
+    kept = j.select(
+        "doc_id",
+        "w",
+        F.filter(
+            F.sequence(F.lit(1), F.size("w")),
+            lambda i: ~F.exists(
+                F.col("_ivl"), lambda s: (i >= s["a"]) & (i <= s["b"])
+            ),
+        ).alias("_kp"),
+    )
+    return kept.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("_kp", lambda i: F.element_at("w", i))
+        ).alias("clean_text"),
+        (F.size("w") - F.size("_kp")).cast("int").alias("n_cut"),
+    )
+
+
+SQL_DUP_SPAN_REMOVE = f"""
+WITH {DUCK_DUPSPAN_CTES},
+ivls AS (
+  SELECT doc_id, list({{'a': span_start, 'b': span_end}}) AS ivl
+  FROM spans GROUP BY doc_id
+),
+cut AS (
+  SELECT w.doc_id AS doc_id, ws, coalesce(ivl, []) AS ivl
+  FROM w LEFT JOIN ivls ON w.doc_id = ivls.doc_id
+),
+kept AS (
+  SELECT doc_id, ws,
+         list_filter(range(1, len(ws) + 1),
+                     i -> len(list_filter(ivl, s -> i >= s.a AND i <= s.b)) = 0)
+           AS kp
+  FROM cut
 )
-SELECT doc_id, grp, min(pos) AS span_start,
-       max(pos) + {DUPSPAN_N - 1} AS span_end, count(*) AS n_hits
-FROM islands GROUP BY doc_id, grp
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB (the DUCK_MUTATED
+       -- precedent); concat_ws on the Spark side yields ''
+       coalesce(array_to_string(list_transform(kp, i -> ws[i]), ' '), '')
+         AS clean_text,
+       CAST(len(ws) - len(kp) AS INT) AS n_cut
+FROM kept
 """
 
 
@@ -1479,6 +1567,7 @@ QUERIES = {
     "dedup_canonical": dedup_canonical,
     "dedup_keep": dedup_keep,
     "dup_span_detect": dup_span_detect,
+    "dup_span_remove": dup_span_remove,
 }
 
 ORACLE_SQL = {
@@ -1497,4 +1586,5 @@ ORACLE_SQL = {
     "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_keep": SQL_DEDUP_KEEP,
     "dup_span_detect": SQL_DUP_SPAN,
+    "dup_span_remove": SQL_DUP_SPAN_REMOVE,
 }

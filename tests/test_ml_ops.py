@@ -749,6 +749,42 @@ def test_dup_span_detect_matches_naive_python(spark):
     assert exp  # fixture must actually contain cross-doc duplicates
 
 
+def test_dup_span_remove_cuts_exactly_the_detected_intervals(spark):
+    """clean_text must equal the raw tokens with every dup_span_detect
+    interval excised (recomputed in python from the detect output +
+    the raw text — independent of the op's array kernel), n_cut must
+    account for them, and docs with no interval must pass through
+    byte-identical.  Fully-cut docs yield '' (never NULL)."""
+    from freki_spark.functions.dedup import dup_span_detect, dup_span_remove
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    ivls = {}
+    for r in dup_span_detect(spark, SF).collect():
+        ivls.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {r.doc_id: r for r in dup_span_remove(spark, SF).collect()}
+    assert set(got) == set(docs)  # one row per document, always
+    touched = full_cut = 0
+    for doc_id, ws in docs.items():
+        keep = [
+            w
+            for i, w in enumerate(ws, start=1)
+            if not any(a <= i <= b for a, b in ivls.get(doc_id, []))
+        ]
+        r = got[doc_id]
+        assert r.clean_text == " ".join(keep)
+        assert r.n_cut == len(ws) - len(keep)
+        if doc_id in ivls:
+            touched += 1
+            if not keep:
+                full_cut += 1
+                assert r.clean_text == ""
+    assert touched  # fixture must exercise real cuts
+    assert full_cut  # ... including the everything-duplicated doc
+
+
 def test_canon_url_mechanism_adversarial(spark):
     """The canonicalization mechanism on inputs the synthesized corpus
     never produces: consecutive leading utm params, all-utm queries,
