@@ -371,6 +371,83 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+IMG_TOKENS = 64  # placeholder tokens a vision encoder contributes per frame
+
+
+def pack_interleaved(spark, sf_dir):
+    """Multimodal sequence packing: the pack_sequences layout over
+    INTERLEAVED text+media documents, where each document's budget is
+    its text tokens plus IMG_TOKENS placeholder tokens per media frame
+    (the modern VLM training layout — images enter the sequence as a
+    fixed run of placeholder tokens, Flamingo/LLaVA-style).
+
+    Scale shape (100 TB): the media dimension joins on doc_id — at
+    corpus scale both sides are bucketed by doc_id (io.py convention)
+    so the join is co-located, and only (doc_id, n_media_tokens) pairs
+    leave the media table (blob and metadata pruned at the scan); the
+    running start reuses the (lang, shard)-grain two-pass cumsum."""
+    from .multimodal import synth_media_table
+
+    d = _docs(spark, sf_dir)
+    media = synth_media_table(d).select(
+        "doc_id", (F.col("meta.n_frames") * IMG_TOKENS).alias("n_media_tokens")
+    )
+    t = d.select("doc_id", "lang", F.size(toks(F.col("text"))).alias("n_text_tokens"))
+    j = t.join(media, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_text_tokens",
+        F.coalesce("n_media_tokens", F.lit(0)).alias("n_media_tokens"),
+    )
+    j = j.withColumn("n_tokens", F.col("n_text_tokens") + F.col("n_media_tokens"))
+    j = _sharded_running_start(j, "n_tokens")
+    start = F.col("start")
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_text_tokens",
+        "n_media_tokens",
+        "n_tokens",
+        F.floor(start / SEQ_LEN).cast("bigint").alias("seq_id"),
+        (start % SEQ_LEN).cast("int").alias("seq_offset"),
+        (
+            F.floor(start / SEQ_LEN)
+            != F.floor((start + F.col("n_tokens") - 1) / SEQ_LEN)
+        ).alias("straddles"),
+    )
+
+
+# n_frames mirror of synth_media_table (1 + doc_id % 16) — the
+# SQL_MEDIA_RESIZE precedent for mirroring the synth formula inline
+SQL_PACK_INTERLEAVED = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST((1 + doc_id % 16) * {IMG_TOKENS} AS INT) AS n_media_tokens
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT d.doc_id AS doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_text_tokens,
+         CAST(coalesce(n_media_tokens, 0) AS INT) AS n_media_tokens
+  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+),
+s AS (
+  SELECT *, n_text_tokens + n_media_tokens AS n_tokens,
+         sum(n_text_tokens + n_media_tokens)
+           OVER (PARTITION BY lang ORDER BY doc_id)
+           - (n_text_tokens + n_media_tokens) AS start
+  FROM t
+)
+SELECT doc_id, lang, n_text_tokens, n_media_tokens,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(start / {SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(start % {SEQ_LEN} AS INT) AS seq_offset,
+       floor(start / {SEQ_LEN})
+         <> floor((start + n_tokens - 1) / {SEQ_LEN}) AS straddles
+FROM s
+"""
+
+
 SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id, lang,
@@ -1432,6 +1509,7 @@ QUERIES = {
     "tfidf_topk": tfidf_topk,
     "q_compact_plan": q_compact_plan,
     "pack_sequences": pack_sequences,
+    "pack_interleaved": pack_interleaved,
     "decontaminate_ngram": decontaminate_ngram,
     "decontaminate_bloom": decontaminate_bloom,
     "shuffle_deterministic": shuffle_deterministic,
@@ -1453,6 +1531,7 @@ ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "q_compact_plan": SQL_COMPACT_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_interleaved": SQL_PACK_INTERLEAVED,
     "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "c4_line_filter": SQL_C4_LINE_FILTER,

@@ -1536,6 +1536,7 @@ _PRIORITY = [
     # round-1 driver-unchecked: corpus prep (+ round-2 additions)
     "pii_scrub", "url_normalize", "chunk_sliding", "sample_stratified",
     "ngram_topk", "tfidf_topk", "q_compact_plan", "pack_sequences",
+    "pack_interleaved",
     "decontaminate_ngram", "decontaminate_bloom", "shuffle_deterministic",
     # round-1 driver-unchecked: multimodal plumbing (+ round-2 dedup)
     "media_features", "media_dedup", "media_resize", "media_frame_sample",

@@ -319,6 +319,55 @@ def test_ngram_topk_ranks_and_counts(spark):
         assert cnts == sorted(cnts, reverse=True)
 
 
+def test_pack_layouts_are_contiguous_and_budgeted(spark):
+    """Both packing layouts must tile each language stream exactly:
+    doc k's (seq_id, seq_offset) equals the running token sum of its
+    predecessors (no gaps, no overlaps), straddles iff the doc crosses
+    a SEQ_LEN boundary — recomputed in python.  pack_interleaved must
+    additionally charge (1 + doc_id % 16) * IMG_TOKENS placeholder
+    tokens to exactly the media-bearing (doc_id % 5 == 0) docs."""
+    from freki_spark.functions.corpus_prep import (
+        IMG_TOKENS,
+        SEQ_LEN,
+        pack_interleaved,
+        pack_sequences,
+    )
+
+    docs = sorted(
+        spark.read.parquet(f"{SF}/documents.parquet").collect(),
+        key=lambda r: r.doc_id,
+    )
+
+    def layout_check(rows, budget):
+        got = {r.doc_id: r for r in rows}
+        assert set(got) == {d.doc_id for d in docs}
+        starts = {}
+        for d in docs:
+            s = starts.setdefault(d.lang, 0)
+            r = got[d.doc_id]
+            assert (r.seq_id, r.seq_offset) == (s // SEQ_LEN, s % SEQ_LEN)
+            n = budget(d)
+            assert r.n_tokens == n
+            assert r.straddles == (s // SEQ_LEN != (s + n - 1) // SEQ_LEN)
+            starts[d.lang] = s + n
+
+    def text_tokens(d):
+        return len(d.text.split(" "))
+
+    def media_tokens(d):
+        return (1 + d.doc_id % 16) * IMG_TOKENS if d.doc_id % 5 == 0 else 0
+
+    layout_check(pack_sequences(spark, SF).collect(), text_tokens)
+    rows = pack_interleaved(spark, SF).collect()
+    layout_check(rows, lambda d: text_tokens(d) + media_tokens(d))
+    for r in rows:
+        assert r.n_media_tokens == (
+            (1 + r.doc_id % 16) * IMG_TOKENS if r.doc_id % 5 == 0 else 0
+        )
+    assert any(r.n_media_tokens for r in rows)  # media docs must exist
+    assert any(r.straddles for r in rows)  # boundary case exercised
+
+
 def test_decontaminate_bloom_prefilter_mechanism(spark):
     """The Bloom path must (a) produce EXACTLY the exact-overlap
     relation, (b) prefilter to a candidate set that is a superset of
