@@ -422,24 +422,29 @@ def _top_run_count(tk):
     return merged.best
 
 
-def gopher_quality(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+def _gopher_stats_cols():
+    """Stage-1 columns of the Gopher rule set.  Two-stage select:
+    lambda-bearing higher-order expressions (filter, aggregate) are
+    excluded from Spark's subexpression elimination (SPARK-35410), so
+    referencing them from multiple output columns would evaluate the
+    O(n log n) scans once PER REFERENCE.  Stage 1 computes each
+    expensive stat exactly once; stage 2 (_gopher_flags) derives the
+    rule flags from plain column refs (cheap comparisons
+    CollapseProject is free to inline).  Shared by gopher_quality and
+    the fused curate_keep."""
     tk = toks(F.col("text"))
     n_words = F.size(tk)
-    # two-stage select: lambda-bearing higher-order expressions
-    # (filter, aggregate) are excluded from Spark's subexpression
-    # elimination (SPARK-35410), so referencing them from multiple
-    # output columns would evaluate the O(n log n) scans once PER
-    # REFERENCE.  Stage 1 computes each expensive stat exactly once;
-    # stage 2 derives the rule flags from plain column refs (cheap
-    # comparisons CollapseProject is free to inline).
-    stats = d.select(
-        "doc_id",
+    return [
         n_words.alias("n_words"),
         (F.length("text") - (n_words - 1)).alias("char_sum"),
         F.size(F.filter(tk, lambda t: t.isin(STOPWORDS))).alias("stop_hits"),
         _top_run_count(tk).alias("top_cnt"),
-    )
+    ]
+
+
+def _gopher_flags():
+    """(ok_words, ok_meanlen, ok_stop, ok_topword) over stage-1 refs
+    — the ONE Spark-side source of the Gopher thresholds."""
     ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
     )
@@ -448,6 +453,13 @@ def gopher_quality(spark, sf_dir):
     )
     ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP
     ok_topword = F.col("top_cnt") * GOPHER_TOPWORD_DEN <= F.col("n_words")
+    return ok_words, ok_meanlen, ok_stop, ok_topword
+
+
+def gopher_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    stats = d.select("doc_id", *_gopher_stats_cols())
+    ok_words, ok_meanlen, ok_stop, ok_topword = _gopher_flags()
     keep = ok_words & ok_meanlen & ok_stop & ok_topword
     return stats.select(
         "doc_id",
@@ -521,8 +533,11 @@ BAD_PHRASE = ("slow", "scan")
 BAD_DEN = 24
 
 
-def badword_filter(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+def _badword_stats_cols():
+    """Stage-1 columns of the blocklist rules (same CSE discipline as
+    _gopher_stats_cols).  n_words is intentionally NOT emitted —
+    callers share one n_words column.  Shared by badword_filter and
+    the fused curate_keep."""
     tk = toks(F.col("text"))
     n_words = F.size(tk)
     n_bad = F.size(F.filter(tk, lambda t: t.isin(*BAD_WORDS)))
@@ -536,20 +551,31 @@ def badword_filter(spark, sf_dir):
         )
     )
     has_hard = F.array_contains(tk, BAD_HARD)
-    # stage 1 evaluates each lambda-bearing scan once (they are CSE-
-    # excluded, see gopher_quality); stage 2's flag is column-ref math
-    stats = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
+    return [
         n_bad.alias("n_bad"),
         n_phrase.alias("n_phrase"),
         has_hard.cast("int").alias("has_hard"),
-    )
-    flagged = (
+    ]
+
+
+def _badword_flagged():
+    """The flag rule over stage-1 refs — the ONE Spark-side source of
+    the blocklist thresholds."""
+    return (
         (F.col("has_hard") == 1)
         | (F.col("n_phrase") > 0)
         | (F.col("n_bad") * BAD_DEN > F.col("n_words"))
     )
+
+
+def badword_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    stats = d.select(
+        "doc_id",
+        F.size(toks(F.col("text"))).alias("n_words"),
+        *_badword_stats_cols(),
+    )
+    flagged = _badword_flagged()
     return stats.select(
         "doc_id",
         "n_words",
@@ -580,6 +606,56 @@ SELECT doc_id, n_words, n_bad, n_phrase, has_hard,
   CASE WHEN has_hard = 1 OR n_phrase > 0 OR n_bad * {BAD_DEN} > n_words
        THEN 1 ELSE 0 END AS flagged
 FROM s
+"""
+
+
+def curate_keep(spark, sf_dir):
+    """The composed curation gate — every Gopher rule and every
+    blocklist rule evaluated in ONE narrow select over ONE corpus scan
+    (keep flag + first-failing reject_reason, hard rules first).  This
+    is the table a curation pipeline semi-joins training input
+    against, and the fused form is the 100 TB point: at 10^12 docs,
+    running gopher_quality and badword_filter as separate jobs reads
+    the corpus twice; here Catalyst collapses both rule sets plus the
+    verdict into a single whole-stage-codegen'd pass — zero Exchange,
+    one scan (plan-audited)."""
+    d = _docs(spark, sf_dir)
+    stats = d.select("doc_id", *_gopher_stats_cols(), *_badword_stats_cols())
+    ok_words, ok_meanlen, ok_stop, ok_topword = _gopher_flags()
+    keep = ok_words & ok_meanlen & ok_stop & ok_topword & ~_badword_flagged()
+    reason = (
+        F.when(F.col("has_hard") == 1, "hard_word")
+        .when(F.col("n_phrase") > 0, "bad_phrase")
+        .when(F.col("n_bad") * BAD_DEN > F.col("n_words"), "bad_ratio")
+        .when(~ok_words, "n_words")
+        .when(~ok_meanlen, "mean_word_len")
+        .when(~ok_stop, "stop_words")
+        .when(~ok_topword, "top_word")
+    )
+    return stats.select(
+        "doc_id",
+        keep.cast("int").alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+# the oracle composes the two component oracles verbatim (nested WITH
+# in CTE bodies), so curate_keep is value-checked against the SAME SQL
+# that checks gopher_quality and badword_filter individually
+SQL_CURATE_KEEP = f"""
+WITH g AS ({SQL_GOPHER_QUALITY}), b AS ({SQL_BADWORD_FILTER})
+SELECT g.doc_id AS doc_id,
+  CAST(CASE WHEN g.keep = 1 AND b.flagged = 0 THEN 1 ELSE 0 END AS INT)
+    AS keep,
+  CASE WHEN b.has_hard = 1 THEN 'hard_word'
+       WHEN b.n_phrase > 0 THEN 'bad_phrase'
+       WHEN b.n_bad * {BAD_DEN} > b.n_words THEN 'bad_ratio'
+       WHEN g.ok_words = 0 THEN 'n_words'
+       WHEN g.ok_meanlen = 0 THEN 'mean_word_len'
+       WHEN g.ok_stop = 0 THEN 'stop_words'
+       WHEN g.ok_topword = 0 THEN 'top_word'
+       ELSE NULL END AS reject_reason
+FROM g JOIN b ON g.doc_id = b.doc_id
 """
 
 
@@ -1003,6 +1079,7 @@ QUERIES = {
     "lexical_diversity": lexical_diversity,
     "quality_score": quality_score,
     "badword_filter": badword_filter,
+    "curate_keep": curate_keep,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
     "gopher_repetition": gopher_repetition,
@@ -1022,6 +1099,7 @@ ORACLE_SQL = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "badword_filter": SQL_BADWORD_FILTER,
+    "curate_keep": SQL_CURATE_KEEP,
     "bpe_encode": SQL_BPE_ENCODE,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,

@@ -1554,6 +1554,7 @@ _PRIORITY = [
     "dedup_incremental", "q_stream_incremental_dedup", "q_warc_scan",
     "q_scan_csv", "q_scan_orc", "media_span_join",
     "dedup_canonical", "dedup_keep", "mixture_sample", "badword_filter",
+    "curate_keep",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
     # dedup ops unchanged since their green round-1 rows
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",

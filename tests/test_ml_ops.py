@@ -319,6 +319,48 @@ def test_ngram_topk_ranks_and_counts(spark):
         assert cnts == sorted(cnts, reverse=True)
 
 
+def test_curate_keep_composes_component_verdicts(spark):
+    """The fused gate must agree doc-for-doc with the two component
+    ops (keep == gopher.keep AND NOT badword.flagged) and emit the
+    first-failing reason in the documented hard-rules-first precedence
+    — recomputed here from the component outputs, not the fused op."""
+    from freki_spark.functions.text_analysis import (
+        BAD_DEN,
+        badword_filter,
+        curate_keep,
+        gopher_quality,
+    )
+
+    g = {r.doc_id: r for r in gopher_quality(spark, SF).collect()}
+    b = {r.doc_id: r for r in badword_filter(spark, SF).collect()}
+    got = {r.doc_id: r for r in curate_keep(spark, SF).collect()}
+    assert set(got) == set(g) == set(b)
+    reasons = set()
+    for d, r in got.items():
+        want_keep = 1 if (g[d].keep == 1 and b[d].flagged == 0) else 0
+        assert r.keep == want_keep
+        if b[d].has_hard == 1:
+            want = "hard_word"
+        elif b[d].n_phrase > 0:
+            want = "bad_phrase"
+        elif b[d].n_bad * BAD_DEN > b[d].n_words:
+            want = "bad_ratio"
+        elif not g[d].ok_words:
+            want = "n_words"
+        elif not g[d].ok_meanlen:
+            want = "mean_word_len"
+        elif not g[d].ok_stop:
+            want = "stop_words"
+        elif not g[d].ok_topword:
+            want = "top_word"
+        else:
+            want = None
+        assert r.reject_reason == want
+        assert (r.reject_reason is None) == (r.keep == 1)
+        reasons.add(want)
+    assert None in reasons and len(reasons) >= 3  # both verdicts + variety
+
+
 def test_pack_layouts_are_contiguous_and_budgeted(spark):
     """Both packing layouts must tile each language stream exactly:
     doc k's (seq_id, seq_offset) equals the running token sum of its

@@ -391,6 +391,19 @@ def main() -> int:
         "zero Exchange, zero explode in the rule-set plan",
     )
 
+    # 19b. curate_keep: the FUSED gate — both rule sets plus the
+    #     verdict collapse into one narrow pass over ONE corpus scan
+    #     (running the component ops separately would read it twice)
+    p = plan_of(QUERIES["curate_keep"](spark, sf_dir))
+    # formatted explain prints each node twice (tree + detail) — count
+    # only the numbered detail headers
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "curate_fused_single_scan",
+        "Exchange" not in p and "Generate" not in p and n_scans == 1,
+        f"zero Exchange, zero explode, scans={n_scans} (want 1)",
+    )
+
     # 20. deterministic shuffle: the corpus-sized dense rank runs at
     #     _shard_ grain (windowspecdefinition on the shard key), the
     #     per-shard bases join back via broadcast, and the only shard
