@@ -303,6 +303,73 @@ def _fresh_batch(d: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# snapshot_diff — crawl-snapshot CDC: classify every doc_id across two
+# snapshots as added / removed / changed / same by content digest.
+# This is the bookkeeping step in front of dedup_incremental: a daily
+# recrawl feeds only its 'added' + 'changed' rows into the signature
+# probe, so the 10^12-doc base is never rescanned.  Snapshot B is
+# synthesized deterministically from A (doc_id % 11 == 2 removed,
+# doc_id % 7 == 1 rewritten, first 30 ids re-keyed at +500000 as new).
+#
+# Scale shape (100 TB): each side reduces to (doc_id, md5) BEFORE the
+# full-outer join — text never moves; with both snapshots bucketed by
+# doc_id (io.py convention) the join is co-located, zero Exchange.
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(spark, sf_dir):
+    a = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rem = F.col("doc_id") % 11 == 2
+    chg = F.col("doc_id") % 7 == 1
+    b = (
+        a.filter(~rem)
+        .select(
+            "doc_id",
+            F.when(chg, F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            a.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    ah = a.select("doc_id", F.md5("text").alias("ha"))
+    bh = b.select("doc_id", F.md5("text").alias("hb"))
+    j = ah.join(bh, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("ha").isNull(), "added")
+        .when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("same")
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN text || ' rev2' ELSE text END AS text
+  FROM a WHERE doc_id % 11 <> 2
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, 'new ' || text AS text
+  FROM a WHERE doc_id < 30
+),
+ah AS (SELECT doc_id, md5(text) AS ha FROM a),
+bh AS (SELECT doc_id, md5(text) AS hb FROM b)
+SELECT coalesce(ah.doc_id, bh.doc_id) AS doc_id,
+  CASE WHEN ha IS NULL THEN 'added'
+       WHEN hb IS NULL THEN 'removed'
+       WHEN ha <> hb THEN 'changed'
+       ELSE 'same' END AS status
+FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id
+"""
+
+
 def dedup_incremental(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # eager localCheckpoint on both signature tables — each is
@@ -1558,6 +1625,7 @@ QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
+    "snapshot_diff": snapshot_diff,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1575,6 +1643,7 @@ ORACLE_SQL = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,

@@ -319,6 +319,39 @@ def test_ngram_topk_ranks_and_counts(spark):
         assert cnts == sorted(cnts, reverse=True)
 
 
+def test_snapshot_diff_classifies_every_doc(spark):
+    """Every doc_id across both snapshots appears exactly once with
+    the right status, recomputed in python from the synthesis rules;
+    all four classes must be exercised by the fixture."""
+    from freki_spark.functions.dedup import snapshot_diff
+
+    a = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    b = {}
+    for d, t in a.items():
+        if d % 11 == 2:
+            continue
+        b[d] = t + " rev2" if d % 7 == 1 else t
+    for d, t in a.items():
+        if d < 30:
+            b[d + 500000] = "new " + t
+    exp = {}
+    for d in set(a) | set(b):
+        if d not in a:
+            exp[d] = "added"
+        elif d not in b:
+            exp[d] = "removed"
+        elif a[d] != b[d]:
+            exp[d] = "changed"
+        else:
+            exp[d] = "same"
+    got = {r.doc_id: r.status for r in snapshot_diff(spark, SF).collect()}
+    assert got == exp
+    assert set(exp.values()) == {"added", "removed", "changed", "same"}
+
+
 def test_curate_keep_composes_component_verdicts(spark):
     """The fused gate must agree doc-for-doc with the two component
     ops (keep == gopher.keep AND NOT badword.flagged) and emit the
