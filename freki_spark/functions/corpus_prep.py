@@ -1441,19 +1441,24 @@ GROUP BY doc_id
 DOMAIN_RE = r"^https?://(?:[a-z0-9-]+\.)*?([a-z0-9-]+\.(?:com|org|net))/"
 
 
-def domain_stats(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+def _domain_url():
+    """THE synthetic crawl-URL formula (shared by domain_stats and
+    crawl_frontier; mirrored inline in both oracles)."""
     tld = F.element_at(
         F.array(F.lit("com"), F.lit("org"), F.lit("net")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    url = F.concat(
+    return F.concat(
         F.lit("http://"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("cdn.")),
         F.col("source"), F.lit("-site."), tld,
         F.lit("/page/"), F.col("doc_id").cast("string"),
     )
-    dom = F.regexp_extract(url, DOMAIN_RE, 1)
+
+
+def domain_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dom = F.regexp_extract(_domain_url(), DOMAIN_RE, 1)
     per = d.select(dom.alias("domain"), "n_chars")
     agg = per.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
@@ -1497,6 +1502,69 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# crawl_frontier — politeness-capped per-domain fetch scheduling (the
+# crawler-side counterpart of domain_stats): rank every frontier URL by
+# a deterministic pagerank-ish priority, keep at most FRONTIER_CAP per
+# registered domain per fetch cycle.  URLs are synthesised from
+# (source, doc_id) with the same formula as domain_stats (the corpus
+# carries no URL column); the verified mechanism is host-parse +
+# per-domain ranked cap.
+#
+# Scale shape (100 TB frontier): the window partitions by domain — at
+# web scale that is millions of domains, so parallelism is wide, and
+# the rank<=K predicate triggers Spark's WindowGroupLimit pushdown:
+# each map task pre-prunes to its local top-K per domain BEFORE the
+# exchange, so the shuffle carries O(K * domains) rows, not the whole
+# frontier.  A single mega-domain (crawler trap) is bounded by the same
+# pushdown — every upstream task forwards at most K of its rows.
+# --------------------------------------------------------------------------
+
+FRONTIER_CAP = 4
+
+
+def crawl_frontier(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    url = _domain_url()
+    # stands in for the harvest-rate / pagerank prior a real scheduler
+    # would join in; md5 keeps it deterministic and skew-free
+    pri = md5i32(F.concat(F.lit("pri/"), F.col("doc_id").cast("string")))
+    per = d.select(
+        F.regexp_extract(url, DOMAIN_RE, 1).alias("domain"),
+        url.alias("url"),
+        pri.alias("priority"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("url"))
+    return per.withColumn(
+        "fetch_rank", F.row_number().over(w).cast("int")
+    ).where(F.col("fetch_rank") <= FRONTIER_CAP)
+
+
+SQL_CRAWL_FRONTIER = f"""
+WITH u AS (
+  SELECT 'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END
+           || source || '-site.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 + 1 AS INT)]
+           || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id
+  FROM documents
+),
+per AS (
+  SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain, url,
+         {DUCK_MD5I32.format(x="'pri/' || CAST(doc_id AS VARCHAR)")} AS priority
+  FROM u
+)
+SELECT domain, url, priority, CAST(fetch_rank AS INT) AS fetch_rank
+FROM (
+  SELECT *, row_number()
+              OVER (PARTITION BY domain ORDER BY priority DESC, url)
+            AS fetch_rank
+  FROM per
+)
+WHERE fetch_rank <= {FRONTIER_CAP}
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -1516,6 +1584,7 @@ QUERIES = {
     "c4_line_filter": c4_line_filter,
     "dsir_select": dsir_select,
     "domain_stats": domain_stats,
+    "crawl_frontier": crawl_frontier,
 }
 
 ORACLE_SQL = {
@@ -1537,4 +1606,5 @@ ORACLE_SQL = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "dsir_select": SQL_DSIR_SELECT,
     "domain_stats": SQL_DOMAIN_STATS,
+    "crawl_frontier": SQL_CRAWL_FRONTIER,
 }

@@ -1720,6 +1720,39 @@ def test_domain_stats_rollup_consistency(spark):
     assert [r.rank for r in ranked] == list(range(1, len(rows) + 1))
 
 
+def test_crawl_frontier_politeness_cap(spark):
+    """Every domain keeps at most FRONTIER_CAP URLs, ranks are
+    contiguous from 1, and within a domain the kept set is exactly the
+    top-priority URLs of that domain's full frontier."""
+    from freki_spark.functions.corpus_prep import (
+        DOMAIN_RE,
+        FRONTIER_CAP,
+        crawl_frontier,
+        domain_stats,
+    )
+
+    rows = crawl_frontier(spark, "/root/testdata/sf0.001").collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert by_dom, "frontier is empty"
+    for dom, rs in by_dom.items():
+        assert len(rs) <= FRONTIER_CAP
+        rs.sort(key=lambda r: r.fetch_rank)
+        assert [r.fetch_rank for r in rs] == list(range(1, len(rs) + 1))
+        pris = [r.priority for r in rs]
+        assert pris == sorted(pris, reverse=True)
+        import re
+
+        for r in rs:
+            assert re.match(DOMAIN_RE, r.url).group(1) == dom
+    # same URL-synthesis formula as domain_stats → same domain universe
+    stat_doms = {
+        r.domain for r in domain_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(by_dom) == stat_doms
+
+
 def test_bpe_train_word_regex_rejects_trailing_newline(spark):
     """Java's non-MULTILINE '$' matches before a trailing newline but
     DuckDB's regexp_full_match does not — the op must use \\z so both
