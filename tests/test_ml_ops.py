@@ -1722,14 +1722,45 @@ def test_domain_stats_rollup_consistency(spark):
 
 def test_crawl_frontier_politeness_cap(spark):
     """Every domain keeps at most FRONTIER_CAP URLs, ranks are
-    contiguous from 1, and within a domain the kept set is exactly the
-    top-priority URLs of that domain's full frontier."""
+    contiguous from 1, and the kept set per domain is EXACTLY the
+    top-priority prefix of that domain's full frontier — recomputed
+    independently in python (hashlib md5 + the URL formula) from the
+    raw documents parquet, not from the op's own columns."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
     from freki_spark.functions.corpus_prep import (
         DOMAIN_RE,
         FRONTIER_CAP,
         crawl_frontier,
         domain_stats,
     )
+
+    # independent full-frontier recompute
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "source"]
+    ).to_pylist()
+    full = {}
+    for row in t:
+        did, src = row["doc_id"], row["source"]
+        url = "http://{}{}-site.{}/page/{}".format(
+            "www." if did % 2 == 0 else "cdn.",
+            src,
+            ["com", "org", "net"][did % 3],
+            did,
+        )
+        pri = int(hashlib.md5(f"pri/{did}".encode()).hexdigest()[:8], 16)
+        dom = re.match(DOMAIN_RE, url).group(1)
+        full.setdefault(dom, []).append((url, pri))
+    expected = {
+        dom: {
+            u
+            for u, _ in sorted(urls, key=lambda up: (-up[1], up[0]))[:FRONTIER_CAP]
+        }
+        for dom, urls in full.items()
+    }
 
     rows = crawl_frontier(spark, "/root/testdata/sf0.001").collect()
     by_dom = {}
@@ -1742,10 +1773,11 @@ def test_crawl_frontier_politeness_cap(spark):
         assert [r.fetch_rank for r in rs] == list(range(1, len(rs) + 1))
         pris = [r.priority for r in rs]
         assert pris == sorted(pris, reverse=True)
-        import re
-
         for r in rs:
             assert re.match(DOMAIN_RE, r.url).group(1) == dom
+        # the politeness cap keeps the exact top-K of the FULL frontier
+        assert {r.url for r in rs} == expected[dom]
+    assert set(by_dom) == set(expected)
     # same URL-synthesis formula as domain_stats → same domain universe
     stat_doms = {
         r.domain for r in domain_stats(spark, "/root/testdata/sf0.001").collect()
