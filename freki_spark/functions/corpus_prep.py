@@ -716,12 +716,9 @@ def url_normalize(spark, sf_dir):
     )
 
 
-def _sql_url_normalize() -> str:
-    synth = (
-        "'HTTPS://WWW.' || source || '.Example.COM:443/Articles/' || doc_id"
-        " || '/?utm_source=feed&id=' || (doc_id % 7)"
-        " || '&utm_campaign=x#section-' || (doc_id % 3)"
-    )
+def _sql_canon(synth: str) -> str:
+    """DuckDB mirror of ``canon_url`` applied to the SQL expression
+    ``synth`` (same regex chain, step for step)."""
     u = f"regexp_replace({synth}, '#.*', '', 'g')"
     u = (
         f"lower(regexp_extract({u}, '^([^/]*//[^/]*)', 1)) || "
@@ -737,7 +734,16 @@ def _sql_url_normalize() -> str:
         f"CASE WHEN len({kept}) > 1 THEN {base} || '?' || substr({kept}, 2)"
         f" ELSE {base} END"
     )
-    u = f"regexp_replace({u}, '^([a-z]+://)www\\.', '\\1')"
+    return f"regexp_replace({u}, '^([a-z]+://)www\\.', '\\1')"
+
+
+def _sql_url_normalize() -> str:
+    synth = (
+        "'HTTPS://WWW.' || source || '.Example.COM:443/Articles/' || doc_id"
+        " || '/?utm_source=feed&id=' || (doc_id % 7)"
+        " || '&utm_campaign=x#section-' || (doc_id % 3)"
+    )
+    u = _sql_canon(synth)
     return f"""
 WITH c AS (
   SELECT doc_id, {u} AS url_canon FROM documents
@@ -754,6 +760,84 @@ FROM d
 
 
 SQL_URL_NORMALIZE = _sql_url_normalize()
+
+
+# --------------------------------------------------------------------------
+# url_dedup — canonical-URL exact dedup (the FIRST dedup stage of every
+# web pipeline: collapse re-crawls and URL variants of the same page
+# BEFORE any content hashing touches the text).  Synthesis gives each
+# underlying article (doc_id % URL_DEDUP_ARTICLES) several crawled
+# variants — WWW-prefixed vs bare host, utm-decorated, fragment-carrying
+# — which `canon_url` must collapse to one canonical form; keeper =
+# lowest doc_id (earliest crawl) per canonical URL.
+#
+# Scale shape (100 TB): only (doc_id, url_canon) pairs ever shuffle —
+# the text column is never touched, so the exchange is ~60 B/row
+# regardless of document size.  The keeper election is a
+# partial-aggregable min (map-side combine), and the decision joins
+# back on url_canon as a plain equi-join AQE can skew-split if one URL
+# was crawled 10^6 times.  In production the join-back is usually
+# skipped entirely: the (url_canon, keeper_id) relation IS the output
+# and ingestion anti-joins against it.
+# --------------------------------------------------------------------------
+
+URL_DEDUP_ARTICLES = 151
+
+
+def _synth_url_dup():
+    art = F.col("doc_id") % URL_DEDUP_ARTICLES
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (art % 17).cast("string"),
+        F.lit(".example.com/a/"),
+        art.cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=mirror")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("#frag-"), (F.col("doc_id") % 4).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", canon_url(_synth_url_dup()).alias("url_canon")
+    )
+    keep = d.groupBy("url_canon").agg(F.min("doc_id").alias("keeper_id"))
+    return d.join(keep, "url_canon").select(
+        "doc_id",
+        "url_canon",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("kept"),
+    )
+
+
+def _sql_url_dedup() -> str:
+    synth = (
+        "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END"
+        f" || 'site' || CAST(doc_id % {URL_DEDUP_ARTICLES} % 17 AS VARCHAR)"
+        f" || '.example.com/a/' || CAST(doc_id % {URL_DEDUP_ARTICLES} AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=mirror' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0"
+        "         THEN '#frag-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END"
+    )
+    u = _sql_canon(synth)
+    return f"""
+WITH c AS (
+  SELECT doc_id, {u} AS url_canon FROM documents
+)
+SELECT doc_id, url_canon,
+       min(doc_id) OVER (PARTITION BY url_canon) AS keeper_id,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS INT) AS kept
+FROM c
+"""
+
+
+SQL_URL_DEDUP = _sql_url_dedup()
 
 
 # --------------------------------------------------------------------------
@@ -1570,6 +1654,7 @@ QUERIES = {
     "text_normalize": text_normalize,
     "dehyphenate": dehyphenate,
     "url_normalize": url_normalize,
+    "url_dedup": url_dedup,
     "mixture_sample": mixture_sample,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
@@ -1594,6 +1679,7 @@ ORACLE_SQL = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "dehyphenate": SQL_DEHYPHENATE,
     "url_normalize": SQL_URL_NORMALIZE,
+    "url_dedup": SQL_URL_DEDUP,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "ngram_topk": SQL_NGRAM_TOPK,

@@ -831,6 +831,37 @@ def test_url_normalize_canonical_form(spark):
         assert r.n_urls == dom_count[r.domain]
 
 
+def test_url_dedup_collapses_all_variants(spark):
+    """Every crawled variant (WWW-host, utm-decorated, fragment-
+    carrying) of the same article must collapse to ONE closed-form
+    canonical URL, and the keeper must be the lowest doc_id of the
+    article's variant set — recomputed independently in python."""
+    from freki_spark.functions.corpus_prep import URL_DEDUP_ARTICLES, url_dedup
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    by_article = {}
+    for did in doc_ids:
+        by_article.setdefault(did % URL_DEDUP_ARTICLES, []).append(did)
+    assert any(len(v) > 1 for v in by_article.values()), "no URL collisions"
+
+    rows = url_dedup(spark, SF).collect()
+    assert len(rows) == len(doc_ids)
+    n_kept = 0
+    for r in rows:
+        art = r.doc_id % URL_DEDUP_ARTICLES
+        # all decoration must be gone: the canonical form is closed-form
+        assert r.url_canon == f"https://site{art % 17}.example.com/a/{art}"
+        assert r.keeper_id == min(by_article[art])
+        assert r.kept == (1 if r.doc_id == r.keeper_id else 0)
+        n_kept += r.kept
+    assert n_kept == len(by_article)
+
+
 def test_dup_span_detect_matches_naive_python(spark):
     """Maximal duplicated word-spans must equal a naive recompute that
     uses RAW SHINGLE STRINGS (no hashing) — independently pinning the
