@@ -1397,6 +1397,133 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# line_dedup — WITHIN-document repetition removal (the Rae et al. 2021
+# Gopher / RefinedWeb "repetition removal" cut: strip repeated
+# boilerplate lines — nav bars, cookie banners, copyright footers —
+# and drop pages whose repeated-line fraction exceeds a threshold).
+# Corpus-wide paragraph dedup is `paragraph_dedup`; this op is its
+# per-document prefix stage and needs NO shuffle at all.
+#
+# The corpus has no real line structure, so one is synthesized:
+# fixed-width 5-token lines, a per-doc copyright footer injected after
+# every fe-th line (fe = 3 + doc_id % 5, so the repeated-line fraction
+# straddles the 20% drop threshold and both verdicts occur), and for
+# doc_id % 11 == 0 the first content line repeated at the end (a
+# non-footer dup).  The GENERIC mechanism — first-occurrence line
+# dedup + fraction gate — runs with no knowledge of the synthesis.
+#
+# Scale shape (100 TB): one narrow pass, zero Exchange.  The
+# first-occurrence dedup is `array_distinct` (hash-set, linear in
+# lines — NOT an O(n^2) per-line array_position probe), and the HOF
+# lambdas touch only bound columns (tk, fe, footer) so interpreted
+# HOF eval stays O(1) per element.
+# --------------------------------------------------------------------------
+
+LINEDUP_W = 5
+LINEDUP_MAX_REMOVED_PCT = 20  # drop page if > 20% of its lines repeat
+
+
+def line_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        toks(F.col("text")).alias("tk"),
+        (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("fe"),
+        F.concat(
+            F.lit("copyright site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" all rights reserved"),
+        ).alias("footer"),
+    )
+    n0 = F.ceil(F.size("tk") / F.lit(LINEDUP_W)).cast("int")
+
+    def line(i):
+        return F.concat_ws(
+            " ",
+            F.slice(
+                F.col("tk"),
+                ((i - 1) * LINEDUP_W + 1).cast("int"),
+                LINEDUP_W,
+            ),
+        )
+
+    arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n0),
+            lambda i: F.when(
+                i % F.col("fe") == 0, F.array(line(i), F.col("footer"))
+            ).otherwise(F.array(line(i))),
+        )
+    )
+    arr = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(arr, F.array(line(F.lit(1))))
+    ).otherwise(arr)
+    d = d.select("doc_id", arr.alias("all_lines"))
+    kept = F.array_distinct("all_lines")
+    n_lines = F.size("all_lines")
+    n_removed = n_lines - F.size(kept)
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_removed.alias("n_removed"),
+        (n_removed * 100 <= F.lit(LINEDUP_MAX_REMOVED_PCT) * n_lines)
+        .cast("int")
+        .alias("keep"),
+        F.concat_ws(" | ", kept).alias("text_out"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         3 + doc_id % 5 AS fe,
+         'copyright site' || CAST(doc_id % 7 AS VARCHAR)
+           || ' all rights reserved' AS footer
+  FROM documents
+),
+li AS (
+  SELECT doc_id, fe, footer, tk, len(tk) AS n,
+         unnest(range(1,
+           CAST(ceil(len(tk) / {LINEDUP_W}.0) AS BIGINT) + 1)) AS i
+  FROM d
+),
+lines0 AS (
+  SELECT doc_id, fe, footer, i,
+         array_to_string(
+           tk[CAST((i - 1) * {LINEDUP_W} + 1 AS INT)
+              : CAST(least(i * {LINEDUP_W}, n) AS INT)], ' ') AS line
+  FROM li
+),
+un AS (
+  SELECT doc_id, i * 2 AS ord, line FROM lines0
+  UNION ALL
+  SELECT doc_id, i * 2 + 1 AS ord, footer AS line
+  FROM lines0 WHERE i % fe = 0
+  UNION ALL
+  SELECT doc_id, 2000000001 AS ord, line
+  FROM lines0 WHERE i = 1 AND doc_id % 11 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+  FROM un
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_lines,
+         CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT)
+           AS n_removed,
+         coalesce(string_agg(line, ' | ' ORDER BY ord) FILTER (WHERE rn = 1),
+                  '') AS text_out
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_removed,
+       CASE WHEN n_removed * 100 <= {LINEDUP_MAX_REMOVED_PCT} * n_lines
+            THEN 1 ELSE 0 END AS keep,
+       text_out
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # dsir_select — Data Selection with Importance Resampling (Xie et al.
 # 2023): score every document by the log-likelihood ratio of its hashed
 # n-gram features under a target-domain model vs the raw-corpus model,
@@ -1655,6 +1782,7 @@ QUERIES = {
     "dehyphenate": dehyphenate,
     "url_normalize": url_normalize,
     "url_dedup": url_dedup,
+    "line_dedup": line_dedup,
     "mixture_sample": mixture_sample,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
@@ -1680,6 +1808,7 @@ ORACLE_SQL = {
     "dehyphenate": SQL_DEHYPHENATE,
     "url_normalize": SQL_URL_NORMALIZE,
     "url_dedup": SQL_URL_DEDUP,
+    "line_dedup": SQL_LINE_DEDUP,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "ngram_topk": SQL_NGRAM_TOPK,

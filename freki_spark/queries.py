@@ -1534,8 +1534,8 @@ _PRIORITY = [
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
     "gopher_repetition", "gopher_quality", "bpe_encode",
     # round-1 driver-unchecked: corpus prep (+ round-2 additions)
-    "pii_scrub", "url_normalize", "url_dedup", "chunk_sliding",
-    "sample_stratified",
+    "pii_scrub", "url_normalize", "url_dedup", "line_dedup",
+    "chunk_sliding", "sample_stratified",
     "ngram_topk", "tfidf_topk", "q_compact_plan", "pack_sequences",
     "pack_interleaved",
     "decontaminate_ngram", "decontaminate_bloom", "shuffle_deterministic",

@@ -862,6 +862,54 @@ def test_url_dedup_collapses_all_variants(spark):
     assert n_kept == len(by_article)
 
 
+def test_line_dedup_matches_naive_python(spark):
+    """Full independent recompute of the within-doc repetition removal:
+    synthesize the line structure in plain python (fixed-width lines,
+    footer cadence, dup-of-line-1), dedup preserving first occurrence,
+    and compare every output column; both keep verdicts must occur."""
+    from freki_spark.functions.corpus_prep import (
+        LINEDUP_MAX_REMOVED_PCT,
+        LINEDUP_W,
+        line_dedup,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = {r.doc_id: r for r in line_dedup(spark, SF).collect()}
+    assert set(rows) == set(docs)
+    verdicts = set()
+    for did, tk in docs.items():
+        fe = 3 + did % 5
+        footer = f"copyright site{did % 7} all rights reserved"
+        n0 = -(-len(tk) // LINEDUP_W)
+        lines = []
+        for i in range(1, n0 + 1):
+            lines.append(" ".join(tk[(i - 1) * LINEDUP_W : i * LINEDUP_W]))
+            if i % fe == 0:
+                lines.append(footer)
+        if did % 11 == 0:
+            lines.append(" ".join(tk[:LINEDUP_W]))
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = rows[did]
+        assert r.n_lines == len(lines)
+        assert r.n_removed == len(lines) - len(kept)
+        exp_keep = int(
+            r.n_removed * 100 <= LINEDUP_MAX_REMOVED_PCT * len(lines)
+        )
+        assert r.keep == exp_keep
+        assert r.text_out == " | ".join(kept)
+        verdicts.add(r.keep)
+        if n0 >= fe:  # at least one footer injected → repeats exist
+            assert r.n_removed >= n0 // fe - 1
+    assert verdicts == {0, 1}, "threshold must split the corpus"
+
+
 def test_dup_span_detect_matches_naive_python(spark):
     """Maximal duplicated word-spans must equal a naive recompute that
     uses RAW SHINGLE STRINGS (no hashing) — independently pinning the
