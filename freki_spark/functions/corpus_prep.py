@@ -1652,18 +1652,22 @@ GROUP BY doc_id
 DOMAIN_RE = r"^https?://(?:[a-z0-9-]+\.)*?([a-z0-9-]+\.(?:com|org|net))/"
 
 
-def _domain_url():
-    """THE synthetic crawl-URL formula (shared by domain_stats and
-    crawl_frontier; mirrored inline in both oracles)."""
+def _domain_url(path=None):
+    """THE synthetic crawl-URL formula (shared by domain_stats,
+    crawl_frontier, and robots_filter; mirrored inline in the
+    oracles).  ``path`` overrides the default ``/page/<doc_id>``
+    path column."""
     tld = F.element_at(
         F.array(F.lit("com"), F.lit("org"), F.lit("net")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+    if path is None:
+        path = F.concat(F.lit("/page/"), F.col("doc_id").cast("string"))
     return F.concat(
         F.lit("http://"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("cdn.")),
         F.col("source"), F.lit("-site."), tld,
-        F.lit("/page/"), F.col("doc_id").cast("string"),
+        path,
     )
 
 
@@ -1776,6 +1780,107 @@ WHERE fetch_rank <= {FRONTIER_CAP}
 """
 
 
+# --------------------------------------------------------------------------
+# robots_filter — robots.txt disallow-rule filtering over the frontier
+# (the other half of crawl politeness next to crawl_frontier's
+# per-domain cap): parse host + path out of each URL, join the
+# per-domain ruleset, drop URLs whose path matches a disallowed
+# prefix.  Rules are synthesized deterministically per domain (every
+# domain disallows /private/; half — by domain hash — also disallow
+# /archive/), and URL paths rotate through /page/, /private/,
+# /archive/ so every rule fires; the verified mechanism — URL parse,
+# domain-dimension join, first-match prefix rule — has no knowledge
+# of the synthesis.
+#
+# Scale shape (100 TB frontier): the ruleset is domain-cardinality (a
+# fetched robots dimension in production — here derived via a
+# domain-only distinct whose shuffle carries just the domain strings)
+# and BROADCASTS; the frontier side is one narrow pass — parse,
+# prefix-match, filter — so no frontier row ever shuffles.  The
+# prefix match is exists() over the tiny per-domain prefix array
+# (real robots files average a handful of rules; pathological
+# 1000-rule files stay a per-row loop, never a join blowup).
+# --------------------------------------------------------------------------
+
+
+def robots_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    path = F.concat(
+        F.element_at(
+            F.array(F.lit("/page/"), F.lit("/private/"), F.lit("/archive/")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    url = _domain_url(path)
+    per = d.select(
+        F.regexp_extract(url, DOMAIN_RE, 1).alias("domain"),
+        F.col("doc_id"),
+        F.regexp_replace(url, r"^https?://[^/]*", "").alias("path"),
+    )
+    rules = (
+        per.select("domain")
+        .distinct()
+        .select(
+            "domain",
+            F.filter(
+                F.array(
+                    F.lit("/private/"),
+                    F.when(
+                        md5i32(F.concat(F.lit("rob/"), F.col("domain"))) % 2
+                        == 0,
+                        F.lit("/archive/"),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("prefixes"),
+        )
+    )
+    joined = per.join(F.broadcast(rules), "domain")
+    blocked = F.exists(
+        "prefixes", lambda p: F.col("path").startswith(p)
+    )
+    return joined.select(
+        "doc_id",
+        "domain",
+        "path",
+        F.size("prefixes").alias("n_rules"),
+        (~blocked).cast("int").alias("allowed"),
+    )
+
+
+_ROB_H = DUCK_MD5I32.format(x="'rob/' || domain")
+
+SQL_ROBOTS_FILTER = f"""
+WITH u AS (
+  SELECT doc_id,
+         'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END
+           || source || '-site.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 + 1 AS INT)] AS hostpart,
+         ['/page/', '/private/', '/archive/'][CAST(doc_id % 3 + 1 AS INT)]
+           || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         regexp_extract(hostpart || path, '{DOMAIN_RE}', 1) AS domain,
+         path
+  FROM u
+),
+rules AS (
+  SELECT domain,
+         1 + CASE WHEN {_ROB_H} % 2 = 0 THEN 1 ELSE 0 END AS n_rules,
+         {_ROB_H} % 2 = 0 AS has_archive
+  FROM (SELECT DISTINCT domain FROM per)
+)
+SELECT doc_id, domain, path, CAST(n_rules AS INT) AS n_rules,
+       CASE WHEN path LIKE '/private/%'
+              OR (has_archive AND path LIKE '/archive/%')
+            THEN 0 ELSE 1 END AS allowed
+FROM per JOIN rules USING (domain)
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -1798,6 +1903,7 @@ QUERIES = {
     "dsir_select": dsir_select,
     "domain_stats": domain_stats,
     "crawl_frontier": crawl_frontier,
+    "robots_filter": robots_filter,
 }
 
 ORACLE_SQL = {
@@ -1822,4 +1928,5 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR_SELECT,
     "domain_stats": SQL_DOMAIN_STATS,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
+    "robots_filter": SQL_ROBOTS_FILTER,
 }

@@ -862,6 +862,47 @@ def test_url_dedup_collapses_all_variants(spark):
     assert n_kept == len(by_article)
 
 
+def test_robots_filter_matches_naive_python(spark):
+    """Independent recompute of the robots verdicts: re-derive each
+    domain's ruleset from raw hashlib md5 (not the op's table), apply
+    prefix matching in python, and compare every verdict.  All three
+    outcomes must occur: blocked by /private/, blocked by /archive/
+    (hash-gated), and /archive/ ALLOWED on domains without the rule."""
+    import hashlib
+
+    from freki_spark.functions.corpus_prep import robots_filter
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = robots_filter(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    srcs = {r.doc_id: r.source for r in docs}
+    outcomes = set()
+    for r in rows:
+        did = r.doc_id
+        tld = ["com", "org", "net"][did % 3]
+        exp_domain = f"{srcs[did]}-site.{tld}"
+        assert r.domain == exp_domain
+        prefix = ["/page/", "/private/", "/archive/"][did % 3]
+        assert r.path == f"{prefix}{did}"
+        has_archive = h32(f"rob/{r.domain}") % 2 == 0
+        assert r.n_rules == (2 if has_archive else 1)
+        exp_allowed = 0 if (
+            r.path.startswith("/private/")
+            or (has_archive and r.path.startswith("/archive/"))
+        ) else 1
+        assert r.allowed == exp_allowed
+        if r.path.startswith("/private/"):
+            outcomes.add("private_blocked")
+        elif r.path.startswith("/archive/"):
+            outcomes.add(
+                "archive_blocked" if not r.allowed else "archive_allowed"
+            )
+    assert outcomes == {"private_blocked", "archive_blocked", "archive_allowed"}
+
+
 def test_line_dedup_matches_naive_python(spark):
     """Full independent recompute of the within-doc repetition removal:
     synthesize the line structure in plain python (fixed-width lines,
