@@ -1849,6 +1849,96 @@ def robots_filter(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# link_graph — web-graph construction from page HTML (the stage that
+# feeds pagerank_iter / crawl prioritization / harvest-rate stats):
+# each doc becomes an HTML page with nav links (internal) and 1-3
+# synthesized external anchors; hrefs are pulled with ONE narrow
+# regexp_extract_all (no python, no DOM tree), internal links resolve
+# against the page's own registrable domain, and edges aggregate to
+# (src_domain, dst_domain, n_links).
+#
+# Scale shape (100 TB of pages): the parse is a per-row regex — pages
+# never shuffle; the explode emits only (src, dst) string pairs
+# (~60 B) per anchor, and the edge rollup partial-aggregates map-side
+# so the single Exchange carries pre-combined (src, dst) counts.
+# Hub pages with 10^4 anchors fan out linearly; hub DOMAINS (everyone
+# links to wikipedia) skew the agg key, which AQE skew-split handles —
+# the classic alternative (two-level rollup: first by (src, dst,
+# shard)) is noted as the dial if a dst domain alone overflows a task.
+# The oracle is CLOSED-FORM over (doc_id, source) — it never re-runs
+# the regex — so a hash match proves the whole synth → parse →
+# resolve → rollup chain end-to-end.
+# --------------------------------------------------------------------------
+
+LINK_HREF_RE = r'<a href="([^"]+)"'
+
+
+def _links_html():
+    parts = [
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> '
+            '<a href="/about">About</a></nav><p>'
+        ),
+        F.col("text"),
+    ]
+    for j in (1, 2, 3):
+        dst = ((F.col("doc_id") + j * 31) % 23).cast("string")
+        link = F.concat(
+            F.lit('<a href="http://dst'),
+            dst,
+            F.lit(f'-hub.com/p/{j}">ref {j}</a>'),
+        )
+        parts.append(
+            F.when(F.col("doc_id") % 3 + 1 >= j, link).otherwise(F.lit(""))
+        )
+    parts.append(F.lit("</p></body></html>"))
+    return F.concat(*parts)
+
+
+def link_graph(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    src = F.regexp_extract(_domain_url(), DOMAIN_RE, 1)
+    pages = d.select(
+        src.alias("src_domain"),
+        F.regexp_extract_all(_links_html(), F.lit(LINK_HREF_RE), 1).alias(
+            "hrefs"
+        ),
+    )
+    edges = pages.select(
+        "src_domain", F.explode("hrefs").alias("href")
+    ).select(
+        "src_domain",
+        F.when(
+            F.col("href").startswith("/"), F.col("src_domain")
+        ).otherwise(
+            F.regexp_extract(F.col("href"), r"^https?://([^/]+)", 1)
+        ).alias("dst_domain"),
+    )
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links")
+    )
+
+
+SQL_LINK_GRAPH = """
+WITH pages AS (
+  SELECT doc_id,
+         source || '-site.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 + 1 AS INT)] AS src
+  FROM documents
+),
+links AS (
+  SELECT src, src AS dst FROM pages, UNNEST([1, 2]) t(z)
+  UNION ALL
+  SELECT src,
+         'dst' || CAST((doc_id + j * 31) % 23 AS VARCHAR) || '-hub.com' AS dst
+  FROM pages, UNNEST(range(1, CAST(doc_id % 3 + 2 AS BIGINT))) t(j)
+)
+SELECT src AS src_domain, dst AS dst_domain, count(*) AS n_links
+FROM links GROUP BY src, dst
+"""
+
+
 _ROB_H = DUCK_MD5I32.format(x="'rob/' || domain")
 
 SQL_ROBOTS_FILTER = f"""
@@ -1904,6 +1994,7 @@ QUERIES = {
     "domain_stats": domain_stats,
     "crawl_frontier": crawl_frontier,
     "robots_filter": robots_filter,
+    "link_graph": link_graph,
 }
 
 ORACLE_SQL = {
@@ -1929,4 +2020,5 @@ ORACLE_SQL = {
     "domain_stats": SQL_DOMAIN_STATS,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "robots_filter": SQL_ROBOTS_FILTER,
+    "link_graph": SQL_LINK_GRAPH,
 }

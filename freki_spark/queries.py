@@ -1552,7 +1552,7 @@ _PRIORITY = [
     "lexical_diversity",
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "dsir_select", "bpe_train", "domain_stats",
-    "crawl_frontier", "robots_filter",
+    "crawl_frontier", "robots_filter", "link_graph",
     "dedup_incremental", "snapshot_diff", "q_stream_incremental_dedup",
     "q_warc_scan",
     "q_scan_csv", "q_scan_orc", "media_span_join",

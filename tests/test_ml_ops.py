@@ -903,6 +903,48 @@ def test_robots_filter_matches_naive_python(spark):
     assert outcomes == {"private_blocked", "archive_blocked", "archive_allowed"}
 
 
+def test_link_graph_matches_python_re_extraction(spark):
+    """Rebuild every page's HTML in python, re-extract hrefs with
+    python `re` (independent of both the Spark regex and the
+    closed-form oracle), resolve and aggregate — edge sets and counts
+    must match exactly; internal and external edges must both occur."""
+    import re as _re
+
+    from freki_spark.functions.corpus_prep import LINK_HREF_RE, link_graph
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    exp = {}
+    for r in docs:
+        tld = ["com", "org", "net"][r.doc_id % 3]
+        src = f"{r.source}-site.{tld}"
+        html = (
+            '<html><body><nav><a href="/">Home</a> '
+            '<a href="/about">About</a></nav><p>' + r.text
+        )
+        for j in (1, 2, 3):
+            if r.doc_id % 3 + 1 >= j:
+                html += (
+                    f'<a href="http://dst{(r.doc_id + j * 31) % 23}'
+                    f'-hub.com/p/{j}">ref {j}</a>'
+                )
+        html += "</p></body></html>"
+        for href in _re.findall(LINK_HREF_RE, html):
+            dst = (
+                src
+                if href.startswith("/")
+                else _re.match(r"^https?://([^/]+)", href).group(1)
+            )
+            exp[(src, dst)] = exp.get((src, dst), 0) + 1
+
+    got = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in link_graph(spark, SF).collect()
+    }
+    assert got == exp
+    assert any(s == d for s, d in got), "no internal edges"
+    assert any(d.endswith("-hub.com") for _, d in got), "no external edges"
+
+
 def test_line_dedup_matches_naive_python(spark):
     """Full independent recompute of the within-doc repetition removal:
     synthesize the line structure in plain python (fixed-width lines,
