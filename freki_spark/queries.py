@@ -268,6 +268,78 @@ GROUP BY doc_id
 """
 
 
+def q_caption_mine(spark, sf_dir):
+    """Image-text candidate-pair mining over the EXTRACTED interleaved
+    spans (the stage that turns an interleaved corpus into image-text
+    training pairs, LAION/alt-text style): for every media span, the
+    nearest rendered text line before and after it in document order
+    becomes the caption candidate pair.  Runs on the golden pipeline
+    output, so the pairing is checked against extraction-derived
+    offsets, not a synthetic layout.
+
+    Scale shape (10^12 docs): one doc-grain window (the same grain the
+    extraction kernel itself uses — a single Exchange + Sort over
+    media+line spans only; block spans are pre-filtered at the scan).
+    The running last/first-non-null line carries one line body per
+    row, not an accumulated array, and media-less docs never reach
+    the exchange."""
+    sp = _fixture_spans(spark).filter(F.col("kind").isin("media", "line"))
+    body = F.when(
+        F.col("kind") == "line",
+        F.regexp_replace("text", _SPACING_RE, ""),
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    before = F.last(body, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = F.first(body, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        sp.select(
+            "doc_id",
+            "kind",
+            "media_ref",
+            "offset",
+            before.alias("b"),
+            after.alias("a"),
+        )
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "media_ref",
+            "offset",
+            F.coalesce("b", F.lit("")).alias("cap_before"),
+            F.coalesce("a", F.lit("")).alias("cap_after"),
+        )
+    )
+
+
+SQL_CAPTION_MINE = f"""
+WITH sp AS (
+  SELECT doc_id, kind, text, media_ref, "offset" FROM {{g}}
+  WHERE kind IN ('media', 'line')
+),
+w AS (
+  SELECT doc_id, kind, media_ref, "offset",
+         last_value(CASE WHEN kind = 'line'
+                         THEN regexp_replace(text, '{_SPACING_RE}', '') END
+                    IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b,
+         first_value(CASE WHEN kind = 'line'
+                          THEN regexp_replace(text, '{_SPACING_RE}', '') END
+                     IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a
+  FROM sp
+)
+SELECT doc_id, media_ref, "offset",
+       coalesce(b, '') AS cap_before, coalesce(a, '') AS cap_after
+FROM w WHERE kind = 'media'
+""".replace("{g}", _G)
+
+
 def q_emit_spans(spark, sf_dir):
     return _fixture_spans(spark)
 
@@ -1379,6 +1451,7 @@ QUERIES = {
     "segment_blocks": q_segment_blocks,
     "interleave_media": q_interleave_media,
     "media_span_join": q_media_span_join,
+    "caption_mine": q_caption_mine,
     "emit_spans": q_emit_spans,
     "html_extract": q_html_extract,
     "html_extract_sf": q_html_extract_sf,
@@ -1442,6 +1515,7 @@ ORACLE_SQL = {
     "segment_blocks": SQL_SEGMENT_BLOCKS,
     "interleave_media": SQL_INTERLEAVE_MEDIA,
     "media_span_join": SQL_MEDIA_SPAN_JOIN,
+    "caption_mine": SQL_CAPTION_MINE,
     "emit_spans": SQL_EMIT_SPANS,
     "html_extract": SQL_HTML_EXTRACT,
     "html_extract_sf": SQL_HTML_EXTRACT_SF,
@@ -1541,6 +1615,7 @@ _PRIORITY = [
     "decontaminate_ngram", "decontaminate_bloom", "shuffle_deterministic",
     # round-1 driver-unchecked: multimodal plumbing (+ round-2 dedup)
     "media_features", "media_dedup", "media_resize", "media_frame_sample",
+    "caption_mine",
     # streaming: q_stream_extract is the golden-checked flagship (one
     # green row covers §2 Q20); the other three follow just past the
     # round-1 window boundary

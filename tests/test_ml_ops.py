@@ -862,6 +862,49 @@ def test_url_dedup_collapses_all_variants(spark):
     assert n_kept == len(by_article)
 
 
+def test_caption_mine_matches_golden_walk(spark):
+    """Walk the committed golden spans per doc in offset order in
+    python and recompute each media span's nearest line body before
+    and after; every mined pair must match, every media span must be
+    mined, and both empty-caption edges (media first/last in doc)
+    must be exercised by the fixtures or explicitly absent."""
+    import json
+    import re as _re
+
+    from freki_spark.queries import _SPACING_RE, q_caption_mine
+
+    spans = [json.loads(line) for line in open("tests/golden/fixture_spans.jsonl")]
+    by_doc = {}
+    for s in spans:
+        if s["kind"] in ("media", "line"):
+            by_doc.setdefault(s["doc_id"], []).append(s)
+    exp = {}
+    for did, ss in by_doc.items():
+        ss.sort(key=lambda s: s["offset"])
+        for i, s in enumerate(ss):
+            if s["kind"] != "media":
+                continue
+            cb = ca = ""
+            for t in reversed(ss[:i]):
+                if t["kind"] == "line":
+                    cb = _re.sub(_SPACING_RE, "", t["text"])
+                    break
+            for t in ss[i + 1 :]:
+                if t["kind"] == "line":
+                    ca = _re.sub(_SPACING_RE, "", t["text"])
+                    break
+            exp[(did, s["media_ref"], s["offset"])] = (cb, ca)
+
+    got = {
+        (r.doc_id, r.media_ref, r.offset): (r.cap_before, r.cap_after)
+        for r in q_caption_mine(spark, None).collect()
+    }
+    assert got == exp
+    assert exp, "no media spans in goldens"
+    assert any(cb for cb, _ in exp.values()), "no before-captions"
+    assert any(ca for _, ca in exp.values()), "no after-captions"
+
+
 def test_robots_filter_matches_naive_python(spark):
     """Independent recompute of the robots verdicts: re-derive each
     domain's ruleset from raw hashlib md5 (not the op's table), apply
