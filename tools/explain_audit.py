@@ -652,6 +652,78 @@ def main() -> int:
         f"corpus re-scans={n_scans}",
     )
 
+    # 38. crawl_frontier: the rank<=K politeness cap must trigger
+    #     WindowGroupLimit PUSHDOWN — a partial top-K per domain runs
+    #     BEFORE the exchange, so the shuffle carries O(K * domains)
+    #     rows, not the whole frontier (and a mega-domain crawler trap
+    #     forwards at most K rows per upstream task)
+    p = plan_of(QUERIES["crawl_frontier"](spark, sf_dir))
+    wgl = [int(m) for m in re.findall(r"\((\d+)\) WindowGroupLimit", p)]
+    ex = [int(m) for m in re.findall(r"\((\d+)\) Exchange", p)]
+    check(
+        "frontier_partial_topk",
+        len(wgl) == 2 and ex and min(wgl) < min(ex),
+        "partial WindowGroupLimit below the domain Exchange",
+    )
+
+    # 39. url_dedup: the keeper election partial-aggregates map-side
+    #     (partial_min below the url_canon Exchange) — only
+    #     (doc_id, url_canon) pairs ever shuffle, never text
+    p = plan_of(QUERIES["url_dedup"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"\((\d+)\) Exchange", p)]
+    check(
+        "url_dedup_partial_min",
+        "partial_min" in p and agg and ex and min(agg) < min(ex),
+        "partial min(doc_id) below the url_canon Exchange",
+    )
+
+    # 40. line_dedup: within-doc repetition removal is ONE narrow pass
+    #     — array_distinct per row, no Exchange, no explode, no python
+    p = plan_of(QUERIES["line_dedup"](spark, sf_dir))
+    check(
+        "line_dedup_narrow",
+        "Exchange" not in p and "Generate" not in p and "Python" not in p,
+        "zero Exchange, zero explode, zero python",
+    )
+
+    # 41. robots_filter: the ruleset joins via BROADCAST (frontier rows
+    #     never shuffle for the join); the only shuffle Exchange is the
+    #     domain-string distinct that builds the rules dim
+    p = plan_of(QUERIES["robots_filter"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check(
+        "robots_broadcast_rules",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p and n_ex == 1,
+        f"broadcast rules join, shuffle Exchanges={n_ex} (domain distinct only)",
+    )
+
+    # 42. link_graph: pages never shuffle — the explode emits (src, dst)
+    #     pairs and the edge rollup partial-aggregates map-side below
+    #     the single (src, dst) Exchange
+    p = plan_of(QUERIES["link_graph"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"\((\d+)\) Exchange", p)]
+    check(
+        "link_graph_partial_edges",
+        "partial_count" in p
+        and len(ex) == 1
+        and agg and min(agg) < min(ex)
+        and "Generate" in p,
+        "explode to (src,dst) pairs, partial_count below the single Exchange",
+    )
+
+    # 43. caption_mine: ONE doc-grain window pairs media spans with
+    #     their neighbor lines — no second sort/shuffle sneaks in
+    p = plan_of(QUERIES["caption_mine"](spark, sf_dir))
+    n_win = len(re.findall(r"\(\d+\) Window", p))
+    win_doc = bool(re.search(r"windowspecdefinition\(doc_id#", p))
+    check(
+        "caption_single_window",
+        n_win == 1 and win_doc,
+        f"Window nodes={n_win}, doc_id-partitioned={win_doc}",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
