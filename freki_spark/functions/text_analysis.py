@@ -805,8 +805,19 @@ def quality_classifier(spark, sf_dir):
     This is the economics that make classifier-filtering 100 TB
     feasible: embarrassingly parallel, IO-bound, no Python."""
     d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("tk"))
-    tk = F.col("tk")
-    bigrams = F.when(
+    score = _classifier_score(F.col("tk"))
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+def _classifier_score(tk):
+    """The linear-classifier score expression over a BOUND token-array
+    column (shared by quality_classifier and the quality_vote
+    ensemble — the CLAUDE.md HOF rule applies to ``tk``)."""
+    bigrams_ = F.when(
         F.size(tk) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(tk) - 1),
@@ -815,17 +826,12 @@ def quality_classifier(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(tk, bigrams)
+    feats = F.concat(tk, bigrams_)
     w_of = lambda f: F.element_at(  # noqa: E731
         F.lit(_QC_W), (md5i32(f) % QC_BUCKETS + 1).cast("int")
     ).cast("bigint")
-    score = F.aggregate(
+    return F.aggregate(
         F.transform(feats, w_of), F.lit(QC_BIAS).cast("bigint"), lambda a, x: a + x
-    )
-    return d.select(
-        "doc_id",
-        score.alias("score"),
-        (score > 0).cast("int").alias("keep"),
     )
 
 
@@ -1010,6 +1016,81 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# quality_vote — the multi-signal ensemble gate (the FineWeb-Edu /
+# DCLM pattern: no single quality signal decides alone).  Three
+# independent signal families vote — the Gopher RULE gate, the linear
+# CLASSIFIER, and the perplexity LM (doc not in the 'tail' bucket) —
+# and a document survives on a 2-of-3 majority.  Each component is
+# the single-sourced builder its standalone op uses (_gopher_stats_
+# cols/_gopher_flags, _classifier_score, perplexity_bucket), so the
+# ensemble cannot drift from the component ops.
+#
+# Scale shape (100 TB): the two narrow signals (rules + classifier)
+# FUSE into one zero-shuffle pass over one corpus scan sharing one
+# bound token array — adding the classifier to the rule scan is free
+# at the IO level.  The perplexity signal inherently needs its own
+# count-model aggregations (it trains ON the corpus); its per-doc
+# relation then equi-joins the narrow relation at doc_id grain
+# (co-located under the io.py bucket convention).  The vote itself is
+# arithmetic on three ints.
+# --------------------------------------------------------------------------
+
+QVOTE_MIN = 2  # 2-of-3 majority
+
+
+def quality_vote(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", toks(F.col("text")).alias("_tk")
+    )
+    stats = d.select(
+        "doc_id",
+        *_gopher_stats_cols(F.col("_tk")),
+        _classifier_score(F.col("_tk")).alias("cls_score"),
+    )
+    ok_words, ok_meanlen, ok_stop, ok_topword = _gopher_flags()
+    narrow = stats.select(
+        "doc_id",
+        (ok_words & ok_meanlen & ok_stop & ok_topword)
+        .cast("int")
+        .alias("gopher_ok"),
+        (F.col("cls_score") > 0).cast("int").alias("cls_ok"),
+    )
+    ppl = perplexity_bucket(spark, sf_dir).select(
+        "doc_id", (F.col("bucket") != "tail").cast("int").alias("ppl_ok")
+    )
+    j = narrow.join(ppl, "doc_id")
+    votes = F.col("gopher_ok") + F.col("cls_ok") + F.col("ppl_ok")
+    return j.select(
+        "doc_id",
+        "gopher_ok",
+        "cls_ok",
+        "ppl_ok",
+        votes.alias("votes"),
+        (votes >= QVOTE_MIN).cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY_VOTE = f"""
+WITH g AS ({SQL_GOPHER_QUALITY}),
+c AS ({SQL_QUALITY_CLASSIFIER}),
+p AS ({SQL_PERPLEXITY_BUCKET})
+SELECT g.doc_id,
+       g.keep AS gopher_ok,
+       c.keep AS cls_ok,
+       CASE WHEN p.bucket <> 'tail' THEN 1 ELSE 0 END AS ppl_ok,
+       g.keep + c.keep
+         + CASE WHEN p.bucket <> 'tail' THEN 1 ELSE 0 END AS votes,
+       CASE WHEN g.keep + c.keep
+                 + CASE WHEN p.bucket <> 'tail' THEN 1 ELSE 0 END
+                 >= {QVOTE_MIN}
+            THEN 1 ELSE 0 END AS keep
+FROM g
+JOIN c ON g.doc_id = c.doc_id
+JOIN p ON g.doc_id = p.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_train — one distributed iteration of byte-pair-encoding merge
 # learning (Sennrich et al. 2016): count adjacent symbol pairs across
 # the corpus and rank the merge candidates.  Production BPE training is
@@ -1101,6 +1182,7 @@ QUERIES = {
     "bpe_encode": bpe_encode,
     "quality_classifier": quality_classifier,
     "perplexity_bucket": perplexity_bucket,
+    "quality_vote": quality_vote,
     "bpe_train": bpe_train,
 }
 
@@ -1117,5 +1199,6 @@ ORACLE_SQL = {
     "bpe_encode": SQL_BPE_ENCODE,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "perplexity_bucket": SQL_PERPLEXITY_BUCKET,
+    "quality_vote": SQL_QUALITY_VOTE,
     "bpe_train": SQL_BPE_TRAIN,
 }

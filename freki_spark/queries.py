@@ -1626,7 +1626,8 @@ _PRIORITY = [
     "pagerank_iter", "paragraph_dedup", "text_normalize", "dehyphenate",
     "lexical_diversity",
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
-    "perplexity_bucket", "dsir_select", "bpe_train", "domain_stats",
+    "perplexity_bucket", "quality_vote", "dsir_select", "bpe_train",
+    "domain_stats",
     "crawl_frontier", "robots_filter", "link_graph",
     "dedup_incremental", "snapshot_diff", "q_stream_incremental_dedup",
     "q_warc_scan",

@@ -862,6 +862,44 @@ def test_url_dedup_collapses_all_variants(spark):
     assert n_kept == len(by_article)
 
 
+def test_quality_vote_composes_component_ops(spark):
+    """The ensemble must equal a python recombination of the three
+    STANDALONE component ops' outputs (2-of-3 majority over gopher
+    keep, classifier keep, bucket != 'tail') — pinning that the fused
+    Spark side cannot drift from the components; the vote must also
+    actually change verdicts vs each single signal."""
+    from freki_spark.functions.text_analysis import (
+        QVOTE_MIN,
+        gopher_quality,
+        perplexity_bucket,
+        quality_classifier,
+        quality_vote,
+    )
+
+    g = {r.doc_id: r.keep for r in gopher_quality(spark, SF).collect()}
+    c = {r.doc_id: r.keep for r in quality_classifier(spark, SF).collect()}
+    p = {
+        r.doc_id: int(r.bucket != "tail")
+        for r in perplexity_bucket(spark, SF).collect()
+    }
+    rows = {r.doc_id: r for r in quality_vote(spark, SF).collect()}
+    assert set(rows) == set(g) & set(c) & set(p)
+    disagree = 0
+    for did, r in rows.items():
+        assert (r.gopher_ok, r.cls_ok, r.ppl_ok) == (g[did], c[did], p[did])
+        assert r.votes == g[did] + c[did] + p[did]
+        assert r.keep == int(r.votes >= QVOTE_MIN)
+        if r.keep not in (g[did], c[did], p[did]):
+            disagree += 1  # unreachable for majority vote; keep honest
+        if (g[did], c[did], p[did]) not in ((0, 0, 0), (1, 1, 1)):
+            disagree += 1
+    assert disagree > 0, "signals never disagree — ensemble is vacuous"
+    kept = {d for d, r in rows.items() if r.keep}
+    assert kept != {d for d in rows if g[d]}, "vote == gopher alone"
+    assert kept != {d for d in rows if c[d]}, "vote == classifier alone"
+    assert kept != {d for d in rows if p[d]}, "vote == perplexity alone"
+
+
 def test_caption_mine_matches_golden_walk(spark):
     """Walk the committed golden spans per doc in offset order in
     python and recompute each media span's nearest line body before
