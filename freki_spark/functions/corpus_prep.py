@@ -1397,6 +1397,63 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# corpus_stats — pipeline telemetry rollup (the monitoring relation a
+# 100 TB ingest job publishes every run: how many docs, how many
+# bytes, what size distribution, per language and overall).  Length
+# histogram buckets are log2 via integer bit-length
+# (length(bin(n_chars))) — integer-exact in both engines, no
+# floor(log2(x)) float boundary risk.
+#
+# Scale shape: ONE partial-agg'd ROLLUP over one scan — every level
+# ((lang, bucket), (lang), ()) partial-aggregates map-side and the
+# single Exchange carries pre-combined group rows (langs × ~40
+# buckets).  No window, no join, no second scan.
+# --------------------------------------------------------------------------
+
+
+def corpus_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.length(F.bin(F.col("n_chars"))).cast("int").alias("len_bucket"),
+        "n_chars",
+    )
+    r = d.rollup("lang", "len_bucket").agg(
+        (F.grouping("lang") * 2 + F.grouping("len_bucket"))
+        .cast("int")
+        .alias("lvl"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return r.select(
+        F.coalesce("lang", F.lit("(all)")).alias("lang"),
+        F.coalesce("len_bucket", F.lit(-1)).alias("len_bucket"),
+        "lvl",
+        "n_docs",
+        "sum_chars",
+        "min_chars",
+        "max_chars",
+    )
+
+
+SQL_CORPUS_STATS = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(len_bucket, -1) AS len_bucket,
+       CAST(GROUPING(lang) * 2 + GROUPING(len_bucket) AS INT) AS lvl,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM (
+  SELECT lang, CAST(length(bin(n_chars)) AS INT) AS len_bucket, n_chars
+  FROM documents
+)
+GROUP BY ROLLUP (lang, len_bucket)
+"""
+
+
+# --------------------------------------------------------------------------
 # line_dedup — WITHIN-document repetition removal (the Rae et al. 2021
 # Gopher / RefinedWeb "repetition removal" cut: strip repeated
 # boilerplate lines — nav bars, cookie banners, copyright footers —
@@ -1978,6 +2035,7 @@ QUERIES = {
     "url_normalize": url_normalize,
     "url_dedup": url_dedup,
     "line_dedup": line_dedup,
+    "corpus_stats": corpus_stats,
     "mixture_sample": mixture_sample,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
@@ -2006,6 +2064,7 @@ ORACLE_SQL = {
     "url_normalize": SQL_URL_NORMALIZE,
     "url_dedup": SQL_URL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,
+    "corpus_stats": SQL_CORPUS_STATS,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "ngram_topk": SQL_NGRAM_TOPK,

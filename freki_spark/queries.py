@@ -1629,7 +1629,8 @@ _PRIORITY = [
     "perplexity_bucket", "quality_vote", "dsir_select", "bpe_train",
     "domain_stats",
     "crawl_frontier", "robots_filter", "link_graph",
-    "dedup_incremental", "snapshot_diff", "q_stream_incremental_dedup",
+    "dedup_incremental", "snapshot_diff", "corpus_stats",
+    "q_stream_incremental_dedup",
     "q_warc_scan",
     "q_scan_csv", "q_scan_orc", "media_span_join",
     "dedup_canonical", "dedup_keep", "mixture_sample", "badword_filter",

@@ -862,6 +862,37 @@ def test_url_dedup_collapses_all_variants(spark):
     assert n_kept == len(by_article)
 
 
+def test_corpus_stats_rollup_levels_consistent(spark):
+    """Detail rows must sum to their lang subtotal, lang subtotals to
+    the grand total, buckets must equal the python bit-length of
+    n_chars, and min/max must bracket every detail bucket."""
+    from freki_spark.functions.corpus_prep import corpus_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    rows = corpus_stats(spark, SF).collect()
+    detail = [r for r in rows if r.lvl == 0]
+    langs = {r.lang: r for r in rows if r.lvl == 1}
+    grand = [r for r in rows if r.lvl == 3]
+    assert len(grand) == 1 and grand[0].lang == "(all)"
+    assert grand[0].n_docs == len(docs)
+    assert grand[0].sum_chars == sum(d.n_chars for d in docs)
+    exp_buckets = {}
+    for d in docs:
+        exp_buckets.setdefault((d.lang, d.n_chars.bit_length()), []).append(
+            d.n_chars
+        )
+    assert {(r.lang, r.len_bucket) for r in detail} == set(exp_buckets)
+    for r in detail:
+        vals = exp_buckets[(r.lang, r.len_bucket)]
+        assert (r.n_docs, r.sum_chars) == (len(vals), sum(vals))
+        assert (r.min_chars, r.max_chars) == (min(vals), max(vals))
+    for lang, sub in langs.items():
+        ds = [r for r in detail if r.lang == lang]
+        assert sub.n_docs == sum(r.n_docs for r in ds)
+        assert sub.sum_chars == sum(r.sum_chars for r in ds)
+    assert sum(r.n_docs for r in langs.values()) == grand[0].n_docs
+
+
 def test_quality_vote_composes_component_ops(spark):
     """The ensemble must equal a python recombination of the three
     STANDALONE component ops' outputs (2-of-3 majority over gopher
