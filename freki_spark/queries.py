@@ -288,7 +288,9 @@ def q_caption_mine(spark, sf_dir):
         F.col("kind") == "line",
         F.regexp_replace("text", _SPACING_RE, ""),
     )
-    w = Window.partitionBy("doc_id").orderBy("offset")
+    # kind as the tiebreaker makes the order total even if a future
+    # spec change lets a line share an offset with a media span
+    w = Window.partitionBy("doc_id").orderBy("offset", "kind")
     before = F.last(body, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -325,12 +327,12 @@ w AS (
          last_value(CASE WHEN kind = 'line'
                          THEN regexp_replace(text, '{_SPACING_RE}', '') END
                     IGNORE NULLS)
-           OVER (PARTITION BY doc_id ORDER BY "offset"
+           OVER (PARTITION BY doc_id ORDER BY "offset", kind
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b,
          first_value(CASE WHEN kind = 'line'
                           THEN regexp_replace(text, '{_SPACING_RE}', '') END
                      IGNORE NULLS)
-           OVER (PARTITION BY doc_id ORDER BY "offset"
+           OVER (PARTITION BY doc_id ORDER BY "offset", kind
                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a
   FROM sp
 )

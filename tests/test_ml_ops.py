@@ -940,16 +940,16 @@ def test_caption_mine_matches_golden_walk(spark):
     import json
     import re as _re
 
-    from freki_spark.queries import _SPACING_RE, q_caption_mine
+    from freki_spark.queries import GOLDEN_JSONL, _SPACING_RE, q_caption_mine
 
-    spans = [json.loads(line) for line in open("tests/golden/fixture_spans.jsonl")]
+    spans = [json.loads(line) for line in open(GOLDEN_JSONL)]
     by_doc = {}
     for s in spans:
         if s["kind"] in ("media", "line"):
             by_doc.setdefault(s["doc_id"], []).append(s)
     exp = {}
     for did, ss in by_doc.items():
-        ss.sort(key=lambda s: s["offset"])
+        ss.sort(key=lambda s: (s["offset"], s["kind"]))
         for i, s in enumerate(ss):
             if s["kind"] != "media":
                 continue
