@@ -1206,6 +1206,32 @@ def test_canon_url_mechanism_adversarial(spark):
     got = {r.url: r.canon for r in df.select("url", canon_url(F.col("url")).alias("canon")).collect()}
     assert got == cases
 
+    # idempotence: canonicalizing a canonical URL is a no-op (the
+    # property that makes url_dedup keys stable across re-crawls of
+    # already-canonical URLs)
+    twice = {
+        r.url: r.c2
+        for r in df.select(
+            "url", canon_url(canon_url(F.col("url"))).alias("c2")
+        ).collect()
+    }
+    assert twice == cases
+
+    # cross-engine: the DuckDB mirror (_sql_canon, shared by the
+    # url_normalize and url_dedup oracles) must agree on every
+    # adversarial input, not just on the synthesized corpus
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import _sql_canon
+
+    vals = ", ".join(f"('{u}')" for u in cases)
+    duck = dict(
+        duckdb.sql(
+            f"SELECT u, {_sql_canon('u')} FROM (VALUES {vals}) t(u)"
+        ).fetchall()
+    )
+    assert duck == cases
+
 
 def test_gopher_quality_matches_naive_python(spark):
     """Every stat and rule flag recomputed naively (Counter over the
