@@ -1996,6 +1996,88 @@ FROM links GROUP BY src, dst
 """
 
 
+# --------------------------------------------------------------------------
+# anchor_text — anchor-text mining over the link graph (the query /
+# title signal web pipelines harvest per destination: anchor corpora
+# feed retrieval training sets and page-title quality priors).  Each
+# page's <a href>inner text</a> pairs are pulled with TWO capture-group
+# regexp_extract_all passes over the same HTML (group 1 = href, group
+# 2 = anchor), zipped positionally, resolved to destination domains
+# exactly like link_graph, and rolled up to the top-3 anchors per
+# destination.
+#
+# Scale shape (100 TB of pages): the parse is per-row regex — pages
+# never shuffle; the explode emits only (src, href, anchor) short
+# strings; the (dst, anchor) rollup partial-aggregates map-side; the
+# ranking window is partitioned by dst_domain (domain-bounded
+# cardinality, the same key domain_stats already windows on — NOT the
+# corpus grain).  Hub destinations skew the agg key → AQE skew-split,
+# same note as link_graph.
+# --------------------------------------------------------------------------
+
+ANCHOR_RE = r'<a href="([^"]+)">([^<]+)</a>'
+ANCHOR_TOPK = 3
+
+
+def anchor_text(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    src = F.regexp_extract(_domain_url(), DOMAIN_RE, 1)
+    # html bound as a column: it feeds TWO extract_all passes below
+    # (argument position — each evaluates once per row, but binding
+    # keeps the concat from being built twice)
+    pages = d.select(src.alias("src_domain"), _links_html().alias("_html"))
+    pairs = pages.select(
+        "src_domain",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("_html", F.lit(ANCHOR_RE), 1).alias("href"),
+                F.regexp_extract_all("_html", F.lit(ANCHOR_RE), 2).alias("anchor"),
+            )
+        ).alias("p"),
+    )
+    e = pairs.select(
+        F.when(F.col("p.href").startswith("/"), F.col("src_domain"))
+        .otherwise(F.regexp_extract(F.col("p.href"), r"^https?://([^/]+)", 1))
+        .alias("dst_domain"),
+        F.col("p.anchor").alias("anchor"),
+    )
+    agg = e.groupBy("dst_domain", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_domain").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANCHOR_TOPK)
+        .select("dst_domain", "anchor", "n", "rk")
+    )
+
+
+# closed-form over (doc_id, source) — never re-runs the regex, so a
+# hash match proves synth → two-group parse → zip → resolve → rollup
+# → rank end-to-end (same discipline as SQL_LINK_GRAPH)
+SQL_ANCHOR_TEXT = f"""
+WITH pages AS (
+  SELECT doc_id,
+         source || '-site.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 + 1 AS INT)] AS src
+  FROM documents
+),
+anchors AS (
+  SELECT src AS dst, a AS anchor FROM pages, UNNEST(['Home', 'About']) t(a)
+  UNION ALL
+  SELECT 'dst' || CAST((doc_id + j * 31) % 23 AS VARCHAR) || '-hub.com',
+         'ref ' || CAST(j AS VARCHAR)
+  FROM pages, UNNEST(range(1, CAST(doc_id % 3 + 2 AS BIGINT))) t(j)
+),
+agg AS (
+  SELECT dst AS dst_domain, anchor, CAST(count(*) AS BIGINT) AS n
+  FROM anchors GROUP BY 1, 2
+)
+SELECT dst_domain, anchor, n, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY dst_domain
+                                   ORDER BY n DESC, anchor) AS rk FROM agg)
+WHERE rk <= {ANCHOR_TOPK}
+"""
+
+
 _ROB_H = DUCK_MD5I32.format(x="'rob/' || domain")
 
 SQL_ROBOTS_FILTER = f"""
@@ -2053,6 +2135,7 @@ QUERIES = {
     "crawl_frontier": crawl_frontier,
     "robots_filter": robots_filter,
     "link_graph": link_graph,
+    "anchor_text": anchor_text,
 }
 
 ORACLE_SQL = {
@@ -2080,4 +2163,5 @@ ORACLE_SQL = {
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "robots_filter": SQL_ROBOTS_FILTER,
     "link_graph": SQL_LINK_GRAPH,
+    "anchor_text": SQL_ANCHOR_TEXT,
 }

@@ -1057,6 +1057,62 @@ def test_link_graph_matches_python_re_extraction(spark):
     assert any(d.endswith("-hub.com") for _, d in got), "no external edges"
 
 
+def test_anchor_text_matches_python_re_extraction(spark):
+    """Rebuild every page's HTML in python, re-extract (href, anchor)
+    PAIRS with python `re` (independent of both the Spark two-group
+    zip and the closed-form oracle), resolve, aggregate, and rank —
+    the top-3-per-destination relation must match exactly; internal
+    nav anchors and external ref anchors must both survive ranking."""
+    import re as _re
+
+    from freki_spark.functions.corpus_prep import (
+        ANCHOR_RE,
+        ANCHOR_TOPK,
+        anchor_text,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    counts = {}
+    for r in docs:
+        tld = ["com", "org", "net"][r.doc_id % 3]
+        src = f"{r.source}-site.{tld}"
+        html = (
+            '<html><body><nav><a href="/">Home</a> '
+            '<a href="/about">About</a></nav><p>' + r.text
+        )
+        for j in (1, 2, 3):
+            if r.doc_id % 3 + 1 >= j:
+                html += (
+                    f'<a href="http://dst{(r.doc_id + j * 31) % 23}'
+                    f'-hub.com/p/{j}">ref {j}</a>'
+                )
+        html += "</p></body></html>"
+        for href, anchor in _re.findall(ANCHOR_RE, html):
+            dst = (
+                src
+                if href.startswith("/")
+                else _re.match(r"^https?://([^/]+)", href).group(1)
+            )
+            counts[(dst, anchor)] = counts.get((dst, anchor), 0) + 1
+
+    exp = set()
+    by_dst = {}
+    for (dst, anchor), n in counts.items():
+        by_dst.setdefault(dst, []).append((anchor, n))
+    for dst, lst in by_dst.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (anchor, n) in enumerate(lst[:ANCHOR_TOPK], 1):
+            exp.add((dst, anchor, n, rk))
+
+    got = {
+        (r.dst_domain, r.anchor, r.n, r.rk)
+        for r in anchor_text(spark, SF).collect()
+    }
+    assert got == exp
+    assert any(a in ("Home", "About") for _, a, _, _ in got), "no nav anchors"
+    assert any(a.startswith("ref ") for _, a, _, _ in got), "no ref anchors"
+
+
 def test_line_dedup_matches_naive_python(spark):
     """Full independent recompute of the within-doc repetition removal:
     synthesize the line structure in plain python (fixed-width lines,

@@ -724,6 +724,20 @@ def main() -> int:
         f"Window nodes={n_win}, doc_id-partitioned={win_doc}",
     )
 
+    # 44. anchor_text: pages never shuffle — the (dst, anchor) rollup
+    #     partial-aggregates map-side below its Exchange, and the
+    #     ranking window is dst_domain-partitioned (domain-bounded),
+    #     never a corpus-grain key
+    p = plan_of(QUERIES["anchor_text"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"\((\d+)\) Exchange", p)]
+    win_dst = bool(re.search(r"windowspecdefinition\(dst_domain#", p))
+    check(
+        "anchor_text_partial_rank",
+        "partial_count" in p and agg and ex and min(agg) < min(ex) and win_dst,
+        "partial_count below first Exchange, dst_domain-partitioned window",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
