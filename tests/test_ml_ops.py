@@ -2273,6 +2273,51 @@ def test_warc_parser_is_length_framed_not_separator_split(spark):
     assert out.filter(F.col("payload").isNull()).count() == 0
 
 
+def test_warc_index_offsets_are_range_read_exact(spark):
+    """The CDX-style index's whole point is RANGE READS: for every
+    indexed record, slicing the archive bytes at [offset, offset +
+    rlength) must yield a complete record that re-parses alone to
+    exactly the original document — and the extents must tile each
+    archive with no gap (offsets strictly cumulative, Σ rlength =
+    archive bytes).  Includes the adversarial payloads (fake frames,
+    multi-byte UTF-8) so the byte geometry is proven on the cases
+    where char offsets would diverge."""
+    from freki_spark.sources.warc import (
+        index_warc_records,
+        parse_warc_records,
+        synth_warc_chunks,
+    )
+
+    evil = "before WARC/1.0\r\n\r\n\r\nafter"
+    uni = "héllo wörld é中文"
+    d = spark.createDataFrame(
+        [(1, "srcX", evil), (2, "srcY", uni), (3, "srcZ", "plain"),
+         (11, "srcQ", "second chunk row")],
+        "doc_id long, source string, text string",
+    )
+    chunks = {r.chunk_id: r.blob for r in synth_warc_chunks(d).collect()}
+    assert set(chunks) == {0, 1}
+    texts = {1: evil, 2: uni, 3: "plain", 11: "second chunk row"}
+
+    n_checked = 0
+    for cid, blob in chunks.items():
+        b = blob.encode("utf-8")
+        idx = index_warc_records(cid, blob)
+        assert [e[3] for e in idx] == sorted(e[3] for e in idx)
+        assert sum(e[4] for e in idx) == len(b)
+        assert idx[0][3] == 0
+        for _cid, doc_id, uri, off, rlen, digest in idx:
+            rec = b[off : off + rlen].decode("utf-8")
+            (rdoc, ruri, rclen, rpayload), = parse_warc_records(rec)
+            assert rdoc == doc_id and ruri == uri
+            assert rpayload == texts[doc_id]
+            assert rclen == len(texts[doc_id].encode("utf-8"))
+            import hashlib
+            assert digest == hashlib.md5(rpayload.encode()).hexdigest()
+            n_checked += 1
+    assert n_checked == 4
+
+
 def test_csv_round_trip_newlines_and_padding(spark):
     """The CSV source must round-trip exactly the text classes the
     fixture corpus lacks: embedded newlines (multiLine read), leading/
