@@ -1565,12 +1565,13 @@ from .functions import corpus_prep as _cp  # noqa: E402
 from .functions import dedup as _dedup  # noqa: E402
 from .functions import graph as _graph  # noqa: E402
 from .functions import multimodal as _mm  # noqa: E402
+from .functions import search as _search  # noqa: E402
 from .functions import similarity as _sim  # noqa: E402
 from .functions import text_analysis as _ta  # noqa: E402
 from .sources import warc as _warc  # noqa: E402
 from .streaming import jobs as _stream  # noqa: E402
 
-for _mod in (_dedup, _sim, _ta, _mm, _cp, _graph, _stream, _warc):
+for _mod in (_dedup, _sim, _ta, _mm, _cp, _graph, _stream, _warc, _search):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

@@ -306,6 +306,97 @@ def test_sample_stratified_deterministic_and_rate(spark):
         assert abs(kept / totals[lang] - rate) < 0.15, (lang, kept, totals[lang])
 
 
+def test_inverted_postings_matches_python_recompute(spark):
+    """Full independent recompute of the impact-ordered index in plain
+    python (Counter tf, df cutoff, (-tf, doc_id) champion-list sort)
+    — the flat posting relation must match exactly, and the cap must
+    actually bite on at least one term."""
+    from collections import Counter
+
+    from freki_spark.functions.search import (
+        DF_MIN,
+        POSTINGS_CAP,
+        inverted_postings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf = Counter()
+    for r in docs:
+        for t, n in Counter(r.text.split(" ")).items():
+            tf[(t, r.doc_id)] = n
+    df = Counter(t for t, _ in tf)
+    exp = set()
+    capped = False
+    for term in df:
+        if df[term] < DF_MIN:
+            continue
+        postings = sorted(
+            ((d, n) for (t, d), n in tf.items() if t == term),
+            key=lambda p: (-p[1], p[0]),
+        )
+        capped = capped or len(postings) > POSTINGS_CAP
+        for rk, (d, n) in enumerate(postings[:POSTINGS_CAP], 1):
+            exp.add((term, df[term], d, n, rk))
+    got = {
+        (r.term, r.df, r.doc_id, r.tf, r.rk)
+        for r in inverted_postings(spark, SF).collect()
+    }
+    assert got == exp
+    assert capped, "fixture never exercises the champion-list cap"
+
+
+def test_bm25_topk_matches_python_recompute(spark):
+    """Full independent BM25 recompute in plain python (math.log,
+    float micros floored per term, integer sums) — the ranked top-k
+    relation must match exactly across every query (an exact match on
+    score_micro also pins that JVM ln/double math agrees with python's
+    libm under the floor-to-micros discipline)."""
+    import math
+    from collections import Counter
+
+    from freki_spark.functions.search import (
+        BM25_SCALE,
+        BM25_TOPK,
+        N_QTERMS,
+        QSTART,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    tf = {d: Counter(t) for d, t in toks.items()}
+    df, cf = Counter(), Counter()
+    for d, c in tf.items():
+        for term, n in c.items():
+            df[term] += 1
+            cf[term] += n
+    ranked = sorted(cf, key=lambda t: (-cf[t], t))
+    qterms = ranked[QSTART - 1 : QSTART - 1 + N_QTERMS]
+    exp = set()
+    for qi in range(len(qterms) // 2):
+        scores = Counter()
+        for term in qterms[2 * qi : 2 * qi + 2]:
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            for d, c in tf.items():
+                if term in c:
+                    t = c[term]
+                    tfs = (t * 2.2) / (
+                        t + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl)
+                    )
+                    scores[d] += math.floor(idf * tfs * BM25_SCALE)
+        top = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:BM25_TOPK]
+        for rk, (d, s) in enumerate(top, 1):
+            exp.add((qi + 1, d, s, rk))
+    got = {
+        (r.query_id, r.doc_id, r.score_micro, r.rk)
+        for r in bm25_topk(spark, SF).collect()
+    }
+    assert got == exp
+    assert len({q for q, *_ in got}) == N_QTERMS // 2
+
+
 def test_ngram_topk_ranks_and_counts(spark):
     from freki_spark.functions.corpus_prep import NGRAM_TOPK, ngram_topk
 

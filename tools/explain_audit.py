@@ -738,6 +738,33 @@ def main() -> int:
         "partial_count below first Exchange, dst_domain-partitioned window",
     )
 
+    # 45. inverted_postings: tf and df rollups partial-agg map-side;
+    #     the champion-list window partitions on TERM and Spark prunes
+    #     with WindowGroupLimit before the rank filter
+    p = plan_of(QUERIES["inverted_postings"](spark, sf_dir))
+    check(
+        "inverted_postings_shape",
+        "partial_count" in p
+        and "WindowGroupLimit" in p
+        and re.search(r"windowspecdefinition\(term#", p) is not None,
+        "partial aggs, term-partitioned window, WindowGroupLimit",
+    )
+
+    # 46. bm25_topk: query-term selection is a distributed top-k
+    #     (TakeOrderedAndProject, never a global Sort), the query-term
+    #     table joins into tf via BROADCAST, and no window partitions
+    #     on a corpus-grain key (query_id only)
+    p = plan_of(QUERIES["bm25_topk"](spark, sf_dir))
+    wins = re.findall(r"windowspecdefinition\((\w+)#", p)
+    check(
+        "bm25_plan_shape",
+        "TakeOrderedAndProject" in p
+        and "BroadcastHashJoin" in p
+        and set(wins) <= {"query_id", "cf", "gr"}
+        and "SortMergeJoin" not in p,
+        f"TakeOrdered qterms, broadcast join, window keys={sorted(set(wins))}",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
