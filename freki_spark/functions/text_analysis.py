@@ -237,6 +237,113 @@ def gopher_repetition(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# gopher_ngram_flags — the FULL Gopher/MassiveText repetition table
+# (Rae et al. 2021, App. A1.1, Table A1): per doc and per n, the
+# char-mass fraction held by the TOP n-gram (n = 2..4) or by ALL
+# duplicated n-grams (n = 5..10), flagged against the paper's
+# per-n thresholds (0.20/0.18/0.16; 0.15 down to 0.10).  Char mass of
+# a gram = occurrences x rendered length (each occurrence counts its
+# full width); denominator = total n-gram char mass.  ALL math is
+# integer — fractions compare by cross-multiplication, and "mass of
+# the most frequent gram" folds into ONE aggregation via a packed
+# max key (cnt * 2^31 + mass, decoded with %), so no per-(doc, n)
+# ranking window exists anywhere.
+#
+# Scale shape (100 TB): the 9-way n expansion is a narrow flat-map
+# (token array duplicated 9x inside the row, never shuffled); the
+# only Exchanges are the two partial-agg'd groupBys on
+# high-cardinality keys ((doc_id, n, gram) then (doc_id, n)).
+# --------------------------------------------------------------------------
+
+GOPHER_NS = list(range(2, 11))
+# threshold PERCENT by n (index n-2): top-gram mass for n=2..4,
+# dup-gram mass for n=5..10 — Gopher Table A1
+GOPHER_NGRAM_THR = [20, 18, 16, 15, 14, 13, 12, 11, 10]
+_PACK = 1 << 31  # cnt * _PACK + mass: exact while mass < 2^31
+
+
+def gopher_ngram_flags(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    dn = d.select(
+        "doc_id", "_tk",
+        F.explode(F.array(*[F.lit(n) for n in GOPHER_NS])).alias("n"),
+    )
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_tk") - (F.col("n") - 1), F.lit(1))
+        ),
+        lambda i: F.concat_ws(" ", F.slice("_tk", i, F.col("n"))),
+    )
+    per = (
+        dn.select("doc_id", "n", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id", "n", "cnt",
+            (F.col("cnt") * F.length("g")).alias("mass"),
+        )
+    )
+    agg = per.groupBy("doc_id", "n").agg(
+        F.sum("mass").alias("total_mass"),
+        F.max(F.col("cnt") * _PACK + F.col("mass")).alias("_topkey"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("mass")).otherwise(F.lit(0))
+        ).alias("dup_mass"),
+    )
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in GOPHER_NGRAM_THR]), F.col("n") - 1
+    )
+    top_mass = F.col("_topkey") % _PACK
+    flagged = F.when(
+        F.col("n") <= 4, top_mass * 100 > thr * F.col("total_mass")
+    ).otherwise(F.col("dup_mass") * 100 > thr * F.col("total_mass"))
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n"),
+        "total_mass",
+        top_mass.alias("top_mass"),
+        "dup_mass",
+        flagged.cast("int").alias("flagged"),
+    )
+
+
+_DUCK_THR = "[" + ", ".join(str(t) for t in GOPHER_NGRAM_THR) + "]"
+
+SQL_GOPHER_NGRAM_FLAGS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+dn AS (SELECT doc_id, tk, n FROM d, UNNEST(range(2, 11)) t(n)),
+e AS (
+  SELECT doc_id, n,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - (n - 1), 1) + 1),
+           i -> array_to_string(tk[i:i+n-1], ' '))) AS g
+  FROM dn),
+per AS (
+  SELECT doc_id, n, count(*) AS cnt,
+         CAST(count(*) * length(g) AS BIGINT) AS mass
+  FROM e GROUP BY doc_id, n, g),
+agg AS (
+  SELECT doc_id, n,
+         CAST(sum(mass) AS BIGINT) AS total_mass,
+         CAST(max(cnt * {_PACK} + mass) AS BIGINT) AS topkey,
+         CAST(sum(CASE WHEN cnt >= 2 THEN mass ELSE 0 END) AS BIGINT)
+           AS dup_mass
+  FROM per GROUP BY doc_id, n)
+SELECT doc_id, CAST(n AS INT) AS n, total_mass,
+       CAST(topkey % {_PACK} AS BIGINT) AS top_mass, dup_mass,
+       CASE WHEN n <= 4
+            THEN CASE WHEN (topkey % {_PACK}) * 100
+                          > {_DUCK_THR}[CAST(n - 1 AS INT)] * total_mass
+                      THEN 1 ELSE 0 END
+            ELSE CASE WHEN dup_mass * 100
+                          > {_DUCK_THR}[CAST(n - 1 AS INT)] * total_mass
+                      THEN 1 ELSE 0 END
+       END AS flagged
+FROM agg
+"""
+
+
 SQL_GOPHER_REPETITION = f"""
 WITH bg AS (
   SELECT doc_id, unnest({duck_bigrams("l")}) AS bg
@@ -1178,6 +1285,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
     "gopher_repetition": gopher_repetition,
+    "gopher_ngram_flags": gopher_ngram_flags,
     "gopher_quality": gopher_quality,
     "bpe_encode": bpe_encode,
     "quality_classifier": quality_classifier,
@@ -1193,6 +1301,7 @@ ORACLE_SQL = {
     "token_count_bpe": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "gopher_ngram_flags": SQL_GOPHER_NGRAM_FLAGS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "badword_filter": SQL_BADWORD_FILTER,
     "curate_keep": SQL_CURATE_KEEP,

@@ -306,6 +306,74 @@ def test_sample_stratified_deterministic_and_rate(spark):
         assert abs(kept / totals[lang] - rate) < 0.15, (lang, kept, totals[lang])
 
 
+def test_gopher_ngram_flags_matches_python_recompute(spark):
+    """Full independent recompute of the Gopher Table-A1 repetition
+    relation in plain python (Counter grams, top = max (cnt, mass),
+    integer cross-multiplied thresholds) — all 9 n-bands of every doc
+    must match exactly."""
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import (
+        GOPHER_NGRAM_THR,
+        GOPHER_NS,
+        gopher_ngram_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    exp = set()
+    for r in docs:
+        tk = r.text.split(" ")
+        for n in GOPHER_NS:
+            upper = max(len(tk) - (n - 1), 1)
+            grams = Counter(
+                " ".join(tk[i : i + n]) for i in range(upper)
+            )
+            masses = {g: c * len(g) for g, c in grams.items()}
+            total = sum(masses.values())
+            top = max((grams[g], masses[g]) for g in grams)[1]
+            dup = sum(m for g, m in masses.items() if grams[g] >= 2)
+            thr = GOPHER_NGRAM_THR[n - 2]
+            flagged = int(
+                (top if n <= 4 else dup) * 100 > thr * total
+            )
+            exp.add((r.doc_id, n, total, top, dup, flagged))
+    got = {
+        (r.doc_id, r.n, r.total_mass, r.top_mass, r.dup_mass, r.flagged)
+        for r in gopher_ngram_flags(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_gopher_ngram_flags_fire_on_crafted_docs(spark):
+    """Both flag families must actually fire: a top-bigram-dominated
+    doc trips the n<=4 top-mass rule, a doc with a repeated 12-token
+    passage trips the n>=5 dup-mass rules, and an all-unique doc trips
+    nothing."""
+    import os
+    import tempfile
+
+    from freki_spark.functions.text_analysis import gopher_ngram_flags
+
+    uniq = " ".join(f"w{i}" for i in range(120))
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, ("spam ham " * 40).strip()),                  # top 2-gram rules
+        (2, f"{uniq} {passage} {passage} {passage}"),     # dup 5..10 rules
+        (3, " ".join(f"u{i}" for i in range(200))),       # clean
+    ]
+    tmp = tempfile.mkdtemp(prefix="freki_gnf_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = {
+        (r.doc_id, r.n): r.flagged
+        for r in gopher_ngram_flags(spark, tmp).collect()
+    }
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(1, 4)] == 1
+    assert all(out[(2, n)] == 1 for n in range(5, 11)), "dup band silent"
+    assert all(out[(3, n)] == 0 for n in range(2, 11)), "clean doc flagged"
+
+
 def test_inverted_postings_matches_python_recompute(spark):
     """Full independent recompute of the impact-ordered index in plain
     python (Counter tf, df cutoff, (-tf, doc_id) champion-list sort)

@@ -765,6 +765,18 @@ def main() -> int:
         f"TakeOrdered qterms, broadcast join, window keys={sorted(set(wins))}",
     )
 
+    # 47. gopher_ngram_flags: the packed-max-key trick means NO window
+    #     node exists; both groupBys partial-agg map-side; the 9-way n
+    #     expansion stays a narrow Generate (exactly 2 shuffle
+    #     Exchanges: (doc_id,n,g) then (doc_id,n))
+    p = plan_of(QUERIES["gopher_ngram_flags"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check(
+        "gopher_ngram_no_window",
+        "Window" not in p and "partial_count" in p and n_ex == 2,
+        f"zero Window, partial aggs, Exchanges={n_ex}",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
