@@ -1304,6 +1304,60 @@ WHERE doc_id NOT IN (SELECT doc_id FROM labels)
 
 
 # --------------------------------------------------------------------------
+# dedup_stats — the telemetry relation a dedup run publishes: the
+# cluster-size HISTOGRAM (how many dup clusters of each size, how many
+# docs they hold) plus the singleton mass (docs no candidate ever
+# matched).  This is what a 100 TB ingest dashboard actually plots —
+# a sudden fat tail means a mirror site entered the crawl; a collapsed
+# singleton share means the banding thresholds broke.
+#
+# Scale shape: component labels aggregate to (comp, size) with
+# map-side combine; the histogram is a second tiny agg over
+# cluster-count-sized input; the singleton row is ONE anti-join
+# aggregate — nothing corpus-sized survives the first groupBy.
+# --------------------------------------------------------------------------
+
+
+def dedup_stats(spark, sf_dir):
+    comp = dedup_components(spark, sf_dir)
+    cs = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    hist = cs.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    singles = (
+        _near_dup_corpus(spark, sf_dir)
+        .select("doc_id")
+        .join(comp, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    # components have size >= 2 by construction (every labeled node
+    # carries an edge), so the singleton row cannot collide with a
+    # histogram row — the union needs no re-aggregation
+    return hist.unionByName(singles)
+
+
+SQL_DEDUP_STATS = f"""
+WITH RECURSIVE {DUCK_CORPUS.strip()},
+{DUCK_EDGE_CTES},
+{DUCK_LABELED_CTES},
+cs AS (SELECT comp, count(*) AS cluster_size FROM labels GROUP BY comp)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM cs GROUP BY cluster_size
+UNION ALL
+SELECT CAST(1 AS BIGINT), count(*), count(*) FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+"""
+
+
+# --------------------------------------------------------------------------
 # dup_span_detect — exact duplicated-SUBSTRING detection (the
 # suffix-array dedup of Lee et al., "Deduplicating Training Data Makes
 # Language Models Better", approximated distributably): any word-span
@@ -1634,6 +1688,7 @@ QUERIES = {
     "cc_bigstar": cc_bigstar,
     "dedup_canonical": dedup_canonical,
     "dedup_keep": dedup_keep,
+    "dedup_stats": dedup_stats,
     "dup_span_detect": dup_span_detect,
     "dup_span_remove": dup_span_remove,
 }
@@ -1654,6 +1709,7 @@ ORACLE_SQL = {
     "cc_bigstar": SQL_DEDUP_COMPONENTS,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_keep": SQL_DEDUP_KEEP,
+    "dedup_stats": SQL_DEDUP_STATS,
     "dup_span_detect": SQL_DUP_SPAN,
     "dup_span_remove": SQL_DUP_SPAN_REMOVE,
 }

@@ -306,6 +306,38 @@ def test_sample_stratified_deterministic_and_rate(spark):
         assert abs(kept / totals[lang] - rate) < 0.15, (lang, kept, totals[lang])
 
 
+def test_dedup_stats_partitions_the_corpus_exactly(spark):
+    """The telemetry histogram must ACCOUNT for every corpus document
+    exactly once: recompute the histogram in python from the
+    components labeling + corpus size, compare every row, and check
+    the partition identity Σ n_docs == |corpus| and Σ(size·n_clusters)
+    == Σ n_docs; both dup clusters and the singleton mass must be
+    non-empty on the fixture."""
+    from collections import Counter
+
+    from freki_spark.functions.dedup import (
+        _near_dup_corpus,
+        dedup_components,
+        dedup_stats,
+    )
+
+    comp = dedup_components(spark, SF).collect()
+    n_corpus = _near_dup_corpus(spark, SF).count()
+    sizes = Counter(r.comp for r in comp)
+    hist = Counter(sizes.values())
+    exp = {(s, c, s * c) for s, c in hist.items()}
+    exp.add((1, n_corpus - len(comp), n_corpus - len(comp)))
+    got = {
+        (r.cluster_size, r.n_clusters, r.n_docs)
+        for r in dedup_stats(spark, SF).collect()
+    }
+    assert got == exp
+    assert sum(n for _, _, n in got) == n_corpus
+    assert all(s * c == n for s, c, n in got)
+    assert any(s >= 2 for s, _, _ in got), "no dup clusters on fixture"
+    assert any(s == 1 and n > 0 for s, _, n in got), "no singleton mass"
+
+
 def test_gopher_ngram_flags_matches_python_recompute(spark):
     """Full independent recompute of the Gopher Table-A1 repetition
     relation in plain python (Counter grams, top = max (cnt, mass),
