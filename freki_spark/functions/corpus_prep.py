@@ -1414,7 +1414,14 @@ FROM agg
 def corpus_stats(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "lang",
-        F.length(F.bin(F.col("n_chars"))).cast("int").alias("len_bucket"),
+        # bit_length bucket; 0-char docs pinned to bucket 0 explicitly
+        # — bin(0) = '0' has LENGTH 1, which would silently conflate
+        # empty docs with 1-char docs (and diverge from python's
+        # (0).bit_length() == 0 that the pytest recomputes)
+        F.when(F.col("n_chars") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("n_chars"))))
+        .cast("int")
+        .alias("len_bucket"),
         "n_chars",
     )
     r = d.rollup("lang", "len_bucket").agg(
@@ -1446,7 +1453,10 @@ SELECT coalesce(lang, '(all)') AS lang,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM (
-  SELECT lang, CAST(length(bin(n_chars)) AS INT) AS len_bucket, n_chars
+  SELECT lang,
+         CAST(CASE WHEN n_chars = 0 THEN 0
+                   ELSE length(bin(n_chars)) END AS INT) AS len_bucket,
+         n_chars
   FROM documents
 )
 GROUP BY ROLLUP (lang, len_bucket)
@@ -1941,16 +1951,34 @@ def _links_html():
     ]
     for j in (1, 2, 3):
         dst = ((F.col("doc_id") + j * 31) % 23).cast("string")
+        # label varies by page parity ('ref j' / 'link j') so hub
+        # destinations collect up to 6 distinct anchors — anchor_text's
+        # top-3 truncation must actually bite on the fixture
+        label = F.when(
+            F.col("doc_id") % 2 == 0, F.lit(f"ref {j}")
+        ).otherwise(F.lit(f"link {j}"))
         link = F.concat(
             F.lit('<a href="http://dst'),
             dst,
-            F.lit(f'-hub.com/p/{j}">ref {j}</a>'),
+            F.lit(f'-hub.com/p/{j}">'),
+            label,
+            F.lit("</a>"),
         )
         parts.append(
             F.when(F.col("doc_id") % 3 + 1 >= j, link).otherwise(F.lit(""))
         )
     parts.append(F.lit("</p></body></html>"))
     return F.concat(*parts)
+
+
+def _resolve_href(href, src):
+    """THE href→destination-domain rule (shared by link_graph and
+    anchor_text so the link graph and the anchor corpus can never
+    desync): site-relative paths resolve to the page's own domain,
+    absolute URLs to their host."""
+    return F.when(href.startswith("/"), src).otherwise(
+        F.regexp_extract(href, r"^https?://([^/]+)", 1)
+    )
 
 
 def link_graph(spark, sf_dir):
@@ -1966,11 +1994,7 @@ def link_graph(spark, sf_dir):
         "src_domain", F.explode("hrefs").alias("href")
     ).select(
         "src_domain",
-        F.when(
-            F.col("href").startswith("/"), F.col("src_domain")
-        ).otherwise(
-            F.regexp_extract(F.col("href"), r"^https?://([^/]+)", 1)
-        ).alias("dst_domain"),
+        _resolve_href(F.col("href"), F.col("src_domain")).alias("dst_domain"),
     )
     return edges.groupBy("src_domain", "dst_domain").agg(
         F.count("*").alias("n_links")
@@ -2036,9 +2060,9 @@ def anchor_text(spark, sf_dir):
         ).alias("p"),
     )
     e = pairs.select(
-        F.when(F.col("p.href").startswith("/"), F.col("src_domain"))
-        .otherwise(F.regexp_extract(F.col("p.href"), r"^https?://([^/]+)", 1))
-        .alias("dst_domain"),
+        _resolve_href(F.col("p.href"), F.col("src_domain")).alias(
+            "dst_domain"
+        ),
         F.col("p.anchor").alias("anchor"),
     )
     agg = e.groupBy("dst_domain", "anchor").agg(F.count("*").alias("n"))
@@ -2064,7 +2088,8 @@ anchors AS (
   SELECT src AS dst, a AS anchor FROM pages, UNNEST(['Home', 'About']) t(a)
   UNION ALL
   SELECT 'dst' || CAST((doc_id + j * 31) % 23 AS VARCHAR) || '-hub.com',
-         'ref ' || CAST(j AS VARCHAR)
+         CASE WHEN doc_id % 2 = 0 THEN 'ref ' ELSE 'link ' END
+           || CAST(j AS VARCHAR)
   FROM pages, UNNEST(range(1, CAST(doc_id % 3 + 2 AS BIGINT))) t(j)
 ),
 agg AS (

@@ -185,9 +185,14 @@ per_term AS (
   SELECT query_id, doc_id,
          CAST(floor(
            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
            * {BM25_SCALE}.0
          ) AS BIGINT) AS s_micro
+         -- the tf-saturation quotient is parenthesized as ONE operand:
+         -- left-associating `idf * num / denom` computes a DIFFERENT
+         -- double (~1 ulp, measured on ~34% of inputs) than Spark's
+         -- idf * (num/denom) tree, and a 1-ulp difference at an
+         -- integer-micro boundary flips the floor
   FROM tf JOIN q USING (term), stats),
 agg AS (
   SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,

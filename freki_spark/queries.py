@@ -1631,10 +1631,11 @@ _PRIORITY = [
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "quality_vote", "dsir_select", "bpe_train",
     "domain_stats",
-    "crawl_frontier", "robots_filter", "link_graph",
-    "dedup_incremental", "snapshot_diff", "corpus_stats",
+    "crawl_frontier", "robots_filter", "link_graph", "anchor_text",
+    "dedup_incremental", "snapshot_diff", "corpus_stats", "dedup_stats",
+    "gopher_ngram_flags", "inverted_postings", "bm25_topk",
     "q_stream_incremental_dedup",
-    "q_warc_scan",
+    "q_warc_scan", "warc_index",
     "q_scan_csv", "q_scan_orc", "media_span_join",
     "dedup_canonical", "dedup_keep", "mixture_sample", "badword_filter",
     "curate_keep",

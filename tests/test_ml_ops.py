@@ -1273,9 +1273,10 @@ def test_anchor_text_matches_python_re_extraction(spark):
         )
         for j in (1, 2, 3):
             if r.doc_id % 3 + 1 >= j:
+                lbl = f"ref {j}" if r.doc_id % 2 == 0 else f"link {j}"
                 html += (
                     f'<a href="http://dst{(r.doc_id + j * 31) % 23}'
-                    f'-hub.com/p/{j}">ref {j}</a>'
+                    f'-hub.com/p/{j}">{lbl}</a>'
                 )
         html += "</p></body></html>"
         for href, anchor in _re.findall(ANCHOR_RE, html):
@@ -1290,10 +1291,13 @@ def test_anchor_text_matches_python_re_extraction(spark):
     by_dst = {}
     for (dst, anchor), n in counts.items():
         by_dst.setdefault(dst, []).append((anchor, n))
+    capped = False
     for dst, lst in by_dst.items():
         lst.sort(key=lambda t: (-t[1], t[0]))
+        capped = capped or len(lst) > ANCHOR_TOPK
         for rk, (anchor, n) in enumerate(lst[:ANCHOR_TOPK], 1):
             exp.add((dst, anchor, n, rk))
+    assert capped, "fixture never exercises the top-k anchor cap"
 
     got = {
         (r.dst_domain, r.anchor, r.n, r.rk)
