@@ -2021,6 +2021,86 @@ FROM links GROUP BY src, dst
 
 
 # --------------------------------------------------------------------------
+# zorder_plan — z-order clustering-key assignment (the Delta OPTIMIZE
+# ZORDER / Iceberg sort-order maintenance primitive): interleave the
+# bits of two cluster dimensions into one Morton key so a range of
+# files covers a RECTANGLE of (x, y) space — multi-dimensional data
+# skipping for a 10^12-row table.  Dimensions here: x = clamped
+# n_chars (size locality), y = hashed (lang, source) (content
+# locality).  Both engines compute the interleave from the SAME
+# python-generated mask/multiply terms (pure integer math — a bit
+# shift IS a multiply — so the expressions cannot desync), and file
+# assignment is equal-width binning of the z space.
+#
+# Scale shape (100 TB): entirely narrow — zero Exchange (plan-
+# audited); the actual clustering rewrite would range-partition by
+# zval, which this relation is the plan for.
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16           # per dimension -> 32-bit Morton key
+ZORDER_FILES = 256         # equal-width z-space bins
+_Z_BIN = (1 << (2 * ZORDER_BITS)) // ZORDER_FILES
+_Z_MAX = (1 << ZORDER_BITS) - 1
+
+# (mask, multiplier) per output term: x bit i -> position 2i,
+# y bit i -> position 2i + 1
+_Z_X_TERMS = [(1 << i, 1 << i) for i in range(ZORDER_BITS)]
+_Z_Y_TERMS = [(1 << i, 1 << (i + 1)) for i in range(ZORDER_BITS)]
+
+
+def _z_interleave_spark(x, y):
+    t = [ (x.bitwiseAND(F.lit(m)) * F.lit(s)).cast("bigint")
+          for m, s in _Z_X_TERMS ]
+    t += [ (y.bitwiseAND(F.lit(m)) * F.lit(s)).cast("bigint")
+           for m, s in _Z_Y_TERMS ]
+    out = t[0]
+    for c in t[1:]:
+        out = out + c
+    return out
+
+
+def _z_interleave_duck(x: str, y: str) -> str:
+    terms = [f"({x} & {m}) * {s}" for m, s in _Z_X_TERMS]
+    terms += [f"({y} & {m}) * {s}" for m, s in _Z_Y_TERMS]
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_plan(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    x = F.least(F.col("n_chars"), F.lit(_Z_MAX)).cast("bigint")
+    y = (
+        md5i32(F.concat(F.lit("zy|"), F.col("lang"), F.lit("|"),
+                        F.col("source")))
+        % (1 << ZORDER_BITS)
+    ).cast("bigint")
+    b = d.select("doc_id", x.alias("zx"), y.alias("zy"))
+    zval = _z_interleave_spark(F.col("zx"), F.col("zy"))
+    return b.select(
+        "doc_id", "zx", "zy",
+        zval.alias("zval"),
+        F.floor(zval / F.lit(_Z_BIN)).cast("bigint").alias("file_id"),
+    )
+
+
+_ZY_H = DUCK_MD5I32.format(x="'zy|' || lang || '|' || source")
+
+SQL_ZORDER_PLAN = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(least(n_chars, {_Z_MAX}) AS BIGINT) AS zx,
+         CAST({_ZY_H} % {1 << ZORDER_BITS} AS BIGINT) AS zy
+  FROM documents
+),
+z AS (SELECT doc_id, zx, zy,
+             CAST({_z_interleave_duck("zx", "zy")} AS BIGINT) AS zval
+      FROM b)
+SELECT doc_id, zx, zy, zval,
+       CAST(floor(zval / {_Z_BIN}) AS BIGINT) AS file_id
+FROM z
+"""
+
+
+# --------------------------------------------------------------------------
 # anchor_text — anchor-text mining over the link graph (the query /
 # title signal web pipelines harvest per destination: anchor corpora
 # feed retrieval training sets and page-title quality priors).  Each
@@ -2161,6 +2241,7 @@ QUERIES = {
     "robots_filter": robots_filter,
     "link_graph": link_graph,
     "anchor_text": anchor_text,
+    "zorder_plan": zorder_plan,
 }
 
 ORACLE_SQL = {
@@ -2189,4 +2270,5 @@ ORACLE_SQL = {
     "robots_filter": SQL_ROBOTS_FILTER,
     "link_graph": SQL_LINK_GRAPH,
     "anchor_text": SQL_ANCHOR_TEXT,
+    "zorder_plan": SQL_ZORDER_PLAN,
 }

@@ -645,6 +645,50 @@ def _read_csv_docs(spark, path):
 SQL_SCAN_CSV = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
+def q_scan_evolved(spark, sf_dir):
+    """Schema-evolution read — the 10^12-row table reality: columns
+    get ADDED over time and petabytes of old files are never
+    rewritten.  Generation-1 files carry (doc_id, text, lang);
+    generation-2 files add (n_chars, quality); both land in ONE
+    directory and are read back with the EXPLICIT superset schema,
+    which null-fills the columns absent from old footers.
+
+    Scale note: the explicit `.schema(...)` read is deliberate —
+    `mergeSchema=true` reconciles by reading EVERY file footer (a
+    whole job before the job at 10^6 files), so production tables pin
+    the merged schema in the catalog and read with it, exactly as
+    here.  Column pruning still reaches the scan across generations
+    (plan-audited: projecting 2 columns reads a 2-column ReadSchema).
+    The oracle reconstructs both generations closed-form from
+    `documents`, so a hash match proves write → evolve → null-fill
+    read end-to-end."""
+    path = os.path.join(tempfile.mkdtemp(prefix="freki_evo_"), "docs")
+    d = _t(spark, sf_dir, "documents")
+    g1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    g2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "n_chars",
+        (md5i32(F.concat(F.lit("q|"), F.col("doc_id").cast("string"))) % 100)
+        .cast("int")
+        .alias("quality"),
+    )
+    g1.write.mode("append").parquet(path)
+    g2.write.mode("append").parquet(path)
+    return spark.read.schema(
+        "doc_id long, text string, lang string, n_chars long, quality int"
+    ).parquet(path)
+
+
+_EVO_Q = DUCK_MD5I32.format(x="'q|' || CAST(doc_id AS VARCHAR)")
+
+SQL_SCAN_EVOLVED = f"""
+SELECT doc_id, text, lang,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST({_EVO_Q} % 100 AS INT) END AS quality
+FROM documents
+"""
+
+
 def q_scan_orc(spark, sf_dir):
     """ORC source round-trip over the NESTED document shape: the raw
     fixture docs (doc_id + spans array<struct<kind,text,media_ref,
@@ -1445,6 +1489,7 @@ QUERIES = {
     "q_scan_jsonl": q_scan_jsonl,
     "q_scan_csv": q_scan_csv,
     "q_scan_orc": q_scan_orc,
+    "q_scan_evolved": q_scan_evolved,
     "reassemble_xml": q_reassemble_xml,
     "parse_glyphs": q_parse_glyphs,
     "cluster_lines": q_cluster_lines,
@@ -1509,6 +1554,7 @@ ORACLE_SQL = {
     "q_scan_jsonl": SQL_EXPLODE_SPANS,
     "q_scan_csv": SQL_SCAN_CSV,
     "q_scan_orc": SQL_EXPLODE_SPANS,
+    "q_scan_evolved": SQL_SCAN_EVOLVED,
     "reassemble_xml": SQL_REASSEMBLE_XML,
     "parse_glyphs": SQL_PARSE_GLYPHS,
     "cluster_lines": SQL_CLUSTER_LINES,
@@ -1633,10 +1679,10 @@ _PRIORITY = [
     "domain_stats",
     "crawl_frontier", "robots_filter", "link_graph", "anchor_text",
     "dedup_incremental", "snapshot_diff", "corpus_stats", "dedup_stats",
-    "gopher_ngram_flags", "inverted_postings", "bm25_topk",
+    "gopher_ngram_flags", "inverted_postings", "bm25_topk", "zorder_plan",
     "q_stream_incremental_dedup",
     "q_warc_scan", "warc_index",
-    "q_scan_csv", "q_scan_orc", "media_span_join",
+    "q_scan_csv", "q_scan_orc", "q_scan_evolved", "media_span_join",
     "dedup_canonical", "dedup_keep", "mixture_sample", "badword_filter",
     "curate_keep",
     "q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",

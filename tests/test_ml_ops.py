@@ -306,6 +306,38 @@ def test_sample_stratified_deterministic_and_rate(spark):
         assert abs(kept / totals[lang] - rate) < 0.15, (lang, kept, totals[lang])
 
 
+def test_zorder_plan_interleave_matches_python_bit_math(spark):
+    """Recompute the Morton key in plain python bit ops for every doc
+    (independent of the generated mask/multiply terms), verify the
+    full relation, and prove the key is INVERTIBLE — de-interleaving
+    zval recovers (zx, zy) exactly, which is the property multi-
+    dimensional data skipping rests on.  The plan must also actually
+    spread docs across multiple file bins."""
+    from freki_spark.functions.corpus_prep import (
+        _Z_BIN,
+        ZORDER_BITS,
+        zorder_plan,
+    )
+
+    rows = zorder_plan(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((r.zx >> i) & 1) << (2 * i)
+            z |= ((r.zy >> i) & 1) << (2 * i + 1)
+        assert r.zval == z
+        assert r.file_id == z // _Z_BIN
+        # invertibility: even bits -> zx, odd bits -> zy
+        xi = sum(((r.zval >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
+        yi = sum(
+            ((r.zval >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS)
+        )
+        assert (xi, yi) == (r.zx, r.zy)
+    assert len({r.file_id for r in rows}) > 1, "all docs in one z bin"
+
+
 def test_dedup_stats_partitions_the_corpus_exactly(spark):
     """The telemetry histogram must ACCOUNT for every corpus document
     exactly once: recompute the histogram in python from the
@@ -2536,6 +2568,31 @@ def test_csv_round_trip_newlines_and_padding(spark):
     _write_csv(d, path)
     back = sorted(tuple(r) for r in _read_csv_docs(spark, path).collect())
     assert back == sorted(rows)
+
+
+def test_evolved_scan_null_fills_old_generation(spark):
+    """The explicit-superset-schema read must null-fill EXACTLY the
+    columns absent from generation-1 footers: every even doc_id (gen
+    1) reads back with NULL n_chars/quality but intact text/lang;
+    every odd doc_id (gen 2) carries both; no row is lost or
+    duplicated across the mixed directory."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.queries import q_scan_evolved
+
+    out = q_scan_evolved(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    g1 = out.filter(F.col("doc_id") % 2 == 0)
+    g2 = out.filter(F.col("doc_id") % 2 == 1)
+    assert g1.filter(
+        F.col("n_chars").isNotNull() | F.col("quality").isNotNull()
+    ).count() == 0
+    assert g2.filter(
+        F.col("n_chars").isNull() | F.col("quality").isNull()
+    ).count() == 0
+    assert out.filter(F.col("text").isNull() | F.col("lang").isNull()).count() == 0
 
 
 def test_orc_round_trip_nested_nulls(spark):

@@ -777,6 +777,31 @@ def main() -> int:
         f"zero Window, partial aggs, Exchanges={n_ex}",
     )
 
+    # 48. q_scan_evolved: column pruning must survive schema
+    #     evolution — projecting 2 columns over the mixed-generation
+    #     directory reads a 2-column ReadSchema (no text, no lang)
+    p = plan_of(
+        QUERIES["q_scan_evolved"](spark, sf_dir).select("doc_id", "quality")
+    )
+    schema = re.search(r"ReadSchema: [^\n]*", p)
+    ok = schema is not None and "text" not in schema.group(0) and (
+        "quality" in schema.group(0)
+    )
+    check(
+        "evolved_scan_prunes",
+        ok,
+        f"ReadSchema pruned across generations: {bool(ok)}",
+    )
+
+    # 49. zorder_plan: the Morton-key assignment is entirely narrow —
+    #     zero Exchange, zero Window, no python
+    p = plan_of(QUERIES["zorder_plan"](spark, sf_dir))
+    check(
+        "zorder_narrow",
+        "Exchange" not in p and "Window" not in p and "Python" not in p,
+        "zero Exchange / Window / python",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
