@@ -171,6 +171,51 @@ WHERE {DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR)")} % 100 < ({_DUCK_RATE})
 
 
 # --------------------------------------------------------------------------
+# train_split — dataset finalization: deterministic train/valid/test
+# assignment (98/1/1 by md5 bucket, salted with a split tag so it is
+# INDEPENDENT of every other md5-bucket decision in the pipeline —
+# sample_stratified's bucket and this one must not correlate, or the
+# sampled subset would be split-biased).  Hash-based assignment is the
+# retry/resume-stable form: a re-run, a backfill, or a late-arriving
+# shard lands every doc in the same split forever, which random()
+# cannot promise.
+#
+# Scale shape: one narrow filter-free projection — zero Exchange.
+# --------------------------------------------------------------------------
+
+SPLIT_VALID_PCT = 1
+SPLIT_TEST_PCT = 1
+
+
+def train_split(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bucket = md5i32(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+        .when(bucket < SPLIT_VALID_PCT + SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return d.select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+_SPLIT_H = DUCK_MD5I32.format(x="'split|' || CAST(doc_id AS VARCHAR)")
+
+SQL_TRAIN_SPLIT = f"""
+SELECT doc_id, lang, CAST({_SPLIT_H} % 100 AS INT) AS bucket,
+       CASE WHEN {_SPLIT_H} % 100 < {SPLIT_VALID_PCT} THEN 'valid'
+            WHEN {_SPLIT_H} % 100 < {SPLIT_VALID_PCT + SPLIT_TEST_PCT}
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # ngram_topk — most frequent bigrams per language (corpus statistics /
 # contamination screening).  groupBy gets map-side partial aggregation;
 # the ranking window runs over the tiny aggregated result.
@@ -2226,6 +2271,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
+    "train_split": train_split,
     "ngram_topk": ngram_topk,
     "tfidf_topk": tfidf_topk,
     "q_compact_plan": q_compact_plan,
@@ -2256,6 +2302,7 @@ ORACLE_SQL = {
     "corpus_stats": SQL_CORPUS_STATS,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "train_split": SQL_TRAIN_SPLIT,
     "ngram_topk": SQL_NGRAM_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "q_compact_plan": SQL_COMPACT_PLAN,

@@ -1658,7 +1658,7 @@ _PRIORITY = [
     "gopher_repetition", "gopher_quality", "bpe_encode",
     # round-1 driver-unchecked: corpus prep (+ round-2 additions)
     "pii_scrub", "url_normalize", "url_dedup", "line_dedup",
-    "chunk_sliding", "sample_stratified",
+    "chunk_sliding", "sample_stratified", "train_split",
     "ngram_topk", "tfidf_topk", "q_compact_plan", "pack_sequences",
     "pack_interleaved",
     "decontaminate_ngram", "decontaminate_bloom", "shuffle_deterministic",

@@ -306,6 +306,43 @@ def test_sample_stratified_deterministic_and_rate(spark):
         assert abs(kept / totals[lang] - rate) < 0.15, (lang, kept, totals[lang])
 
 
+def test_train_split_is_deterministic_and_independent(spark):
+    """Recompute every assignment in python (same md5 rule), verify
+    the relation exactly, check all three splits occur with the
+    valid/test minorities bounded, and prove INDEPENDENCE from
+    sample_stratified's bucket: the two md5 streams must not be
+    identical (a shared bucket would split-bias every sampled
+    subset)."""
+    import hashlib
+
+    from freki_spark.functions.corpus_prep import train_split
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = train_split(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    exp = {}
+    for r in docs:
+        b = h(f"split|{r.doc_id}") % 100
+        exp[r.doc_id] = (
+            r.lang, b, "valid" if b < 1 else "test" if b < 2 else "train"
+        )
+    for r in rows:
+        assert (r.lang, r.bucket, r.split) == exp[r.doc_id]
+    splits = {r.split for r in rows}
+    assert splits == {"train", "valid", "test"}
+    n = len(rows)
+    n_minor = sum(1 for r in rows if r.split != "train")
+    assert n_minor < n * 0.10, "valid+test unexpectedly large"
+    # independence: the split bucket stream differs from the unsalted
+    # doc_id bucket stream sample_stratified uses
+    assert any(
+        h(f"split|{r.doc_id}") % 100 != h(str(r.doc_id)) % 100 for r in docs
+    )
+
+
 def test_zorder_plan_interleave_matches_python_bit_math(spark):
     """Recompute the Morton key in plain python bit ops for every doc
     (independent of the generated mask/multiply terms), verify the
