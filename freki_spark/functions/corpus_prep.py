@@ -205,13 +205,16 @@ def train_split(spark, sf_dir):
 
 _SPLIT_H = DUCK_MD5I32.format(x="'split|' || CAST(doc_id AS VARCHAR)")
 
+# bucket computed ONCE in the inner select — three inlined copies of
+# the md5 expression would have to stay byte-identical or the bucket
+# column and the split label silently desync
 SQL_TRAIN_SPLIT = f"""
-SELECT doc_id, lang, CAST({_SPLIT_H} % 100 AS INT) AS bucket,
-       CASE WHEN {_SPLIT_H} % 100 < {SPLIT_VALID_PCT} THEN 'valid'
-            WHEN {_SPLIT_H} % 100 < {SPLIT_VALID_PCT + SPLIT_TEST_PCT}
-              THEN 'test'
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < {SPLIT_VALID_PCT} THEN 'valid'
+            WHEN bucket < {SPLIT_VALID_PCT + SPLIT_TEST_PCT} THEN 'test'
             ELSE 'train' END AS split
-FROM documents
+FROM (SELECT doc_id, lang, CAST({_SPLIT_H} % 100 AS INT) AS bucket
+      FROM documents)
 """
 
 

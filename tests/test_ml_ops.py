@@ -336,11 +336,15 @@ def test_train_split_is_deterministic_and_independent(spark):
     n = len(rows)
     n_minor = sum(1 for r in rows if r.split != "train")
     assert n_minor < n * 0.10, "valid+test unexpectedly large"
-    # independence: the split bucket stream differs from the unsalted
-    # doc_id bucket stream sample_stratified uses
-    assert any(
+    # independence: the split bucket stream must behave like an
+    # INDEPENDENT md5 stream vs the unsalted doc_id buckets
+    # sample_stratified uses — two independent uniform streams agree
+    # on ~1% of docs, so require ~the full corpus to differ (a
+    # constant-shift or partial salt would agree far more often)
+    n_diff = sum(
         h(f"split|{r.doc_id}") % 100 != h(str(r.doc_id)) % 100 for r in docs
     )
+    assert n_diff > 0.9 * len(docs)
 
 
 def test_zorder_plan_interleave_matches_python_bit_math(spark):

@@ -784,8 +784,11 @@ def main() -> int:
         QUERIES["q_scan_evolved"](spark, sf_dir).select("doc_id", "quality")
     )
     schema = re.search(r"ReadSchema: [^\n]*", p)
-    ok = schema is not None and "text" not in schema.group(0) and (
-        "quality" in schema.group(0)
+    ok = (
+        schema is not None
+        and "text" not in schema.group(0)
+        and "lang" not in schema.group(0)
+        and "quality" in schema.group(0)
     )
     check(
         "evolved_scan_prunes",
