@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .corpus_prep import _docs
-from .common import toks
+from .common import DUCK_MD5I32, md5i32, toks
 
 # inverted index: drop df-1 singleton terms (retrieval-useless index
 # bloat), keep the top-POSTINGS_CAP highest-tf postings per term
@@ -206,12 +206,113 @@ WHERE rk <= {BM25_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# heavy_hitters_cms — Count-Min sketch frequency estimation (Cormode &
+# Muthukrishnan 2005): the fixed-memory answer to "how often does X
+# occur" over 10^12 tokens.  The sketch is K=4 hash rows x M=1024
+# counters — 4096 cells TOTAL regardless of corpus size (that is the
+# point: the exact per-token count table has vocabulary cardinality;
+# the sketch is a constant-size partial-aggregable state you can keep
+# per hour, per source, per shard).  Estimate = min over the K cells a
+# token hashes to; one-sided error (est >= truth, always) with
+# overestimate bounded by collision mass — both properties pinned in
+# pytest against exact counts.
+#
+# Scale shape (100 TB): the sketch build is ONE partial-agg'd groupBy
+# on (k, m) — 4096 output rows, so the Exchange carries pre-combined
+# constant-size state; the true-count side (used here to verify) is
+# the standard top-k; estimation joins the 20-candidate table to the
+# BROADCAST 4096-row sketch.
+# --------------------------------------------------------------------------
+
+CMS_K = 4
+CMS_M = 1024
+CMS_TOP = 20
+
+
+def _cms_cell(k: int, tok):
+    return (
+        md5i32(F.concat(F.lit(f"cms{k}|"), tok)) % CMS_M
+    ).cast("int")
+
+
+def heavy_hitters_cms(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    e = d.select(F.explode("_tk").alias("tok"))
+    cnt = e.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    cand = cnt.orderBy(F.desc("true_cnt"), F.asc("tok")).limit(CMS_TOP)
+    cells = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            _cms_cell(k, F.col("tok")).alias("m"),
+                        )
+                        for k in range(CMS_K)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.k", "c.m")
+        .groupBy("k", "m")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    ck = cand.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        _cms_cell(k, F.col("tok")).alias("m"),
+                    )
+                    for k in range(CMS_K)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "true_cnt", "c.k", "c.m")
+    est = (
+        ck.join(F.broadcast(cells), ["k", "m"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+    )
+    return est.select("tok", "true_cnt", "est_cnt")
+
+
+def _duck_cms_cell(tok: str) -> str:
+    h = DUCK_MD5I32.format(x=f"'cms' || CAST(k AS VARCHAR) || '|' || {tok}")
+    return f"CAST({h} % {CMS_M} AS INT)"
+
+
+SQL_HEAVY_HITTERS_CMS = f"""
+WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM e GROUP BY tok),
+cand AS (SELECT tok, true_cnt FROM cnt
+         ORDER BY true_cnt DESC, tok LIMIT {CMS_TOP}),
+ek AS (SELECT tok, k, {_duck_cms_cell('tok')} AS m
+       FROM e, UNNEST(range(0, {CMS_K})) t(k)),
+cells AS (SELECT k, m, CAST(count(*) AS BIGINT) AS cell_cnt
+          FROM ek GROUP BY k, m),
+ck AS (SELECT tok, true_cnt, k, {_duck_cms_cell('tok')} AS m
+       FROM cand, UNNEST(range(0, {CMS_K})) t(k))
+SELECT tok, true_cnt, CAST(min(cell_cnt) AS BIGINT) AS est_cnt
+FROM ck JOIN cells USING (k, m)
+GROUP BY tok, true_cnt
+"""
+
+
 QUERIES = {
     "inverted_postings": inverted_postings,
     "bm25_topk": bm25_topk,
+    "heavy_hitters_cms": heavy_hitters_cms,
 }
 
 ORACLE_SQL = {
     "inverted_postings": SQL_INVERTED_POSTINGS,
     "bm25_topk": SQL_BM25_TOPK,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
 }

@@ -570,6 +570,100 @@ def test_bm25_topk_matches_python_recompute(spark):
     assert len({q for q, *_ in got}) == N_QTERMS // 2
 
 
+def test_cms_estimates_are_one_sided_and_collision_exact(spark):
+    """Recompute the whole Count-Min pipeline in plain python (md5
+    cells, true Counter, min-over-rows estimate) — the 20-row relation
+    must match exactly, every estimate must satisfy the CMS one-sided
+    bound est >= truth, and every estimate must equal truth + the
+    candidate's MINIMUM colliding mass (i.e. the sketch semantics, not
+    merely a lucky inequality).  The fixture vocabulary is only ~31
+    tokens (collisions in 1024 columns are unlikely organically), so
+    collision behavior is exercised separately on a crafted corpus
+    whose vocabulary exceeds the sketch width several times over."""
+    import hashlib
+    from collections import Counter
+
+    from freki_spark.functions.search import (
+        CMS_K,
+        CMS_M,
+        CMS_TOP,
+        heavy_hitters_cms,
+    )
+
+    def cell(k, tok):
+        return (
+            int(hashlib.md5(f"cms{k}|{tok}".encode()).hexdigest()[:8], 16)
+            % CMS_M
+        )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    true = Counter(t for r in docs for t in r.text.split(" "))
+    cells = Counter()
+    for tok, n in true.items():
+        for k in range(CMS_K):
+            cells[(k, cell(k, tok))] += n
+    cand = sorted(true.items(), key=lambda p: (-p[1], p[0]))[:CMS_TOP]
+    exp = {
+        (tok, n, min(cells[(k, cell(k, tok))] for k in range(CMS_K)))
+        for tok, n in cand
+    }
+    got = {
+        (r.tok, r.true_cnt, r.est_cnt)
+        for r in heavy_hitters_cms(spark, SF).collect()
+    }
+    assert got == exp
+    assert all(est >= n for _, n, est in got)
+
+
+def test_cms_overestimates_under_collisions(spark):
+    """On a corpus whose vocabulary (4096 distinct tokens) exceeds the
+    1024-column sketch several times over, collisions are structural:
+    at least one heavy hitter must OVERESTIMATE (est > truth), every
+    estimate still satisfies est >= truth, and the python recompute
+    still matches cell-for-cell — i.e. the sketch degrades exactly as
+    CMS theory says, never undercounting."""
+    import hashlib
+    import os
+    import tempfile
+    from collections import Counter
+
+    from freki_spark.functions.search import (
+        CMS_K,
+        CMS_M,
+        heavy_hitters_cms,
+    )
+
+    def cell(k, tok):
+        return (
+            int(hashlib.md5(f"cms{k}|{tok}".encode()).hexdigest()[:8], 16)
+            % CMS_M
+        )
+
+    # 64 docs x 64 unique rare tokens + per-doc heavy hitters
+    rows = []
+    for d in range(64):
+        rare = [f"t{d}_{i}" for i in range(64)]
+        heavy = [f"hh{d % 8}"] * 20
+        rows.append((d, " ".join(heavy + rare)))
+    tmp = tempfile.mkdtemp(prefix="freki_cms_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    true = Counter(t for _, text in rows for t in text.split(" "))
+    cells = Counter()
+    for tok, n in true.items():
+        for k in range(CMS_K):
+            cells[(k, cell(k, tok))] += n
+    got = {r.tok: (r.true_cnt, r.est_cnt)
+           for r in heavy_hitters_cms(spark, tmp).collect()}
+    assert {f"hh{i}" for i in range(8)} <= set(got)
+    for tok, (n, est) in got.items():
+        assert n == true[tok]
+        assert est == min(cells[(k, cell(k, tok))] for k in range(CMS_K))
+        assert est >= n
+    assert any(est > n for n, est in got.values()), "no collision observed"
+
+
 def test_ngram_topk_ranks_and_counts(spark):
     from freki_spark.functions.corpus_prep import NGRAM_TOPK, ngram_topk
 

@@ -805,6 +805,20 @@ def main() -> int:
         "zero Exchange / Window / python",
     )
 
+    # 50. heavy_hitters_cms: the sketch build partial-aggregates
+    #     map-side (constant 4096-cell state crosses the Exchange),
+    #     candidates come from a distributed top-k, and the estimate
+    #     join broadcasts the sketch — no SortMergeJoin anywhere
+    p = plan_of(QUERIES["heavy_hitters_cms"](spark, sf_dir))
+    check(
+        "cms_sketch_shape",
+        "partial_count" in p
+        and "TakeOrderedAndProject" in p
+        and "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p,
+        "partial agg sketch, TakeOrdered candidates, broadcast estimate join",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
