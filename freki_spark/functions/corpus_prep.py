@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import DUCK_MD5I32, bigrams, duck_bigrams, md5i32, toks
+from .common import (
+    DUCK_MD5I32,
+    DUCK_MD5I60,
+    bigrams,
+    duck_bigrams,
+    md5i32,
+    md5i60,
+    toks,
+)
 
 # regexes valid and equivalent in Java regex AND RE2 (no lookaround)
 EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+"
@@ -1009,6 +1017,160 @@ t AS (SELECT min(n_lang) AS target FROM c)
 SELECT doc_id, lang, CAST({_MIX_KEY} % n_lang AS BIGINT) AS bucket
 FROM documents JOIN c USING (lang) CROSS JOIN t
 WHERE {_MIX_KEY} % n_lang < target
+"""
+
+
+# --------------------------------------------------------------------------
+# temperature_sample — temperature-based mixture resampling WITH
+# repetition (the mT5/PaLM data-mixing rule, Xue et al. 2021 §3.1):
+# language l is sampled proportionally to (n_l/N)^alpha with alpha<1,
+# which UPsamples low-resource languages (docs repeat, n_repeats > 1)
+# and DOWNsamples the head (some docs get n_repeats = 0 and drop) while
+# keeping the total budget ~N.  alpha is fixed at 1/2 because sqrt is
+# the one power IEEE 754 rounds correctly — so the per-language weight
+# w_l = floor(sqrt(n_l * 2^30)) is bit-identical in Spark and DuckDB,
+# and everything downstream (targets, base repeats, fractional-repeat
+# election) is pure bigint math:
+#     target_l   = (N * w_l) div (sum of w)
+#     n_repeats  = target_l div n_l  +  [md5(seed,doc) % n_l < target_l % n_l]
+# The hash election is deterministic: the same doc always gets the same
+# repeat count (resume/retry/backfill-stable), which rand() cannot do.
+#
+# Scale shape (100 TB): the language histogram is a tiny partial-agg'd
+# groupBy; weights/targets broadcast back, so the corpus side is one
+# narrow map — the corpus never shuffles (plan-audited, like
+# mixture_sample).  Bigint bound: N*w_l < 2^63 holds to N ~ 2^31 docs
+# at SCALE=2^30; at 10^12 docs drop SCALE to 2^4 (relative weight error
+# < 1e-7) or widen the one target computation to decimal(38,0).
+# --------------------------------------------------------------------------
+
+TEMP_SEED = "temp:11:"
+TEMP_SCALE = 1 << 30  # w = floor(sqrt(n * SCALE)): exact while n*SCALE < 2^53
+
+
+def temperature_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    hist = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    w = hist.withColumn(
+        "w",
+        F.floor(F.sqrt((F.col("n_lang") * F.lit(TEMP_SCALE)).cast("double"))).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(
+        F.sum("n_lang").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    plan = (
+        w.join(F.broadcast(tot))  # 1-row cross join
+        .withColumn("target", F.expr("(n_total * w) div w_total"))
+        .select("lang", "n_lang", "target")
+    )
+    key = md5i32(F.concat(F.lit(TEMP_SEED), F.col("doc_id").cast("string")))
+    n_rep = F.expr("target div n_lang") + F.when(
+        key % F.col("n_lang") < F.col("target") % F.col("n_lang"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(plan), "lang")
+        .withColumn("n_repeats", n_rep.cast("int"))
+        .filter(F.col("n_repeats") > 0)
+        .select("doc_id", "lang", "n_repeats")
+    )
+
+
+_TEMP_KEY = DUCK_MD5I32.format(x=f"'{TEMP_SEED}' || CAST(doc_id AS VARCHAR)")
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+w AS (SELECT lang, n_lang,
+             CAST(floor(sqrt(CAST(n_lang * {TEMP_SCALE} AS DOUBLE))) AS BIGINT) AS w
+      FROM c),
+t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+             CAST(sum(w) AS BIGINT) AS w_total FROM w),
+plan AS (SELECT lang, n_lang, (n_total * w) // w_total AS target
+         FROM w CROSS JOIN t),
+rep AS (
+  SELECT doc_id, lang,
+         CAST(target // n_lang
+              + CASE WHEN {_TEMP_KEY} % n_lang < target % n_lang
+                     THEN 1 ELSE 0 END AS INT) AS n_repeats
+  FROM documents JOIN plan USING (lang)
+)
+SELECT doc_id, lang, n_repeats FROM rep WHERE n_repeats > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# shard_manifest — the integrity manifest shipped beside a sharded
+# training dataset (the WebDataset / MosaicML-StreamingDataset index
+# pattern): per shard, the document count, token count, doc_id range,
+# and an ORDER-INDEPENDENT content digest = sum of per-doc md5-derived
+# 32-bit hashes.  A dataloader verifies a shard by re-summing what it
+# read; a writer retry / a different task order / a recompute all
+# produce the same digest because addition commutes — which is why the
+# digest is a sum and not a hash-of-concatenation (order-dependent,
+# not partial-aggregable).  Shard assignment is the deterministic md5
+# bucket, so the manifest is reproducible from the corpus alone.
+#
+# Scale shape (100 TB): every aggregate here (count, sum, min, max) is
+# partial-aggregable with constant-size state, so the single Exchange
+# carries ~tasks × N_SHARDS pre-combined rows (plan-audited
+# partial_sum).  Bigint bound: 32-bit digest terms sum exactly to
+# ~2^31 docs per shard under Spark's ANSI overflow check; past that,
+# widen the one sum to decimal(38,0) (DuckDB's sum already widens to
+# hugeint) and publish the digest mod 2^60 — same relation, wider
+# accumulator.
+# --------------------------------------------------------------------------
+
+SHARD_SEED = "shardman:3:"
+N_SHARDS = 8
+
+
+def shard_manifest(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tk = toks(F.col("text"))
+    rows = d.select(
+        F.pmod(
+            md5i32(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string"))),
+            F.lit(N_SHARDS),
+        ).alias("shard"),
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tok"),
+        # content hash binds doc_id so identical texts in different
+        # docs still contribute distinct digest terms
+        md5i32(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+               ).alias("h"),
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+            F.sum("h").alias("digest"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs", "n_tokens", "doc_min", "doc_max", "digest",
+        )
+    )
+
+
+_SHARDMAN_KEY = DUCK_MD5I32.format(x=f"'{SHARD_SEED}' || CAST(doc_id AS VARCHAR)")
+_SHARDMAN_H = DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR) || ':' || text")
+
+SQL_SHARD_MANIFEST = f"""
+WITH rows_ AS (
+  SELECT CAST({_SHARDMAN_KEY} % {N_SHARDS} AS INT) AS shard,
+         doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {_SHARDMAN_H} AS h
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS doc_min, max(doc_id) AS doc_max,
+       CAST(sum(h) AS BIGINT) AS digest
+FROM rows_ GROUP BY shard
 """
 
 
@@ -2272,6 +2434,8 @@ QUERIES = {
     "line_dedup": line_dedup,
     "corpus_stats": corpus_stats,
     "mixture_sample": mixture_sample,
+    "temperature_sample": temperature_sample,
+    "shard_manifest": shard_manifest,
     "chunk_sliding": chunk_sliding,
     "sample_stratified": sample_stratified,
     "train_split": train_split,
@@ -2313,6 +2477,8 @@ ORACLE_SQL = {
     "pack_interleaved": SQL_PACK_INTERLEAVED,
     "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "shard_manifest": SQL_SHARD_MANIFEST,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "dsir_select": SQL_DSIR_SELECT,
     "domain_stats": SQL_DOMAIN_STATS,

@@ -288,8 +288,166 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# media_phash_dedup — PERCEPTUAL near-dup detection over media (the
+# image-dedup stage of LAION-style multimodal pipelines: re-encoded /
+# re-compressed copies have different bytes, so sha256 exact dedup
+# misses them, but their perceptual hash differs in only a few bits).
+# In production the 64-bit hash is dHash/pHash of the DECODED pixels;
+# the decoder is this container's spec-mandated stub, so the stand-in
+# derives a 60-bit hash from the content bytes and synthesizes
+# "re-encoded" copies by flipping 2 deterministic bits — the banding +
+# verify machinery (the part that scales) is real and value-checked.
+#
+# Candidate generation is Manku-style banding, like dedup_simhash: the
+# 60-bit hash splits into 4 × 15-bit bands; any pair within Hamming
+# distance 3 agrees on >= 1 whole band (pigeonhole), so a band
+# equi-join has guaranteed recall to distance 3.  Random far pairs
+# share a band with p ~ 4/2^15 and are killed by the exact
+# bit_count(xor) verify.
+#
+# Scale shape (100 TB of images): the blob never enters this op's
+# shuffle — the narrow map reduces each asset to (ref, 60-bit hash)
+# before the 4x band explode, the band join is an AQE-skew-splittable
+# equi-join on 15-bit keys, and the verify is integer bit math.  Band
+# width is the precision dial (wider bands = fewer false candidates,
+# lower guaranteed Hamming radius).
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 15  # 4 x 15 = 60: distance <= 3 shares >= 1 band
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_media(spark, sf_dir) -> DataFrame:
+    """(media_ref, phash) for base assets ∪ 2-bit-flipped re-encodes
+    (every 3rd asset) ∪ unrelated far copies (every 5th asset)."""
+    from .common import md5i32, md5i60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = synth_media_table(docs).select("doc_id", "media_ref", "content")
+    base = m.select(
+        "doc_id",
+        "media_ref",
+        md5i60(F.concat(F.lit("phash:"), F.hex("content"))).alias("phash"),
+    )
+    mut = (
+        base.filter(F.col("doc_id") % 15 == 0)
+        .select(
+            F.concat(F.col("media_ref"), F.lit("/re")).alias("media_ref"),
+            "phash",
+            (md5i32(F.concat(F.col("media_ref"), F.lit(":f1")))
+             % PHASH_BITS).cast("int").alias("p1"),
+            (md5i32(F.concat(F.col("media_ref"), F.lit(":f2")))
+             % PHASH_BITS).cast("int").alias("p2"),
+        )
+        .select(
+            "media_ref",
+            F.expr(
+                "phash ^ shiftleft(CAST(1 AS BIGINT), p1)"
+                " ^ shiftleft(CAST(1 AS BIGINT), p2)"
+            ).alias("phash"),
+        )
+    )
+    far_ref = F.concat(F.col("media_ref"), F.lit("/far"))
+    far = m.filter(F.col("doc_id") % 25 == 0).select(
+        far_ref.alias("media_ref"),
+        md5i60(
+            F.concat(F.lit("phash:"), F.hex(F.unhex(F.sha2(far_ref, 256))))
+        ).alias("phash"),
+    )
+    return base.select("media_ref", "phash").unionAll(mut).unionAll(far)
+
+
+def media_phash_dedup(spark, sf_dir):
+    c = _phash_media(spark, sf_dir)
+    bands = c.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.pmod(
+                            F.shiftright(F.col("phash"), b * PHASH_BAND_BITS),
+                            F.lit(1 << PHASH_BAND_BITS),
+                        ).alias("bv"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("media_ref", "phash", "x.band", "x.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("a_ref"),
+            F.col("b.media_ref").alias("b_ref"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return pairs.select(
+        "a_ref", "b_ref", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+from .common import DUCK_MD5I32 as _DUCK32  # noqa: E402
+from .common import DUCK_MD5I60 as _DUCK60  # noqa: E402
+
+_PH_BASE = _DUCK60.format(x="'phash:' || upper(sha256(media_ref))")
+_PH_FAR = _DUCK60.format(x="'phash:' || upper(sha256(media_ref || '/far'))")
+_PH_P1 = _DUCK32.format(x="media_ref || ':f1'")
+_PH_P2 = _DUCK32.format(x="media_ref || ':f2'")
+
+SQL_MEDIA_PHASH_DEDUP = f"""
+WITH m AS (
+  SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0
+),
+base AS (SELECT doc_id, media_ref, {_PH_BASE} AS phash FROM m),
+mut AS (
+  SELECT media_ref || '/re' AS media_ref,
+         xor(xor(phash, CAST(1 AS BIGINT) << ({_PH_P1} % {PHASH_BITS})),
+             CAST(1 AS BIGINT) << ({_PH_P2} % {PHASH_BITS})) AS phash
+  FROM base WHERE doc_id % 15 = 0
+),
+far AS (SELECT media_ref || '/far' AS media_ref, {_PH_FAR} AS phash
+        FROM m WHERE doc_id % 25 = 0),
+c AS (
+  SELECT media_ref, phash FROM base
+  UNION ALL SELECT * FROM mut
+  UNION ALL SELECT * FROM far
+),
+bands AS (
+  SELECT media_ref, phash, b,
+         (phash >> (b * {PHASH_BAND_BITS})) % {1 << PHASH_BAND_BITS} AS bv
+  FROM c CROSS JOIN (SELECT unnest(range(0, {PHASH_BANDS})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.media_ref AS a_ref, b.media_ref AS b_ref,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.media_ref < b.media_ref
+)
+SELECT a_ref, b_ref, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+"""
+
+
 QUERIES = {
     "media_features": q_media_features,
+    "media_phash_dedup": media_phash_dedup,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_dedup": media_dedup,
@@ -297,6 +455,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
+    "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_dedup": SQL_MEDIA_DEDUP,

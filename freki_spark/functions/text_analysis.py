@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import DUCK_MD5I32, MOD31, bigrams, duck_bigrams, md5i32, toks
+from .common import (
+    DUCK_MD5I32,
+    DUCK_MD5I60,
+    MOD31,
+    bigrams,
+    duck_bigrams,
+    md5i32,
+    md5i60,
+    toks,
+)
 
 # fixed marker-token lists (the corpus is synthetic; the *mechanism* —
 # n-gram/markers scoring with deterministic tie-break — is what scales)
@@ -1276,8 +1285,97 @@ QUALIFY rank <= {BPE_TRAIN_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# winnow_fingerprint — winnowing document fingerprints (Schleimer,
+# Wilkerson & Aiken 2003 — the MOSS algorithm): hash every K-token
+# k-gram, slide a W-hash window over the hash sequence, select the
+# minimum hash of each window (rightmost occurrence on ties), distinct
+# the (position, hash) selections.  The winnowing guarantee: any shared
+# run of >= W+K-1 tokens across two documents yields at least one
+# SHARED fingerprint, and selection is position-local (an edit only
+# perturbs fingerprints within W windows of it) — unlike "hash % p ==
+# 0" sampling, whose density drifts with content.  The fingerprint
+# relation is the candidate-generation key for copy detection: join
+# docs on fp exactly like dedup_minhash_lsh joins on band keys.
+#
+# Scale shape (100 TB): entirely per-row array expressions — tokens
+# and the gram-hash array each bound as named columns in their own
+# projection BEFORE any lambda reads them (the CLAUDE.md HOF rule;
+# same chain as dedup._with_minhash, pinned linear by the mega-doc
+# canary test), so the whole op is O(n·W) per doc with zero Exchange
+# (plan-audited).  W is the density dial: expected fingerprint density
+# is 2/(W+1) of positions.
+# --------------------------------------------------------------------------
+
+WINNOW_K = 3  # tokens per k-gram (the shingle slice convention)
+WINNOW_W = 4  # hashes per winnowing window
+
+
+def winnow_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_tk") - (WINNOW_K - 1), F.lit(1))),
+        lambda i: md5i60(F.concat_ws(" ", F.slice(F.col("_tk"), i, WINNOW_K))),
+    )
+    h = d.select("doc_id", gram_hashes.alias("_hs"))
+
+    def _select(i):
+        sl = F.slice(F.col("_hs"), i, WINNOW_W)
+        mn = F.array_min(sl)
+        # rightmost occurrence of the window minimum = first position
+        # in the reversed window, mirrored verbatim by the oracle
+        rpos = F.size(sl) - F.array_position(F.reverse(sl), mn)
+        return F.struct((i + rpos).cast("int").alias("pos"), mn.alias("fp"))
+
+    sel = h.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_hs") - (WINNOW_W - 1), F.lit(1))
+                ),
+                _select,
+            )
+        ).alias("fps"),
+    )
+    return sel.select("doc_id", F.explode("fps").alias("u")).select(
+        "doc_id", "u.pos", "u.fp"
+    )
+
+
+# DuckDB 1.0 has no list_distinct over structs (histogram-backed), so
+# the oracle distincts relationally after unnest — same set either way
+_WIN_SL = f"hs[i:i+{WINNOW_W - 1}]"
+_WIN_GRAM = DUCK_MD5I60.format(
+    x=f"array_to_string(tk[i:i+{WINNOW_K - 1}], ' ')"
+)
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tk) - {WINNOW_K - 1}, 1) + 1),
+                        i -> {_WIN_GRAM}) AS hs
+  FROM t
+),
+sel AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           i -> struct_pack(
+             pos := i + (len({_WIN_SL})
+                         - list_position(list_reverse({_WIN_SL}),
+                                         list_min({_WIN_SL}))),
+             fp := list_min({_WIN_SL}))) AS fps
+  FROM h
+)
+SELECT DISTINCT doc_id, CAST(u.pos AS INT) AS pos, u.fp AS fp
+FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
+    "winnow_fingerprint": winnow_fingerprint,
     "lexical_diversity": lexical_diversity,
     "quality_score": quality_score,
     "badword_filter": badword_filter,
@@ -1296,6 +1394,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lang_id_ngram": SQL_LANG_ID,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "quality_score": SQL_QUALITY,
     "token_count_bpe": SQL_TOKEN_COUNT,

@@ -2773,3 +2773,234 @@ def test_warc_synth_raises_on_null_text(spark):
     )
     with _pytest.raises(SparkRuntimeException, match="silently drop"):
         parse_warc(synth_warc_chunks(d)).collect()
+
+
+def test_winnow_fingerprint_matches_python_and_covers(spark):
+    """Every doc's fingerprint set equals an independent hashlib-md5
+    winnowing recompute (k-gram hash, W-window min, rightmost tie),
+    and the winnowing coverage guarantee holds: every W-window of the
+    hash sequence contains a selected position (consecutive selected
+    positions never gap by more than W)."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprint,
+    )
+
+    def winnow_py(text):
+        tk = text.split(" ")
+        m = max(len(tk) - WINNOW_K + 1, 1)
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(tk[i : i + WINNOW_K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(m)
+        ]
+        sel = set()
+        for i in range(max(len(hs) - WINNOW_W + 1, 1)):
+            sl = hs[i : i + WINNOW_W]
+            mn = min(sl)
+            rpos = len(sl) - 1 - sl[::-1].index(mn)  # rightmost min
+            sel.add((i + rpos + 1, mn))  # 1-based position
+        return sel
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = defaultdict(set)
+    for r in winnow_fingerprint(spark, SF).collect():
+        got[r.doc_id].add((r.pos, r.fp))
+    assert set(got) == set(texts)
+    for d, text in texts.items():
+        assert got[d] == winnow_py(text), f"doc {d}"
+        pos = sorted(p for p, _ in got[d])
+        gaps = [b - a for a, b in zip(pos, pos[1:])]
+        assert all(g <= WINNOW_W for g in gaps), f"doc {d}: gap > W"
+
+
+def test_winnow_rightmost_tie_break(spark, tmp_path):
+    """All-identical tokens make every window a pure tie: the rule must
+    select the RIGHTMOST minimal position of each window (classic
+    winnowing), never the leftmost."""
+    import hashlib
+
+    from freki_spark.functions.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprint,
+    )
+
+    spark.createDataFrame(
+        [(1, "w w w w w w w w", "en", "src", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = winnow_fingerprint(spark, str(tmp_path)).collect()
+    h = int(hashlib.md5(("w " * WINNOW_K).strip().encode()).hexdigest()[:15], 16)
+    # 8 tokens -> 6 identical gram hashes -> windows i=1..3, rightmost
+    # of each window = i + W - 1 -> positions {4, 5, 6}
+    assert {(r.pos, r.fp) for r in rows} == {(p, h) for p in (4, 5, 6)}
+
+
+def test_temperature_sample_matches_closed_form(spark):
+    """Per-doc repeat counts equal the integer closed form (alpha=1/2
+    temperature weights via exact isqrt, hash-elected fractional
+    repeats); the head language is downsampled (some docs dropped) and
+    at least one tail-language doc repeats; the realized budget stays
+    within one max-language count of N."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from freki_spark.functions.corpus_prep import (
+        TEMP_SCALE,
+        TEMP_SEED,
+        temperature_sample,
+    )
+
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    n_lang = Counter(langs.values())
+    n_total = sum(n_lang.values())
+    w = {l: math.isqrt(n * TEMP_SCALE) for l, n in n_lang.items()}
+    w_total = sum(w.values())
+    target = {l: n_total * w[l] // w_total for l in n_lang}
+
+    def key(doc_id):
+        return int(
+            hashlib.md5(f"{TEMP_SEED}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+
+    exp = {}
+    for d, l in langs.items():
+        r = target[l] // n_lang[l] + (
+            1 if key(d) % n_lang[l] < target[l] % n_lang[l] else 0
+        )
+        if r > 0:
+            exp[d] = r
+    got = {r.doc_id: r.n_repeats for r in temperature_sample(spark, SF).collect()}
+    assert got == exp
+    big = max(n_lang, key=n_lang.get)
+    small = min(n_lang, key=n_lang.get)
+    assert any(d not in exp for d, l in langs.items() if l == big)
+    assert any(exp.get(d, 0) > 1 for d, l in langs.items() if l == small)
+    assert abs(sum(exp.values()) - n_total) <= max(n_lang.values())
+
+
+def test_shard_manifest_matches_hashlib(spark):
+    """The whole manifest relation — shard assignment, counts, doc_id
+    range, and the order-independent sum digest — equals a pure-python
+    recompute, and the shards partition the corpus exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.corpus_prep import (
+        N_SHARDS,
+        SHARD_SEED,
+        shard_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per = defaultdict(lambda: [0, 0, None, None, 0])
+    for r in docs:
+        s = (
+            int(
+                hashlib.md5(f"{SHARD_SEED}{r.doc_id}".encode()).hexdigest()[:8],
+                16,
+            )
+            % N_SHARDS
+        )
+        st = per[s]
+        st[0] += 1
+        st[1] += len(r.text.split(" "))
+        st[2] = r.doc_id if st[2] is None else min(st[2], r.doc_id)
+        st[3] = r.doc_id if st[3] is None else max(st[3], r.doc_id)
+        st[4] += int(
+            hashlib.md5(f"{r.doc_id}:{r.text}".encode()).hexdigest()[:8], 16
+        )
+    got = {
+        r.shard: (r.n_docs, r.n_tokens, r.doc_min, r.doc_max, r.digest)
+        for r in shard_manifest(spark, SF).collect()
+    }
+    assert got == {s: tuple(st) for s, st in per.items()}
+    assert sum(v[0] for v in got.values()) == len(docs)
+
+
+def test_media_phash_dedup_bands_find_flipped_copies(spark):
+    """Every 2-bit-flipped re-encode must be discovered via banding
+    (guaranteed: Hamming <= 3 shares a band), far copies must never
+    pair with their base, and the whole relation equals a pure-python
+    recompute of the banding + Hamming-verify pipeline."""
+    import hashlib
+    from itertools import combinations
+
+    from freki_spark.functions.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_MAX_HAMMING,
+        media_phash_dedup,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    ph = {}
+    for d in doc_ids:
+        if d % 5:
+            continue
+        ref = f"img://{d}/0"
+        content_hex = hashlib.sha256(ref.encode()).hexdigest().upper()
+        base = h60(f"phash:{content_hex}")
+        ph[ref] = base
+        if d % 15 == 0:
+            p1, p2 = h32(f"{ref}:f1") % PHASH_BITS, h32(f"{ref}:f2") % PHASH_BITS
+            ph[f"{ref}/re"] = base ^ (1 << p1) ^ (1 << p2)
+        if d % 25 == 0:
+            far_hex = hashlib.sha256(f"{ref}/far".encode()).hexdigest().upper()
+            ph[f"{ref}/far"] = h60(f"phash:{far_hex}")
+
+    def bandvals(x):
+        return [
+            (b, (x >> (b * PHASH_BAND_BITS)) % (1 << PHASH_BAND_BITS))
+            for b in range(PHASH_BANDS)
+        ]
+
+    exp = {}
+    for a, b in combinations(sorted(ph), 2):
+        if set(bandvals(ph[a])) & set(bandvals(ph[b])):
+            hm = bin(ph[a] ^ ph[b]).count("1")
+            if hm <= PHASH_MAX_HAMMING:
+                exp[(a, b)] = hm
+
+    got = {(r.a_ref, r.b_ref): r.hamming for r in media_phash_dedup(spark, SF).collect()}
+    assert got == exp
+    # every synthesized re-encode is discovered against its base…
+    for ref in ph:
+        if ref.endswith("/re"):
+            base = ref[: -len("/re")]
+            pair = (min(base, ref), max(base, ref))
+            assert pair in got and got[pair] <= 2
+        # …and no far copy survives the Hamming verify against its base
+        if ref.endswith("/far"):
+            base = ref[: -len("/far")]
+            assert (min(base, ref), max(base, ref)) not in got

@@ -819,6 +819,62 @@ def main() -> int:
         "partial agg sketch, TakeOrdered candidates, broadcast estimate join",
     )
 
+    # 51. winnow_fingerprint: fingerprint selection is entirely
+    #     per-row array expressions over bound columns — the explode
+    #     is a narrow Generate, zero Exchange, zero python
+    p = plan_of(QUERIES["winnow_fingerprint"](spark, sf_dir))
+    check(
+        "winnow_narrow",
+        "Exchange" not in p and "Python" not in p and "Generate" in p,
+        "zero Exchange / python; narrow Generate",
+    )
+
+    # 52. temperature_sample: the corpus side is one narrow filter —
+    #     only the tiny language histogram aggregates shuffle, and the
+    #     per-language plan broadcasts back (no SortMergeJoin, no
+    #     corpus-keyed Exchange: every Exchange sits above a
+    #     HashAggregate, never above the raw scan projection)
+    p = plan_of(QUERIES["temperature_sample"](spark, sf_dir))
+    ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    # formatted-plan ids are execution order: every exchange must
+    # consume an aggregate that ran before it (histogram-sized input)
+    ex_above_agg = all(any(a < e for a in agg_ids) for e in ex_ids)
+    check(
+        "temperature_sample_shape",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p and ex_above_agg,
+        f"broadcast plan join; exchanges={len(ex_ids)} all above aggregates",
+    )
+
+    # 53. shard_manifest: ONE Exchange, partial-aggregated map-side
+    #     (constant per-shard state crosses the shuffle)
+    p = plan_of(QUERIES["shard_manifest"](spark, sf_dir))
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    check(
+        "shard_manifest_partial",
+        "partial_sum" in p
+        and len(set(ex_ids)) == 1
+        and bool(agg_ids)
+        and min(agg_ids) < min(ex_ids),
+        "single Exchange with map-side combine",
+    )
+
+    # 54. media_phash_dedup: candidates come from the band equi-join,
+    #     never an all-pairs plan; the binary content reduces to the
+    #     60-bit hash in the narrow map, so no shuffle carries a
+    #     `content` column
+    p = plan_of(QUERIES["media_phash_dedup"](spark, sf_dir))
+    ex_blocks = re.findall(r"\(\d+\) Exchange.*?(?=\n\(\d+\)|\Z)", p, re.S)
+    blob_shuffled = any("content" in b for b in ex_blocks)
+    check(
+        "phash_band_join",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and not blob_shuffled,
+        "band equi-join only; no blob column in any Exchange",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
