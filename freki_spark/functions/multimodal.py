@@ -445,9 +445,129 @@ FROM pairs WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
 """
 
 
+# --------------------------------------------------------------------------
+# clip_filter — image-text pair filtering by embedding similarity (the
+# LAION curation rule, Schuhmann et al. 2021: keep a candidate pair
+# only if CLIP cosine similarity clears a threshold; the filter is
+# what turned 50B raw pairs into the 400M/5B training sets).  The
+# encoders are this container's spec-mandated stub — image and text
+# vectors are deterministic sha256-derived byte vectors — but the
+# decision machinery is real and INTEGER-EXACT cross-engine:
+#     keep  ⟺  cos(a,b) >= 3/4  ⟺  16·dot(a,b)² >= 9·|a|²·|b|²
+# (components are non-negative so dot > 0 and squaring is monotone).
+# A float cosine would hit the cross-engine reassociation trap BM25
+# hit; the squared-integer form cannot.
+#
+# Scale shape (100 TB of pairs): each candidate pair is one row
+# (media rides with its host document's text — the caption_mine output
+# shape), the vectors are fixed 8-int arrays built in the same narrow
+# pass, and the verdict is per-row integer math — zero Exchange
+# (plan-audited).  The media columns derive from the host row itself
+# (the synth_media_table formula inlined), so no join materializes at
+# all; with a separate media table, the pair join is doc_id-grain and
+# co-located under the io.py bucket convention.
+# --------------------------------------------------------------------------
+
+CLIP_DIMS = 8
+CLIP_THR_NUM = 3  # threshold = 3/4; 16·dot² >= 9·|a|²·|b|²
+CLIP_THR_DEN = 4
+
+
+def _hash_vec(hex_col):
+    """First CLIP_DIMS bytes of a sha256 hex string as a bigint array."""
+    return F.array(
+        *[
+            F.conv(F.substring(hex_col, 2 * i + 1, 2), 16, 10).cast("bigint")
+            for i in range(CLIP_DIMS)
+        ]
+    )
+
+
+def clip_filter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # synth_media_table's ref/content formula inlined on the host row:
+    # pair construction stays a single narrow pass (no self-join)
+    ref = F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    pairs = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        ref.alias("media_ref"),
+        F.unhex(F.sha2(ref, 256)).alias("content"),
+        "text",
+    )
+    # image encoder stub: sha256 of the lowercase content hex (the
+    # _fake_feature_vector convention); text encoder stub: sha256(text)
+    img_hex = F.sha2(F.lower(F.hex("content")), 256)
+    txt_hex = F.sha2(F.col("text"), 256)
+    v = pairs.select(
+        "doc_id",
+        "media_ref",
+        _hash_vec(img_hex).alias("iv"),
+        _hash_vec(txt_hex).alias("tv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("iv", "tv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.select(
+        "doc_id",
+        "media_ref",
+        dot.alias("dot"),
+        sq("iv").alias("na2"),
+        sq("tv").alias("nb2"),
+    )
+    keep = (
+        F.lit(CLIP_THR_DEN * CLIP_THR_DEN) * F.col("dot") * F.col("dot")
+        >= F.lit(CLIP_THR_NUM * CLIP_THR_NUM) * F.col("na2") * F.col("nb2")
+    )
+    return scored.select(
+        "doc_id", "media_ref", "dot", "na2", "nb2", keep.cast("int").alias("keep")
+    )
+
+
+def _duck_vec_terms(hex_expr, f):
+    """Σ f(byte_i) over the first CLIP_DIMS bytes of a hex string."""
+    return " + ".join(
+        f(f"CAST('0x' || substr({hex_expr}, {2 * i + 1}, 2) AS BIGINT)")
+        for i in range(CLIP_DIMS)
+    )
+
+
+_CLIP_IMG = "sha256(sha256(media_ref))"  # content hex IS sha256(ref), lowercase
+_CLIP_TXT = "sha256(text)"
+
+SQL_CLIP_FILTER = f"""
+WITH m AS (
+  SELECT doc_id, 'img://' || doc_id || '/0' AS media_ref, text
+  FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+  SELECT doc_id, media_ref,
+         {_duck_vec_terms(_CLIP_IMG, lambda a: f"({a}) * ({a})")} AS na2,
+         {_duck_vec_terms(_CLIP_TXT, lambda b: f"({b}) * ({b})")} AS nb2,
+         {" + ".join(
+             f"(CAST('0x' || substr({_CLIP_IMG}, {2 * i + 1}, 2) AS BIGINT)"
+             f" * CAST('0x' || substr({_CLIP_TXT}, {2 * i + 1}, 2) AS BIGINT))"
+             for i in range(CLIP_DIMS)
+         )} AS dot
+  FROM m
+)
+SELECT doc_id, media_ref, dot, na2, nb2,
+       CAST({CLIP_THR_DEN * CLIP_THR_DEN} * dot * dot
+            >= {CLIP_THR_NUM * CLIP_THR_NUM} * na2 * nb2 AS INT) AS keep
+FROM s
+"""
+
+
 QUERIES = {
     "media_features": q_media_features,
     "media_phash_dedup": media_phash_dedup,
+    "clip_filter": clip_filter,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_dedup": media_dedup,
@@ -456,6 +576,7 @@ QUERIES = {
 ORACLE_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
+    "clip_filter": SQL_CLIP_FILTER,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_dedup": SQL_MEDIA_DEDUP,

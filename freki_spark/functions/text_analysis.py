@@ -745,7 +745,14 @@ def curate_keep(spark, sf_dir):
     the corpus twice; here Catalyst collapses both rule sets plus the
     verdict into a single whole-stage-codegen'd pass — zero Exchange,
     one scan (plan-audited)."""
-    d = _docs(spark, sf_dir).select(
+    return curate_relation(_docs(spark, sf_dir))
+
+
+def curate_relation(docs):
+    """The gate as a relation over any (doc_id, text) frame — shared
+    by the batch entry above and streaming.q_stream_curate (stateless
+    narrow transform, so it applies to a streaming frame unchanged)."""
+    d = docs.select(
         "doc_id", "text", toks(F.col("text")).alias("_tk")
     )
     tk = F.col("_tk")

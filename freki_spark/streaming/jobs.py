@@ -341,9 +341,59 @@ SQL_STREAM_EXTRACT = (
 
 
 from ..functions.dedup import SQL_DEDUP_INCREMENTAL  # noqa: E402
+from ..functions.text_analysis import SQL_CURATE_KEEP  # noqa: E402
+
+def stream_curate(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    """Streaming curation: the fused Gopher+blocklist gate
+    (functions.text_analysis.curate_relation) applied DIRECTLY on the
+    stream — the gate is a stateless narrow transform, so it runs in
+    append mode with no state store, no watermark, and no foreachBatch
+    escape hatch: the cheapest possible streaming shape, and exactly
+    how a continuous crawl ingest filters documents as they land.  The
+    source is staged as 4 files read one per micro-batch, so the gate
+    demonstrably produces identical verdicts across batch boundaries
+    (oracle = the batch operator's own SQL: stream == batch ==
+    DuckDB)."""
+    from ..functions.text_analysis import curate_relation
+
+    src = os.path.join(tempfile.mkdtemp(prefix="freki_scur_"), "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4).write.parquet(
+        src
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curate_relation(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def q_stream_curate(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_curate(spark, sf_dir, f"stream_curate_{_SINK_N[0]}")
+
 
 QUERIES = {
     "q_stream_hourly": q_stream_hourly,
+    "q_stream_curate": q_stream_curate,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_extract": q_stream_extract,
@@ -357,4 +407,5 @@ ORACLE_SQL = {
     "q_stream_extract": SQL_STREAM_EXTRACT,
     # the batch operator's own oracle: stream == batch == DuckDB
     "q_stream_incremental_dedup": SQL_DEDUP_INCREMENTAL,
+    "q_stream_curate": SQL_CURATE_KEEP,
 }

@@ -3004,3 +3004,70 @@ def test_media_phash_dedup_bands_find_flipped_copies(spark):
         if ref.endswith("/far"):
             base = ref[: -len("/far")]
             assert (min(base, ref), max(base, ref)) not in got
+
+
+def test_clip_filter_integer_cosine_rule(spark):
+    """Pair scores and verdicts equal a pure-python recompute of the
+    integer cosine rule (16·dot² >= 9·|a|²·|b|²) over the sha256 stub
+    encoders, and the threshold actually separates the population
+    (both keep classes occur)."""
+    import hashlib
+
+    from freki_spark.functions.multimodal import (
+        CLIP_DIMS,
+        CLIP_THR_DEN,
+        CLIP_THR_NUM,
+        clip_filter,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def vec(hexstr):
+        return [int(hexstr[2 * i : 2 * i + 2], 16) for i in range(CLIP_DIMS)]
+
+    exp = {}
+    for d, text in docs.items():
+        if d % 5:
+            continue
+        ref = f"img://{d}/0"
+        content_hex = hashlib.sha256(ref.encode()).hexdigest()  # lowercase
+        iv = vec(hashlib.sha256(content_hex.encode()).hexdigest())
+        tv = vec(hashlib.sha256(text.encode()).hexdigest())
+        dot = sum(a * b for a, b in zip(iv, tv))
+        na2 = sum(a * a for a in iv)
+        nb2 = sum(b * b for b in tv)
+        keep = int(
+            CLIP_THR_DEN**2 * dot * dot >= CLIP_THR_NUM**2 * na2 * nb2
+        )
+        exp[(d, ref)] = (dot, na2, nb2, keep)
+
+    got = {
+        (r.doc_id, r.media_ref): (r.dot, r.na2, r.nb2, r.keep)
+        for r in clip_filter(spark, SF).collect()
+    }
+    assert got == exp
+    keeps = [v[3] for v in got.values()]
+    assert 0 < sum(keeps) < len(keeps)
+
+
+def test_stream_curate_equals_batch(spark):
+    """The streaming curation gate (stateless narrow transform in
+    append mode, one file per micro-batch) must produce exactly the
+    batch operator's relation — same verdicts, same reject reasons,
+    across micro-batch boundaries."""
+    from freki_spark.functions.text_analysis import curate_keep
+    from freki_spark.streaming.jobs import stream_curate
+
+    batch = {
+        r.doc_id: (r.keep, r.reject_reason)
+        for r in curate_keep(spark, SF).collect()
+    }
+    stream = {
+        r.doc_id: (r.keep, r.reject_reason)
+        for r in stream_curate(spark, SF, "t_stream_curate").collect()
+    }
+    assert stream == batch
+    assert 0 < sum(k for k, _ in stream.values()) < len(stream)

@@ -875,6 +875,15 @@ def main() -> int:
         "band equi-join only; no blob column in any Exchange",
     )
 
+    # 55. clip_filter: pair scoring + verdict is ONE narrow pass —
+    #     zero Exchange, zero python, no join materialized
+    p = plan_of(QUERIES["clip_filter"](spark, sf_dir))
+    check(
+        "clip_filter_narrow",
+        "Exchange" not in p and "Python" not in p and "Join" not in p,
+        "zero Exchange / python / join",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
