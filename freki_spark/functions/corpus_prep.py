@@ -2425,6 +2425,150 @@ FROM per JOIN rules USING (domain)
 """
 
 
+# --------------------------------------------------------------------------
+# span_corruption — T5-style span-corruption mask plan (Raffel et al.
+# 2020 §3.1.4: mask ~15% of tokens in multi-token spans, one sentinel
+# per span).  Deterministic version: one span per SC_GRID-token slot,
+# span length hash-jittered in {2, 3, 4} (mean 3 = T5's mean span
+# length; 3/20 = the paper's 15% corruption rate), offset hash-placed
+# so the span sits fully inside its slot — spans are non-overlapping
+# BY CONSTRUCTION (no rejection loop, no prefix scan).  Docs shorter
+# than one slot emit nothing (documented; the tail tokens of every doc
+# are likewise never masked).  Output is the MASK PLAN relation
+# (doc_id, sentinel_id, span_start, span_len, masked_text) — the
+# downstream encoder consumes it as (inputs with sentinels, targets);
+# emitting the plan rather than rewritten text keeps the op pure
+# column math and the join-back trivial.
+#
+# Scale shape (100 TB): entirely per-row — slot count, jitters, and
+# boundaries are O(1) closed-form hashes of (doc_id, slot) over the
+# bound token column (the c4_line_filter grid pattern); one narrow
+# explode, zero Exchange (plan-audited).
+# --------------------------------------------------------------------------
+
+SC_GRID = 20  # one masked span per 20-token slot
+SC_LEN_MIN = 2  # span length = SC_LEN_MIN + h % SC_LEN_MOD in {2,3,4}
+SC_LEN_MOD = 3
+
+
+def span_corruption(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    w = d.filter(n >= SC_GRID).withColumn(
+        "_slots", F.floor(n / F.lit(SC_GRID)).cast("int")
+    )
+    ds = F.col("doc_id").cast("string")
+
+    def h(tag, i):
+        return md5i32(F.concat(ds, F.lit(tag), i.cast("string")))
+
+    def span(i):
+        ln = h("L", i) % SC_LEN_MOD + SC_LEN_MIN
+        off = h("O", i) % (F.lit(SC_GRID).cast("bigint") - ln + 1)
+        st = (i.cast("bigint") - 1) * SC_GRID + 1 + off
+        return F.struct(
+            i.cast("int").alias("sentinel_id"),
+            st.cast("int").alias("span_start"),
+            ln.cast("int").alias("span_len"),
+            F.concat_ws(
+                " ", F.slice(F.col("tk"), st.cast("int"), ln.cast("int"))
+            ).alias("masked_text"),
+        )
+
+    return (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.col("_slots")), span)
+            ).alias("s"),
+        )
+        .select(
+            "doc_id", "s.sentinel_id", "s.span_start", "s.span_len",
+            "s.masked_text",
+        )
+    )
+
+
+_SC_H_L = DUCK_MD5I32.format(x="doc_id || 'L' || i")
+_SC_H_O = DUCK_MD5I32.format(x="doc_id || 'O' || i")
+
+SQL_SPAN_CORRUPTION = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (SELECT doc_id, tk, len(tk) // {SC_GRID} AS slots
+      FROM d WHERE len(tk) >= {SC_GRID}),
+s AS (SELECT doc_id, tk, i, {_SC_H_L} % {SC_LEN_MOD} + {SC_LEN_MIN} AS ln
+      FROM w, UNNEST(range(1, slots + 1)) t(i)),
+s2 AS (SELECT doc_id, tk, i, ln,
+              (i - 1) * {SC_GRID} + 1 + ({_SC_H_O} % ({SC_GRID} - ln + 1))
+                AS st
+       FROM s)
+SELECT doc_id, CAST(i AS INT) AS sentinel_id, CAST(st AS INT) AS span_start,
+       CAST(ln AS INT) AS span_len,
+       array_to_string(tk[st:st+ln-1], ' ') AS masked_text
+FROM s2
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted_sample — weighted sampling without replacement (Efraimidis &
+# Spirakis 2006, algorithm A-ES): each item draws a deterministic
+# uniform u from its id and ranks by ln(u)/w (the log form of u^(1/w));
+# the global top-K is EXACTLY a weighted sample without replacement —
+# inclusion probability proportional to weight, here token count (the
+# "sample by training-token mass" rule a data-mixing pipeline needs).
+# Hash-derived u (not rand()) keeps retried tasks and resumed runs
+# consistent — the same corpus always yields the same sample.
+#
+# Scale shape (100 TB): one narrow map computes the key, then a
+# DISTRIBUTED top-K (TakeOrderedAndProject — never a global sort);
+# the ranking window runs over the K survivors only (the bm25 qterms
+# pattern).  The ln() double is floored to integer micros before any
+# comparison, and the oracle mirrors Spark's exact float association
+# (the CLAUDE.md float-oracle rule), so ranks cannot flip cross-engine.
+# --------------------------------------------------------------------------
+
+WS_K = 50
+_WS_U_DEN = 4294967296.0  # 2^32: u = (h + 0.5) / 2^32 in (0, 1)
+
+
+def weighted_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks(F.col("text"))).alias("w_tokens")
+    )
+    h = md5i32(F.concat(F.lit("ws|"), F.col("doc_id").cast("string")))
+    key = F.floor(
+        F.log((h + F.lit(0.5)) / F.lit(_WS_U_DEN))
+        / F.col("w_tokens")
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    top = (
+        d.withColumn("key_micro", key)
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(WS_K)
+    )
+    rw = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))  # K rows
+    return top.withColumn("rk", F.row_number().over(rw).cast("int")).select(
+        "doc_id", "w_tokens", "key_micro", "rk"
+    )
+
+
+_WS_H = DUCK_MD5I32.format(x="'ws|' || doc_id")
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS w_tokens
+           FROM documents),
+k AS (SELECT doc_id, w_tokens,
+             CAST(floor(ln(({_WS_H} + 0.5) / {_WS_U_DEN})
+                        / w_tokens * 1000000.0) AS BIGINT) AS key_micro
+      FROM d)
+SELECT doc_id, w_tokens, key_micro,
+       CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id) AS INT) AS rk
+FROM k
+ORDER BY key_micro DESC, doc_id
+LIMIT {WS_K}
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -2455,9 +2599,13 @@ QUERIES = {
     "link_graph": link_graph,
     "anchor_text": anchor_text,
     "zorder_plan": zorder_plan,
+    "span_corruption": span_corruption,
+    "weighted_sample": weighted_sample,
 }
 
 ORACLE_SQL = {
+    "span_corruption": SQL_SPAN_CORRUPTION,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "decontaminate_ngram": SQL_DECONTAMINATE,
     "decontaminate_bloom": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,

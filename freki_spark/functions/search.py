@@ -87,21 +87,11 @@ WHERE rk <= {POSTINGS_CAP}
 """
 
 
-def bm25_topk(spark, sf_dir):
-    """BM25 top-{k} documents per query over a deterministic 4-query
-    workload (terms at global-frequency ranks {qs}..{qe}, two per
-    query).
-
-    Scale shape (100 TB): document length rides the tf groupBy key
-    (functionally dependent on doc_id — no extra shuffle, no
-    corpus-grain join-back); corpus stats (N, avgdl) are a 1-row
-    broadcast aggregate folded into the plan; query-term selection is
-    a distributed top-k (TakeOrderedAndProject — never a global sort);
-    the query-term table broadcast-joins into tf so only matching
-    postings survive; the final ranking window partitions on QUERY_ID
-    (workload-grain, tiny).  Per-term scores are floored to integer
-    micros before the per-(query, doc) sum, so cross-engine float
-    reassociation cannot flip a rank."""
+def _bm25_scores(spark, sf_dir):
+    """The shared BM25 scoring relation (query_id, doc_id, score_micro,
+    n_terms) over every candidate doc matching >= 1 query term —
+    single-sourced between ``bm25_topk`` and ``hard_negatives`` so the
+    scoring rule cannot drift (the DUCK_DUPSPAN_CTES convention)."""
     d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
     e = d.select(
         "doc_id", F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
@@ -148,10 +138,28 @@ def bm25_topk(spark, sf_dir):
         .cast("bigint")
         .alias("s_micro"),
     )
-    agg = per_term.groupBy("query_id", "doc_id").agg(
+    return per_term.groupBy("query_id", "doc_id").agg(
         F.sum("s_micro").alias("score_micro"),
         F.count("*").cast("int").alias("n_terms"),
     )
+
+
+def bm25_topk(spark, sf_dir):
+    """BM25 top-{k} documents per query over a deterministic 4-query
+    workload (terms at global-frequency ranks {qs}..{qe}, two per
+    query).
+
+    Scale shape (100 TB): document length rides the tf groupBy key
+    (functionally dependent on doc_id — no extra shuffle, no
+    corpus-grain join-back); corpus stats (N, avgdl) are a 1-row
+    broadcast aggregate folded into the plan; query-term selection is
+    a distributed top-k (TakeOrderedAndProject — never a global sort);
+    the query-term table broadcast-joins into tf so only matching
+    postings survive; the final ranking window partitions on QUERY_ID
+    (workload-grain, tiny).  Per-term scores are floored to integer
+    micros before the per-(query, doc) sum, so cross-engine float
+    reassociation cannot flip a rank."""
+    agg = _bm25_scores(spark, sf_dir)
     rw = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
@@ -167,8 +175,57 @@ bm25_topk.__doc__ = bm25_topk.__doc__.format(
 )
 
 
-SQL_BM25_TOPK = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+# --------------------------------------------------------------------------
+# hard_negatives — BM25-mined hard negatives for retrieval training
+# (the DPR recipe, Karpukhin et al. 2020: the strongest negatives are
+# top-ranked BM25 docs that are NOT relevant).  Relevance here is the
+# exact-match rule the 2-term workload affords: a doc is a POSITIVE
+# for its query iff it matches BOTH query terms (n_terms = 2); a
+# mined negative is a top-scoring doc matching only ONE — the classic
+# lexical-trap document.  Each negative carries margin_micro = (the
+# query's weakest positive score) − (its own score): the triplet-loss
+# margin, NEGATIVE when the trap outscores a true positive (the
+# hardest and most valuable training pairs).  Queries with no positive
+# at all are dropped (DPR's unanswerable-question rule).
+#
+# Scale shape (100 TB): reuses _bm25_scores verbatim (one scoring
+# job feeds both the eval top-k and the miner); the min-positive and
+# the negative ranking are query-grain windows over the candidate
+# table, which the index's champion lists bound per query — both
+# windows share one Exchange on query_id.
+# --------------------------------------------------------------------------
+
+NEG_K = 5
+
+
+def hard_negatives(spark, sf_dir):
+    agg = _bm25_scores(spark, sf_dir)
+    qw = Window.partitionBy("query_id")
+    scored = agg.withColumn(
+        "pos_min",
+        F.min(F.when(F.col("n_terms") == 2, F.col("score_micro"))).over(qw),
+    )
+    negw = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.filter((F.col("n_terms") < 2) & F.col("pos_min").isNotNull())
+        .withColumn("neg_rk", F.row_number().over(negw))
+        .filter(F.col("neg_rk") <= NEG_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_micro",
+            (F.col("pos_min") - F.col("score_micro")).alias("margin_micro"),
+            F.col("neg_rk").cast("int").alias("neg_rk"),
+        )
+    )
+
+
+# CTE chain d..agg mirrors _bm25_scores exactly and is shared by the
+# bm25_topk and hard_negatives oracles (single-sourced like
+# DUCK_DUPSPAN_CTES, so the scoring rule cannot drift between them).
+DUCK_BM25_AGG_CTES = f"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 e AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d),
 tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
        FROM e GROUP BY 1, 2, 3),
@@ -197,12 +254,32 @@ per_term AS (
 agg AS (
   SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
          CAST(count(*) AS INT) AS n_terms
-  FROM per_term GROUP BY 1, 2)
+  FROM per_term GROUP BY 1, 2)"""
+
+SQL_BM25_TOPK = f"""
+WITH {DUCK_BM25_AGG_CTES}
 SELECT query_id, doc_id, score_micro, n_terms, CAST(rk AS INT) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score_micro DESC, doc_id) AS rk
       FROM agg)
 WHERE rk <= {BM25_TOPK}
+"""
+
+SQL_HARD_NEGATIVES = f"""
+WITH {DUCK_BM25_AGG_CTES},
+scored AS (
+  SELECT query_id, doc_id, score_micro, n_terms,
+         min(CASE WHEN n_terms = 2 THEN score_micro END)
+           OVER (PARTITION BY query_id) AS pos_min
+  FROM agg)
+SELECT query_id, doc_id, score_micro,
+       CAST(pos_min - score_micro AS BIGINT) AS margin_micro,
+       CAST(neg_rk AS INT) AS neg_rk
+FROM (SELECT query_id, doc_id, score_micro, pos_min,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS neg_rk
+      FROM scored WHERE n_terms < 2 AND pos_min IS NOT NULL)
+WHERE neg_rk <= {NEG_K}
 """
 
 
@@ -308,11 +385,13 @@ GROUP BY tok, true_cnt
 QUERIES = {
     "inverted_postings": inverted_postings,
     "bm25_topk": bm25_topk,
+    "hard_negatives": hard_negatives,
     "heavy_hitters_cms": heavy_hitters_cms,
 }
 
 ORACLE_SQL = {
     "inverted_postings": SQL_INVERTED_POSTINGS,
     "bm25_topk": SQL_BM25_TOPK,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
 }

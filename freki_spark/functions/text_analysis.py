@@ -1380,6 +1380,138 @@ FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
 """
 
 
+# --------------------------------------------------------------------------
+# bleu_stats — per-document BLEU sufficient statistics (Papineni et al.
+# 2002): for n = 1..4, CLIPPED n-gram matches (each candidate gram type
+# credits at most its reference count — the modified-precision rule
+# that kills "the the the"), raw (unclipped) matches, and the candidate
+# gram total.  This is exactly the decomposition distributed eval uses
+# (sacrebleu's corpus BLEU sums per-segment counts, then applies the
+# precision product + brevity penalty ONCE at the end) — so the per-doc
+# relation here is the partial-aggregable form: corpus BLEU = a
+# constant-size rollup over it, and the float exp/log happens on 4
+# numbers at the driver, never per row.  The driver corpus carries no
+# paired eval data, so candidate/reference are synthesized
+# deterministically as two overlapping token windows of each document
+# (offset BLEU_REF_OFF, width BLEU_WIN): guaranteed-high but imperfect
+# overlap, and natural token repetition exercises the clipping rule
+# (pinned by pytest).
+#
+# Scale shape (100 TB): entirely per-row array expressions — windows
+# and every n-gram array bound as named columns BEFORE any lambda reads
+# them (the CLAUDE.md HOF rule), nested least/filter counting is
+# O(W^2) with W = BLEU_WIN constant; zero Exchange (plan-audited).
+# --------------------------------------------------------------------------
+
+BLEU_MAX_N = 4
+BLEU_WIN = 40  # candidate/reference window width (the per-row cost cap)
+BLEU_REF_OFF = 3  # reference window starts this many tokens later
+BLEU_MIN_TOKENS = 8  # below this the n=4 reference side vanishes
+
+
+def _ngrams_mult(tok_col, n: int):
+    """All adjacent n-grams WITH multiplicity (unlike shingles: no
+    distinct, no short-doc degenerate — callers must filter to
+    len >= n).  Callers must bind `tok_col` as a named column first."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+    )
+
+
+def bleu_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    w = d.filter(F.size("_tk") >= BLEU_MIN_TOKENS).select(
+        "doc_id",
+        F.slice(F.col("_tk"), 1, BLEU_WIN).alias("cand"),
+        F.slice(F.col("_tk"), 1 + BLEU_REF_OFF, BLEU_WIN).alias("ref"),
+    )
+    ns = range(1, BLEU_MAX_N + 1)
+    g = w.select(
+        "doc_id",
+        *[_ngrams_mult(F.col("cand"), n).alias(f"_c{n}") for n in ns],
+        *[_ngrams_mult(F.col("ref"), n).alias(f"_r{n}") for n in ns],
+    )
+    def _stat(n):
+        # per-n closure scope: pyspark's HOF builder introspects lambda
+        # arity, so captures must come from the enclosing function, not
+        # default args
+        c, r = F.col(f"_c{n}"), F.col(f"_r{n}")
+        clip = F.aggregate(
+            F.array_distinct(c),  # argument position: evaluates once
+            F.lit(0).cast("bigint"),
+            lambda acc, gr: acc
+            + F.least(
+                F.size(F.filter(c, lambda x: x == gr)),
+                F.size(F.filter(r, lambda x: x == gr)),
+            ).cast("bigint"),
+        )
+        raw = F.size(F.filter(c, lambda x: F.array_contains(r, x))).cast(
+            "bigint"
+        )
+        return F.struct(
+            F.lit(n).cast("int").alias("n"),
+            clip.alias("clip_matches"),
+            raw.alias("raw_matches"),
+            F.size(c).cast("bigint").alias("cand_total"),
+        )
+
+    return g.select(
+        "doc_id", F.explode(F.array(*[_stat(n) for n in ns])).alias("s")
+    ).select(
+        "doc_id", "s.n", "s.clip_matches", "s.raw_matches", "s.cand_total"
+    )
+
+
+def _duck_ngrams_mult(l: str, n: int) -> str:
+    """DuckDB mirror of ``_ngrams_mult`` (1-based inclusive slicing)."""
+    return (
+        f"list_transform(range(1, len({l}) - {n - 1} + 1), "
+        f"i -> array_to_string({l}[i:i+{n - 1}], ' '))"
+    )
+
+
+def _sql_bleu_stats() -> str:
+    # the oracle is deliberately RELATIONAL (explode + group + left
+    # join) where Spark counts inside per-row lambdas — two genuinely
+    # independent computations of the same clipping rule
+    blocks, unions = [], []
+    for n in range(1, BLEU_MAX_N + 1):
+        blocks.append(
+            f"""cc{n} AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_duck_ngrams_mult('cand', n)}) AS g FROM w)
+  GROUP BY 1, 2),
+rc{n} AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_duck_ngrams_mult('ref', n)}) AS g FROM w)
+  GROUP BY 1, 2),
+m{n} AS (
+  SELECT doc_id, CAST({n} AS INT) AS n,
+         CAST(sum(least(cc.c, coalesce(rc.c, 0))) AS BIGINT) AS clip_matches,
+         CAST(sum(CASE WHEN rc.c IS NOT NULL THEN cc.c ELSE 0 END) AS BIGINT)
+           AS raw_matches,
+         CAST(sum(cc.c) AS BIGINT) AS cand_total
+  FROM cc{n} cc LEFT JOIN rc{n} rc USING (doc_id, g)
+  GROUP BY 1)"""
+        )
+        unions.append(f"SELECT * FROM m{n}")
+    return (
+        f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (SELECT doc_id, tk[1:{BLEU_WIN}] AS cand,
+             tk[{1 + BLEU_REF_OFF}:{BLEU_REF_OFF + BLEU_WIN}] AS ref
+      FROM d WHERE len(tk) >= {BLEU_MIN_TOKENS}),
+"""
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(unions)
+    )
+
+
+SQL_BLEU_STATS = _sql_bleu_stats()
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
@@ -1397,9 +1529,11 @@ QUERIES = {
     "perplexity_bucket": perplexity_bucket,
     "quality_vote": quality_vote,
     "bpe_train": bpe_train,
+    "bleu_stats": bleu_stats,
 }
 
 ORACLE_SQL = {
+    "bleu_stats": SQL_BLEU_STATS,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

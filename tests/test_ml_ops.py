@@ -570,6 +570,200 @@ def test_bm25_topk_matches_python_recompute(spark):
     assert len({q for q, *_ in got}) == N_QTERMS // 2
 
 
+def test_hard_negatives_matches_python_recompute(spark):
+    """Full independent recompute of the DPR-style miner in plain
+    python on top of the same BM25 math the bm25 test pins: candidates
+    scoring on ONE of a query's two terms, ranked by score, top NEG_K,
+    margin = weakest-positive minus own score; queries with no
+    2-term positive dropped.  Must match the Spark relation exactly,
+    and the fixture must actually exercise the interesting regime —
+    at least one NEGATIVE margin (a lexical trap outscoring a true
+    positive)."""
+    import math
+    from collections import Counter
+
+    from freki_spark.functions.search import (
+        BM25_SCALE,
+        N_QTERMS,
+        NEG_K,
+        QSTART,
+        hard_negatives,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    tf = {d: Counter(t) for d, t in toks.items()}
+    df, cf = Counter(), Counter()
+    for d, c in tf.items():
+        for term, n in c.items():
+            df[term] += 1
+            cf[term] += n
+    ranked = sorted(cf, key=lambda t: (-cf[t], t))
+    qterms = ranked[QSTART - 1 : QSTART - 1 + N_QTERMS]
+    exp = set()
+    for qi in range(len(qterms) // 2):
+        scores, n_terms = Counter(), Counter()
+        for term in qterms[2 * qi : 2 * qi + 2]:
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            for d, c in tf.items():
+                if term in c:
+                    t = c[term]
+                    tfs = (t * 2.2) / (
+                        t + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl)
+                    )
+                    scores[d] += math.floor(idf * tfs * BM25_SCALE)
+                    n_terms[d] += 1
+        pos = [scores[d] for d in scores if n_terms[d] == 2]
+        if not pos:
+            continue
+        pos_min = min(pos)
+        negs = sorted(
+            ((d, scores[d]) for d in scores if n_terms[d] < 2),
+            key=lambda p: (-p[1], p[0]),
+        )[:NEG_K]
+        for rk, (d, s) in enumerate(negs, 1):
+            exp.add((qi + 1, d, s, pos_min - s, rk))
+    got = {
+        (r.query_id, r.doc_id, r.score_micro, r.margin_micro, r.neg_rk)
+        for r in hard_negatives(spark, SF).collect()
+    }
+    assert got == exp
+    assert got, "fixture mined no negatives at all"
+    assert any(m < 0 for *_, m, _rk in got), (
+        "no lexical trap outscored a positive — the hard-negative "
+        "regime is untested by this fixture"
+    )
+
+
+def test_bleu_stats_matches_python_recompute(spark):
+    """Full independent recompute of the BLEU sufficient statistics in
+    plain python Counters (clipped matches = sum of per-type min
+    counts, raw = unclipped) — the relation must match exactly, the
+    BLEU invariant clip <= raw <= total must hold everywhere, and the
+    fixture must actually exercise the CLIPPING regime (some doc where
+    a repeated candidate gram exceeds its reference count)."""
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import (
+        BLEU_MAX_N,
+        BLEU_MIN_TOKENS,
+        BLEU_REF_OFF,
+        BLEU_WIN,
+        bleu_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    exp = set()
+    clipped_somewhere = False
+    for r in docs:
+        tk = r.text.split(" ")
+        if len(tk) < BLEU_MIN_TOKENS:
+            continue
+        cand = tk[:BLEU_WIN]
+        ref = tk[BLEU_REF_OFF : BLEU_REF_OFF + BLEU_WIN]
+        for n in range(1, BLEU_MAX_N + 1):
+            cc = Counter(
+                " ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)
+            )
+            rc = Counter(
+                " ".join(ref[i : i + n]) for i in range(len(ref) - n + 1)
+            )
+            clip = sum(min(c, rc[g]) for g, c in cc.items())
+            raw = sum(c for g, c in cc.items() if g in rc)
+            clipped_somewhere = clipped_somewhere or clip < raw
+            exp.add((r.doc_id, n, clip, raw, sum(cc.values())))
+    got = {
+        (x.doc_id, x.n, x.clip_matches, x.raw_matches, x.cand_total)
+        for x in bleu_stats(spark, SF).collect()
+    }
+    assert got == exp
+    assert all(c <= rw <= t for *_, c, rw, t in got)
+    assert clipped_somewhere, (
+        "no candidate gram ever exceeded its reference count — the "
+        "clipping rule is untested by this fixture"
+    )
+
+
+def test_span_corruption_matches_python_and_is_nonoverlapping(spark):
+    """Recompute the whole T5 mask plan in plain python (hashlib md5
+    jitters, closed-form slot boundaries) — the relation must match
+    exactly, spans must be non-overlapping and in-bounds per doc, and
+    the realized corruption rate over the slotted region must sit near
+    the designed 15% (mean span 3 per 20-token slot)."""
+    import hashlib
+
+    from freki_spark.functions.corpus_prep import (
+        SC_GRID,
+        SC_LEN_MIN,
+        SC_LEN_MOD,
+        span_corruption,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    exp = set()
+    masked = slotted = 0
+    for r in docs:
+        tk = r.text.split(" ")
+        slots = len(tk) // SC_GRID
+        if len(tk) < SC_GRID:
+            continue
+        prev_end = 0
+        for i in range(1, slots + 1):
+            ln = h(f"{r.doc_id}L{i}") % SC_LEN_MOD + SC_LEN_MIN
+            st = (i - 1) * SC_GRID + 1 + h(f"{r.doc_id}O{i}") % (
+                SC_GRID - ln + 1
+            )
+            assert st > prev_end and st + ln - 1 <= len(tk)
+            prev_end = st + ln - 1
+            exp.add(
+                (r.doc_id, i, st, ln, " ".join(tk[st - 1 : st - 1 + ln]))
+            )
+            masked += ln
+        slotted += slots * SC_GRID
+    got = {
+        (x.doc_id, x.sentinel_id, x.span_start, x.span_len, x.masked_text)
+        for x in span_corruption(spark, SF).collect()
+    }
+    assert got == exp
+    assert 0.12 <= masked / slotted <= 0.18, masked / slotted
+
+
+def test_weighted_sample_matches_python_and_favors_heavy_docs(spark):
+    """Recompute the A-ES keys for every doc in plain python (hashlib
+    md5 u, math.log, floor to micros) — the global top-K must match
+    exactly, and the sample's mean token weight must exceed the corpus
+    mean (the point of weighting by training-token mass)."""
+    import hashlib
+    import math
+
+    from freki_spark.functions.corpus_prep import WS_K, weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    keys = []
+    for r in docs:
+        w = len(r.text.split(" "))
+        u = (
+            int(hashlib.md5(f"ws|{r.doc_id}".encode()).hexdigest()[:8], 16)
+            + 0.5
+        ) / 4294967296.0
+        keys.append((r.doc_id, w, math.floor(math.log(u) / w * 1000000.0)))
+    top = sorted(keys, key=lambda t: (-t[2], t[0]))[:WS_K]
+    exp = {(d, w, k, rk) for rk, (d, w, k) in enumerate(top, 1)}
+    got = {
+        (x.doc_id, x.w_tokens, x.key_micro, x.rk)
+        for x in weighted_sample(spark, SF).collect()
+    }
+    assert got == exp
+    corpus_mean = sum(w for _, w, _ in keys) / len(keys)
+    sample_mean = sum(w for _, w, _, _ in got) / len(got)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
 def test_cms_estimates_are_one_sided_and_collision_exact(spark):
     """Recompute the whole Count-Min pipeline in plain python (md5
     cells, true Counter, min-over-rows estimate) — the 20-row relation

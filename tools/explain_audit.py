@@ -884,6 +884,51 @@ def main() -> int:
         "zero Exchange / python / join",
     )
 
+    # 56. hard_negatives: shares bm25's scoring plan (broadcast qterms,
+    #     TakeOrdered term selection) and BOTH its windows partition on
+    #     query_id only — never a corpus-grain key
+    p = plan_of(QUERIES["hard_negatives"](spark, sf_dir))
+    wins = re.findall(r"windowspecdefinition\((\w+)#", p)
+    check(
+        "hard_negatives_plan_shape",
+        "TakeOrderedAndProject" in p
+        and "BroadcastHashJoin" in p
+        and set(wins) <= {"query_id", "cf", "gr"}
+        and "SortMergeJoin" not in p,
+        f"broadcast scoring, window keys={sorted(set(wins))}",
+    )
+
+    # 57. bleu_stats: per-doc eval statistics are entirely per-row
+    #     array expressions — zero Exchange, zero python, no join
+    p = plan_of(QUERIES["bleu_stats"](spark, sf_dir))
+    check(
+        "bleu_stats_narrow",
+        "Exchange" not in p and "Python" not in p and "Join" not in p,
+        "zero Exchange / python / join",
+    )
+
+    # 58. span_corruption: the T5 mask plan is closed-form per row —
+    #     zero Exchange, zero python, no join, no window
+    p = plan_of(QUERIES["span_corruption"](spark, sf_dir))
+    check(
+        "span_corruption_narrow",
+        "Exchange" not in p
+        and "Python" not in p
+        and "Join" not in p
+        and "Window" not in p,
+        "zero Exchange / python / join / window",
+    )
+
+    # 59. weighted_sample: the A-ES top-K is distributed
+    #     (TakeOrderedAndProject — never a global Sort over the
+    #     corpus); the only Window ranks the K survivors
+    p = plan_of(QUERIES["weighted_sample"](spark, sf_dir))
+    check(
+        "weighted_sample_topk",
+        "TakeOrderedAndProject" in p,
+        "distributed top-K via TakeOrderedAndProject",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
