@@ -245,13 +245,22 @@ def ivf_assign(spark, sf_dir) -> "DataFrame":
     return _assign_lists(_emb(spark, sf_dir))
 
 
-def _assign_lists(em: DataFrame) -> DataFrame:
+def _assign_lists(em: DataFrame, with_ccos: bool = False) -> DataFrame:
     """Core of ``ivf_assign`` over any (vec_id, v) frame (also drives
     ``dedup_semantic``'s union corpus): returns (vec_id, v, list_id)
     via the broadcast-argmax narrow map documented above.  Centroids
     are the seed-id subset of ``em`` (``_ivf_cents`` — rows outside
     [CENTROID_BASE, CENTROID_BASE+K) never become centroids, so
-    synthetic >=100000 ids in a derived corpus cannot pollute them)."""
+    synthetic >=100000 ids in a derived corpus cannot pollute them).
+
+    ``with_ccos=True`` additionally emits the cosine to the ASSIGNED
+    centroid — it is already the other field of the argmax struct, so
+    consumers that need it (semantic_pack's core-outward ordering)
+    must NOT re-join centroids to recompute it: Catalyst pushes the
+    join condition through the projection and re-evaluates the whole
+    O(K·dim) argmax expression per condition term (measured: a
+    BroadcastNestedLoopJoin whose Cross condition inlined the argmax
+    three times)."""
     cents_arr = _ivf_cents(em).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
@@ -266,11 +275,13 @@ def _assign_lists(em: DataFrame) -> DataFrame:
             (-c["cent_id"]).alias("neg_id"),
         ),
     )
-    return (
-        em.crossJoin(F.broadcast(cents_arr))
-        .withColumn("best", F.array_max(ccand))
-        .select("vec_id", "v", (-F.col("best")["neg_id"]).alias("list_id"))
+    out = em.crossJoin(F.broadcast(cents_arr)).withColumn(
+        "best", F.array_max(ccand)
     )
+    cols = ["vec_id", "v", (-F.col("best")["neg_id"]).alias("list_id")]
+    if with_ccos:
+        cols.append(F.col("best")["ccos"].alias("ccos"))
+    return out.select(*cols)
 
 
 def ann_ivf_flat(spark, sf_dir):
@@ -828,6 +839,94 @@ SELECT vec_id, nbr_id, cos, rnk FROM ranked WHERE rnk <= {KNN_GRAPH_K}
 """
 
 
+# --------------------------------------------------------------------------
+# semantic_pack — in-context-pretraining packing layout (Shi et al.
+# 2023, "In-Context Pretraining": LMs train better when the documents
+# sharing a context window are RELATED, not i.i.d.-shuffled).  The
+# full paper builds a global max-similarity traveling path; the
+# scalable standard practice it reduces to is cluster-then-pack:
+# assign each doc to its nearest coarse centroid (the ivf_assign
+# narrow broadcast-argmax map, reused verbatim), order each cluster
+# from its semantic core outward (cosine-to-centroid descending — so
+# a context window holds docs that are mutually close, not just
+# co-clustered), then cut the per-cluster layout into SEQ_LEN-token
+# training sequences with the pack_sequences start/offset/straddle
+# convention.  Sequences never span clusters by construction.
+#
+# Scale shape (100 TB): centroids broadcast; assignment + the
+# cosine-to-assigned-centroid are one narrow pass; the token-count
+# join (embeddings ↔ documents on id) is co-located under the io.py
+# id-bucketing convention; the only windows partition on list_id,
+# whose cardinality GROWS with the corpus (K ≈ n / target cluster
+# size — unlike a language key, per-cluster work is bounded), so
+# window parallelism scales.  Oracle shares _IVF_CTES with ivf_assign
+# so the assignment rule cannot drift.
+# --------------------------------------------------------------------------
+
+from .corpus_prep import SEQ_LEN as PACK_SEQ_LEN  # noqa: E402
+
+
+def semantic_pack(spark, sf_dir):
+    em = _emb(spark, sf_dir)
+    a = _assign_lists(em, with_ccos=True).select("vec_id", "list_id", "ccos")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    j = a.join(d, a.vec_id == d.doc_id).select(
+        "doc_id", "list_id", "ccos", "n_tokens"
+    )
+    w = Window.partitionBy("list_id").orderBy(F.desc("ccos"), F.asc("doc_id"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        j.withColumn("crank", F.row_number().over(w).cast("int"))
+        .withColumn("_start", start)
+        .select(
+            "doc_id",
+            "list_id",
+            "crank",
+            "n_tokens",
+            F.floor(F.col("_start") / PACK_SEQ_LEN).cast("bigint").alias("seq_id"),
+            (F.col("_start") % PACK_SEQ_LEN).cast("int").alias("seq_offset"),
+            (
+                F.floor(F.col("_start") / PACK_SEQ_LEN)
+                != F.floor(
+                    (F.col("_start") + F.col("n_tokens") - 1) / PACK_SEQ_LEN
+                )
+            ).alias("straddles"),
+        )
+    )
+
+
+SQL_SEMANTIC_PACK = f"""
+WITH {_IVF_CTES},
+cc AS (
+  SELECT a.vec_id, a.list_id, c.ccos
+  FROM assigned a
+  JOIN ccos c ON c.vec_id = a.vec_id AND c.cent_id = a.list_id
+),
+t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT cc.vec_id AS doc_id, cc.list_id, cc.ccos, t.n_tokens,
+         row_number() OVER (PARTITION BY list_id
+                            ORDER BY ccos DESC, cc.vec_id) AS crank,
+         sum(t.n_tokens) OVER (PARTITION BY list_id
+                               ORDER BY ccos DESC, cc.vec_id)
+           - t.n_tokens AS start
+  FROM cc JOIN t ON t.doc_id = cc.vec_id
+)
+SELECT doc_id, list_id, CAST(crank AS INT) AS crank, n_tokens,
+       CAST(floor(start / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(start % {PACK_SEQ_LEN} AS INT) AS seq_offset,
+       floor(start / {PACK_SEQ_LEN})
+         <> floor((start + n_tokens - 1) / {PACK_SEQ_LEN}) AS straddles
+FROM o
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -838,9 +937,11 @@ QUERIES = {
     "ann_topk_pq": ann_topk_pq,
     "knn_graph": knn_graph,
     "kmeans_update": kmeans_update,
+    "semantic_pack": semantic_pack,
 }
 
 ORACLE_SQL = {
+    "semantic_pack": SQL_SEMANTIC_PACK,
     "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
     "ann_ivf_flat": SQL_ANN_IVF,

@@ -764,6 +764,57 @@ def test_weighted_sample_matches_python_and_favors_heavy_docs(spark):
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
 
 
+def test_semantic_pack_layout_and_cluster_coherence(spark):
+    """Three claims pinned: (1) the layout is EXACTLY ivf_assign's
+    clustering (same list per doc, every doc exactly once); (2) the
+    pack columns are internally consistent — replaying the per-cluster
+    crank order and accumulating n_tokens reproduces every seq_id /
+    seq_offset / straddles value; (3) the packing is SEMANTIC — the
+    per-cluster majority-label fraction over the fixture embeddings
+    beats the best any label-blind split can do in expectation (the
+    corpus max label share)."""
+    from collections import Counter, defaultdict
+
+    from freki_spark.functions.corpus_prep import SEQ_LEN
+    from freki_spark.functions.similarity import q_ivf_assign, semantic_pack
+
+    rows = semantic_pack(spark, SF).collect()
+    assign = {
+        r.vec_id: r.list_id for r in q_ivf_assign(spark, SF).collect()
+    }
+    assert sorted(r.doc_id for r in rows) == sorted(assign)
+    assert all(assign[r.doc_id] == r.list_id for r in rows)
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.list_id].append(r)
+    for rs in by_cluster.values():
+        rs.sort(key=lambda r: r.crank)
+        assert [r.crank for r in rs] == list(range(1, len(rs) + 1))
+        start = 0
+        for r in rs:
+            assert r.seq_id == start // SEQ_LEN
+            assert r.seq_offset == start % SEQ_LEN
+            assert r.straddles == (
+                start // SEQ_LEN != (start + r.n_tokens - 1) // SEQ_LEN
+            )
+            start += r.n_tokens
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    agree = sum(
+        Counter(labels[r.doc_id] for r in rs).most_common(1)[0][1]
+        for rs in by_cluster.values()
+    )
+    base = Counter(labels.values()).most_common(1)[0][1]
+    assert agree / len(rows) > 1.2 * base / len(labels), (
+        agree / len(rows),
+        base / len(labels),
+    )
+
+
 def test_cms_estimates_are_one_sided_and_collision_exact(spark):
     """Recompute the whole Count-Min pipeline in plain python (md5
     cells, true Counter, min-over-rows estimate) — the 20-row relation

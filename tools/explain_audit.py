@@ -919,6 +919,25 @@ def main() -> int:
         "zero Exchange / python / join / window",
     )
 
+    # 58b. semantic_pack: every window partitions on list_id (cluster
+    #      grain — cardinality grows with the corpus); the only
+    #      nested-loop join is the intended condition-FREE 1-row
+    #      broadcast centroid attach (a conditioned one would mean
+    #      Catalyst re-inlined the argmax into the join — the
+    #      regression _assign_lists(with_ccos=True) exists to prevent)
+    p = plan_of(QUERIES["semantic_pack"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "semantic_pack_cluster_grain",
+        wins == {"list_id"}
+        and "CartesianProduct" not in p
+        and n_bnlj == 1
+        and not conditioned,
+        f"window keys={sorted(wins)}, 1 condition-free broadcast cross",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
