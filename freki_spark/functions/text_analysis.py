@@ -1104,8 +1104,10 @@ def _ppl_cutoff_case(which: int) -> str:
     )
 
 
-SQL_PERPLEXITY_BUCKET = f"""
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+# CTE chain t..scored mirrors _perplexity_scored exactly and is shared
+# by the perplexity_bucket and doremi_weights oracles (single-sourced
+# like DUCK_BM25_AGG_CTES, so the LM scoring rule cannot drift)
+DUCK_PPL_SCORED_CTES = f"""t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
 occ AS (
   SELECT doc_id, lang, unnest({duck_bigrams("l")}) AS bg FROM t
 ),
@@ -1129,12 +1131,101 @@ scored AS (
          CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS score
   FROM occ JOIN surp USING (bg)
   GROUP BY doc_id, lang
-)
+)"""
+
+SQL_PERPLEXITY_BUCKET = f"""
+WITH {DUCK_PPL_SCORED_CTES}
 SELECT doc_id, lang, n_bigrams, sum_surp, score,
        CASE WHEN score < ({_ppl_cutoff_case(0)}) THEN 'head'
             WHEN score < ({_ppl_cutoff_case(1)}) THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# doremi_weights — DoReMi-style domain reweighting (Xie et al. 2023):
+# domains whose proxy-model loss EXCEEDS the reference get upweighted
+# exponentially, so the next training mix spends more tokens where the
+# model is furthest behind.  Graft version: domain = lang, per-doc
+# loss = the perplexity_bucket bigram-LM surprise (single-sourced via
+# _perplexity_scored / DUCK_PPL_SCORED_CTES), reference loss = the
+# corpus-wide mean, excess_d = max(0, L_d - L_ref), and the new weight
+# alpha_d ∝ baseline_d · exp(excess_d / τ) with baseline_d = the
+# domain's current doc share.  All shares are integer ppm via bigint
+# cross-multiplied division; exp() runs on one identical double per
+# DOMAIN (5 rows) and is floored to micros before the normalizing sum,
+# so cross-engine float reassociation cannot move a weight.
+#
+# Scale shape (100 TB): the per-doc scoring is perplexity_bucket's
+# partial-agg'd plan; everything after is a DOMAIN-cardinality rollup
+# (one 5-row agg, a 1-row broadcast reference, a 1-row broadcast
+# normalizer) — the reweighting layer adds zero corpus-grain work.
+# --------------------------------------------------------------------------
+
+DOREMI_TAU = 10_000  # temperature in µ-nats (0.01 nats)
+
+
+def doremi_weights(spark, sf_dir):
+    scored = _perplexity_scored(_docs(spark, sf_dir))
+    dom = scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(score) div count(*)").alias("loss_micro"),
+    )
+    ref = scored.agg(F.expr("sum(score) div count(*)").alias("ref_micro"))
+    tot = dom.agg(F.sum("n_docs").alias("n_total"))
+    d = dom.crossJoin(F.broadcast(ref)).crossJoin(F.broadcast(tot))
+    excess = F.greatest(F.lit(0), F.col("loss_micro") - F.col("ref_micro"))
+    base_ppm = F.expr("n_docs * 1000000 div n_total")
+    alpha = F.floor(
+        base_ppm.cast("double")
+        * F.exp(excess.cast("double") / F.lit(float(DOREMI_TAU)))
+    ).cast("bigint")
+    a = d.select(
+        "lang",
+        "n_docs",
+        "loss_micro",
+        excess.alias("excess_micro"),
+        alpha.alias("alpha_micro"),
+    )
+    asum = a.agg(F.sum("alpha_micro").alias("alpha_sum"))
+    return a.crossJoin(F.broadcast(asum)).select(
+        "lang",
+        "n_docs",
+        "loss_micro",
+        "excess_micro",
+        F.expr("alpha_micro * 1000000 div alpha_sum").alias("weight_ppm"),
+    )
+
+
+SQL_DOREMI_WEIGHTS = f"""
+WITH {DUCK_PPL_SCORED_CTES},
+dom AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(score) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS loss_micro
+  FROM scored GROUP BY lang
+),
+ref AS (
+  SELECT CAST(sum(score) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS ref_micro
+  FROM scored
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM dom),
+a AS (
+  SELECT lang, n_docs, loss_micro,
+         greatest(0, loss_micro - ref_micro) AS excess_micro,
+         CAST(floor(
+           CAST(n_docs * 1000000 // n_total AS DOUBLE)
+           * exp(CAST(greatest(0, loss_micro - ref_micro) AS DOUBLE)
+                 / {float(DOREMI_TAU)})
+         ) AS BIGINT) AS alpha_micro
+  FROM dom, ref, tot
+),
+asum AS (SELECT CAST(sum(alpha_micro) AS BIGINT) AS alpha_sum FROM a)
+SELECT lang, n_docs, loss_micro, excess_micro,
+       alpha_micro * 1000000 // alpha_sum AS weight_ppm
+FROM a, asum
 """
 
 
@@ -1530,10 +1621,12 @@ QUERIES = {
     "quality_vote": quality_vote,
     "bpe_train": bpe_train,
     "bleu_stats": bleu_stats,
+    "doremi_weights": doremi_weights,
 }
 
 ORACLE_SQL = {
     "bleu_stats": SQL_BLEU_STATS,
+    "doremi_weights": SQL_DOREMI_WEIGHTS,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

@@ -815,6 +815,64 @@ def test_semantic_pack_layout_and_cluster_coherence(spark):
     )
 
 
+def test_doremi_weights_matches_python_and_upweights_lossy_domains(spark):
+    """Recompute the reweighting layer in plain python from the
+    per-doc scores of perplexity_bucket (whose LM semantics its own
+    oracle + tests pin): integer div means/shares, math.exp on the
+    per-domain excess, floor to micros, integer-ppm normalization —
+    the 5-row relation must match exactly.  Also pins the DoReMi
+    semantics: weights sum to ~1e6, every positive-excess domain
+    beats its base doc share, and the max-excess domain gains the
+    most relative to base."""
+    import math
+    from collections import defaultdict
+
+    from freki_spark.functions.text_analysis import (
+        DOREMI_TAU,
+        doremi_weights,
+        perplexity_bucket,
+    )
+
+    per_doc = perplexity_bucket(spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in per_doc:
+        by_lang[r.lang].append(r.score)
+    n_total = len(per_doc)
+    ref = sum(r.score for r in per_doc) // n_total
+    alphas = {}
+    stats = {}
+    for lang, scores in by_lang.items():
+        loss = sum(scores) // len(scores)
+        excess = max(0, loss - ref)
+        base = len(scores) * 1000000 // n_total
+        alphas[lang] = math.floor(
+            float(base) * math.exp(float(excess) / float(DOREMI_TAU))
+        )
+        stats[lang] = (len(scores), loss, excess, base)
+    asum = sum(alphas.values())
+    exp = {
+        (lang, stats[lang][0], stats[lang][1], stats[lang][2],
+         alphas[lang] * 1000000 // asum)
+        for lang in alphas
+    }
+    got = {
+        (r.lang, r.n_docs, r.loss_micro, r.excess_micro, r.weight_ppm)
+        for r in doremi_weights(spark, SF).collect()
+    }
+    assert got == exp
+    tot = sum(w for *_, w in got)
+    assert 1000000 - len(got) <= tot <= 1000000, tot
+    gains = {}
+    for lang, _, _, excess, w in got:
+        base = stats[lang][3]
+        if excess > 0:
+            assert w > base, (lang, w, base)
+        gains[lang] = w / base
+    assert any(e > 0 for *_, e, _ in got), "no domain ever exceeded ref"
+    max_excess_lang = max(got, key=lambda t: t[3])[0]
+    assert gains[max_excess_lang] == max(gains.values())
+
+
 def test_cms_estimates_are_one_sided_and_collision_exact(spark):
     """Recompute the whole Count-Min pipeline in plain python (md5
     cells, true Counter, min-over-rows estimate) — the 20-row relation

@@ -938,6 +938,18 @@ def main() -> int:
         f"window keys={sorted(wins)}, 1 condition-free broadcast cross",
     )
 
+    # 58c. doremi_weights: the reweighting layer above the perplexity
+    #      scoring is domain-cardinality only — broadcast 1-row
+    #      reference/normalizer joins, no Window, no sort-merge join
+    p = plan_of(QUERIES["doremi_weights"](spark, sf_dir))
+    check(
+        "doremi_domain_grain",
+        "Window" not in p
+        and "SortMergeJoin" not in p
+        and "partial_count" in p,
+        "no Window/SMJ; partial-agg'd scoring feeds broadcast rollups",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
