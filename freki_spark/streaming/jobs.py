@@ -391,7 +391,83 @@ def q_stream_curate(spark, sf_dir):
     return stream_curate(spark, sf_dir, f"stream_curate_{_SINK_N[0]}")
 
 
+def stream_cms(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    """Streaming Count-Min sketch per event-time hour: the
+    heavy_hitters_cms cell construction (imported — one hash rule for
+    batch and stream) applied as a watermarked windowed aggregation.
+
+    Why a sketch in the stream: an hourly top-terms / hot-keys monitor
+    over an unbounded firehose cannot keep per-key state (key
+    cardinality is unbounded); the CMS makes the per-window state a
+    CONSTANT <= K*M cells whatever the key universe does, and cells
+    partial-aggregate map-side before the shuffle exactly like the
+    batch sketch.  The watermark bounds how long a window's cells stay
+    in the state store; complete output mode + memory sink is the test
+    harness (the q_stream_hourly convention), production would emit
+    finalized windows in append mode."""
+    from ..functions.search import CMS_K, _cms_cell
+
+    src = _stage_events(spark, sf_dir)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    _cms_cell(k, F.col("event_type")).alias("m"),
+                )
+                for k in range(CMS_K)
+            ]
+        )
+    ).alias("c")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .select(F.window("ts", "1 hour").alias("w"), "event_type")
+        .select("w", cells)
+        .select("w", "c.k", "c.m")
+        .groupBy("w", "k", "m")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"),
+        F.col("k").cast("int").alias("k"),
+        "m",
+        "cell_cnt",
+    )
+
+
+def q_stream_cms(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_cms(spark, sf_dir, f"stream_cms_{_SINK_N[0]}")
+
+
+def _sql_stream_cms() -> str:
+    from ..functions.search import CMS_K, _duck_cms_cell
+
+    return f"""
+WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+                  event_type FROM events),
+ek AS (SELECT hour_epoch, k, {_duck_cms_cell('event_type')} AS m
+       FROM e, UNNEST(range(0, {CMS_K})) t(k))
+SELECT hour_epoch, CAST(k AS INT) AS k, m, CAST(count(*) AS BIGINT) AS cell_cnt
+FROM ek GROUP BY 1, 2, 3
+"""
+
+
+SQL_STREAM_CMS = _sql_stream_cms()
+
+
 QUERIES = {
+    "q_stream_cms": q_stream_cms,
     "q_stream_hourly": q_stream_hourly,
     "q_stream_curate": q_stream_curate,
     "q_stream_sessionize": q_stream_sessionize,
@@ -401,6 +477,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_stream_cms": SQL_STREAM_CMS,
     "q_stream_hourly": SQL_STREAM_HOURLY,
     "q_stream_sessionize": SQL_STREAM_SESSIONIZE,
     "q_stream_dedup": SQL_STREAM_DEDUP,

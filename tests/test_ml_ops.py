@@ -182,6 +182,48 @@ def test_streaming_matches_batch(spark):
     assert out == batch
 
 
+def test_stream_cms_matches_python_and_bounds_state(spark):
+    """Recompute the per-hour Count-Min cells in plain python (hashlib
+    md5 cells over the events table, epoch-hour buckets) — the
+    streaming relation must match exactly, and the per-(window, row)
+    occupied-cell count must be bounded by min(M, distinct keys) —
+    the constant-state claim that justifies a sketch in a stream."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from freki_spark.functions.search import CMS_K, CMS_M
+    from freki_spark.streaming.jobs import stream_cms
+
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    exp = Counter()
+    keys_per_hour = defaultdict(set)
+    for r in events:
+        hour = int(r.ts.timestamp()) // 3600 * 3600
+        keys_per_hour[hour].add(r.event_type)
+        for k in range(CMS_K):
+            m = (
+                int(
+                    hashlib.md5(
+                        f"cms{k}|{r.event_type}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % CMS_M
+            )
+            exp[(hour, k, m)] += 1
+    got = {
+        (r.hour_epoch, r.k, r.m): r.cell_cnt
+        for r in stream_cms(spark, SF, "t_cms").collect()
+    }
+    assert got == dict(exp)
+    occupied = defaultdict(int)
+    for hour, k, _ in got:
+        occupied[(hour, k)] += 1
+    assert all(
+        n <= min(CMS_M, len(keys_per_hour[h])) for (h, _), n in occupied.items()
+    )
+
+
 def test_stream_sessionize_counts(spark):
     from freki_spark.streaming.jobs import stream_sessionize
 
