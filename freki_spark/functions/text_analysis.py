@@ -1305,6 +1305,147 @@ JOIN p ON g.doc_id = p.doc_id
 
 
 # --------------------------------------------------------------------------
+# filter_funnel — curation-funnel telemetry: the per-stage kill report
+# every production pipeline publishes next to its dataset (how many
+# docs entered each filter, how many it removed, what survived).
+# Stages run in cheap-to-expensive order — Gopher rules, blocklist,
+# classifier, perplexity tail — and a doc is attributed to the FIRST
+# stage that kills it (the funnel convention: later stages never see
+# it).  Every stage predicate is the single-sourced builder its
+# standalone op uses (_gopher_flags, _badword_flagged,
+# _classifier_score, perplexity_bucket), so the telemetry can never
+# disagree with the filters it describes.
+#
+# Scale shape (100 TB): the three narrow signals fuse into ONE
+# zero-shuffle pass over one bound token array (the quality_vote scan
+# shape); perplexity joins at doc grain; the funnel math then runs on
+# a 5-row stage spine (4 filters + a synthetic survivor stage) —
+# histogram, then total and cumulative-kill as window sums over that
+# same tiny relation.  The telemetry layer adds zero corpus-grain work
+# beyond the one fused scan.
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("gopher_rules", "badwords", "classifier", "ppl_tail")
+
+
+def filter_funnel(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", toks(F.col("text")).alias("_tk")
+    )
+    tk = F.col("_tk")
+    stats = d.select(
+        "doc_id",
+        *_gopher_stats_cols(tk),
+        *_badword_stats_cols(tk),
+        _classifier_score(tk).alias("cls_score"),
+    )
+    ok_words, ok_meanlen, ok_stop, ok_topword = _gopher_flags()
+    narrow = stats.select(
+        "doc_id",
+        (ok_words & ok_meanlen & ok_stop & ok_topword).alias("g"),
+        (~_badword_flagged()).alias("b"),
+        (F.col("cls_score") > 0).alias("c"),
+    )
+    ppl = perplexity_bucket(spark, sf_dir).select(
+        "doc_id", (F.col("bucket") != "tail").alias("p")
+    )
+    survivor = len(FUNNEL_STAGES) + 1
+    killed = (
+        F.when(~F.col("g"), 1)
+        .when(~F.col("b"), 2)
+        .when(~F.col("c"), 3)
+        .when(~F.col("p"), 4)
+        .otherwise(survivor)
+    )
+    j = narrow.join(ppl, "doc_id").select(killed.alias("stage"))
+    hist = j.groupBy("stage").agg(F.count("*").alias("cnt"))
+    # Survivors ride the histogram as a synthetic last stage, so
+    # n_total is a window sum over the SAME 5-row spine relation and
+    # the corpus-grain lineage executes exactly once.  A separate
+    # j.agg(count) / hist.agg(sum) branch re-runs the whole scoring
+    # subtree (measured: 2x the parquet scans; AQE reuse only
+    # recovered 2 exchanges at runtime).
+    spine = spark.range(1, survivor + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    h = spine.join(F.broadcast(hist), "stage", "left").select(
+        "stage", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_killed")
+    )
+    w_before = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    o = (
+        h.withColumn("n_total", F.sum("n_killed").over(w_all))
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum("n_killed").over(w_before), F.lit(0).cast("bigint")
+            ),
+        )
+        .where(F.col("stage") <= len(FUNNEL_STAGES))
+        .withColumn("n_in", F.col("n_total") - F.col("_before"))
+    )
+    name = F.element_at(
+        F.array(*[F.lit(s) for s in FUNNEL_STAGES]), F.col("stage")
+    )
+    survive = F.when(F.col("n_in") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("(n_in - n_killed) * 1000000 div n_in")
+    )
+    return o.select(
+        "stage",
+        name.alias("stage_name"),
+        "n_in",
+        "n_killed",
+        survive.alias("survive_ppm"),
+    )
+
+
+_FUNNEL_NAME_CASE = "CASE stage " + " ".join(
+    f"WHEN {i + 1} THEN '{s}'" for i, s in enumerate(FUNNEL_STAGES)
+) + " END"
+
+SQL_FILTER_FUNNEL = f"""
+WITH g AS ({SQL_GOPHER_QUALITY}),
+b AS ({SQL_BADWORD_FILTER}),
+c AS ({SQL_QUALITY_CLASSIFIER}),
+p AS ({SQL_PERPLEXITY_BUCKET}),
+k AS (
+  SELECT g.doc_id,
+         CASE WHEN g.keep = 0 THEN 1
+              WHEN b.flagged = 1 THEN 2
+              WHEN c.keep = 0 THEN 3
+              WHEN p.bucket = 'tail' THEN 4
+              ELSE 0 END AS stage
+  FROM g
+  JOIN b ON g.doc_id = b.doc_id
+  JOIN c ON g.doc_id = c.doc_id
+  JOIN p ON g.doc_id = p.doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM k),
+hist AS (SELECT stage, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
+spine AS (SELECT CAST(stage AS INT) AS stage
+          FROM UNNEST(range(1, {len(FUNNEL_STAGES) + 1})) t(stage)),
+h AS (SELECT s.stage, CAST(coalesce(hist.cnt, 0) AS BIGINT) AS n_killed
+      FROM spine s LEFT JOIN hist ON s.stage = hist.stage),
+o AS (SELECT stage, n_killed,
+             CAST(coalesce(sum(n_killed) OVER (ORDER BY stage
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before
+      FROM h)
+SELECT stage, {_FUNNEL_NAME_CASE} AS stage_name,
+       CAST(n_total - before AS BIGINT) AS n_in,
+       n_killed,
+       CASE WHEN n_total - before = 0 THEN 0
+            ELSE (n_total - before - n_killed) * 1000000
+                   // (n_total - before) END AS survive_ppm
+FROM o, tot
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_train — one distributed iteration of byte-pair-encoding merge
 # learning (Sennrich et al. 2016): count adjacent symbol pairs across
 # the corpus and rank the merge candidates.  Production BPE training is
@@ -1622,11 +1763,13 @@ QUERIES = {
     "bpe_train": bpe_train,
     "bleu_stats": bleu_stats,
     "doremi_weights": doremi_weights,
+    "filter_funnel": filter_funnel,
 }
 
 ORACLE_SQL = {
     "bleu_stats": SQL_BLEU_STATS,
     "doremi_weights": SQL_DOREMI_WEIGHTS,
+    "filter_funnel": SQL_FILTER_FUNNEL,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

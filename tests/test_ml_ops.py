@@ -915,6 +915,67 @@ def test_doremi_weights_matches_python_and_upweights_lossy_domains(spark):
     assert gains[max_excess_lang] == max(gains.values())
 
 
+def test_filter_funnel_matches_component_ops_and_chains(spark):
+    """The funnel must agree with the standalone filters it describes:
+    rebuild killed-at-first-failing-stage attribution from the four
+    component ops' own outputs and compare the whole relation.  Also
+    pins the funnel algebra — n_in chains (each stage's intake is the
+    previous intake minus its kills), stage 1 sees the whole corpus,
+    and the fixture actually kills at every stage grain checked."""
+    from freki_spark.functions.text_analysis import (
+        FUNNEL_STAGES,
+        badword_filter,
+        filter_funnel,
+        gopher_quality,
+        perplexity_bucket,
+        quality_classifier,
+    )
+
+    g = {r.doc_id: r.keep for r in gopher_quality(spark, SF).collect()}
+    b = {r.doc_id: r.flagged for r in badword_filter(spark, SF).collect()}
+    c = {r.doc_id: r.keep for r in quality_classifier(spark, SF).collect()}
+    p = {
+        r.doc_id: r.bucket for r in perplexity_bucket(spark, SF).collect()
+    }
+    kills = {s: 0 for s in range(0, 5)}
+    for d in g:
+        if g[d] == 0:
+            kills[1] += 1
+        elif b[d] == 1:
+            kills[2] += 1
+        elif c[d] == 0:
+            kills[3] += 1
+        elif p[d] == "tail":
+            kills[4] += 1
+        else:
+            kills[0] += 1
+    n_total = len(g)
+    exp = set()
+    before = 0
+    for s in range(1, 5):
+        n_in = n_total - before
+        exp.add(
+            (
+                s,
+                FUNNEL_STAGES[s - 1],
+                n_in,
+                kills[s],
+                (n_in - kills[s]) * 1000000 // n_in if n_in else 0,
+            )
+        )
+        before += kills[s]
+    got = {
+        (r.stage, r.stage_name, r.n_in, r.n_killed, r.survive_ppm)
+        for r in filter_funnel(spark, SF).collect()
+    }
+    assert got == exp
+    rows = sorted(got)
+    assert rows[0][2] == n_total
+    for (s1, _, in1, k1, _), (_, _, in2, _, _) in zip(rows, rows[1:]):
+        assert in2 == in1 - k1, (s1, in1, k1, in2)
+    assert sum(k for *_, k, _ in rows) > 0, "fixture kills nothing"
+
+
 def test_cms_estimates_are_one_sided_and_collision_exact(spark):
     """Recompute the whole Count-Min pipeline in plain python (md5
     cells, true Counter, min-over-rows estimate) — the 20-row relation

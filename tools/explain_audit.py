@@ -950,6 +950,26 @@ def main() -> int:
         "no Window/SMJ; partial-agg'd scoring feeds broadcast rollups",
     )
 
+    # 58d. filter_funnel: the telemetry layer adds at most the one
+    #      fused narrow-signal scan on top of perplexity_bucket's own
+    #      lineage (i.e. no second corpus pass for total/cumsum — the
+    #      unfused form measured 2x the scans), and the only windows
+    #      run on the 5-row stage spine — never a corpus-grain key
+    from freki_spark.functions.text_analysis import perplexity_bucket
+
+    ppl_scans = len(
+        re.findall(r"Scan parquet", plan_of(perplexity_bucket(spark, sf_dir)))
+    )
+    p = plan_of(QUERIES["filter_funnel"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    n_scans = len(re.findall(r"Scan parquet", p))
+    check(
+        "filter_funnel_fused",
+        wins <= {"stage"} and n_scans <= ppl_scans + 2,
+        f"window keys={sorted(wins)}, parquet scans={n_scans} "
+        f"(perplexity component alone: {ppl_scans})",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
