@@ -24,11 +24,9 @@ from pyspark.sql import functions as F
 
 from .common import (
     DUCK_MD5I32,
-    DUCK_MD5I60,
     bigrams,
     duck_bigrams,
     md5i32,
-    md5i60,
     toks,
 )
 
@@ -409,6 +407,29 @@ FROM b GROUP BY lang, file_bin
 SEQ_LEN = 256
 
 
+def seq_layout_cols(start, n_tokens):
+    """The packing-layout convention — (seq_id, seq_offset, straddles)
+    from a running token start — single-sourced for every packer
+    (pack_sequences, pack_interleaved, similarity.semantic_pack) so a
+    convention change (straddle semantics, SEQ_LEN widening) cannot
+    drift between them.  `DUCK_SEQ_LAYOUT` is the oracle mirror."""
+    return [
+        F.floor(start / SEQ_LEN).cast("bigint").alias("seq_id"),
+        (start % SEQ_LEN).cast("int").alias("seq_offset"),
+        (
+            F.floor(start / SEQ_LEN)
+            != F.floor((start + n_tokens - 1) / SEQ_LEN)
+        ).alias("straddles"),
+    ]
+
+
+# oracle mirror of seq_layout_cols over CTE columns `start`/`n_tokens`
+DUCK_SEQ_LAYOUT = f"""CAST(floor(start / {SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(start % {SEQ_LEN} AS INT) AS seq_offset,
+       floor(start / {SEQ_LEN})
+         <> floor((start + n_tokens - 1) / {SEQ_LEN}) AS straddles"""
+
+
 def pack_sequences(spark, sf_dir):
     d = _docs(spark, sf_dir)
     n_tok = F.size(toks(F.col("text")))
@@ -419,11 +440,7 @@ def pack_sequences(spark, sf_dir):
         "doc_id",
         "lang",
         "n_tokens",
-        F.floor(start / SEQ_LEN).cast("bigint").alias("seq_id"),
-        (start % SEQ_LEN).cast("int").alias("seq_offset"),
-        (
-            F.floor(start / SEQ_LEN) != F.floor((start + F.col("n_tokens") - 1) / SEQ_LEN)
-        ).alias("straddles"),
+        *seq_layout_cols(start, F.col("n_tokens")),
     )
 
 
@@ -464,12 +481,7 @@ def pack_interleaved(spark, sf_dir):
         "n_text_tokens",
         "n_media_tokens",
         "n_tokens",
-        F.floor(start / SEQ_LEN).cast("bigint").alias("seq_id"),
-        (start % SEQ_LEN).cast("int").alias("seq_offset"),
-        (
-            F.floor(start / SEQ_LEN)
-            != F.floor((start + F.col("n_tokens") - 1) / SEQ_LEN)
-        ).alias("straddles"),
+        *seq_layout_cols(start, F.col("n_tokens")),
     )
 
 
@@ -496,10 +508,7 @@ s AS (
 )
 SELECT doc_id, lang, n_text_tokens, n_media_tokens,
        CAST(n_tokens AS INT) AS n_tokens,
-       CAST(floor(start / {SEQ_LEN}) AS BIGINT) AS seq_id,
-       CAST(start % {SEQ_LEN} AS INT) AS seq_offset,
-       floor(start / {SEQ_LEN})
-         <> floor((start + n_tokens - 1) / {SEQ_LEN}) AS straddles
+       {DUCK_SEQ_LAYOUT}
 FROM s
 """
 
@@ -514,10 +523,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, lang, n_tokens,
-       CAST(floor(start / {SEQ_LEN}) AS BIGINT) AS seq_id,
-       CAST(start % {SEQ_LEN} AS INT) AS seq_offset,
-       floor(start / {SEQ_LEN})
-         <> floor((start + n_tokens - 1) / {SEQ_LEN}) AS straddles
+       {DUCK_SEQ_LAYOUT}
 FROM t
 """
 

@@ -313,43 +313,37 @@ def _cms_cell(k: int, tok):
     ).cast("int")
 
 
+def _cms_cells(key):
+    """The full K-way (k, m) cell explode for one key column — the
+    sketch-layout contract (CMS_K rows per key, columns `k`/`m`).
+    Single-sourced so batch (heavy_hitters_cms build + candidate
+    sides) and streaming (stream_cms) cannot drift in layout; only
+    project `col("c.k"), col("c.m")` after selecting this."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"), _cms_cell(k, key).alias("m")
+                )
+                for k in range(CMS_K)
+            ]
+        )
+    ).alias("c")
+
+
 def heavy_hitters_cms(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
     e = d.select(F.explode("_tk").alias("tok"))
     cnt = e.groupBy("tok").agg(F.count("*").alias("true_cnt"))
     cand = cnt.orderBy(F.desc("true_cnt"), F.asc("tok")).limit(CMS_TOP)
     cells = (
-        e.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).alias("k"),
-                            _cms_cell(k, F.col("tok")).alias("m"),
-                        )
-                        for k in range(CMS_K)
-                    ]
-                )
-            ).alias("c")
-        )
+        e.select(_cms_cells(F.col("tok")))
         .select("c.k", "c.m")
         .groupBy("k", "m")
         .agg(F.count("*").alias("cell_cnt"))
     )
     ck = cand.select(
-        "tok",
-        "true_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        _cms_cell(k, F.col("tok")).alias("m"),
-                    )
-                    for k in range(CMS_K)
-                ]
-            )
-        ).alias("c"),
+        "tok", "true_cnt", _cms_cells(F.col("tok"))
     ).select("tok", "true_cnt", "c.k", "c.m")
     est = (
         ck.join(F.broadcast(cells), ["k", "m"])

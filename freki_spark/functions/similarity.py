@@ -863,7 +863,7 @@ SELECT vec_id, nbr_id, cos, rnk FROM ranked WHERE rnk <= {KNN_GRAPH_K}
 # so the assignment rule cannot drift.
 # --------------------------------------------------------------------------
 
-from .corpus_prep import SEQ_LEN as PACK_SEQ_LEN  # noqa: E402
+from .corpus_prep import DUCK_SEQ_LAYOUT, seq_layout_cols  # noqa: E402
 
 
 def semantic_pack(spark, sf_dir):
@@ -886,14 +886,7 @@ def semantic_pack(spark, sf_dir):
             "list_id",
             "crank",
             "n_tokens",
-            F.floor(F.col("_start") / PACK_SEQ_LEN).cast("bigint").alias("seq_id"),
-            (F.col("_start") % PACK_SEQ_LEN).cast("int").alias("seq_offset"),
-            (
-                F.floor(F.col("_start") / PACK_SEQ_LEN)
-                != F.floor(
-                    (F.col("_start") + F.col("n_tokens") - 1) / PACK_SEQ_LEN
-                )
-            ).alias("straddles"),
+            *seq_layout_cols(F.col("_start"), F.col("n_tokens")),
         )
     )
 
@@ -919,10 +912,7 @@ o AS (
   FROM cc JOIN t ON t.doc_id = cc.vec_id
 )
 SELECT doc_id, list_id, CAST(crank AS INT) AS crank, n_tokens,
-       CAST(floor(start / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
-       CAST(start % {PACK_SEQ_LEN} AS INT) AS seq_offset,
-       floor(start / {PACK_SEQ_LEN})
-         <> floor((start + n_tokens - 1) / {PACK_SEQ_LEN}) AS straddles
+       {DUCK_SEQ_LAYOUT}
 FROM o
 """
 

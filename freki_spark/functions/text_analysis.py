@@ -1164,6 +1164,16 @@ FROM scored
 # --------------------------------------------------------------------------
 
 DOREMI_TAU = 10_000  # temperature in µ-nats (0.01 nats)
+# The exp argument is clamped to 16 so alpha_micro ≤ 1e6·exp(16) ≈
+# 8.9e12 — which keeps BOTH the per-domain alpha and the downstream
+# `alpha_micro * 1000000` ppm cross-multiplication inside bigint.
+# Without the clamp a domain ~0.44 nats above the reference (routine
+# for a low-resource language under add-one smoothing) pushes
+# base·exp(excess/τ) past 2^63, where the engines fail DIFFERENTLY:
+# Spark's non-ANSI double→long cast saturates silently, DuckDB's CAST
+# raises.  Past the clamp the mix is already maximally skewed
+# (exp(16) ≈ 8.9e6× the base share), so clipping loses nothing.
+DOREMI_EXCESS_CAP = 16 * DOREMI_TAU  # µ-nats
 
 
 def doremi_weights(spark, sf_dir):
@@ -1176,10 +1186,11 @@ def doremi_weights(spark, sf_dir):
     tot = dom.agg(F.sum("n_docs").alias("n_total"))
     d = dom.crossJoin(F.broadcast(ref)).crossJoin(F.broadcast(tot))
     excess = F.greatest(F.lit(0), F.col("loss_micro") - F.col("ref_micro"))
+    capped = F.least(excess, F.lit(DOREMI_EXCESS_CAP))
     base_ppm = F.expr("n_docs * 1000000 div n_total")
     alpha = F.floor(
         base_ppm.cast("double")
-        * F.exp(excess.cast("double") / F.lit(float(DOREMI_TAU)))
+        * F.exp(capped.cast("double") / F.lit(float(DOREMI_TAU)))
     ).cast("bigint")
     a = d.select(
         "lang",
@@ -1217,7 +1228,8 @@ a AS (
          greatest(0, loss_micro - ref_micro) AS excess_micro,
          CAST(floor(
            CAST(n_docs * 1000000 // n_total AS DOUBLE)
-           * exp(CAST(greatest(0, loss_micro - ref_micro) AS DOUBLE)
+           * exp(CAST(least(greatest(0, loss_micro - ref_micro),
+                            {DOREMI_EXCESS_CAP}) AS DOUBLE)
                  / {float(DOREMI_TAU)})
          ) AS BIGINT) AS alpha_micro
   FROM dom, ref, tot

@@ -405,20 +405,10 @@ def stream_cms(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
     in the state store; complete output mode + memory sink is the test
     harness (the q_stream_hourly convention), production would emit
     finalized windows in append mode."""
-    from ..functions.search import CMS_K, _cms_cell
+    from ..functions.search import _cms_cells
 
     src = _stage_events(spark, sf_dir)
-    cells = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).alias("k"),
-                    _cms_cell(k, F.col("event_type")).alias("m"),
-                )
-                for k in range(CMS_K)
-            ]
-        )
-    ).alias("c")
+    cells = _cms_cells(F.col("event_type"))
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(src)

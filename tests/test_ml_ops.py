@@ -870,10 +870,18 @@ def test_doremi_weights_matches_python_and_upweights_lossy_domains(spark):
     from collections import defaultdict
 
     from freki_spark.functions.text_analysis import (
+        DOREMI_EXCESS_CAP,
         DOREMI_TAU,
         doremi_weights,
         perplexity_bucket,
     )
+
+    # bigint-headroom invariant behind the excess clamp: the largest
+    # possible alpha (base share = 1e6 ppm at the cap) and its ppm
+    # cross-multiplication must both fit a signed 64-bit in BOTH
+    # engines (Spark would saturate silently, DuckDB would raise)
+    alpha_max = math.floor(1_000_000 * math.exp(DOREMI_EXCESS_CAP / DOREMI_TAU))
+    assert alpha_max * 1_000_000 < 2**63
 
     per_doc = perplexity_bucket(spark, SF).collect()
     by_lang = defaultdict(list)
@@ -888,7 +896,10 @@ def test_doremi_weights_matches_python_and_upweights_lossy_domains(spark):
         excess = max(0, loss - ref)
         base = len(scores) * 1000000 // n_total
         alphas[lang] = math.floor(
-            float(base) * math.exp(float(excess) / float(DOREMI_TAU))
+            float(base)
+            * math.exp(
+                float(min(excess, DOREMI_EXCESS_CAP)) / float(DOREMI_TAU)
+            )
         )
         stats[lang] = (len(scores), loss, excess, base)
     asum = sum(alphas.values())

@@ -36,6 +36,24 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def shuffle_exchanges_feed_aggregates(p: str) -> tuple[int, bool]:
+    """(n_shuffle_exchanges, every one's DIRECT tree child is a
+    HashAggregate).  Parses the formatted plan's tree section, where a
+    node's direct child is the next line — a structural check, unlike
+    comparing plan ids (ids are bottom-up, so `any(agg_id < ex_id)` is
+    satisfied by ANY aggregate anywhere in an earlier branch and lets
+    a corpus-grain Exchange slip through)."""
+    lines = p.split("\n\n")[0].splitlines()
+    n_ex, ok = 0, True
+    for i, ln in enumerate(lines):
+        if re.search(r"\bExchange \(\d+\)", ln) and "BroadcastExchange" not in ln:
+            n_ex += 1
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "HashAggregate" not in child:
+                ok = False
+    return n_ex, ok
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -835,15 +853,12 @@ def main() -> int:
     #     corpus-keyed Exchange: every Exchange sits above a
     #     HashAggregate, never above the raw scan projection)
     p = plan_of(QUERIES["temperature_sample"](spark, sf_dir))
-    ex_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
-    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
-    # formatted-plan ids are execution order: every exchange must
-    # consume an aggregate that ran before it (histogram-sized input)
-    ex_above_agg = all(any(a < e for a in agg_ids) for e in ex_ids)
+    n_ex, ex_above_agg = shuffle_exchanges_feed_aggregates(p)
     check(
         "temperature_sample_shape",
         "BroadcastHashJoin" in p and "SortMergeJoin" not in p and ex_above_agg,
-        f"broadcast plan join; exchanges={len(ex_ids)} all above aggregates",
+        f"broadcast plan join; {n_ex} shuffle exchanges, each directly "
+        "above a HashAggregate",
     )
 
     # 53. shard_manifest: ONE Exchange, partial-aggregated map-side
