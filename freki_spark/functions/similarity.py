@@ -917,7 +917,166 @@ FROM o
 """
 
 
+# --------------------------------------------------------------------------
+# bitext_mine — margin-based parallel-pair mining (Artetxe & Schwenk
+# 2019, the LASER/CCMatrix recipe that mined billions of translation
+# pairs from web crawls): a source/target pair is kept not when its
+# cosine is high in absolute terms but when it BEATS the average of
+# each side's k-nearest-neighborhood — margin(x, y) =
+# cos(x, y) / (½·(avgₖ cos(x, NNₖ(x, Y)) + avgₖ cos(y, NNₖ(y, X)))) —
+# which cancels the hubness that plain thresholds drown in.  Graft
+# version: source = even vec_ids, target = odd (a deterministic split
+# of the one embedding table), candidates and the kNN neighborhoods
+# both come from the random-hyperplane LSH bucket equi-join (the same
+# `_bucket` the ANN family uses — the faiss-ANN role in CCMatrix),
+# k = 4, and a pair is emitted when it is its source's best candidate
+# by margin AND margin > 1 (strictly better than its neighborhood).
+#
+# Float discipline: cosine rounds once to integer 1e-5 units (cos_u);
+# neighborhood averages stay EXACT bigint sums — margin_ppm =
+# cos_u·2e6·nf·nb div (sumf·nb + sumb·nf), so no cross-engine float
+# reassociation can move a margin (max magnitude 1e5·2e6·16 ≈ 3.2e12,
+# well inside bigint).  Spark `div` truncates where DuckDB `//`
+# floors, which differ only on NEGATIVE margins — those can never win
+# best-rank over a >1e6 survivor (positive beats negative in both
+# orderings) and never pass the filter, so emitted rows are identical.
+#
+# Scale shape (10^12 docs): one narrow bucket pass per side, ONE
+# bucket equi-join (expected bucket size n/2^N_PLANES — N_PLANES is
+# the scale dial, like dedup_embedding_cosine), and the kNN/best
+# windows partition on src_id/tgt_id whose cardinality grows with the
+# corpus over bucket-bounded candidate lists.  No all-pairs plan
+# anywhere (plan-audited: no CartesianProduct/BroadcastNestedLoop).
+# --------------------------------------------------------------------------
+
+BITEXT_K = 4
+BITEXT_MARGIN_MIN_PPM = 1_000_000  # margin > 1.0
+
+
+def bitext_mine(spark, sf_dir):
+    em = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    src = em.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("sv"), "bucket"
+    )
+    tgt = em.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("tv"), "bucket"
+    )
+    cos_u = F.round(
+        _dot(F.col("sv"), F.col("tv"))
+        / (_norm(F.col("sv")) * _norm(F.col("tv")))
+        * 100000
+    ).cast("bigint")
+    pairs = src.join(tgt, "bucket").select(
+        "src_id", "tgt_id", cos_u.alias("cos_u")
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_u"), F.asc("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_u"), F.asc("src_id")
+    )
+    fwd = (
+        pairs.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum("cos_u").alias("sumf"), F.count("*").alias("nf"))
+    )
+    bwd = (
+        pairs.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_u").alias("sumb"), F.count("*").alias("nb"))
+    )
+    m = (
+        pairs.join(fwd, "src_id")
+        .join(bwd, "tgt_id")
+        .filter(F.col("sumf") * F.col("nb") + F.col("sumb") * F.col("nf") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr("cos_u * 2000000 * nf * nb div (sumf * nb + sumb * nf)"),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.asc("tgt_id")
+    )
+    return (
+        m.withColumn("brnk", F.row_number().over(wbest))
+        .filter(
+            (F.col("brnk") == 1)
+            & (F.col("margin_ppm") > BITEXT_MARGIN_MIN_PPM)
+        )
+        .select("src_id", "tgt_id", "cos_u", "margin_ppm")
+    )
+
+
+SQL_BITEXT_MINE = f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+pd AS (
+  SELECT vec_id, p.p AS p, sum(x * (({DUCK_PLANE_W} % 2001 - 1000) / 1000.0)) AS dot
+  FROM ex, (SELECT unnest(range(0, {N_PLANES})) AS p) p
+  GROUP BY vec_id, p.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM pd GROUP BY vec_id
+),
+pairs AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         CAST(round(sum(p.x * c.x)
+                    / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.x * c.x)))
+                    * 100000, 0) AS BIGINT) AS cos_u
+  FROM buckets s
+  JOIN buckets t ON s.bucket = t.bucket
+  JOIN ex p ON p.vec_id = s.vec_id
+  JOIN ex c ON c.vec_id = t.vec_id AND c.j = p.j
+  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  GROUP BY 1, 2
+),
+fwd AS (
+  SELECT src_id, CAST(sum(cos_u) AS BIGINT) AS sumf,
+         CAST(count(*) AS BIGINT) AS nf
+  FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY cos_u DESC, tgt_id) AS rnk
+        FROM pairs)
+  WHERE rnk <= {BITEXT_K} GROUP BY 1
+),
+bwd AS (
+  SELECT tgt_id, CAST(sum(cos_u) AS BIGINT) AS sumb,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                     ORDER BY cos_u DESC, src_id) AS rnk
+        FROM pairs)
+  WHERE rnk <= {BITEXT_K} GROUP BY 1
+),
+m AS (
+  SELECT p.src_id, p.tgt_id, p.cos_u,
+         CAST(p.cos_u * 2000000 * f.nf * b.nb
+              // (f.sumf * b.nb + b.sumb * f.nf) AS BIGINT) AS margin_ppm
+  FROM pairs p
+  JOIN fwd f USING (src_id)
+  JOIN bwd b USING (tgt_id)
+  WHERE f.sumf * b.nb + b.sumb * f.nf > 0
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin_ppm DESC, tgt_id) AS brnk
+  FROM m
+)
+SELECT src_id, tgt_id, cos_u, margin_ppm
+FROM best WHERE brnk = 1 AND margin_ppm > {BITEXT_MARGIN_MIN_PPM}
+"""
+
+
 QUERIES = {
+    "bitext_mine": bitext_mine,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_flat": ann_ivf_flat,
@@ -931,6 +1090,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bitext_mine": SQL_BITEXT_MINE,
     "semantic_pack": SQL_SEMANTIC_PACK,
     "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,

@@ -1581,6 +1581,94 @@ def test_knn_graph_matches_numpy_reference(spark):
     assert all(a != b for a, b in got)  # no self-edges
 
 
+def test_bitext_mine_matches_numpy_margin_recompute(spark):
+    """The mined pair relation must equal an independent numpy/python
+    recompute of the whole margin pipeline: hyperplane buckets,
+    even x odd within-bucket candidates, HALF_UP integer micro-cosine,
+    exact-bigint k=4 neighborhood sums, truncating margin division
+    (Spark `div` semantics), best-per-source, margin > 1 gate.  Also
+    proves the gate is non-vacuous on the fixture (some sources are
+    rejected) and no source appears twice."""
+    import math
+
+    import numpy as np
+
+    from freki_spark.functions.similarity import (
+        BITEXT_K,
+        BITEXT_MARGIN_MIN_PPM,
+        N_PLANES,
+        _PLANE_W,
+        bitext_mine,
+    )
+
+    em = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    dim = len(next(iter(em.values())))
+    planes = np.array([w[:dim] for w in _PLANE_W], dtype=np.float64)
+    by_bucket = {}
+    for vid, v in em.items():
+        b = sum(1 << p for p in range(N_PLANES) if planes[p] @ v > 0)
+        by_bucket.setdefault(b, []).append(vid)
+
+    def cos_u(a, b):
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))) * 100000
+        return (
+            int(math.floor(c + 0.5))
+            if c >= 0
+            else -int(math.floor(-c + 0.5))
+        )
+
+    pairs, fwd, bwd = {}, {}, {}
+    for vids in by_bucket.values():
+        srcs = [v for v in vids if v % 2 == 0]
+        tgts = [v for v in vids if v % 2 == 1]
+        for s in srcs:
+            for t in tgts:
+                cu = cos_u(em[s], em[t])
+                pairs[(s, t)] = cu
+                fwd.setdefault(s, []).append((cu, t))
+                bwd.setdefault(t, []).append((cu, s))
+
+    def knn(lst):
+        top = sorted(lst, key=lambda x: (-x[0], x[1]))[:BITEXT_K]
+        return sum(c for c, _ in top), len(top)
+
+    def tdiv(a, b):  # Spark `div`: truncate toward zero (b > 0 here)
+        return a // b if a >= 0 else -((-a) // b)
+
+    margins = {}
+    for (s, t), cu in pairs.items():
+        sumf, nf = knn(fwd[s])
+        sumb, nb = knn(bwd[t])
+        den = sumf * nb + sumb * nf
+        if den > 0:
+            margins[(s, t)] = tdiv(cu * 2_000_000 * nf * nb, den)
+    exp, rejected = set(), set()
+    for s in {s for s, _ in margins}:
+        cands = sorted(
+            ((m, t) for (ss, t), m in margins.items() if ss == s),
+            key=lambda x: (-x[0], x[1]),
+        )
+        m, t = cands[0]
+        if m > BITEXT_MARGIN_MIN_PPM:
+            exp.add((s, t, pairs[(s, t)], m))
+        else:
+            rejected.add(s)
+
+    got = {
+        (r.src_id, r.tgt_id, r.cos_u, r.margin_ppm)
+        for r in bitext_mine(spark, SF).collect()
+    }
+    assert got == exp
+    assert got, "fixture mined nothing"
+    assert rejected, "margin gate never fired on the fixture"
+    srcs = [s for s, *_ in got]
+    assert len(srcs) == len(set(srcs))
+    assert all(s % 2 == 0 and t % 2 == 1 for s, t, *_ in got)
+
+
 def test_url_normalize_canonical_form(spark):
     """Every canonical URL must drop the fragment, tracking params,
     default port and www, lowercase the host, and preserve path case;

@@ -264,6 +264,20 @@ def main() -> int:
         "no CartesianProduct / BroadcastNestedLoopJoin in plan",
     )
 
+    # 11d. bitext mining: candidates + kNN neighborhoods come from the
+    #      bucket equi-join, never an all-pairs product, and every
+    #      window partitions on a corpus-grain growing key (src/tgt id
+    #      over bucket-bounded candidates), never a constant key
+    p = plan_of(QUERIES["bitext_mine"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "bitext_mine_bucketed",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and wins <= {"src_id", "tgt_id"},
+        f"no all-pairs join; window keys={sorted(wins)}",
+    )
+
     # 11. window-cumsum planners: the corpus-sized window runs at
     #     (lang, _shard) grain — shard-count parallelism, never one
     #     partition per language — with per-shard bases broadcast back;
