@@ -442,6 +442,22 @@ def _bpe_encode_sql(var: str) -> str:
     return s
 
 
+def _bpe_words(text):
+    """The BPE pre-tokenizer: lowercase, non-letters are word
+    boundaries, empty fragments dropped.  Single-sourced for
+    bpe_encode and vocab_coverage (Spark side; `_BPE_WORDS_SQL` is the
+    oracle mirror) so the word universe the vocab is measured against
+    cannot drift from the one it encodes."""
+    clean = F.trim(F.regexp_replace(F.lower(text), "[^a-z]+", " "))
+    return F.filter(F.split(clean, " "), lambda w: w != "")
+
+
+_BPE_WORDS_SQL = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
 def bpe_encode(spark, sf_dir):
     """Real BPE tokenization as a ZERO-SHUFFLE codegen'd map — no
     Python, no UDF: per document, lowercase, split on non-letters,
@@ -455,8 +471,7 @@ def bpe_encode(spark, sf_dir):
     100 TB.  Contrast ``token_count_bpe``, which only approximates
     token counts with a split regex."""
     d = _docs(spark, sf_dir)
-    clean = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "))
-    words = F.filter(F.split(clean, " "), lambda w: w != "")
+    words = _bpe_words(F.col("text"))
     per_word = F.transform(words, lambda w: F.size(F.split(_bpe_encode_expr(w), " ")))
     n_tokens = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
     first_tokens = F.when(F.size(words) > 0, F.translate(
@@ -472,9 +487,7 @@ def bpe_encode(spark, sf_dir):
 
 SQL_BPE_ENCODE = f"""
 WITH w AS (
-  SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text),
-             '[^a-z]+', ' ', 'g')), ' '), x -> x <> '') AS words
+  SELECT doc_id, {_BPE_WORDS_SQL} AS words
   FROM documents
 )
 SELECT doc_id,
@@ -486,6 +499,86 @@ SELECT doc_id,
             THEN replace({_bpe_encode_sql('words[1]')}, chr(1), '')
             ELSE '' END AS first_tokens
 FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# vocab_coverage — per-language tokenizer-fit telemetry: fertility
+# (tokens per word — THE cross-lingual tokenizer-quality metric, Rust
+# et al. 2021) and the single-token word rate ("vocab hit rate" — the
+# complement of the continued-word rate).  A language whose fertility
+# runs hot is under-served by the merge table and will eat a larger
+# training-compute share per unit text; tokenizer teams publish
+# exactly this table next to every vocab release.  The word universe
+# and the encode chain are single-sourced with bpe_encode
+# (_bpe_words / _bpe_encode_expr), so the measurement can never
+# disagree with the tokenizer it measures.
+#
+# Scale shape (100 TB): one narrow codegen'd pass (the per-word token
+# counts bind as a column, then two O(n_words) integer HOFs over the
+# bound array — never re-encoding), then ONE map-side-combined
+# Exchange to language grain; all ratios exact bigint ppm.
+# --------------------------------------------------------------------------
+
+
+def vocab_coverage(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "lang", _bpe_words(F.col("text")).alias("_w")
+    )
+    per_word = F.transform(
+        F.col("_w"), lambda w: F.size(F.split(_bpe_encode_expr(w), " "))
+    )
+    e = d.select("lang", F.size("_w").alias("nw"), per_word.alias("_pw")).select(
+        "lang",
+        "nw",
+        F.aggregate("_pw", F.lit(0), lambda a, x: a + x).alias("nt"),
+        F.size(F.filter("_pw", lambda s: s == 1)).alias("ns"),
+    )
+    g = e.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").alias("n_words"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("ns").alias("n_single"),
+    )
+    guard = lambda num: F.when(  # noqa: E731
+        F.col("n_words") > 0, F.expr(num)
+    ).otherwise(F.lit(0).cast("bigint"))
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        guard("n_tokens * 1000000 div n_words").alias("fertility_ppm"),
+        guard("n_single * 1000000 div n_words").alias("single_token_ppm"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH w AS (
+  SELECT lang, {_BPE_WORDS_SQL} AS words FROM documents
+),
+e AS (
+  SELECT lang, len(words) AS nw,
+         coalesce(list_sum(pw), 0) AS nt,
+         len(list_filter(pw, s -> s = 1)) AS ns
+  FROM (SELECT lang, words,
+               list_transform(words,
+                   t -> len(string_split({_bpe_encode_sql('t')}, ' '))) AS pw
+        FROM w)
+),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS n_words,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         CAST(sum(ns) AS BIGINT) AS n_single
+  FROM e GROUP BY 1
+)
+SELECT lang, n_docs, n_words, n_tokens,
+       CASE WHEN n_words > 0 THEN n_tokens * 1000000 // n_words
+            ELSE 0 END AS fertility_ppm,
+       CASE WHEN n_words > 0 THEN n_single * 1000000 // n_words
+            ELSE 0 END AS single_token_ppm
+FROM g
 """
 
 
@@ -1776,12 +1869,14 @@ QUERIES = {
     "bleu_stats": bleu_stats,
     "doremi_weights": doremi_weights,
     "filter_funnel": filter_funnel,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLE_SQL = {
     "bleu_stats": SQL_BLEU_STATS,
     "doremi_weights": SQL_DOREMI_WEIGHTS,
     "filter_funnel": SQL_FILTER_FUNNEL,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

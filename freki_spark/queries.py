@@ -1681,7 +1681,8 @@ _PRIORITY = [
     "dedup_incremental", "snapshot_diff", "corpus_stats", "dedup_stats",
     "gopher_ngram_flags", "inverted_postings", "bm25_topk", "hard_negatives",
     "bleu_stats", "span_corruption", "weighted_sample", "semantic_pack",
-    "doremi_weights", "filter_funnel", "bitext_mine", "zorder_plan",
+    "doremi_weights", "filter_funnel", "bitext_mine", "vocab_coverage",
+    "zorder_plan",
     "heavy_hitters_cms", "winnow_fingerprint", "temperature_sample",
     "shard_manifest", "media_phash_dedup", "clip_filter",
     "q_stream_incremental_dedup", "q_stream_curate", "q_stream_cms",

@@ -987,6 +987,68 @@ def test_filter_funnel_matches_component_ops_and_chains(spark):
     assert sum(k for *_, k, _ in rows) > 0, "fixture kills nothing"
 
 
+def test_vocab_coverage_matches_python_bpe_recompute(spark):
+    """The per-language relation must equal a plain-python recompute
+    of the full pipeline (regex word split, sentinel replace-chain
+    BPE, integer ppm ratios), and the metrics must discriminate on the
+    fixture: every fertility >= 1e6 (a word is at least one token),
+    some single-token words exist, and some multi-token words exist."""
+    import re as _re
+    from collections import defaultdict
+
+    from freki_spark.functions.text_analysis import (
+        BPE_MERGES,
+        vocab_coverage,
+    )
+
+    def enc_len(word):
+        s = " ".join(f"\x01{c}\x01" for c in word)
+        for a, b in BPE_MERGES:
+            s = s.replace(f"\x01{a}\x01 \x01{b}\x01", f"\x01{a}{b}\x01")
+        return len(s.split(" "))
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, tokens, single
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        words = [
+            w
+            for w in _re.sub("[^a-z]+", " ", r.text.lower()).strip().split(" ")
+            if w != ""
+        ]
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(words)
+        for w in words:
+            n = enc_len(w)
+            a[2] += n
+            a[3] += 1 if n == 1 else 0
+    exp = {
+        (
+            lang,
+            d,
+            w,
+            t,
+            t * 1000000 // w if w else 0,
+            s * 1000000 // w if w else 0,
+        )
+        for lang, (d, w, t, s) in agg.items()
+    }
+    got = {
+        (
+            r.lang,
+            r.n_docs,
+            r.n_words,
+            r.n_tokens,
+            r.fertility_ppm,
+            r.single_token_ppm,
+        )
+        for r in vocab_coverage(spark, SF).collect()
+    }
+    assert got == exp
+    assert all(f >= 1000000 for *_, f, _ in got)
+    assert any(s > 0 for *_, s in got), "no single-token words"
+    assert any(s < 1000000 for *_, s in got), "vocab never split a word"
+
+
 def test_cms_estimates_are_one_sided_and_collision_exact(spark):
     """Recompute the whole Count-Min pipeline in plain python (md5
     cells, true Counter, min-over-rows estimate) — the 20-row relation

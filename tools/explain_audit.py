@@ -999,6 +999,20 @@ def main() -> int:
         f"(perplexity component alone: {ppl_scans})",
     )
 
+    # 58e. vocab_coverage: one narrow encode pass, then ONE map-side
+    #      combined Exchange to language grain — no Window, no python
+    p = plan_of(QUERIES["vocab_coverage"](spark, sf_dir))
+    n_ex, feeds_agg = shuffle_exchanges_feed_aggregates(p)
+    check(
+        "vocab_coverage_single_agg",
+        n_ex == 1
+        and feeds_agg
+        and "Window" not in p
+        and "Python" not in p,
+        f"{n_ex} shuffle exchange directly above a HashAggregate; "
+        "no Window/python",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
