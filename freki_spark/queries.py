@@ -1686,6 +1686,7 @@ _PRIORITY = [
     "heavy_hitters_cms", "winnow_fingerprint", "temperature_sample",
     "shard_manifest", "media_phash_dedup", "clip_filter",
     "q_stream_incremental_dedup", "q_stream_curate", "q_stream_cms",
+    "q_stream_join",
     "q_warc_scan", "warc_index",
     "q_scan_csv", "q_scan_orc", "q_scan_evolved", "media_span_join",
     "dedup_canonical", "dedup_keep", "mixture_sample", "badword_filter",

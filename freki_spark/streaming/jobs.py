@@ -456,7 +456,80 @@ FROM ek GROUP BY 1, 2, 3
 SQL_STREAM_CMS = _sql_stream_cms()
 
 
+# --------------------------------------------------------------------------
+# stream-static enrichment join — the canonical "enrich the event
+# firehose with a slowly-changing dimension" shape (the one core
+# Structured Streaming join mode the registry didn't yet exercise):
+# each micro-batch joins the stream side to a STATIC dimension table
+# (re-read per batch, so a dim refresh lands without restarting the
+# query), then aggregates per (event-hour, enriched key) under the
+# watermark.  LEFT join: an event whose user is missing from the dim
+# must survive as segment='UNKNOWN', never drop — at 10^12 events a
+# dim gap silently deleting rows is the worst failure mode.
+#
+# Scale shape: the dim side is broadcast (explicit hint — per-batch
+# hash join with zero stream-side shuffle before the windowed agg);
+# at a dim too big to broadcast this becomes the io.py bucketed-join
+# seam.  The agg state is (n_hours × n_segments) — constant per
+# window, watermark-bounded.
+# --------------------------------------------------------------------------
+
+
+def stream_enrich_agg(
+    spark: SparkSession, sf_dir: str, sink: str, dim: DataFrame | None = None
+) -> DataFrame:
+    src = _stage_events(spark, sf_dir)
+    if dim is None:
+        dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"),
+        "segment",
+        "n",
+        "total",
+    )
+
+
+def q_stream_join(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_enrich_agg(spark, sf_dir, f"stream_join_{_SINK_N[0]}")
+
+
+SQL_STREAM_JOIN = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n, round(sum(e.value), 2) AS total
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "q_stream_join": q_stream_join,
     "q_stream_cms": q_stream_cms,
     "q_stream_hourly": q_stream_hourly,
     "q_stream_curate": q_stream_curate,
@@ -467,6 +540,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_stream_join": SQL_STREAM_JOIN,
     "q_stream_cms": SQL_STREAM_CMS,
     "q_stream_hourly": SQL_STREAM_HOURLY,
     "q_stream_sessionize": SQL_STREAM_SESSIONIZE,

@@ -182,6 +182,58 @@ def test_streaming_matches_batch(spark):
     assert out == batch
 
 
+def test_stream_enrich_join_matches_batch_and_keeps_dim_misses(spark):
+    """The stream-static enrichment must equal the same left-join
+    aggregation run in batch, and — with a dimension truncated to half
+    the user universe — events whose user misses the dim must SURVIVE
+    as segment='UNKNOWN' with their counts intact (a dim gap must
+    never delete events)."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.streaming.jobs import stream_enrich_agg
+
+    out = {
+        (r.hour_epoch, r.segment): (r.n, r.total)
+        for r in stream_enrich_agg(spark, SF, "t_enrich").collect()
+    }
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = {
+        (r.hour_epoch, r.segment): (r.n, r.total)
+        for r in e.join(dim, "user_id", "left")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("bigint")
+            .alias("hour_epoch"),
+            F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert out == batch
+    assert out and all(s != "UNKNOWN" for _, s in out), (
+        "full dim should cover every event user"
+    )
+
+    half = dim.filter(F.col("user_id") % 2 == 0)
+    miss = {
+        (r.hour_epoch, r.segment): r.n
+        for r in stream_enrich_agg(spark, SF, "t_enrich_half", dim=half)
+        .filter(F.col("segment") == "UNKNOWN")
+        .collect()
+    }
+    n_odd = e.filter(F.col("user_id") % 2 == 1).count()
+    assert sum(miss.values()) == n_odd > 0
+    total_rows = sum(
+        r.n for r in stream_enrich_agg(spark, SF, "t_enrich_half2", dim=half)
+        .collect()
+    )
+    assert total_rows == e.count()
+
+
 def test_stream_cms_matches_python_and_bounds_state(spark):
     """Recompute the per-hour Count-Min cells in plain python (hashlib
     md5 cells over the events table, epoch-hour buckets) — the
