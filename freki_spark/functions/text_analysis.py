@@ -503,6 +503,93 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# bpe_ids — materialize the data-loader-facing training tensor: the
+# document's BPE token sequence mapped into the integer id space and
+# padded to a fixed shape (the array a training job memory-maps;
+# Megatron/GPT-NeoX .bin shards are exactly this relation).  Id space
+# is deterministic from the merge table alone: 0 = PAD, 1..26 = a-z,
+# 27.. = merge outputs in rank order — shipped as a plan literal, the
+# same artifact discipline as BPE_MERGES.  Encode chain and word
+# universe single-sourced with bpe_encode (_bpe_words /
+# _bpe_encode_expr), so the ids always correspond to the tokenizer's
+# actual output.
+#
+# Scale shape (100 TB): one narrow codegen'd pass — encode, flatten,
+# truncate to BPE_IDS_LEN, map through the 46-entry literal, pad;
+# zero Exchange (plan-audited), no python anywhere.
+# --------------------------------------------------------------------------
+
+BPE_IDS_LEN = 32
+BPE_VOCAB = {c: i + 1 for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+for _a, _b in BPE_MERGES:
+    BPE_VOCAB[_a + _b] = len(BPE_VOCAB) + 1
+
+
+def bpe_ids(spark, sf_dir):
+    return _bpe_ids_from(_docs(spark, sf_dir))
+
+
+def _bpe_ids_from(docs):
+    """The id-tensor projection over any (doc_id, text) relation —
+    split out so tests can drive the padding branch with a short
+    synthetic doc (every corpus fixture doc exceeds BPE_IDS_LEN
+    tokens, so the pad path never fires on parquet input)."""
+    d = docs.select("doc_id", _bpe_words(F.col("text")).alias("_w"))
+    toks_per_word = F.transform(
+        F.col("_w"),
+        lambda w: F.split(F.translate(_bpe_encode_expr(w), _S, ""), " "),
+    )
+    vocab = F.create_map(
+        *[F.lit(x) for t, i in sorted(BPE_VOCAB.items()) for x in (t, i)]
+    )
+    flat = F.flatten(toks_per_word)
+    e = d.select("doc_id", flat.alias("_t")).select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        F.transform(
+            F.slice(
+                F.concat(
+                    F.col("_t"),
+                    F.array_repeat(F.lit(""), BPE_IDS_LEN),
+                ),
+                1,
+                BPE_IDS_LEN,
+            ),
+            lambda t: F.coalesce(
+                F.element_at(vocab, t), F.lit(0)
+            ).cast("int"),
+        ).alias("ids"),
+    )
+    return e
+
+
+def _bpe_id_case(var: str) -> str:
+    whens = " ".join(
+        f"WHEN '{t}' THEN {i}" for t, i in sorted(BPE_VOCAB.items())
+    )
+    return f"CASE {var} {whens} ELSE 0 END"
+
+
+SQL_BPE_IDS = f"""
+WITH w AS (
+  SELECT doc_id, {_BPE_WORDS_SQL} AS words FROM documents
+),
+t AS (
+  SELECT doc_id,
+         flatten(list_transform(words,
+             w -> string_split(replace({_bpe_encode_sql('w')}, chr(1), ''),
+                               ' '))) AS tk
+  FROM w
+)
+SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+       list_transform(
+           list_resize(list_slice(tk, 1, {BPE_IDS_LEN}), {BPE_IDS_LEN}, ''),
+           x -> CAST({_bpe_id_case('x')} AS INT)) AS ids
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # vocab_coverage — per-language tokenizer-fit telemetry: fertility
 # (tokens per word — THE cross-lingual tokenizer-quality metric, Rust
 # et al. 2021) and the single-token word rate ("vocab hit rate" — the
@@ -1870,6 +1957,7 @@ QUERIES = {
     "doremi_weights": doremi_weights,
     "filter_funnel": filter_funnel,
     "vocab_coverage": vocab_coverage,
+    "bpe_ids": bpe_ids,
 }
 
 ORACLE_SQL = {
@@ -1877,6 +1965,7 @@ ORACLE_SQL = {
     "doremi_weights": SQL_DOREMI_WEIGHTS,
     "filter_funnel": SQL_FILTER_FUNNEL,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "bpe_ids": SQL_BPE_IDS,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

@@ -1101,6 +1101,72 @@ def test_vocab_coverage_matches_python_bpe_recompute(spark):
     assert any(s < 1000000 for *_, s in got), "vocab never split a word"
 
 
+def test_bpe_ids_roundtrip_and_fixed_shape(spark):
+    """The id tensor must equal a plain-python recompute, every row
+    must have the fixed BPE_IDS_LEN shape, the vocab must be a
+    bijection (decodable), and decoding the unpadded prefix must
+    reproduce the tokenizer's own token stream (the round-trip a
+    training job depends on)."""
+    import re as _re
+
+    from freki_spark.functions.text_analysis import (
+        BPE_IDS_LEN,
+        BPE_MERGES,
+        BPE_VOCAB,
+        bpe_ids,
+    )
+
+    ids_to_tok = {i: t for t, i in BPE_VOCAB.items()}
+    assert len(ids_to_tok) == len(BPE_VOCAB), "vocab ids not unique"
+    assert 0 not in ids_to_tok, "PAD id collides with a token"
+
+    def enc(word):
+        s = " ".join(f"\x01{c}\x01" for c in word)
+        for a, b in BPE_MERGES:
+            s = s.replace(f"\x01{a}\x01 \x01{b}\x01", f"\x01{a}{b}\x01")
+        return s.replace("\x01", "").split(" ")
+
+    exp = {}
+    stream = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        words = [
+            w
+            for w in _re.sub("[^a-z]+", " ", r.text.lower()).strip().split(" ")
+            if w != ""
+        ]
+        tk = [t for w in words for t in enc(w)]
+        ids = [BPE_VOCAB[t] for t in tk[:BPE_IDS_LEN]]
+        exp[r.doc_id] = (len(tk), ids + [0] * (BPE_IDS_LEN - len(ids)))
+        stream[r.doc_id] = tk[:BPE_IDS_LEN]
+
+    got = {
+        r.doc_id: (r.n_tokens, list(r.ids))
+        for r in bpe_ids(spark, SF).collect()
+    }
+    assert got == exp
+    for doc_id, (n, ids) in got.items():
+        assert len(ids) == BPE_IDS_LEN
+        real = ids[: min(n, BPE_IDS_LEN)]
+        assert all(i > 0 for i in real) and all(
+            i == 0 for i in ids[len(real):]
+        )
+        assert [ids_to_tok[i] for i in real] == stream[doc_id]
+    assert any(n > BPE_IDS_LEN for n, _ in got.values()), "no truncation hit"
+
+    # every fixture doc exceeds BPE_IDS_LEN tokens, so drive the
+    # padding branch through the same projection with a short doc
+    from freki_spark.functions.text_analysis import _bpe_ids_from
+
+    short = _bpe_ids_from(
+        spark.createDataFrame([(1, "the and!")], ["doc_id", "text"])
+    ).collect()[0]
+    assert short.n_tokens == 2
+    assert list(short.ids) == [
+        BPE_VOCAB["the"],
+        BPE_VOCAB["and"],
+    ] + [0] * (BPE_IDS_LEN - 2)
+
+
 def test_cms_estimates_are_one_sided_and_collision_exact(spark):
     """Recompute the whole Count-Min pipeline in plain python (md5
     cells, true Counter, min-over-rows estimate) — the 20-row relation

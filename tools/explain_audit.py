@@ -1013,6 +1013,15 @@ def main() -> int:
         "no Window/python",
     )
 
+    # 58f. bpe_ids: the training-tensor materialization is one narrow
+    #      codegen'd pass — zero Exchange, zero python
+    p = plan_of(QUERIES["bpe_ids"](spark, sf_dir))
+    check(
+        "bpe_ids_narrow",
+        "Exchange" not in p and "Python" not in p,
+        "zero Exchange / python in the id-tensor pass",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
