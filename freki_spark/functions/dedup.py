@@ -318,11 +318,13 @@ def _fresh_batch(d: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def snapshot_diff(spark, sf_dir):
-    a = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _snapshot_b(a):
+    """Snapshot B's deterministic mutation of A (doc_id % 11 == 2
+    removed, % 7 == 1 rewritten, first 30 ids re-keyed at +500000 as
+    new) — single-sourced for snapshot_diff and scd2_history."""
     rem = F.col("doc_id") % 11 == 2
     chg = F.col("doc_id") % 7 == 1
-    b = (
+    return (
         a.filter(~rem)
         .select(
             "doc_id",
@@ -337,6 +339,22 @@ def snapshot_diff(spark, sf_dir):
             )
         )
     )
+
+
+# oracle mirror of _snapshot_b over a CTE named `a` (doc_id, text)
+_DUCK_SNAPSHOT_B = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN text || ' rev2' ELSE text END AS text
+  FROM a WHERE doc_id % 11 <> 2
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, 'new ' || text AS text
+  FROM a WHERE doc_id < 30
+"""
+
+
+def snapshot_diff(spark, sf_dir):
+    a = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = _snapshot_b(a)
     ah = a.select("doc_id", F.md5("text").alias("ha"))
     bh = b.select("doc_id", F.md5("text").alias("hb"))
     j = ah.join(bh, "doc_id", "full_outer")
@@ -349,16 +367,9 @@ def snapshot_diff(spark, sf_dir):
     return j.select("doc_id", status.alias("status"))
 
 
-SQL_SNAPSHOT_DIFF = """
+SQL_SNAPSHOT_DIFF = f"""
 WITH a AS (SELECT doc_id, text FROM documents),
-b AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 1 THEN text || ' rev2' ELSE text END AS text
-  FROM a WHERE doc_id % 11 <> 2
-  UNION ALL
-  SELECT doc_id + 500000 AS doc_id, 'new ' || text AS text
-  FROM a WHERE doc_id < 30
-),
+b AS ({_DUCK_SNAPSHOT_B}),
 ah AS (SELECT doc_id, md5(text) AS ha FROM a),
 bh AS (SELECT doc_id, md5(text) AS hb FROM b)
 SELECT coalesce(ah.doc_id, bh.doc_id) AS doc_id,
@@ -367,6 +378,140 @@ SELECT coalesce(ah.doc_id, bh.doc_id) AS doc_id,
        WHEN ha <> hb THEN 'changed'
        ELSE 'same' END AS status
 FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# scd2_history — type-2 slowly-changing-dimension history over crawl
+# snapshots: the "which version of this page was live at snapshot t"
+# relation every recrawl archive needs (provenance, point-in-time
+# reconstruction, dedup-against-what-was-live).  Three deterministic
+# snapshots: A (t=0), B = _snapshot_b(A) (t=1, the snapshot_diff
+# convention), C (t=2) = B with doc_id % 13 == 3 removed, % 5 == 2
+# rewritten ' rev3', first 20 A-ids re-keyed at +600000, and the
+# B-removed ids < 60 RE-ADDED with their original text (a dropped
+# page re-crawled unchanged).  A version run breaks on digest CHANGE
+# or presence GAP — the re-added pages pin the gap rule: identical
+# content, but the live-range genuinely has a hole, so a new interval
+# starts; valid_to = the first snapshot where the version no longer
+# holds, NULL = still current.
+#
+# Scale shape (100 TB): each snapshot reduces to (doc_id, t, md5)
+# before anything moves — text never shuffles; the lag/run-id windows
+# and the (doc_id, ver) rollup all share ONE hashpartitioning(doc_id)
+# Exchange (the rollup's grouping keys are a superset of the window
+# key, so Catalyst reuses the partitioning), ≤3 rows per doc.
+# --------------------------------------------------------------------------
+
+SCD2_T_MAX = 2
+
+
+def _snapshot_c(a, b):
+    rem = F.col("doc_id") % 13 == 3
+    chg = F.col("doc_id") % 5 == 2
+    return (
+        b.filter(~rem)
+        .select(
+            "doc_id",
+            F.when(chg, F.concat(F.col("text"), F.lit(" rev3")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            a.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat(F.lit("v3 "), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            a.filter(
+                (F.col("doc_id") % 11 == 2) & (F.col("doc_id") < 60)
+            ).select("doc_id", "text")
+        )
+    )
+
+
+def scd2_history(spark, sf_dir):
+    a = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = _snapshot_b(a)
+    c = _snapshot_c(a, b)
+    ev = (
+        a.select("doc_id", F.lit(0).alias("t"), F.md5("text").alias("h"))
+        .unionByName(
+            b.select("doc_id", F.lit(1).alias("t"), F.md5("text").alias("h"))
+        )
+        .unionByName(
+            c.select("doc_id", F.lit(2).alias("t"), F.md5("text").alias("h"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("t")
+    lag_h = F.lag("h").over(w)
+    lag_t = F.lag("t").over(w)
+    start = F.when(lag_h.isNull(), F.lit(True)).otherwise(
+        (lag_h != F.col("h")) | (lag_t != F.col("t") - 1)
+    )
+    run = ev.withColumn(
+        "ver",
+        F.sum(start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    g = run.groupBy("doc_id", "ver").agg(
+        F.min("h").alias("digest"),
+        F.min("t").alias("valid_from"),
+        F.max("t").alias("last_seen"),
+    )
+    return g.select(
+        "doc_id",
+        "digest",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.when(F.col("last_seen") < SCD2_T_MAX, F.col("last_seen") + 1)
+        .cast("int")
+        .alias("valid_to"),
+        (F.col("last_seen") == SCD2_T_MAX).alias("is_current"),
+    )
+
+
+SQL_SCD2_HISTORY = f"""
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS ({_DUCK_SNAPSHOT_B}),
+c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2 THEN text || ' rev3' ELSE text END AS text
+  FROM b WHERE doc_id % 13 <> 3
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, 'v3 ' || text AS text
+  FROM a WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id, text FROM a WHERE doc_id % 11 = 2 AND doc_id < 60
+),
+ev AS (
+  SELECT doc_id, 0 AS t, md5(text) AS h FROM a
+  UNION ALL SELECT doc_id, 1, md5(text) FROM b
+  UNION ALL SELECT doc_id, 2, md5(text) FROM c
+),
+runs AS (
+  SELECT doc_id, t, h,
+         sum(CASE WHEN lag_h IS NULL OR lag_h <> h OR lag_t <> t - 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS ver
+  FROM (SELECT doc_id, t, h,
+               lag(h) OVER (PARTITION BY doc_id ORDER BY t) AS lag_h,
+               lag(t) OVER (PARTITION BY doc_id ORDER BY t) AS lag_t
+        FROM ev)
+),
+g AS (
+  SELECT doc_id, ver, min(h) AS digest,
+         min(t) AS valid_from, max(t) AS last_seen
+  FROM runs GROUP BY 1, 2
+)
+SELECT doc_id, digest,
+       CAST(valid_from AS INT) AS valid_from,
+       CAST(CASE WHEN last_seen < {SCD2_T_MAX} THEN last_seen + 1 END AS INT)
+         AS valid_to,
+       last_seen = {SCD2_T_MAX} AS is_current
+FROM g
 """
 
 
@@ -1680,6 +1825,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
     "snapshot_diff": snapshot_diff,
+    "scd2_history": scd2_history,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1699,6 +1845,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "scd2_history": SQL_SCD2_HISTORY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,

@@ -1678,7 +1678,8 @@ _PRIORITY = [
     "perplexity_bucket", "quality_vote", "dsir_select", "bpe_train",
     "domain_stats",
     "crawl_frontier", "robots_filter", "link_graph", "anchor_text",
-    "dedup_incremental", "snapshot_diff", "corpus_stats", "dedup_stats",
+    "dedup_incremental", "snapshot_diff", "scd2_history", "corpus_stats",
+    "dedup_stats",
     "gopher_ngram_flags", "inverted_postings", "bm25_topk", "hard_negatives",
     "bleu_stats", "span_corruption", "weighted_sample", "semantic_pack",
     "doremi_weights", "filter_funnel", "bitext_mine", "vocab_coverage",

@@ -1101,6 +1101,91 @@ def test_vocab_coverage_matches_python_bpe_recompute(spark):
     assert any(s < 1000000 for *_, s in got), "vocab never split a word"
 
 
+def test_scd2_history_matches_python_and_interval_algebra(spark):
+    """The history relation must equal a python recompute of the three
+    snapshot definitions + run-building rule, and the interval algebra
+    must hold: per doc, intervals are disjoint and ordered, exactly one
+    current version iff the doc is live in the last snapshot, changed
+    docs carry >= 2 versions, and the RE-ADDED docs (dropped at t=1,
+    re-crawled unchanged at t=2) get a NEW interval despite an
+    identical digest — the presence-gap rule."""
+    import hashlib
+
+    from freki_spark.functions.dedup import SCD2_T_MAX, scd2_history
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    A = dict(docs)
+    B = {
+        d: (t + " rev2" if d % 7 == 1 else t)
+        for d, t in A.items()
+        if d % 11 != 2
+    }
+    B.update({d + 500000: "new " + t for d, t in A.items() if d < 30})
+    C = {
+        d: (t + " rev3" if d % 5 == 2 else t)
+        for d, t in B.items()
+        if d % 13 != 3
+    }
+    C.update({d + 600000: "v3 " + t for d, t in A.items() if d < 20})
+    C.update({d: t for d, t in A.items() if d % 11 == 2 and d < 60})
+    snaps = [A, B, C]
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    exp = set()
+    for doc in set().union(*snaps):
+        runs, prev_h, prev_t = [], None, None
+        for t in range(SCD2_T_MAX + 1):
+            if doc not in snaps[t]:
+                continue
+            h = md5(snaps[t][doc])
+            if prev_h is None or prev_h != h or prev_t != t - 1:
+                runs.append([h, t, t])
+            else:
+                runs[-1][2] = t
+            prev_h, prev_t = h, t
+        for h, vf, ls in runs:
+            exp.add(
+                (
+                    doc,
+                    h,
+                    vf,
+                    ls + 1 if ls < SCD2_T_MAX else None,
+                    ls == SCD2_T_MAX,
+                )
+            )
+
+    rows = scd2_history(spark, SF).collect()
+    got = {
+        (r.doc_id, r.digest, r.valid_from, r.valid_to, r.is_current)
+        for r in rows
+    }
+    assert got == exp
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, vs in by_doc.items():
+        vs.sort(key=lambda r: r.valid_from)
+        for v, nxt in zip(vs, vs[1:]):
+            assert v.valid_to is not None and v.valid_to <= nxt.valid_from
+        n_cur = sum(1 for v in vs if v.is_current)
+        assert n_cur == (1 if doc in C else 0), doc
+    changed = [d for d in A if d % 11 != 2 and d % 7 == 1 and d % 13 != 3]
+    assert changed and all(len(by_doc[d]) >= 2 for d in changed)
+    readded = [d for d in A if d % 11 == 2 and d < 60]
+    assert readded, "fixture has no re-added docs"
+    for d in readded:
+        vs = by_doc[d]
+        assert len(vs) == 2 and vs[0].digest == vs[1].digest
+        assert (vs[0].valid_from, vs[0].valid_to) == (0, 1)
+        assert vs[1].valid_from == 2 and vs[1].is_current
+
+
 def test_bpe_ids_roundtrip_and_fixed_shape(spark):
     """The id tensor must equal a plain-python recompute, every row
     must have the fixed BPE_IDS_LEN shape, the vocab must be a

@@ -278,6 +278,29 @@ def main() -> int:
         f"no all-pairs join; window keys={sorted(wins)}",
     )
 
+    # 11e. scd2_history: snapshots reduce to (doc_id, t, md5) before
+    #      anything moves — no Exchange block carries `text` — and the
+    #      run windows + (doc_id, ver) rollup share ONE
+    #      hashpartitioning(doc_id) Exchange
+    p = plan_of(QUERIES["scd2_history"](spark, sf_dir))
+    ex_blocks = re.findall(r"\(\d+\) Exchange.*?(?=\n\(\d+\)|\Z)", p, re.S)
+    text_shuffled = any(
+        re.search(r"\btext#", b) for b in ex_blocks
+    )
+    n_ex = len(
+        [
+            ln
+            for ln in p.split("\n\n")[0].splitlines()
+            if re.search(r"\bExchange \(\d+\)", ln)
+            and "BroadcastExchange" not in ln
+        ]
+    )
+    check(
+        "scd2_single_exchange_no_text",
+        not text_shuffled and n_ex == 1,
+        f"text in exchange={text_shuffled}; shuffle exchanges={n_ex}",
+    )
+
     # 11. window-cumsum planners: the corpus-sized window runs at
     #     (lang, _shard) grain — shard-count parallelism, never one
     #     partition per language — with per-shard bases broadcast back;
