@@ -1075,8 +1075,116 @@ FROM best WHERE brnk = 1 AND margin_ppm > {BITEXT_MARGIN_MIN_PPM}
 """
 
 
+# --------------------------------------------------------------------------
+# preference_pairs — reward-model / DPO training-pair assembly: pairs
+# of (chosen, rejected) documents that are SEMANTICALLY CLOSE (same
+# IVF cluster — so the preference signal is about quality, not topic)
+# but land on opposite sides of the quality_vote ensemble.  This is
+# the data-assembly step behind every "rank good vs bad continuations
+# of the same kind of content" dataset; pairing across topics teaches
+# the reward model topic bias instead of quality.  Per cluster: top
+# PREF_TOPN keepers by votes × bottom PREF_TOPN rejects by votes
+# (≤ 9 pairs), vote_gap = votes_chosen − votes_rejected ≥ 1 by
+# construction (keep ⇔ votes ≥ 2).
+#
+# Cluster assignment and quality scores are both single-sourced
+# (ivf_assign's broadcast-argmax / quality_vote's ensemble — shared
+# _IVF_CTES and SQL_QUALITY_VOTE on the oracle side), so the pairs
+# can never disagree with the curation ops.
+#
+# Scale shape (100 TB): scoring is the two component ops' own plans;
+# the pairing layer adds champion-list windows on list_id (cardinality
+# grows with the corpus, per-cluster work bounded) and a 3×3-bounded
+# within-cluster join — no all-pairs anywhere.
+# --------------------------------------------------------------------------
+
+PREF_TOPN = 3
+
+
+def preference_pairs(spark, sf_dir):
+    from .text_analysis import quality_vote
+
+    a = q_ivf_assign(spark, sf_dir)
+    qv = quality_vote(spark, sf_dir).select("doc_id", "votes", "keep")
+    # eager localCheckpoint: j feeds BOTH the chosen and rejected
+    # branches — without it the whole ivf+quality lineage computes
+    # once per branch, and Catalyst inlines the O(K·dim) centroid
+    # argmax into each branch's join condition (the exact pathology
+    # semantic_pack's with_ccos re-join note documents; the
+    # dedup_incremental precedent for multi-branch reuse)
+    j = (
+        a.join(qv, a.vec_id == qv.doc_id)
+        .select("doc_id", "list_id", "votes", "keep")
+        .localCheckpoint()
+    )
+    wc = Window.partitionBy("list_id").orderBy(
+        F.desc("votes"), F.asc("doc_id")
+    )
+    wr = Window.partitionBy("list_id").orderBy(
+        F.asc("votes"), F.asc("doc_id")
+    )
+    chosen = (
+        j.filter(F.col("keep") == 1)
+        .withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= PREF_TOPN)
+        .select(
+            "list_id",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("votes").alias("cv"),
+        )
+    )
+    rejected = (
+        j.filter(F.col("keep") == 0)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= PREF_TOPN)
+        .select(
+            "list_id",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("votes").alias("rv"),
+        )
+    )
+    return chosen.join(rejected, "list_id").select(
+        "list_id",
+        "chosen_id",
+        "rejected_id",
+        (F.col("cv") - F.col("rv")).alias("vote_gap"),
+    )
+
+
+def _sql_preference_pairs() -> str:
+    from .text_analysis import SQL_QUALITY_VOTE
+
+    return f"""
+WITH {_IVF_CTES},
+qv AS ({SQL_QUALITY_VOTE}),
+j AS (
+  SELECT q.doc_id, a.list_id, q.votes, q.keep
+  FROM assigned a JOIN qv q ON q.doc_id = a.vec_id
+),
+ch AS (
+  SELECT list_id, doc_id AS chosen_id, votes AS cv,
+         row_number() OVER (PARTITION BY list_id
+                            ORDER BY votes DESC, doc_id) AS rnk
+  FROM j WHERE keep = 1
+),
+rj AS (
+  SELECT list_id, doc_id AS rejected_id, votes AS rv,
+         row_number() OVER (PARTITION BY list_id
+                            ORDER BY votes, doc_id) AS rnk
+  FROM j WHERE keep = 0
+)
+SELECT ch.list_id, chosen_id, rejected_id, cv - rv AS vote_gap
+FROM ch JOIN rj ON ch.list_id = rj.list_id
+WHERE ch.rnk <= {PREF_TOPN} AND rj.rnk <= {PREF_TOPN}
+"""
+
+
+SQL_PREFERENCE_PAIRS = _sql_preference_pairs()
+
+
 QUERIES = {
     "bitext_mine": bitext_mine,
+    "preference_pairs": preference_pairs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_flat": ann_ivf_flat,
@@ -1091,6 +1199,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "bitext_mine": SQL_BITEXT_MINE,
+    "preference_pairs": SQL_PREFERENCE_PAIRS,
     "semantic_pack": SQL_SEMANTIC_PACK,
     "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,

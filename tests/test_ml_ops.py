@@ -1101,6 +1101,58 @@ def test_vocab_coverage_matches_python_bpe_recompute(spark):
     assert any(s < 1000000 for *_, s in got), "vocab never split a word"
 
 
+def test_preference_pairs_matches_components_and_is_bounded(spark):
+    """Pairs must be exactly the cross of each cluster's top-N keepers
+    and bottom-N rejects, rebuilt from the two component ops' own
+    (independently verified) outputs; every pair is same-cluster with
+    vote_gap >= 1, at most N^2 pairs per cluster, and the fixture
+    yields pairs in more than one cluster."""
+    from freki_spark.functions.similarity import (
+        PREF_TOPN,
+        preference_pairs,
+        q_ivf_assign,
+    )
+    from freki_spark.functions.text_analysis import quality_vote
+
+    lists = {
+        r.vec_id: r.list_id for r in q_ivf_assign(spark, SF).collect()
+    }
+    qv = {
+        r.doc_id: (r.votes, r.keep)
+        for r in quality_vote(spark, SF).collect()
+    }
+    by_list = {}
+    for doc, lid in lists.items():
+        if doc in qv:
+            by_list.setdefault(lid, []).append(doc)
+    exp = set()
+    for lid, docs in by_list.items():
+        keepers = sorted(
+            (d for d in docs if qv[d][1] == 1),
+            key=lambda d: (-qv[d][0], d),
+        )[:PREF_TOPN]
+        rejects = sorted(
+            (d for d in docs if qv[d][1] == 0),
+            key=lambda d: (qv[d][0], d),
+        )[:PREF_TOPN]
+        for c in keepers:
+            for r in rejects:
+                exp.add((lid, c, r, qv[c][0] - qv[r][0]))
+
+    got = {
+        (r.list_id, r.chosen_id, r.rejected_id, r.vote_gap)
+        for r in preference_pairs(spark, SF).collect()
+    }
+    assert got == exp
+    assert got, "fixture assembled no pairs"
+    assert all(g >= 1 for *_, g in got)
+    per_cluster = {}
+    for lid, *_ in got:
+        per_cluster[lid] = per_cluster.get(lid, 0) + 1
+    assert all(n <= PREF_TOPN * PREF_TOPN for n in per_cluster.values())
+    assert len(per_cluster) > 1, "pairs confined to one cluster"
+
+
 def test_scd2_history_matches_python_and_interval_algebra(spark):
     """The history relation must equal a python recompute of the three
     snapshot definitions + run-building rule, and the interval algebra

@@ -301,6 +301,23 @@ def main() -> int:
         f"text in exchange={text_shuffled}; shuffle exchanges={n_ex}",
     )
 
+    # 11f. preference_pairs: the pairing layer never goes all-pairs —
+    #      the within-cluster join is champion-list bounded, the only
+    #      nested-loop joins are the component ops' condition-FREE
+    #      1-row corpus-stat broadcast crosses (the semantic_pack
+    #      convention), and windows partition on list_id (growing
+    #      cardinality)
+    p = plan_of(QUERIES["preference_pairs"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "preference_pairs_bounded",
+        "CartesianProduct" not in p
+        and not conditioned
+        and wins <= {"list_id"},
+        f"no all-pairs/conditioned nested join; window keys={sorted(wins)}",
+    )
+
     # 11. window-cumsum planners: the corpus-sized window runs at
     #     (lang, _shard) grain — shard-count parallelism, never one
     #     partition per language — with per-shard bases broadcast back;
