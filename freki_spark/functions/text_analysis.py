@@ -605,7 +605,31 @@ FROM t
 # counts bind as a column, then two O(n_words) integer HOFs over the
 # bound array — never re-encoding), then ONE map-side-combined
 # Exchange to language grain; all ratios exact bigint ppm.
+#
+# Bigint headroom (the doremi_weights/temperature_sample rule): unlike
+# the doc-count ppm ops, the fertility numerator is a per-language
+# TOKEN sum — ~2.5e13 tokens at 100 TB, so a naive `n_tokens * 1e6`
+# already wraps bigint (9.2e18) with DIVERGENT engine failures (Spark
+# non-ANSI wraps silently, DuckDB raises).  _ppm_exact computes the
+# same floor(num*1e6/den) EXACTLY via quotient/remainder staging:
+# every intermediate is bounded by den*1000 (safe to 9.2e15 words per
+# language ≈ 4 PB of text in ONE language) or by quotient*1e6
+# (quotient = avg tokens-per-word resp. a ≤1 rate — never large).
 # --------------------------------------------------------------------------
+
+
+def _ppm_exact(num: str, den: str, div: str) -> str:
+    """floor(num * 1_000_000 / den) without ever forming num*1e6:
+    q*1e6 + (r*1e3 div den)*1e3 + ((r*1e3 mod den)*1e3 div den), with
+    r = num mod den.  Exact for non-negative bigints (truncating div ==
+    floor div there, so Spark `div` and DuckDB `//` agree); pass the
+    engine's integer-division operator as `div`."""
+    q = f"({num} {div} {den})"
+    r = f"({num} % {den})"
+    return (
+        f"{q} * 1000000 + ({r} * 1000 {div} {den}) * 1000"
+        f" + (({r} * 1000 % {den}) * 1000 {div} {den})"
+    )
 
 
 def vocab_coverage(spark, sf_dir):
@@ -635,8 +659,8 @@ def vocab_coverage(spark, sf_dir):
         "n_docs",
         "n_words",
         "n_tokens",
-        guard("n_tokens * 1000000 div n_words").alias("fertility_ppm"),
-        guard("n_single * 1000000 div n_words").alias("single_token_ppm"),
+        guard(_ppm_exact("n_tokens", "n_words", "div")).alias("fertility_ppm"),
+        guard(_ppm_exact("n_single", "n_words", "div")).alias("single_token_ppm"),
     )
 
 
@@ -661,9 +685,11 @@ g AS (
   FROM e GROUP BY 1
 )
 SELECT lang, n_docs, n_words, n_tokens,
-       CASE WHEN n_words > 0 THEN n_tokens * 1000000 // n_words
+       CASE WHEN n_words > 0
+            THEN {_ppm_exact('n_tokens', 'n_words', '//')}
             ELSE 0 END AS fertility_ppm,
-       CASE WHEN n_words > 0 THEN n_single * 1000000 // n_words
+       CASE WHEN n_words > 0
+            THEN {_ppm_exact('n_single', 'n_words', '//')}
             ELSE 0 END AS single_token_ppm
 FROM g
 """
