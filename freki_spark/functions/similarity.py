@@ -173,8 +173,13 @@ def ann_lsh_bucketed(spark, sf_dir):
 DUCK_PLANE_W = DUCK_MD5I32.format(x="p || ',' || (j - 1)")
 _W = DUCK_PLANE_W
 
-SQL_ANN_LSH = f"""
-WITH em AS (
+# The em→ex→pd→buckets random-hyperplane pipeline every _bucket oracle
+# shares (ANN LSH, kNN graph, bitext mining).  Single-sourced so a
+# change to the bucket math (the N_PLANES dial, the DUCK_PLANE_W
+# formula) cannot drift the oracles apart.  dedup_embedding's copy in
+# dedup.py legitimately differs — its `ex` unnests the mutant-union
+# corpus, not the raw table — so it stays separate.
+_LSH_BUCKET_CTES = f"""em AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -191,7 +196,10 @@ buckets AS (
          CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
            AS bucket
   FROM pd GROUP BY vec_id
-),
+)"""
+
+SQL_ANN_LSH = f"""
+WITH {_LSH_BUCKET_CTES},
 pbuckets AS (
   SELECT vec_id,
          unnest([bucket] || list_transform(range(0, {N_PLANES}),
@@ -798,24 +806,7 @@ def knn_graph(spark, sf_dir):
 
 
 SQL_KNN_GRAPH = f"""
-WITH em AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-ex AS (
-  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
-),
-pd AS (
-  SELECT vec_id, p.p AS p, sum(x * (({_W} % 2001 - 1000) / 1000.0)) AS dot
-  FROM ex, (SELECT unnest(range(0, {N_PLANES})) AS p) p
-  GROUP BY vec_id, p.p
-),
-buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS bucket
-  FROM pd GROUP BY vec_id
-),
+WITH {_LSH_BUCKET_CTES},
 pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id
   FROM buckets a JOIN buckets b
@@ -953,7 +944,11 @@ BITEXT_K = 4
 BITEXT_MARGIN_MIN_PPM = 1_000_000  # margin > 1.0
 
 
-def bitext_mine(spark, sf_dir):
+def _bitext_pairs(spark, sf_dir):
+    """Pre-checkpoint candidate stage: LSH-bucket equi-join + one
+    O(dim) cosine per candidate.  Split out so the plan audit can
+    assert the no-all-pairs shape on the stage the checkpoint in
+    bitext_mine hides from the downstream plan."""
     em = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
     src = em.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src_id"), F.col("v").alias("sv"), "bucket"
@@ -966,9 +961,19 @@ def bitext_mine(spark, sf_dir):
         / (_norm(F.col("sv")) * _norm(F.col("tv")))
         * 100000
     ).cast("bigint")
-    pairs = src.join(tgt, "bucket").select(
+    return src.join(tgt, "bucket").select(
         "src_id", "tgt_id", cos_u.alias("cos_u")
     )
+
+
+def bitext_mine(spark, sf_dir):
+    # eager localCheckpoint: pairs feeds THREE consumers (fwd, bwd and
+    # the margin join) — only the deepest bucket Exchange is deduped by
+    # ReuseExchange, so without materialization the bucket join plus
+    # the per-candidate O(dim) cosine (the op's dominant cost) would
+    # re-execute per consumer (the preference_pairs/dedup_incremental
+    # multi-branch-reuse precedent)
+    pairs = _bitext_pairs(spark, sf_dir).localCheckpoint()
     wf = Window.partitionBy("src_id").orderBy(
         F.desc("cos_u"), F.asc("tgt_id")
     )
@@ -1010,24 +1015,7 @@ def bitext_mine(spark, sf_dir):
 
 
 SQL_BITEXT_MINE = f"""
-WITH em AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-ex AS (
-  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
-),
-pd AS (
-  SELECT vec_id, p.p AS p, sum(x * (({DUCK_PLANE_W} % 2001 - 1000) / 1000.0)) AS dot
-  FROM ex, (SELECT unnest(range(0, {N_PLANES})) AS p) p
-  GROUP BY vec_id, p.p
-),
-buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS bucket
-  FROM pd GROUP BY vec_id
-),
+WITH {_LSH_BUCKET_CTES},
 pairs AS (
   SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
          CAST(round(sum(p.x * c.x)

@@ -267,15 +267,27 @@ def main() -> int:
     # 11d. bitext mining: candidates + kNN neighborhoods come from the
     #      bucket equi-join, never an all-pairs product, and every
     #      window partitions on a corpus-grain growing key (src/tgt id
-    #      over bucket-bounded candidates), never a constant key
+    #      over bucket-bounded candidates), never a constant key.
+    #      The candidate stage is checkpointed before its three-way
+    #      fan-out (fwd/bwd/margin), so audit it pre-checkpoint, then
+    #      assert the downstream plan reads ONLY the materialized pairs
+    #      (zero raw scans — the dedup_incremental check-37 pattern)
+    from freki_spark.functions.similarity import _bitext_pairs
+
+    pc = plan_of(_bitext_pairs(spark, sf_dir))
     p = plan_of(QUERIES["bitext_mine"](spark, sf_dir))
     wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "bitext_mine_bucketed",
-        "CartesianProduct" not in p
+        "CartesianProduct" not in pc
+        and "BroadcastNestedLoopJoin" not in pc
+        and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
-        and wins <= {"src_id", "tgt_id"},
-        f"no all-pairs join; window keys={sorted(wins)}",
+        and wins <= {"src_id", "tgt_id"}
+        and n_scans == 0,
+        f"bucket equi-join candidates; window keys={sorted(wins)}; "
+        f"corpus re-scans={n_scans}",
     )
 
     # 11e. scd2_history: snapshots reduce to (doc_id, t, md5) before
@@ -287,14 +299,7 @@ def main() -> int:
     text_shuffled = any(
         re.search(r"\btext#", b) for b in ex_blocks
     )
-    n_ex = len(
-        [
-            ln
-            for ln in p.split("\n\n")[0].splitlines()
-            if re.search(r"\bExchange \(\d+\)", ln)
-            and "BroadcastExchange" not in ln
-        ]
-    )
+    n_ex, _ = shuffle_exchanges_feed_aggregates(p)
     check(
         "scd2_single_exchange_no_text",
         not text_shuffled and n_ex == 1,
