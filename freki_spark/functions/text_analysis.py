@@ -1962,6 +1962,138 @@ w AS (SELECT doc_id, tk[1:{BLEU_WIN}] AS cand,
 SQL_BLEU_STATS = _sql_bleu_stats()
 
 
+# --------------------------------------------------------------------------
+# code_detect — code-vs-prose classification (The Stack / StarCoder
+# corpus assembly, and the "code fraction" dial every pretraining mix
+# tunes): score each document on three independent character/line/
+# keyword signals and vote.  The driver corpus is symbol-free word
+# soup, so (decontaminate_ngram precedent) a code-shaped variant is
+# synthesized deterministically from every (doc_id % CODE_MOD ==
+# CODE_REM) document — its first CODE_NWORDS words rendered as an
+# indented assignment body under a `def main():` header — and the
+# corpus under test is the union.  What is verified cross-engine is
+# the detection mechanism: symbol density, indented-line fraction,
+# and keyword hits, with a 2-of-3 vote.
+#
+# Integer discipline: both ppm ratios are PER-DOCUMENT (numerator
+# <= chars-per-doc * 1e6 — a 1 GB single doc is still only 1e15,
+# far inside bigint), so no quotient staging is needed; `div`/`//`
+# agree on the non-negative operands.
+#
+# Scale shape (100 TB): ONE narrow pass — the union is two
+# projections of the same scan, every signal is a per-row JVM
+# expression (regexp counts, one bounded HOF over the line array),
+# no Exchange, no Python, no join (plan-audited).  All lambdas
+# touch only their lambda var; arrays enter HOFs in argument
+# position (evaluated once — the CLAUDE.md HOF rule).
+# --------------------------------------------------------------------------
+
+CODE_MOD = 17
+CODE_REM = 4
+CODE_OFFSET = 300_000
+CODE_NWORDS = 12
+CODE_KEYWORDS_RE = r"\bdef\b|\breturn\b|\bimport\b|\bclass\b|\bvoid\b"
+CODE_SYM_MIN_PPM = 20_000  # >= 2% of chars are code symbols
+CODE_INDENT_MIN_PPM = 250_000  # >= 25% of lines indented
+CODE_KW_MIN = 1
+CODE_VOTES_MIN = 2  # 2-of-3 signals
+
+
+def _code_variant_text():
+    """The synthesized code rendering of a document: first
+    CODE_NWORDS words as `    {w} = call({w});` lines under a
+    `def main():` header."""
+    w = F.slice(F.split(F.col("text"), " "), 1, CODE_NWORDS)
+    line = lambda x: F.concat(  # noqa: E731
+        F.lit("    "), x, F.lit(" = call("), x, F.lit(");")
+    )
+    return F.concat(
+        F.lit("def main():\n"), F.array_join(F.transform(w, line), "\n")
+    )
+
+
+def code_detect(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    coded = d.filter(F.col("doc_id") % CODE_MOD == CODE_REM).select(
+        (F.col("doc_id") + CODE_OFFSET).alias("doc_id"),
+        _code_variant_text().alias("text"),
+    )
+    corpus = d.unionByName(coded)
+    n_chars = F.length("text")
+    sym = n_chars - F.length(F.regexp_replace("text", r"[(){};=:#<>]", ""))
+    lines = F.split(F.col("text"), "\n")
+    ind = F.size(F.filter(lines, lambda ln: ln.startswith("    ")))
+    kw = F.size(F.regexp_extract_all("text", F.lit(CODE_KEYWORDS_RE), F.lit(0)))
+    s = corpus.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        sym.cast("bigint").alias("sym"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        ind.cast("bigint").alias("ind"),
+        kw.cast("int").alias("kw_hits"),
+    )
+    sym_ppm = F.expr(
+        "CASE WHEN n_chars > 0 THEN sym * 1000000 div n_chars ELSE 0 END"
+    )
+    ind_ppm = F.expr("ind * 1000000 div n_lines")  # split() is never empty
+    out = s.select(
+        "doc_id",
+        sym_ppm.alias("sym_ppm"),
+        ind_ppm.alias("indent_ppm"),
+        "kw_hits",
+    )
+    votes = (
+        (F.col("sym_ppm") >= CODE_SYM_MIN_PPM).cast("int")
+        + (F.col("indent_ppm") >= CODE_INDENT_MIN_PPM).cast("int")
+        + (F.col("kw_hits") >= CODE_KW_MIN).cast("int")
+    )
+    return out.withColumn(
+        "is_code", (votes >= CODE_VOTES_MIN).cast("int")
+    )
+
+
+SQL_CODE_DETECT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CODE_OFFSET},
+         'def main():' || chr(10) || array_to_string(
+           list_transform(string_split(text, ' ')[1:{CODE_NWORDS}],
+                          w -> '    ' || w || ' = call(' || w || ');'),
+           chr(10))
+  FROM documents WHERE doc_id % {CODE_MOD} = {CODE_REM}
+),
+s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[(){{}};=:#<>]', '', 'g'))
+              AS BIGINT) AS sym,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> l LIKE '    %')) AS BIGINT) AS ind,
+         CAST(len(regexp_extract_all(text, '{CODE_KEYWORDS_RE}')) AS INT)
+           AS kw_hits
+  FROM corpus
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN sym * 1000000 // n_chars ELSE 0 END
+           AS sym_ppm,
+         ind * 1000000 // n_lines AS indent_ppm,
+         kw_hits
+  FROM s
+)
+SELECT doc_id, sym_ppm, indent_ppm, kw_hits,
+       CASE WHEN (CASE WHEN sym_ppm >= {CODE_SYM_MIN_PPM} THEN 1 ELSE 0 END)
+               + (CASE WHEN indent_ppm >= {CODE_INDENT_MIN_PPM} THEN 1 ELSE 0 END)
+               + (CASE WHEN kw_hits >= {CODE_KW_MIN} THEN 1 ELSE 0 END)
+              >= {CODE_VOTES_MIN}
+            THEN 1 ELSE 0 END AS is_code
+FROM p
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
@@ -1984,6 +2116,7 @@ QUERIES = {
     "filter_funnel": filter_funnel,
     "vocab_coverage": vocab_coverage,
     "bpe_ids": bpe_ids,
+    "code_detect": code_detect,
 }
 
 ORACLE_SQL = {
@@ -1992,6 +2125,7 @@ ORACLE_SQL = {
     "filter_funnel": SQL_FILTER_FUNNEL,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "bpe_ids": SQL_BPE_IDS,
+    "code_detect": SQL_CODE_DETECT,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

@@ -3893,3 +3893,59 @@ def test_stream_curate_equals_batch(spark):
     }
     assert stream == batch
     assert 0 < sum(k for k, _ in stream.values()) < len(stream)
+
+
+def test_code_detect_matches_python_recompute(spark):
+    """The full relation must equal a plain-python recompute of the
+    three signals (symbol-char count, indented-line fraction, keyword
+    regex hits) over the same unioned corpus, and the vote must
+    discriminate perfectly on the fixture: every synthesized code
+    variant is flagged, no prose document is."""
+    import re as _re
+
+    from freki_spark.functions.text_analysis import (
+        CODE_INDENT_MIN_PPM,
+        CODE_KEYWORDS_RE,
+        CODE_KW_MIN,
+        CODE_MOD,
+        CODE_NWORDS,
+        CODE_OFFSET,
+        CODE_REM,
+        CODE_SYM_MIN_PPM,
+        CODE_VOTES_MIN,
+        code_detect,
+    )
+
+    def signals(doc_id, text):
+        n_chars = len(text)
+        sym = sum(c in "(){};=:#<>" for c in text)
+        lines = text.split("\n")
+        ind = sum(ln.startswith("    ") for ln in lines)
+        kw = len(_re.findall(CODE_KEYWORDS_RE, text))
+        sym_ppm = sym * 1_000_000 // n_chars if n_chars else 0
+        ind_ppm = ind * 1_000_000 // len(lines)
+        votes = (
+            (sym_ppm >= CODE_SYM_MIN_PPM)
+            + (ind_ppm >= CODE_INDENT_MIN_PPM)
+            + (kw >= CODE_KW_MIN)
+        )
+        return (sym_ppm, ind_ppm, kw, int(votes >= CODE_VOTES_MIN))
+
+    exp = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        exp[r.doc_id] = signals(r.doc_id, r.text)
+        if r.doc_id % CODE_MOD == CODE_REM:
+            words = r.text.split(" ")[:CODE_NWORDS]
+            code = "def main():\n" + "\n".join(
+                f"    {w} = call({w});" for w in words
+            )
+            exp[r.doc_id + CODE_OFFSET] = signals(r.doc_id, code)
+
+    got = {
+        r.doc_id: (r.sym_ppm, r.indent_ppm, r.kw_hits, r.is_code)
+        for r in code_detect(spark, SF).collect()
+    }
+    assert got == exp
+    assert all(v[3] == 1 for k, v in got.items() if k >= CODE_OFFSET)
+    assert all(v[3] == 0 for k, v in got.items() if k < CODE_OFFSET)
+    assert sum(v[3] for v in got.values()) > 0

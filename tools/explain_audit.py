@@ -1067,6 +1067,15 @@ def main() -> int:
         "zero Exchange / python in the id-tensor pass",
     )
 
+    # 58g. code_detect: code-vs-prose scoring is ONE narrow pass over
+    #      the unioned corpus — zero Exchange, zero python, zero join
+    p = plan_of(QUERIES["code_detect"](spark, sf_dir))
+    check(
+        "code_detect_narrow",
+        "Exchange" not in p and "Python" not in p and "Join" not in p,
+        "zero Exchange / python / join",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
