@@ -2094,6 +2094,122 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# ocr_garble — OCR-corruption / character-damage detection, the doc-
+# quality gate specific to PDF-heavy pipelines (this engine's own
+# upstream): scanned-PDF text arrives with classic OCR confusions
+# (o→0, l→1, e→3, a→@) that word-level quality rules never see.
+# Three character-grain signals vote 2-of-3: letter↔digit-mix tokens,
+# non-[a-z ] character mass, and vowel-free tokens.  The clean driver
+# corpus gets deterministic damaged variants — every (doc_id %
+# GARBLE_MOD == GARBLE_REM) document re-emitted through the confusion
+# `translate` — so the vote has both classes to separate (the
+# decontaminate_ngram / code_detect synthesis precedent).
+#
+# Per-token regexes inside the HOF lambdas touch ONLY the lambda var
+# (O(len(token)) per element); the token array enters in argument
+# position (evaluated once — the CLAUDE.md HOF rule).  Ratios are
+# per-document integer ppm: numerators <= per-doc counts * 1e6, far
+# inside bigint, `div`/`//` agree on non-negative operands.
+#
+# Scale shape (100 TB): ONE narrow pass over the two-projection
+# union — zero Exchange, zero Python, zero join (plan-audited).
+# --------------------------------------------------------------------------
+
+GARBLE_MOD = 19
+GARBLE_REM = 7
+GARBLE_OFFSET = 400_000
+GARBLE_FROM = "aeilo"
+GARBLE_TO = "@3110"
+GARBLE_MIX_RE = "[a-z][0-9@]|[0-9@][a-z]"
+GARBLE_MIX_MIN_PPM = 100_000  # >= 10% of tokens mix letters and digits
+GARBLE_NONALPHA_MIN_PPM = 50_000  # >= 5% of chars outside [a-z ]
+GARBLE_VOWELFREE_MIN_PPM = 500_000  # >= 50% of tokens have no vowel
+GARBLE_VOTES_MIN = 2  # 2-of-3 signals
+
+
+def ocr_garble(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    damaged = d.filter(F.col("doc_id") % GARBLE_MOD == GARBLE_REM).select(
+        (F.col("doc_id") + GARBLE_OFFSET).alias("doc_id"),
+        F.translate("text", GARBLE_FROM, GARBLE_TO).alias("text"),
+    )
+    corpus = d.unionByName(damaged)
+    tk = F.split(F.col("text"), " ")
+    n_chars = F.length("text")
+    nonalpha = n_chars - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    mixed = F.size(F.filter(tk, lambda t: t.rlike(GARBLE_MIX_RE)))
+    vfree = F.size(F.filter(tk, lambda t: ~t.rlike("[aeiou]")))
+    s = corpus.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        nonalpha.cast("bigint").alias("nonalpha"),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        mixed.cast("bigint").alias("mixed"),
+        vfree.cast("bigint").alias("vfree"),
+    )
+    out = s.select(
+        "doc_id",
+        F.expr("mixed * 1000000 div n_tokens").alias("mixed_ppm"),
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN nonalpha * 1000000 div n_chars"
+            " ELSE 0 END"
+        ).alias("nonalpha_ppm"),
+        F.expr("vfree * 1000000 div n_tokens").alias("vowelfree_ppm"),
+    )
+    votes = (
+        (F.col("mixed_ppm") >= GARBLE_MIX_MIN_PPM).cast("int")
+        + (F.col("nonalpha_ppm") >= GARBLE_NONALPHA_MIN_PPM).cast("int")
+        + (F.col("vowelfree_ppm") >= GARBLE_VOWELFREE_MIN_PPM).cast("int")
+    )
+    return out.withColumn(
+        "ocr_bad", (votes >= GARBLE_VOTES_MIN).cast("int")
+    )
+
+
+SQL_OCR_GARBLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {GARBLE_OFFSET},
+         translate(text, '{GARBLE_FROM}', '{GARBLE_TO}')
+  FROM documents WHERE doc_id % {GARBLE_MOD} = {GARBLE_REM}
+),
+s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+              AS BIGINT) AS nonalpha,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> regexp_matches(t, '{GARBLE_MIX_RE}')))
+              AS BIGINT) AS mixed,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> NOT regexp_matches(t, '[aeiou]')))
+              AS BIGINT) AS vfree
+  FROM corpus
+),
+p AS (
+  SELECT doc_id,
+         mixed * 1000000 // n_tokens AS mixed_ppm,
+         CASE WHEN n_chars > 0 THEN nonalpha * 1000000 // n_chars
+              ELSE 0 END AS nonalpha_ppm,
+         vfree * 1000000 // n_tokens AS vowelfree_ppm
+  FROM s
+)
+SELECT doc_id, mixed_ppm, nonalpha_ppm, vowelfree_ppm,
+       CASE WHEN (CASE WHEN mixed_ppm >= {GARBLE_MIX_MIN_PPM}
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN nonalpha_ppm >= {GARBLE_NONALPHA_MIN_PPM}
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN vowelfree_ppm >= {GARBLE_VOWELFREE_MIN_PPM}
+                       THEN 1 ELSE 0 END)
+              >= {GARBLE_VOTES_MIN}
+            THEN 1 ELSE 0 END AS ocr_bad
+FROM p
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
@@ -2117,6 +2233,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "bpe_ids": bpe_ids,
     "code_detect": code_detect,
+    "ocr_garble": ocr_garble,
 }
 
 ORACLE_SQL = {
@@ -2126,6 +2243,7 @@ ORACLE_SQL = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "bpe_ids": SQL_BPE_IDS,
     "code_detect": SQL_CODE_DETECT,
+    "ocr_garble": SQL_OCR_GARBLE,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

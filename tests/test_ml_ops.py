@@ -3949,3 +3949,58 @@ def test_code_detect_matches_python_recompute(spark):
     assert all(v[3] == 1 for k, v in got.items() if k >= CODE_OFFSET)
     assert all(v[3] == 0 for k, v in got.items() if k < CODE_OFFSET)
     assert sum(v[3] for v in got.values()) > 0
+
+
+def test_ocr_garble_matches_python_recompute(spark):
+    """The full relation must equal a plain-python recompute of the
+    three character-grain signals (letter-digit-mix tokens, non-[a-z ]
+    char mass, vowel-free tokens) over the same unioned corpus, and
+    the vote must discriminate perfectly on the fixture: every
+    confusion-damaged variant is flagged, no clean document is."""
+    import re as _re
+
+    from freki_spark.functions.text_analysis import (
+        GARBLE_FROM,
+        GARBLE_MIX_MIN_PPM,
+        GARBLE_MIX_RE,
+        GARBLE_MOD,
+        GARBLE_NONALPHA_MIN_PPM,
+        GARBLE_OFFSET,
+        GARBLE_REM,
+        GARBLE_TO,
+        GARBLE_VOTES_MIN,
+        GARBLE_VOWELFREE_MIN_PPM,
+        ocr_garble,
+    )
+
+    def signals(text):
+        n_chars = len(text)
+        nonalpha = sum(not (c.islower() or c == " ") for c in text)
+        tk = text.split(" ")
+        mixed = sum(bool(_re.search(GARBLE_MIX_RE, t)) for t in tk)
+        vfree = sum(not _re.search("[aeiou]", t) for t in tk)
+        mixed_ppm = mixed * 1_000_000 // len(tk)
+        nonalpha_ppm = nonalpha * 1_000_000 // n_chars if n_chars else 0
+        vfree_ppm = vfree * 1_000_000 // len(tk)
+        votes = (
+            (mixed_ppm >= GARBLE_MIX_MIN_PPM)
+            + (nonalpha_ppm >= GARBLE_NONALPHA_MIN_PPM)
+            + (vfree_ppm >= GARBLE_VOWELFREE_MIN_PPM)
+        )
+        return (mixed_ppm, nonalpha_ppm, vfree_ppm, int(votes >= GARBLE_VOTES_MIN))
+
+    trans = str.maketrans(GARBLE_FROM, GARBLE_TO)
+    exp = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        exp[r.doc_id] = signals(r.text)
+        if r.doc_id % GARBLE_MOD == GARBLE_REM:
+            exp[r.doc_id + GARBLE_OFFSET] = signals(r.text.translate(trans))
+
+    got = {
+        r.doc_id: (r.mixed_ppm, r.nonalpha_ppm, r.vowelfree_ppm, r.ocr_bad)
+        for r in ocr_garble(spark, SF).collect()
+    }
+    assert got == exp
+    assert all(v[3] == 1 for k, v in got.items() if k >= GARBLE_OFFSET)
+    assert all(v[3] == 0 for k, v in got.items() if k < GARBLE_OFFSET)
+    assert sum(v[3] for v in got.values()) > 0

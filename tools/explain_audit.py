@@ -1076,6 +1076,15 @@ def main() -> int:
         "zero Exchange / python / join",
     )
 
+    # 58h. ocr_garble: OCR-damage scoring is ONE narrow pass over the
+    #      unioned corpus — zero Exchange, zero python, zero join
+    p = plan_of(QUERIES["ocr_garble"](spark, sf_dir))
+    check(
+        "ocr_garble_narrow",
+        "Exchange" not in p and "Python" not in p and "Join" not in p,
+        "zero Exchange / python / join",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
