@@ -2210,6 +2210,94 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# dist_drift — corpus-refresh drift telemetry: the top-K tokens whose
+# relative frequency moved most between two crawl snapshots (every
+# production corpus refresh ships next to exactly this dashboard —
+# distribution drift is how template floods, spam waves, and encoding
+# regressions get caught before a training run eats them).  Snapshot B
+# is the SAME deterministic mutation snapshot_diff/scd2_history use
+# (`_snapshot_b`, single-sourced), so the drift report can never
+# disagree with the CDC ops about what changed; its injected `new` /
+# `rev2` tokens must surface at the top of the report with a_ppm = 0.
+#
+# Bigint headroom (the vocab_coverage rule): per-token counts are
+# corpus-grain (~2.5e13 tokens at 100 TB), so cnt * 1e6 would wrap
+# bigint with divergent engine failures — both frequency ratios go
+# through the exact quotient/remainder staging of _ppm_exact.
+#
+# Scale shape (100 TB): per-side token counts partial-aggregate
+# map-side before ONE vocabulary-grain Exchange each (vocabulary ≪
+# corpus); totals are 1-row condition-free broadcast crosses (the
+# semantic_pack convention); the full-outer join is vocabulary-sized;
+# the top-K is distributed (TakeOrderedAndProject — never a global
+# sort); the only Window ranks the K survivors (plan-audited).
+# --------------------------------------------------------------------------
+
+DRIFT_TOPK = 20
+
+
+def dist_drift(spark, sf_dir):
+    from .dedup import _snapshot_b
+
+    a = _docs(spark, sf_dir).select("doc_id", "text")
+    b = _snapshot_b(a)
+
+    def freq(side, col):
+        t = side.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        cnt = t.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+        tot = t.agg(F.count("*").cast("bigint").alias("tot"))
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "token", F.expr(_ppm_exact("cnt", "tot", "div")).alias(col)
+        )
+
+    j = (
+        freq(a, "a_ppm")
+        .join(freq(b, "b_ppm"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("a_ppm", F.lit(0)).alias("a_ppm"),
+            F.coalesce("b_ppm", F.lit(0)).alias("b_ppm"),
+        )
+        .withColumn("drift_ppm", F.abs(F.col("a_ppm") - F.col("b_ppm")))
+    )
+    top = j.orderBy(F.desc("drift_ppm"), F.asc("token")).limit(DRIFT_TOPK)
+    w = Window.orderBy(F.desc("drift_ppm"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _sql_dist_drift() -> str:
+    from .dedup import _DUCK_SNAPSHOT_B
+
+    return f"""
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS ({_DUCK_SNAPSHOT_B}),
+ta AS (SELECT unnest(string_split(text, ' ')) AS token FROM a),
+tb AS (SELECT unnest(string_split(text, ' ')) AS token FROM b),
+ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ta GROUP BY 1),
+cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY 1),
+na AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ta),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tb),
+fa AS (SELECT token, {_ppm_exact('cnt', 'tot', '//')} AS a_ppm FROM ca, na),
+fb AS (SELECT token, {_ppm_exact('cnt', 'tot', '//')} AS b_ppm FROM cb, nb),
+j AS (
+  SELECT coalesce(fa.token, fb.token) AS token,
+         coalesce(a_ppm, 0) AS a_ppm,
+         coalesce(b_ppm, 0) AS b_ppm,
+         abs(coalesce(a_ppm, 0) - coalesce(b_ppm, 0)) AS drift_ppm
+  FROM fa FULL OUTER JOIN fb ON fa.token = fb.token
+)
+SELECT token, a_ppm, b_ppm, drift_ppm,
+       CAST(row_number() OVER (ORDER BY drift_ppm DESC, token) AS INT) AS rank
+FROM j
+ORDER BY drift_ppm DESC, token
+LIMIT {DRIFT_TOPK}
+"""
+
+
+SQL_DIST_DRIFT = _sql_dist_drift()
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
@@ -2234,6 +2322,7 @@ QUERIES = {
     "bpe_ids": bpe_ids,
     "code_detect": code_detect,
     "ocr_garble": ocr_garble,
+    "dist_drift": dist_drift,
 }
 
 ORACLE_SQL = {
@@ -2244,6 +2333,7 @@ ORACLE_SQL = {
     "bpe_ids": SQL_BPE_IDS,
     "code_detect": SQL_CODE_DETECT,
     "ocr_garble": SQL_OCR_GARBLE,
+    "dist_drift": SQL_DIST_DRIFT,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

@@ -4004,3 +4004,56 @@ def test_ocr_garble_matches_python_recompute(spark):
     assert all(v[3] == 1 for k, v in got.items() if k >= GARBLE_OFFSET)
     assert all(v[3] == 0 for k, v in got.items() if k < GARBLE_OFFSET)
     assert sum(v[3] for v in got.values()) > 0
+
+
+def test_dist_drift_matches_python_recompute(spark):
+    """The top-K drift report must equal a plain-python recompute
+    (token histograms over snapshot A and the _snapshot_b mutation,
+    exact integer ppm, abs-diff ranking with token tie-break), and the
+    injected mutation tokens must surface: 'rev2' and 'new' appear in
+    the report with a_ppm = 0."""
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import DRIFT_TOPK, dist_drift
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    snap_a = dict(docs)
+    snap_b = {
+        d: (t + " rev2" if d % 7 == 1 else t)
+        for d, t in docs.items()
+        if d % 11 != 2
+    }
+    snap_b.update(
+        {d + 500000: "new " + t for d, t in docs.items() if d < 30}
+    )
+
+    def freqs(snap):
+        c = Counter()
+        for t in snap.values():
+            c.update(t.split(" "))
+        tot = sum(c.values())
+        return {w: n * 1_000_000 // tot for w, n in c.items()}
+
+    fa, fb = freqs(snap_a), freqs(snap_b)
+    drift = sorted(
+        (
+            (w, fa.get(w, 0), fb.get(w, 0), abs(fa.get(w, 0) - fb.get(w, 0)))
+            for w in set(fa) | set(fb)
+        ),
+        key=lambda x: (-x[3], x[0]),
+    )[:DRIFT_TOPK]
+    exp = [
+        (w, a, b, d, i + 1) for i, (w, a, b, d) in enumerate(drift)
+    ]
+
+    got = [
+        (r.token, r.a_ppm, r.b_ppm, r.drift_ppm, r.rank)
+        for r in dist_drift(spark, SF).collect()
+    ]
+    assert got == exp
+    by_token = {t: (a, b) for t, a, b, _, _ in got}
+    assert by_token["rev2"][0] == 0 and by_token["rev2"][1] > 0
+    assert by_token["new"][0] == 0 and by_token["new"][1] > 0

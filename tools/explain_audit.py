@@ -1085,6 +1085,21 @@ def main() -> int:
         "zero Exchange / python / join",
     )
 
+    # 58i. dist_drift: per-side counts partial-aggregate map-side, the
+    #      top-K is distributed (TakeOrderedAndProject, never a global
+    #      Sort), totals ride condition-free broadcast crosses, and no
+    #      all-pairs product appears anywhere
+    p = plan_of(QUERIES["dist_drift"](spark, sf_dir))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "dist_drift_topk",
+        "TakeOrderedAndProject" in p
+        and "partial_count" in p
+        and "CartesianProduct" not in p
+        and not conditioned,
+        "partial-agg'd counts, distributed top-K, condition-free crosses",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
