@@ -2575,6 +2575,120 @@ LIMIT {WS_K}
 """
 
 
+# --------------------------------------------------------------------------
+# recrawl_schedule — freshness-driven recrawl planning (Cho &
+# Garcia-Molina 2003, "Effective Page Refresh Policies for Web
+# Crawlers": estimate each page's change rate from its observed
+# change history, schedule the next fetch accordingly).  The events
+# table stands in for the crawler's per-page observation log
+# (page_id = user_id, each event = one observed content change):
+# mean inter-change gap = (last − first) / (n_obs − 1), next fetch
+# due at last + gap, banded hourly/daily/slow for the scheduler's
+# queue selection; single-observation pages get the conservative
+# default gap and an 'unknown' band.  All time math in integer epoch
+# seconds (the queries.py timestamp rule: `unix_timestamp` vs
+# `floor(epoch(...))`), div on non-negative operands.
+#
+# The raw event cadence puts every natural page in the daily band, so
+# two deterministic variants are synthesized (the code_detect/
+# decontaminate precedent) to make every scheduler branch fire: hot
+# pages (+1000) with the clock compressed 60x, and sparse pages
+# (+2000) observed only at every 50th event (n_obs 1 → unknown,
+# n_obs >= 2 far apart → slow).
+#
+# Scale shape (10^12 pages): ONE map-side-combined Exchange to page
+# grain (count/min/max partial-aggregate before the shuffle —
+# plan-audited), then narrow per-row banding; no window, no join,
+# no python.
+# --------------------------------------------------------------------------
+
+RECRAWL_DEFAULT_GAP_S = 7 * 86400  # no-history fallback: weekly
+RECRAWL_HOURLY_MAX_S = 3600
+RECRAWL_DAILY_MAX_S = 86400
+RECRAWL_HOT_OFFSET = 1000
+RECRAWL_HOT_COMPRESS = 60
+RECRAWL_SPARSE_OFFSET = 2000
+RECRAWL_SPARSE_EVERY = 50
+
+
+def recrawl_schedule(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("user_id").alias("page_id"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    hot = base.select(
+        (F.col("page_id") + RECRAWL_HOT_OFFSET).alias("page_id"),
+        F.expr(f"ts_s div {RECRAWL_HOT_COMPRESS}").alias("ts_s"),
+    )
+    sparse = base.filter(
+        F.col("event_id") % RECRAWL_SPARSE_EVERY == 0
+    ).select(
+        (F.col("page_id") + RECRAWL_SPARSE_OFFSET).alias("page_id"), "ts_s"
+    )
+    e = base.select("page_id", "ts_s").unionByName(hot).unionByName(sparse)
+    g = e.groupBy("page_id").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.min("ts_s").alias("first_s"),
+        F.max("ts_s").alias("last_s"),
+    )
+    gap = F.expr(
+        "CASE WHEN n_obs >= 2 THEN (last_s - first_s) div (n_obs - 1)"
+        f" ELSE CAST({RECRAWL_DEFAULT_GAP_S} AS BIGINT) END"
+    )
+    p = g.withColumn("gap_s", gap)
+    band = (
+        F.when(F.col("n_obs") < 2, F.lit("unknown"))
+        .when(F.col("gap_s") <= RECRAWL_HOURLY_MAX_S, F.lit("hourly"))
+        .when(F.col("gap_s") <= RECRAWL_DAILY_MAX_S, F.lit("daily"))
+        .otherwise(F.lit("slow"))
+    )
+    return p.select(
+        "page_id",
+        "n_obs",
+        "gap_s",
+        band.alias("band"),
+        (F.col("last_s") + F.col("gap_s")).alias("next_due_s"),
+    )
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+WITH base AS (
+  SELECT event_id, user_id AS page_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+e AS (
+  SELECT page_id, ts_s FROM base
+  UNION ALL
+  SELECT page_id + {RECRAWL_HOT_OFFSET},
+         ts_s // {RECRAWL_HOT_COMPRESS}
+  FROM base
+  UNION ALL
+  SELECT page_id + {RECRAWL_SPARSE_OFFSET}, ts_s
+  FROM base WHERE event_id % {RECRAWL_SPARSE_EVERY} = 0
+),
+g AS (
+  SELECT page_id, CAST(count(*) AS BIGINT) AS n_obs,
+         min(ts_s) AS first_s, max(ts_s) AS last_s
+  FROM e GROUP BY 1
+),
+p AS (
+  SELECT page_id, n_obs, last_s,
+         CASE WHEN n_obs >= 2 THEN (last_s - first_s) // (n_obs - 1)
+              ELSE CAST({RECRAWL_DEFAULT_GAP_S} AS BIGINT) END AS gap_s
+  FROM g
+)
+SELECT page_id, n_obs, gap_s,
+       CASE WHEN n_obs < 2 THEN 'unknown'
+            WHEN gap_s <= {RECRAWL_HOURLY_MAX_S} THEN 'hourly'
+            WHEN gap_s <= {RECRAWL_DAILY_MAX_S} THEN 'daily'
+            ELSE 'slow' END AS band,
+       last_s + gap_s AS next_due_s
+FROM p
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -2601,6 +2715,7 @@ QUERIES = {
     "dsir_select": dsir_select,
     "domain_stats": domain_stats,
     "crawl_frontier": crawl_frontier,
+    "recrawl_schedule": recrawl_schedule,
     "robots_filter": robots_filter,
     "link_graph": link_graph,
     "anchor_text": anchor_text,
@@ -2637,6 +2752,7 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR_SELECT,
     "domain_stats": SQL_DOMAIN_STATS,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
+    "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "robots_filter": SQL_ROBOTS_FILTER,
     "link_graph": SQL_LINK_GRAPH,
     "anchor_text": SQL_ANCHOR_TEXT,

@@ -1677,7 +1677,8 @@ _PRIORITY = [
     "kmeans_update", "dedup_semantic", "quality_classifier", "c4_line_filter",
     "perplexity_bucket", "quality_vote", "dsir_select", "bpe_train",
     "domain_stats",
-    "crawl_frontier", "robots_filter", "link_graph", "anchor_text",
+    "crawl_frontier", "recrawl_schedule", "robots_filter", "link_graph",
+    "anchor_text",
     "dedup_incremental", "snapshot_diff", "scd2_history", "corpus_stats",
     "dedup_stats",
     "gopher_ngram_flags", "inverted_postings", "bm25_topk", "hard_negatives",

@@ -4057,3 +4057,54 @@ def test_dist_drift_matches_python_recompute(spark):
     by_token = {t: (a, b) for t, a, b, _, _ in got}
     assert by_token["rev2"][0] == 0 and by_token["rev2"][1] > 0
     assert by_token["new"][0] == 0 and by_token["new"][1] > 0
+
+
+def test_recrawl_schedule_matches_python_recompute(spark):
+    """The schedule must equal a plain-python recompute (epoch-second
+    truncation, integer mean-gap, banding, next-due), and every
+    scheduler branch must fire on the fixture: hourly (compressed hot
+    pages), daily (natural cadence), slow and unknown (sparse
+    pages)."""
+    from freki_spark.functions.corpus_prep import (
+        RECRAWL_DAILY_MAX_S,
+        RECRAWL_DEFAULT_GAP_S,
+        RECRAWL_HOT_COMPRESS,
+        RECRAWL_HOT_OFFSET,
+        RECRAWL_HOURLY_MAX_S,
+        RECRAWL_SPARSE_EVERY,
+        RECRAWL_SPARSE_OFFSET,
+        recrawl_schedule,
+    )
+
+    obs = {}
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        ts_s = int(r.ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp())
+        obs.setdefault(r.user_id, []).append(ts_s)
+        obs.setdefault(r.user_id + RECRAWL_HOT_OFFSET, []).append(
+            ts_s // RECRAWL_HOT_COMPRESS
+        )
+        if r.event_id % RECRAWL_SPARSE_EVERY == 0:
+            obs.setdefault(r.user_id + RECRAWL_SPARSE_OFFSET, []).append(ts_s)
+
+    exp = {}
+    for pid, ts in obs.items():
+        n, first, last = len(ts), min(ts), max(ts)
+        gap = (last - first) // (n - 1) if n >= 2 else RECRAWL_DEFAULT_GAP_S
+        band = (
+            "unknown"
+            if n < 2
+            else "hourly"
+            if gap <= RECRAWL_HOURLY_MAX_S
+            else "daily"
+            if gap <= RECRAWL_DAILY_MAX_S
+            else "slow"
+        )
+        exp[pid] = (n, gap, band, last + gap)
+
+    got = {
+        r.page_id: (r.n_obs, r.gap_s, r.band, r.next_due_s)
+        for r in recrawl_schedule(spark, SF).collect()
+    }
+    assert got == exp
+    bands = {v[2] for v in got.values()}
+    assert bands == {"hourly", "daily", "slow", "unknown"}

@@ -1100,6 +1100,22 @@ def main() -> int:
         "partial-agg'd counts, distributed top-K, condition-free crosses",
     )
 
+    # 58j. recrawl_schedule: the page-grain rollup partial-aggregates
+    #      map-side into ONE Exchange; banding is narrow (no window,
+    #      no join, no python)
+    p = plan_of(QUERIES["recrawl_schedule"](spark, sf_dir))
+    n_ex, feeds_agg = shuffle_exchanges_feed_aggregates(p)
+    check(
+        "recrawl_schedule_single_agg",
+        n_ex == 1
+        and feeds_agg
+        and "Window" not in p
+        and "Join" not in p
+        and "Python" not in p,
+        f"{n_ex} shuffle exchange directly above a HashAggregate; "
+        "no Window/join/python",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
