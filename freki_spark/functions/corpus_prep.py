@@ -193,33 +193,49 @@ SPLIT_VALID_PCT = 1
 SPLIT_TEST_PCT = 1
 
 
-def train_split(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    bucket = md5i32(
-        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
-    ) % 100
-    split = (
+def _split_bucket(idc):
+    """The salted md5 split bucket of a doc_id column — the ONE split
+    assignment rule (train_split and split_leakage both read it)."""
+    return md5i32(F.concat(F.lit("split|"), idc.cast("string"))) % 100
+
+
+def _split_label(bucket):
+    return (
         F.when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
         .when(bucket < SPLIT_VALID_PCT + SPLIT_TEST_PCT, F.lit("test"))
         .otherwise(F.lit("train"))
     )
+
+
+def train_split(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bucket = _split_bucket(F.col("doc_id"))
     return d.select(
         "doc_id", "lang", bucket.cast("int").alias("bucket"),
-        split.alias("split"),
+        _split_label(bucket).alias("split"),
     )
 
 
-_SPLIT_H = DUCK_MD5I32.format(x="'split|' || CAST(doc_id AS VARCHAR)")
+def _duck_split_bucket(idvar: str) -> str:
+    h = DUCK_MD5I32.format(x=f"'split|' || CAST({idvar} AS VARCHAR)")
+    return f"CAST({h} % 100 AS INT)"
 
-# bucket computed ONCE in the inner select — three inlined copies of
-# the md5 expression would have to stay byte-identical or the bucket
-# column and the split label silently desync
+
+def _duck_split_case(var: str) -> str:
+    """Split label from an already-bound bucket column — one mirror of
+    _split_label, applied to a named column so the bucket expression
+    is never inlined twice (it would have to stay byte-identical or
+    the bucket column and the label silently desync)."""
+    return (
+        f"CASE WHEN {var} < {SPLIT_VALID_PCT} THEN 'valid' "
+        f"WHEN {var} < {SPLIT_VALID_PCT + SPLIT_TEST_PCT} THEN 'test' "
+        f"ELSE 'train' END"
+    )
+
+
 SQL_TRAIN_SPLIT = f"""
-SELECT doc_id, lang, bucket,
-       CASE WHEN bucket < {SPLIT_VALID_PCT} THEN 'valid'
-            WHEN bucket < {SPLIT_VALID_PCT + SPLIT_TEST_PCT} THEN 'test'
-            ELSE 'train' END AS split
-FROM (SELECT doc_id, lang, CAST({_SPLIT_H} % 100 AS INT) AS bucket
+SELECT doc_id, lang, bucket, {_duck_split_case('bucket')} AS split
+FROM (SELECT doc_id, lang, {_duck_split_bucket('doc_id')} AS bucket
       FROM documents)
 """
 
@@ -2689,6 +2705,65 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# split_leakage — train/test contamination audit: near-duplicate pairs
+# that straddle a split boundary (the eval-integrity check behind
+# every "we deduplicated test against train" claim — GPT-3's App. C
+# found exactly this class of leak after training).  Candidate pairs
+# come from the SAME minhash band index dedup_minhash_lsh uses
+# (`_band_pairs`, single-sourced) and split labels from the SAME
+# salted bucket rule train_split uses (`_split_bucket`/`_split_label`)
+# — the audit can never disagree with either component about what is
+# a near-dup or where a document landed.  Every candidate pair is
+# reported with both labels and a leak flag, so the relation also
+# evidences the non-leaking mass.
+#
+# Scale shape (100 TB): the minhash table is checkpointed before the
+# band self-join (measured: without it Catalyst plans BOTH join sides
+# from the raw corpus — the shingle+md5 scan, the op's dominant cost,
+# runs twice; the dedup_minhash_lsh precedent), so the final plan has
+# ZERO raw corpus scans (plan-audited); split labels are narrow md5
+# expressions over the pair ids — no extra join against a split
+# table, no corpus rescan.
+# --------------------------------------------------------------------------
+
+
+def split_leakage(spark, sf_dir):
+    from .dedup import _band_pairs, _bands, _near_dup_corpus, _with_minhash
+
+    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).localCheckpoint()
+    pairs = _band_pairs(_bands(mh))
+    sa = _split_label(_split_bucket(F.col("a")))
+    sb = _split_label(_split_bucket(F.col("b")))
+    return pairs.select(
+        "a",
+        "b",
+        sa.alias("split_a"),
+        sb.alias("split_b"),
+        (sa != sb).cast("int").alias("leak"),
+    )
+
+
+def _sql_split_leakage() -> str:
+    from .dedup import _MH_CTES
+
+    return (
+        _MH_CTES
+        + f"""
+SELECT a, b, {_duck_split_case('ba')} AS split_a,
+       {_duck_split_case('bb')} AS split_b,
+       CASE WHEN {_duck_split_case('ba')} <> {_duck_split_case('bb')}
+            THEN 1 ELSE 0 END AS leak
+FROM (SELECT a, b, {_duck_split_bucket('a')} AS ba,
+             {_duck_split_bucket('b')} AS bb
+      FROM pairs)
+"""
+    )
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -2716,6 +2791,7 @@ QUERIES = {
     "domain_stats": domain_stats,
     "crawl_frontier": crawl_frontier,
     "recrawl_schedule": recrawl_schedule,
+    "split_leakage": split_leakage,
     "robots_filter": robots_filter,
     "link_graph": link_graph,
     "anchor_text": anchor_text,
@@ -2753,6 +2829,7 @@ ORACLE_SQL = {
     "domain_stats": SQL_DOMAIN_STATS,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
     "robots_filter": SQL_ROBOTS_FILTER,
     "link_graph": SQL_LINK_GRAPH,
     "anchor_text": SQL_ANCHOR_TEXT,

@@ -166,18 +166,13 @@ def _bands(mh_df: DataFrame) -> DataFrame:
     ).select("doc_id", "x.band", "x.bv")
 
 
-def dedup_minhash_lsh(spark, sf_dir):
-    # eager localCheckpoint, not persist: the minhash scan (shingles +
-    # md5 over full text) is referenced three times below (bands, m1,
-    # m2) and must compute ONCE; checkpoint blocks are released by the
-    # ContextCleaner when the result goes out of scope, whereas an
-    # in-operator persist has no safe unpersist point (the caller's
-    # action runs after we return) and pins the unified cache for the
-    # rest of the session.
-    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).localCheckpoint()
-    bands = _bands(mh)
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (a, b) candidate pairs (a < b) from a (doc_id, band,
+    bv) table via the band-key self-equi-join — the one pair-generation
+    convention shared by dedup_minhash_lsh and split_leakage (mirrored
+    once, in _MH_CTES' `pairs` CTE)."""
     b1, b2 = bands.alias("b1"), bands.alias("b2")
-    pairs = (
+    return (
         b1.join(
             b2,
             (F.col("b1.band") == F.col("b2.band"))
@@ -187,6 +182,18 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b"))
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    # eager localCheckpoint, not persist: the minhash scan (shingles +
+    # md5 over full text) is referenced three times below (bands, m1,
+    # m2) and must compute ONCE; checkpoint blocks are released by the
+    # ContextCleaner when the result goes out of scope, whereas an
+    # in-operator persist has no safe unpersist point (the caller's
+    # action runs after we return) and pins the unified cache for the
+    # rest of the session.
+    mh = _with_minhash(_near_dup_corpus(spark, sf_dir)).localCheckpoint()
+    pairs = _band_pairs(_bands(mh))
     m1, m2 = mh.alias("m1"), mh.alias("m2")
     return (
         pairs.join(m1, F.col("a") == F.col("m1.doc_id"))

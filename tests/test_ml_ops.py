@@ -4108,3 +4108,42 @@ def test_recrawl_schedule_matches_python_recompute(spark):
     assert got == exp
     bands = {v[2] for v in got.values()}
     assert bands == {"hourly", "daily", "slow", "unknown"}
+
+
+def test_split_leakage_consistent_with_components(spark):
+    """Leakage pairs must be exactly the minhash candidate pairs
+    (same single-sourced band index as dedup_minhash_lsh) labeled with
+    exactly train_split's assignments, the leak flag must equal
+    label inequality, and the fixture must contain BOTH leaking and
+    non-leaking near-dup pairs."""
+    from freki_spark.functions.corpus_prep import split_leakage, train_split
+    from freki_spark.functions.dedup import dedup_minhash_lsh
+
+    mh_pairs = {
+        (r.a, r.b) for r in dedup_minhash_lsh(spark, SF).collect()
+    }
+    splits = {
+        r.doc_id: r.split for r in train_split(spark, SF).collect()
+    }
+
+    def split_of(doc_id):
+        # mutant ids (+100000) are not in the documents table;
+        # recompute their label with the same salted bucket rule
+        if doc_id in splits:
+            return splits[doc_id]
+        import hashlib
+
+        b = (
+            int(hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:8], 16)
+            % 100
+        )
+        return "valid" if b < 1 else ("test" if b < 2 else "train")
+
+    rows = split_leakage(spark, SF).collect()
+    assert {(r.a, r.b) for r in rows} == mh_pairs
+    for r in rows:
+        assert r.split_a == split_of(r.a)
+        assert r.split_b == split_of(r.b)
+        assert r.leak == int(r.split_a != r.split_b)
+    leaks = sum(r.leak for r in rows)
+    assert 0 < leaks < len(rows)

@@ -1116,6 +1116,21 @@ def main() -> int:
         "no Window/join/python",
     )
 
+    # 58k. split_leakage: candidates come from the checkpointed band
+    #      index (zero raw corpus scans downstream — the check-37
+    #      pattern), the self-join is a band equi-join (no all-pairs),
+    #      and split labels are narrow (no extra join, no python)
+    p = plan_of(QUERIES["split_leakage"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "split_leakage_band_probe",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p
+        and n_scans == 0,
+        f"band equi-join only; corpus re-scans={n_scans}",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
