@@ -376,11 +376,131 @@ GROUP BY tok, true_cnt
 """
 
 
+# --------------------------------------------------------------------------
+# hybrid_rrf — hybrid retrieval via reciprocal-rank fusion (Cormack,
+# Clarke & Buettcher 2009; the fusion rule behind every production
+# lexical+dense stack — Elasticsearch, Vespa, Azure AI Search all
+# ship RRF verbatim): fused(q, d) = Σ_rankers 1/(K + rank_r(d)),
+# K = 60, which needs no score calibration between BM25 micros and
+# cosine units — only ranks cross the fusion boundary.  Lexical
+# ranking = bm25_topk, semantic ranking = ann_lsh_bucketed, both
+# single-sourced (the fused list can never disagree with either
+# retriever), aligned on the shared query ids (bm25's 4-query
+# workload ∩ the ANN probe ids).  Contributions are exact integer
+# micros (1e6 div (K + rank)) so cross-engine float addition cannot
+# reorder the fused list; ties (a doc ranked by only one retriever at
+# the same reciprocal as another) break by doc_id.
+#
+# A third, query-independent ranker fills the static-prior slot real
+# fusion stacks wire in (authority/recency priors beside the lexical
+# and dense lists): a deterministic PRIOR_K-doc authority list.  On
+# this fixture the lexical and dense lists never intersect (the
+# embeddings are random vectors, independent of the text), so the
+# prior is also what exercises the multi-source summation branch —
+# each probe's own vector is its dense rank-1 hit AND sits in the
+# prior, giving n_sources >= 2 rows the oracle value-checks.
+#
+# Scale shape (100 TB): both retrievers keep their own audited plans
+# (champion-list postings / LSH buckets); fusion only ever touches
+# the top-k survivors — a union of ≤(BM25_TOPK + TOP_K) rows per
+# query, one map-side-combined (query, doc) rollup, and a ranking
+# window on query_id over those few rows.  The corpus is never
+# rescanned by the fusion layer.
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOPK = 5
+HYBRID_N_QUERIES = N_QTERMS // 2  # bm25's 2-terms-per-query workload
+PRIOR_K = 5  # static authority-prior list: doc ids 1..PRIOR_K
+
+
+def hybrid_rrf(spark, sf_dir):
+    from .similarity import ann_lsh_bucketed
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("rank")
+    )
+    sem = (
+        ann_lsh_bucketed(spark, sf_dir)
+        .filter((F.col("q_id") >= 1) & (F.col("q_id") <= HYBRID_N_QUERIES))
+        .select(
+            F.col("q_id").cast("int").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("rnk").alias("rank"),
+        )
+    )
+    prior = (
+        spark.range(1, HYBRID_N_QUERIES + 1)
+        .select(F.col("id").cast("int").alias("query_id"))
+        .crossJoin(
+            spark.range(1, PRIOR_K + 1).select(
+                F.col("id").alias("doc_id"),
+                F.col("id").cast("int").alias("rank"),
+            )
+        )
+    )
+    both = lex.unionByName(sem).unionByName(prior).select(
+        "query_id",
+        "doc_id",
+        F.expr(f"1000000 div ({RRF_K} + rank)").alias("contrib"),
+    )
+    fused = both.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= HYBRID_TOPK)
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from .similarity import SQL_ANN_LSH
+
+    return f"""
+WITH lex AS ({SQL_BM25_TOPK}),
+sem AS ({SQL_ANN_LSH}),
+both_r AS (
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + rk) AS contrib
+  FROM lex
+  UNION ALL
+  SELECT CAST(q_id AS INT) AS query_id, vec_id AS doc_id,
+         1000000 // ({RRF_K} + rnk) AS contrib
+  FROM sem WHERE q_id BETWEEN 1 AND {HYBRID_N_QUERIES}
+  UNION ALL
+  SELECT CAST(q AS INT) AS query_id, CAST(d AS BIGINT) AS doc_id,
+         1000000 // ({RRF_K} + d) AS contrib
+  FROM range(1, {HYBRID_N_QUERIES + 1}) q(q),
+       range(1, {PRIOR_K + 1}) d(d)
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+         CAST(count(*) AS INT) AS n_sources
+  FROM both_r GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_micro, n_sources,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS rk
+  FROM fused
+)
+WHERE rk <= {HYBRID_TOPK}
+"""
+
+
+SQL_HYBRID_RRF = _sql_hybrid_rrf()
+
+
 QUERIES = {
     "inverted_postings": inverted_postings,
     "bm25_topk": bm25_topk,
     "hard_negatives": hard_negatives,
     "heavy_hitters_cms": heavy_hitters_cms,
+    "hybrid_rrf": hybrid_rrf,
 }
 
 ORACLE_SQL = {
@@ -388,4 +508,5 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "hybrid_rrf": SQL_HYBRID_RRF,
 }

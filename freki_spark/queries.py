@@ -1681,7 +1681,8 @@ _PRIORITY = [
     "anchor_text",
     "dedup_incremental", "snapshot_diff", "scd2_history", "corpus_stats",
     "dedup_stats",
-    "gopher_ngram_flags", "inverted_postings", "bm25_topk", "hard_negatives",
+    "gopher_ngram_flags", "inverted_postings", "bm25_topk", "hybrid_rrf",
+    "hard_negatives",
     "bleu_stats", "span_corruption", "weighted_sample", "semantic_pack",
     "doremi_weights", "filter_funnel", "bitext_mine", "vocab_coverage",
     "bpe_ids", "preference_pairs", "zorder_plan", "code_detect",

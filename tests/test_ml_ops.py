@@ -4147,3 +4147,50 @@ def test_split_leakage_consistent_with_components(spark):
         assert r.leak == int(r.split_a != r.split_b)
     leaks = sum(r.leak for r in rows)
     assert 0 < leaks < len(rows)
+
+
+def test_hybrid_rrf_matches_python_fusion(spark):
+    """The fused list must equal a plain-python RRF recompute over the
+    two component retrievers' own outputs plus the static prior
+    (integer reciprocal micros, rank tie-break by doc_id), and the
+    multi-source summation branch must fire on the fixture."""
+    from freki_spark.functions.search import (
+        HYBRID_N_QUERIES,
+        HYBRID_TOPK,
+        PRIOR_K,
+        RRF_K,
+        bm25_topk,
+        hybrid_rrf,
+    )
+    from freki_spark.functions.similarity import ann_lsh_bucketed
+
+    contrib = {}
+
+    def add(q, d, rank):
+        key = (q, d)
+        s, n = contrib.get(key, (0, 0))
+        contrib[key] = (s + 1_000_000 // (RRF_K + rank), n + 1)
+
+    for r in bm25_topk(spark, SF).collect():
+        add(r.query_id, r.doc_id, r.rk)
+    for r in ann_lsh_bucketed(spark, SF).collect():
+        if 1 <= r.q_id <= HYBRID_N_QUERIES:
+            add(int(r.q_id), r.vec_id, r.rnk)
+    for q in range(1, HYBRID_N_QUERIES + 1):
+        for d in range(1, PRIOR_K + 1):
+            add(q, d, d)
+
+    exp = []
+    for q in range(1, HYBRID_N_QUERIES + 1):
+        cand = sorted(
+            ((d, s, n) for (qq, d), (s, n) in contrib.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )[:HYBRID_TOPK]
+        exp += [(q, d, s, n, i + 1) for i, (d, s, n) in enumerate(cand)]
+
+    got = sorted(
+        (r.query_id, r.doc_id, r.rrf_micro, r.n_sources, r.rk)
+        for r in hybrid_rrf(spark, SF).collect()
+    )
+    assert got == sorted(exp)
+    assert any(n >= 2 for _, _, _, n, _ in got)

@@ -1131,6 +1131,20 @@ def main() -> int:
         f"band equi-join only; corpus re-scans={n_scans}",
     )
 
+    # 58l. hybrid_rrf: the fusion layer adds no all-pairs plan and no
+    #      python — both retrievers keep their own audited shapes, the
+    #      only nested-loop joins are the condition-free broadcast
+    #      crosses (corpus stats + the tiny static prior)
+    p = plan_of(QUERIES["hybrid_rrf"](spark, sf_dir))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "hybrid_rrf_fusion_shape",
+        "CartesianProduct" not in p
+        and not conditioned
+        and "Python" not in p,
+        "no all-pairs/conditioned nested join, no python in the fusion",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
