@@ -2608,9 +2608,12 @@ LIMIT {WS_K}
 # The raw event cadence puts every natural page in the daily band, so
 # two deterministic variants are synthesized (the code_detect/
 # decontaminate precedent) to make every scheduler branch fire: hot
-# pages (+1000) with the clock compressed 60x, and sparse pages
-# (+2000) observed only at every 50th event (n_obs 1 → unknown,
-# n_obs >= 2 far apart → slow).
+# pages (+700000) with the clock compressed 60x, and sparse pages
+# (+800000) observed only at every 50th event (n_obs 1 → unknown,
+# n_obs >= 2 far apart → slow).  Offsets follow the repo's
+# collision-proof convention (+100000..+600000 are taken) — small
+# offsets would merge variant histories into natural pages once the
+# id space grows past them (measured at sf0.1 with +1000/+2000).
 #
 # Scale shape (10^12 pages): ONE map-side-combined Exchange to page
 # grain (count/min/max partial-aggregate before the shuffle —
@@ -2621,9 +2624,9 @@ LIMIT {WS_K}
 RECRAWL_DEFAULT_GAP_S = 7 * 86400  # no-history fallback: weekly
 RECRAWL_HOURLY_MAX_S = 3600
 RECRAWL_DAILY_MAX_S = 86400
-RECRAWL_HOT_OFFSET = 1000
+RECRAWL_HOT_OFFSET = 700_000
 RECRAWL_HOT_COMPRESS = 60
-RECRAWL_SPARSE_OFFSET = 2000
+RECRAWL_SPARSE_OFFSET = 800_000
 RECRAWL_SPARSE_EVERY = 50
 
 

@@ -2228,10 +2228,13 @@ FROM p
 #
 # Scale shape (100 TB): per-side token counts partial-aggregate
 # map-side before ONE vocabulary-grain Exchange each (vocabulary ≪
-# corpus); totals are 1-row condition-free broadcast crosses (the
-# semantic_pack convention); the full-outer join is vocabulary-sized;
-# the top-K is distributed (TakeOrderedAndProject — never a global
-# sort); the only Window ranks the K survivors (plan-audited).
+# corpus), then checkpoint before their two-consumer fan-out so the
+# corpus tokenizes exactly once per side (plan-audited: zero raw
+# scans downstream); totals are 1-row condition-free broadcast
+# crosses over the checkpointed counts (the semantic_pack
+# convention); the full-outer join is vocabulary-sized; the top-K is
+# distributed (TakeOrderedAndProject — never a global sort); the
+# only Window ranks the K survivors (plan-audited).
 # --------------------------------------------------------------------------
 
 DRIFT_TOPK = 20
@@ -2245,8 +2248,21 @@ def dist_drift(spark, sf_dir):
 
     def freq(side, col):
         t = side.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-        cnt = t.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
-        tot = t.agg(F.count("*").cast("bigint").alias("tot"))
+        # the vocabulary-grain count table feeds TWO consumers (the
+        # frequency projection and the side total), and each reference
+        # replans from the raw scan — without materialization the
+        # tokenize+explode pass, the op's dominant cost, runs twice
+        # per side (measured: 6 parquet scans vs 0 after; the
+        # dedup_minhash_lsh multi-branch-reuse precedent).  The
+        # checkpointed table is vocabulary-sized, not corpus-sized.
+        cnt = (
+            t.groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .localCheckpoint()
+        )
+        # the side's token total is the sum of the counts just built —
+        # re-aggregating `t` would re-scan and re-explode the corpus
+        tot = cnt.agg(F.sum("cnt").alias("tot"))
         return cnt.crossJoin(F.broadcast(tot)).select(
             "token", F.expr(_ppm_exact("cnt", "tot", "div")).alias(col)
         )
@@ -2276,8 +2292,8 @@ ta AS (SELECT unnest(string_split(text, ' ')) AS token FROM a),
 tb AS (SELECT unnest(string_split(text, ' ')) AS token FROM b),
 ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ta GROUP BY 1),
 cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY 1),
-na AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ta),
-nb AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tb),
+na AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM ca),
+nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cb),
 fa AS (SELECT token, {_ppm_exact('cnt', 'tot', '//')} AS a_ppm FROM ca, na),
 fb AS (SELECT token, {_ppm_exact('cnt', 'tot', '//')} AS b_ppm FROM cb, nb),
 j AS (

@@ -1088,16 +1088,23 @@ def main() -> int:
     # 58i. dist_drift: per-side counts partial-aggregate map-side, the
     #      top-K is distributed (TakeOrderedAndProject, never a global
     #      Sort), totals ride condition-free broadcast crosses, and no
-    #      all-pairs product appears anywhere
+    #      all-pairs product appears anywhere.  The per-side count
+    #      tables are checkpointed before their two-consumer fan-out
+    #      (frequency projection + side total), so the downstream plan
+    #      must contain ZERO raw corpus scans (check-37 pattern; 6
+    #      scans when regressed — each consumer replans the
+    #      tokenize+explode from the raw scan)
     p = plan_of(QUERIES["dist_drift"](spark, sf_dir))
     conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "dist_drift_topk",
         "TakeOrderedAndProject" in p
-        and "partial_count" in p
         and "CartesianProduct" not in p
-        and not conditioned,
-        "partial-agg'd counts, distributed top-K, condition-free crosses",
+        and not conditioned
+        and n_scans == 0,
+        "distributed top-K, condition-free crosses; "
+        f"corpus re-scans={n_scans}",
     )
 
     # 58j. recrawl_schedule: the page-grain rollup partial-aggregates
