@@ -226,6 +226,53 @@ SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# lsh_bucket_stats — bucket-occupancy telemetry for the LSH family
+# (the skew monitor every production ANN index publishes: hyperplane
+# degeneration or correlated embeddings show up as a fat occupancy
+# tail, and since bucket-join cost is Σ n_b², one hot bucket is the
+# whole job's straggler).  Occupancy histogram buckets are log2 via
+# integer bit-length (`length(bin(n))` — the corpus_stats idiom,
+# integer-exact in both engines, no floor(log2) float boundary risk);
+# max occupancy rides each histogram row so the alert threshold
+# needs no second pass.
+#
+# Scale shape (10^12 vectors): the bucket hash is the ANN family's
+# own narrow per-row expression; two map-side-combined Exchanges —
+# bucket grain (the index build's own grain), then the ~64-row
+# occupancy histogram.  No window, no join, no python (plan-audited).
+# --------------------------------------------------------------------------
+
+
+def lsh_bucket_stats(spark, sf_dir):
+    em = _emb(spark, sf_dir)
+    occ = (
+        em.select(_bucket(F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return occ.groupBy(
+        F.length(F.bin(F.col("n"))).cast("int").alias("occ_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("n").alias("n_vecs"),
+        F.max("n").alias("max_occ"),
+    )
+
+
+SQL_LSH_BUCKET_STATS = f"""
+WITH {_LSH_BUCKET_CTES},
+occ AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM buckets GROUP BY 1
+)
+SELECT CAST(length(bin(n)) AS INT) AS occ_bucket,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       max(n) AS max_occ
+FROM occ GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # IVF-flat: inverted-file index with a coarse quantizer
 # --------------------------------------------------------------------------
 
@@ -1175,6 +1222,7 @@ QUERIES = {
     "preference_pairs": preference_pairs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "lsh_bucket_stats": lsh_bucket_stats,
     "ann_ivf_flat": ann_ivf_flat,
     "ivf_assign": q_ivf_assign,
     "ann_topk_quantized": ann_topk_quantized,
@@ -1191,6 +1239,7 @@ ORACLE_SQL = {
     "semantic_pack": SQL_SEMANTIC_PACK,
     "ann_topk_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh_bucketed": SQL_ANN_LSH,
+    "lsh_bucket_stats": SQL_LSH_BUCKET_STATS,
     "ann_ivf_flat": SQL_ANN_IVF,
     "ivf_assign": SQL_IVF_ASSIGN,
     "ann_topk_quantized": SQL_ANN_QUANTIZED,

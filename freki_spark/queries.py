@@ -1651,7 +1651,8 @@ _PRIORITY = [
     "dedup_simhash", "dedup_embedding_cosine", "cc_bigstar",
     "dup_span_detect", "dup_span_remove",
     # round-1 driver-unchecked: similarity search (+ round-2 PQ family)
-    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_flat", "ivf_assign",
+    "ann_topk_bruteforce", "ann_lsh_bucketed", "lsh_bucket_stats",
+    "ann_ivf_flat", "ivf_assign",
     "pq_encode", "ann_topk_pq", "knn_graph", "ann_topk_quantized",
     # round-1 driver-unchecked: text analysis (+ round-2 additions)
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",

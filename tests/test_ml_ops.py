@@ -4194,3 +4194,46 @@ def test_hybrid_rrf_matches_python_fusion(spark):
     )
     assert got == sorted(exp)
     assert any(n >= 2 for _, _, _, n, _ in got)
+
+
+def test_lsh_bucket_stats_matches_python_recompute(spark):
+    """The occupancy histogram must equal a plain-python recompute of
+    the hyperplane buckets (same md5 plane weights, same left-to-right
+    dot-product order, bit-length histogram), and the invariants must
+    hold: Σ n_vecs = corpus size, max_occ within its power-of-two
+    band."""
+    from collections import Counter
+
+    from freki_spark.functions.similarity import (
+        N_PLANES,
+        _plane_weight,
+        lsh_bucket_stats,
+    )
+
+    occ = Counter()
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        b = 0
+        for p in range(N_PLANES):
+            dot = 0.0
+            for j, x in enumerate(v):
+                dot += x * _plane_weight(p, j)
+            if dot > 0:
+                b |= 1 << p
+        occ[b] += 1
+
+    exp = {}
+    for n in occ.values():
+        k = n.bit_length()
+        nb, nv, mx = exp.get(k, (0, 0, 0))
+        exp[k] = (nb + 1, nv + n, max(mx, n))
+
+    got = {
+        r.occ_bucket: (r.n_buckets, r.n_vecs, r.max_occ)
+        for r in lsh_bucket_stats(spark, SF).collect()
+    }
+    assert got == exp
+    assert sum(v[1] for v in got.values()) == len(rows)
+    for k, (_, _, mx) in got.items():
+        assert 2 ** (k - 1) <= mx < 2**k

@@ -1152,6 +1152,22 @@ def main() -> int:
         "no all-pairs/conditioned nested join, no python in the fusion",
     )
 
+    # 58m. lsh_bucket_stats: the occupancy rollup is two map-side-
+    #      combined Exchanges (bucket grain, then the tiny histogram),
+    #      each directly above a HashAggregate; no window/join/python
+    p = plan_of(QUERIES["lsh_bucket_stats"](spark, sf_dir))
+    n_ex, feeds_agg = shuffle_exchanges_feed_aggregates(p)
+    check(
+        "lsh_bucket_stats_rollup",
+        n_ex == 2
+        and feeds_agg
+        and "Window" not in p
+        and "Join" not in p
+        and "Python" not in p,
+        f"{n_ex} shuffle exchanges, each above a HashAggregate; "
+        "no Window/join/python",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
