@@ -2314,6 +2314,104 @@ LIMIT {DRIFT_TOPK}
 SQL_DIST_DRIFT = _sql_dist_drift()
 
 
+# --------------------------------------------------------------------------
+# colloc_dice — collocation / phrase mining via the Dice association
+# score 2·c(ab) / (c(a) + c(b)) (Smadja 1993; the count-based score
+# family word2vec's phrase detection ships — chosen over PMI because
+# it is a ratio of INTEGER counts, so the whole statistic stays in
+# exact bigint ppm cross-engine where PMI's log would reopen the
+# float-association trap).  Candidate phrases = adjacent-token
+# bigrams with multiplicity (the shared `bigrams` builder; degenerate
+# single-token rows from 1-token docs are filtered), floor-gated at
+# COLLOC_MIN_COUNT occurrences (word2vec's min_count), top-K by Dice.
+#
+# Bigint headroom: c(ab) is corpus-grain (~2.5e13 at 100 TB) so
+# 2·c_ab·1e6 would wrap — the ratio goes through _ppm_exact.
+#
+# Scale shape (100 TB): bigram and unigram counts partial-aggregate
+# map-side into vocabulary-grain Exchanges; the unigram table is
+# checkpointed before its two-consumer fan-out (c_a and c_b joins —
+# each reference would otherwise replan the corpus explode; the
+# dist_drift precedent), so the final plan holds ONE raw scan (the
+# bigram side, plan-audited); the scoring joins are vocabulary-grain;
+# the top-K is distributed (TakeOrderedAndProject) and the only
+# Window ranks the K survivors.
+# --------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 20
+
+
+def colloc_dice(spark, sf_dir):
+    t = _docs(spark, sf_dir).select(toks(F.col("text")).alias("_tk"))
+    bg = t.select(F.explode(bigrams(F.col("_tk"))).alias("bigram")).filter(
+        F.size(F.split(F.col("bigram"), " ")) == 2
+    )
+    cb = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    cu = (
+        t.select(F.explode("_tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    j = (
+        cb.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(cu.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+    )
+    scored = j.select(
+        "bigram",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.expr(
+            _ppm_exact("(2 * c_ab)", "(c_a + c_b)", "div")
+        ).alias("dice_ppm"),
+    )
+    top = scored.orderBy(F.desc("dice_ppm"), F.asc("bigram")).limit(
+        COLLOC_TOPK
+    )
+    w = Window.orderBy(F.desc("dice_ppm"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+SQL_COLLOC_DICE = f"""
+WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+bg AS (SELECT unnest({duck_bigrams('tk')}) AS bigram FROM t),
+cb AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bg WHERE len(string_split(bigram, ' ')) = 2
+  GROUP BY 1 HAVING count(*) >= {COLLOC_MIN_COUNT}
+),
+cu AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1
+),
+j AS (
+  SELECT cb.bigram, cb.c_ab, ca.c AS c_a, cbb.c AS c_b
+  FROM cb
+  JOIN cu ca ON ca.w = string_split(cb.bigram, ' ')[1]
+  JOIN cu cbb ON cbb.w = string_split(cb.bigram, ' ')[2]
+),
+s AS (
+  SELECT bigram, c_ab, c_a, c_b,
+         {_ppm_exact('(2 * c_ab)', '(c_a + c_b)', '//')} AS dice_ppm
+  FROM j
+)
+SELECT bigram, c_ab, c_a, c_b, dice_ppm,
+       CAST(row_number() OVER (ORDER BY dice_ppm DESC, bigram) AS INT)
+         AS rank
+FROM s
+ORDER BY dice_ppm DESC, bigram
+LIMIT {COLLOC_TOPK}
+"""
+
+
 QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
@@ -2339,6 +2437,7 @@ QUERIES = {
     "code_detect": code_detect,
     "ocr_garble": ocr_garble,
     "dist_drift": dist_drift,
+    "colloc_dice": colloc_dice,
 }
 
 ORACLE_SQL = {
@@ -2350,6 +2449,7 @@ ORACLE_SQL = {
     "code_detect": SQL_CODE_DETECT,
     "ocr_garble": SQL_OCR_GARBLE,
     "dist_drift": SQL_DIST_DRIFT,
+    "colloc_dice": SQL_COLLOC_DICE,
     "lang_id_ngram": SQL_LANG_ID,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,

@@ -4237,3 +4237,49 @@ def test_lsh_bucket_stats_matches_python_recompute(spark):
     assert sum(v[1] for v in got.values()) == len(rows)
     for k, (_, _, mx) in got.items():
         assert 2 ** (k - 1) <= mx < 2**k
+
+
+def test_colloc_dice_matches_python_recompute(spark):
+    """The top-K collocations must equal a plain-python recompute
+    (multiset bigram counts, unigram counts, exact integer Dice ppm,
+    min-count gate, (score desc, bigram) ordering)."""
+    from collections import Counter
+
+    from freki_spark.functions.text_analysis import (
+        COLLOC_MIN_COUNT,
+        COLLOC_TOPK,
+        colloc_dice,
+    )
+
+    cb, cu = Counter(), Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        tk = r.text.split(" ")
+        cu.update(tk)
+        if len(tk) >= 2:
+            cb.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+
+    def dice_ppm(num, den):
+        q, r_ = divmod(num, den)
+        return q * 1_000_000 + (r_ * 1000 // den) * 1000 + (
+            (r_ * 1000 % den) * 1000 // den
+        )
+
+    cand = sorted(
+        (
+            (bg, n, cu[bg.split(" ")[0]], cu[bg.split(" ")[1]])
+            for bg, n in cb.items()
+            if n >= COLLOC_MIN_COUNT
+        ),
+        key=lambda x: (-dice_ppm(2 * x[1], x[2] + x[3]), x[0]),
+    )[:COLLOC_TOPK]
+    exp = [
+        (bg, n, ca, cbn, dice_ppm(2 * n, ca + cbn), i + 1)
+        for i, (bg, n, ca, cbn) in enumerate(cand)
+    ]
+
+    got = [
+        (r.bigram, r.c_ab, r.c_a, r.c_b, r.dice_ppm, r.rank)
+        for r in colloc_dice(spark, SF).collect()
+    ]
+    assert got == exp
+    assert all(0 < d <= 1_000_000 for *_, d, _ in got)

@@ -1168,6 +1168,21 @@ def main() -> int:
         "no Window/join/python",
     )
 
+    # 58n. colloc_dice: the unigram table is checkpointed before its
+    #      c_a/c_b fan-out, so the plan holds exactly ONE raw scan
+    #      (the bigram side); the top-K is distributed and no
+    #      all-pairs plan appears
+    p = plan_of(QUERIES["colloc_dice"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "colloc_dice_single_scan_topk",
+        n_scans == 1
+        and "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"corpus scans={n_scans}; distributed top-K",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
