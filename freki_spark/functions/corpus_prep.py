@@ -2253,6 +2253,123 @@ FROM links GROUP BY src, dst
 
 
 # --------------------------------------------------------------------------
+# domain_authority — web-graph degree telemetry and authority flagging
+# (the seed-selection / spam-triage relation next to pagerank in every
+# crawl stack: SEO farms show up as domains whose link mass arrives
+# from few distinct sources or from themselves, authorities as
+# domains many independent sources cite).  Built entirely from the
+# link_graph relation (single-sourced — the flags can never disagree
+# with the graph): per domain, out/in distinct-degree and link mass,
+# self-link mass, self-share ppm, and an is_authority flag =
+# (in_degree >= AUTH_MIN_SOURCES and self-share < half).
+#
+# Bigint headroom: per-domain in_links is corpus-grain in the worst
+# case (one domain receiving everything), so the self-share ratio
+# goes through _ppm_exact rather than a bare *1e6.
+#
+# Scale shape (10^12 edges): the edge list is checkpointed once (in
+# production it IS a stored table; three rollups read it — out, in,
+# self), each rollup partial-aggregates map-side to domain grain, and
+# the final assembly is two domain-grain joins.  No corpus rescan
+# (plan-audited: zero raw scans), no window, no python.
+# --------------------------------------------------------------------------
+
+AUTH_MIN_SOURCES = 5
+
+
+def domain_authority(spark, sf_dir):
+    from .text_analysis import _ppm_exact
+
+    edges = link_graph(spark, sf_dir).localCheckpoint()
+    out = edges.groupBy(F.col("src_domain").alias("domain")).agg(
+        F.countDistinct("dst_domain").cast("int").alias("out_degree"),
+        F.sum("n_links").cast("bigint").alias("out_links"),
+    )
+    in_ = edges.groupBy(F.col("dst_domain").alias("domain")).agg(
+        F.countDistinct("src_domain").cast("int").alias("in_degree"),
+        F.sum("n_links").cast("bigint").alias("in_links"),
+    )
+    self_ = (
+        edges.filter(F.col("src_domain") == F.col("dst_domain"))
+        .groupBy(F.col("src_domain").alias("domain"))
+        .agg(F.sum("n_links").cast("bigint").alias("self_links"))
+    )
+    j = (
+        out.join(in_, "domain", "full_outer")
+        .join(self_, "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("self_links", F.lit(0)).alias("self_links"),
+        )
+    )
+    share = F.expr(
+        "CASE WHEN in_links > 0 THEN "
+        + _ppm_exact("self_links", "in_links", "div")
+        + " ELSE 0 END"
+    )
+    return j.withColumn("self_share_ppm", share).withColumn(
+        "is_authority",
+        (
+            (F.col("in_degree") >= AUTH_MIN_SOURCES)
+            & (F.col("self_share_ppm") < 500_000)
+        ).cast("int"),
+    )
+
+
+def _sql_domain_authority() -> str:
+    from .text_analysis import _ppm_exact
+
+    return f"""
+WITH lg AS ({SQL_LINK_GRAPH}),
+o AS (
+  SELECT src_domain AS domain,
+         CAST(count(DISTINCT dst_domain) AS INT) AS out_degree,
+         CAST(sum(n_links) AS BIGINT) AS out_links
+  FROM lg GROUP BY 1
+),
+i AS (
+  SELECT dst_domain AS domain,
+         CAST(count(DISTINCT src_domain) AS INT) AS in_degree,
+         CAST(sum(n_links) AS BIGINT) AS in_links
+  FROM lg GROUP BY 1
+),
+s AS (
+  SELECT src_domain AS domain, CAST(sum(n_links) AS BIGINT) AS self_links
+  FROM lg WHERE src_domain = dst_domain GROUP BY 1
+),
+j AS (
+  SELECT coalesce(o.domain, i.domain) AS domain,
+         coalesce(out_degree, 0) AS out_degree,
+         coalesce(out_links, 0) AS out_links,
+         coalesce(in_degree, 0) AS in_degree,
+         coalesce(in_links, 0) AS in_links,
+         coalesce(s.self_links, 0) AS self_links
+  FROM o FULL OUTER JOIN i ON o.domain = i.domain
+  LEFT JOIN s ON s.domain = coalesce(o.domain, i.domain)
+),
+p AS (
+  SELECT *, CASE WHEN in_links > 0
+                 THEN {_ppm_exact('self_links', 'in_links', '//')}
+                 ELSE 0 END AS self_share_ppm
+  FROM j
+)
+SELECT domain, out_degree, out_links, in_degree, in_links, self_links,
+       self_share_ppm,
+       CASE WHEN in_degree >= {AUTH_MIN_SOURCES}
+             AND self_share_ppm < 500000
+            THEN 1 ELSE 0 END AS is_authority
+FROM p
+"""
+
+
+SQL_DOMAIN_AUTHORITY = _sql_domain_authority()
+
+
+# --------------------------------------------------------------------------
 # zorder_plan — z-order clustering-key assignment (the Delta OPTIMIZE
 # ZORDER / Iceberg sort-order maintenance primitive): interleave the
 # bits of two cluster dimensions into one Morton key so a range of
@@ -2795,6 +2912,7 @@ QUERIES = {
     "crawl_frontier": crawl_frontier,
     "recrawl_schedule": recrawl_schedule,
     "split_leakage": split_leakage,
+    "domain_authority": domain_authority,
     "robots_filter": robots_filter,
     "link_graph": link_graph,
     "anchor_text": anchor_text,
@@ -2833,6 +2951,7 @@ ORACLE_SQL = {
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "split_leakage": SQL_SPLIT_LEAKAGE,
+    "domain_authority": SQL_DOMAIN_AUTHORITY,
     "robots_filter": SQL_ROBOTS_FILTER,
     "link_graph": SQL_LINK_GRAPH,
     "anchor_text": SQL_ANCHOR_TEXT,

@@ -4283,3 +4283,52 @@ def test_colloc_dice_matches_python_recompute(spark):
     ]
     assert got == exp
     assert all(0 < d <= 1_000_000 for *_, d, _ in got)
+
+
+def test_domain_authority_consistent_with_link_graph(spark):
+    """Degrees, link masses, self shares, and the authority flag must
+    equal a plain-python rollup of the link_graph relation itself, and
+    the fixture must contain both flagged authorities (hub domains
+    cited by many sources) and excluded self-linkers."""
+    from freki_spark.functions.corpus_prep import (
+        AUTH_MIN_SOURCES,
+        domain_authority,
+        link_graph,
+    )
+
+    edges = link_graph(spark, SF).collect()
+    exp = {}
+    for e in edges:
+        for d in (e.src_domain, e.dst_domain):
+            exp.setdefault(d, [set(), 0, set(), 0, 0])
+        o = exp[e.src_domain]
+        o[0].add(e.dst_domain)
+        o[1] += e.n_links
+        i = exp[e.dst_domain]
+        i[2].add(e.src_domain)
+        i[3] += e.n_links
+        if e.src_domain == e.dst_domain:
+            exp[e.src_domain][4] += e.n_links
+
+    def row(d):
+        od, ol, ids, il, sl = exp[d]
+        share = sl * 1_000_000 // il if il > 0 else 0
+        auth = int(len(ids) >= AUTH_MIN_SOURCES and share < 500_000)
+        return (len(od), ol, len(ids), il, sl, share, auth)
+
+    got = {
+        r.domain: (
+            r.out_degree,
+            r.out_links,
+            r.in_degree,
+            r.in_links,
+            r.self_links,
+            r.self_share_ppm,
+            r.is_authority,
+        )
+        for r in domain_authority(spark, SF).collect()
+    }
+    assert got == {d: row(d) for d in exp}
+    flags = [v[6] for v in got.values()]
+    assert 0 < sum(flags) < len(flags)
+    assert any(v[4] > 0 and v[6] == 0 for v in got.values())

@@ -1183,6 +1183,21 @@ def main() -> int:
         f"corpus scans={n_scans}; distributed top-K",
     )
 
+    # 58o. domain_authority: the edge list is checkpointed before its
+    #      three rollups, so the downstream plan holds ZERO raw scans
+    #      (check-37 pattern); assembly is domain-grain equi-joins
+    #      only — no all-pairs, no python
+    p = plan_of(QUERIES["domain_authority"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "domain_authority_edge_rollup",
+        n_scans == 0
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        f"corpus re-scans={n_scans}; domain-grain joins only",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
