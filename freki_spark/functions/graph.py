@@ -138,10 +138,148 @@ FROM r{PR_ITERS} r LEFT JOIN t ON r.doc_id = t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# hits_scores — HITS hubs & authorities (Kleinberg 1999), the OTHER
+# classic authority signal next to PageRank: authorities are pages
+# many good hubs point to, hubs are pages pointing to many good
+# authorities.  Crawl stacks run both — PageRank for global quality
+# weighting, HITS for topic-portal / link-directory detection (a page
+# can be a top hub with zero authority, which PageRank cannot say).
+# Same deterministic doc-id link graph as pagerank_iter (single-
+# sourced through `_targets_expr` — the two signals can never be
+# computed over different graphs).
+#
+# Arithmetic is exact integer fixed-point: each half-step L1-
+# normalizes the raw sums to ppm via the shared `_ppm_exact` quotient
+# staging, so Spark and DuckDB agree bit-for-bit (no float power
+# iteration to desync engines; L1 replaces the classical L2 norm —
+# sqrt would reopen the float trap — and is itself a sanctioned HITS
+# variant).  Bigint headroom: raw sums ≤ n_nodes·1e6 and the staging
+# needs den·1000 < 2^63, so full-corpus normalization holds to ~9e9
+# nodes; past that the totals rebase per shard (the temperature_sample
+# / doremi_weights headroom-dial precedent).
+#
+# Scale shape (10^12 edges): per half-step ONE shuffle join
+# (edges ⋈ scores) + one map-side-combined groupBy + a 1-row
+# broadcast total — the irreducible Pregel shape pagerank_iter
+# documents; score tables stay sparse (zero-score nodes materialize
+# only in the final left joins).  No window, no python.
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000  # L1 ppm normalization each half-step
+
+
+def _l1_ppm(raw, key, val, out):
+    """L1-normalize ``val`` over ``raw`` to ppm, exact-integer."""
+    from .text_analysis import _ppm_exact
+
+    tot = raw.agg(F.sum(val).alias("_tot"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        F.col(key).alias("doc_id"),
+        F.expr(_ppm_exact(val, "_tot", "div")).cast("bigint").alias(out),
+    )
+
+
+def hits_scores(spark, sf_dir):
+    """HITS_ITERS rounds of integer L1-normalized HITS over the
+    deterministic doc-id link graph.
+
+    a_0 = SCALE; h_t(u) = norm(Σ_{u→v} a_t(v)); a_{t+1}(v) =
+    norm(Σ_{u→v} h_t(u)) with norm(x) = x·1e6 div Σx (exact staged
+    division) — engine-independent, order-independent."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    # same narrow no-persist rationale as pagerank_iter above
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    auth = d.select(
+        "doc_id", F.lit(HITS_SCALE).cast("bigint").alias("a")
+    )
+    hub = None
+    for _ in range(HITS_ITERS):
+        h_raw = (
+            edges.join(auth, edges.dst == auth.doc_id)
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hub = _l1_ppm(h_raw, "src", "hr", "h")
+        a_raw = (
+            edges.join(hub, edges.src == hub.doc_id)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        auth = _l1_ppm(a_raw, "dst", "ar", "a")
+    return (
+        d.join(hub, "doc_id", "left")
+        .join(auth, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_ppm"),
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_ppm"),
+        )
+    )
+
+
+def _sql_hits_half(score_tbl, score_col, edge_key, group_key, out_tbl, out_col):
+    """One HITS half-step as DuckDB CTEs: raw sum + L1 ppm norm."""
+    from .text_analysis import _ppm_exact
+
+    return f"""
+{out_tbl}_raw AS (
+  SELECT e.{group_key} AS doc_id, sum(s.{score_col}) AS raw
+  FROM e JOIN {score_tbl} s ON e.{edge_key} = s.doc_id GROUP BY 1
+),
+{out_tbl} AS (
+  SELECT doc_id,
+         CAST({_ppm_exact('raw', '_tot', '//')} AS BIGINT) AS {out_col}
+  FROM {out_tbl}_raw, (SELECT sum(raw) AS _tot FROM {out_tbl}_raw)
+)"""
+
+
+def _sql_hits() -> str:
+    parts = []
+    prev_a = "a0"
+    hub_tbl = None
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(_sql_hits_half(prev_a, "a", "dst", "src", f"h{i}", "h"))
+        parts.append(_sql_hits_half(f"h{i}", "h", "src", "dst", f"a{i}", "a"))
+        prev_a = f"a{i}"
+        hub_tbl = f"h{i}"
+    steps = ",".join(parts)
+    return f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+a0 AS (
+  SELECT doc_id, CAST({HITS_SCALE} AS BIGINT) AS a FROM documents
+),{steps}
+SELECT d.doc_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hub_ppm,
+       CAST(coalesce(a.a, 0) AS BIGINT) AS auth_ppm
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN {hub_tbl} h ON d.doc_id = h.doc_id
+LEFT JOIN {prev_a} a ON d.doc_id = a.doc_id
+"""
+
+
+SQL_HITS = _sql_hits()
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
+    "hits_scores": hits_scores,
 }
 
 ORACLE_SQL = {
     "pagerank_iter": SQL_PAGERANK,
+    "hits_scores": SQL_HITS,
 }

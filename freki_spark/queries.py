@@ -1679,7 +1679,7 @@ _PRIORITY = [
     "perplexity_bucket", "quality_vote", "dsir_select", "bpe_train",
     "domain_stats",
     "crawl_frontier", "recrawl_schedule", "robots_filter", "link_graph",
-    "domain_authority", "anchor_text",
+    "domain_authority", "hits_scores", "anchor_text",
     "dedup_incremental", "snapshot_diff", "scd2_history", "corpus_stats",
     "dedup_stats",
     "gopher_ngram_flags", "inverted_postings", "bm25_topk", "hybrid_rrf",

@@ -4332,3 +4332,74 @@ def test_domain_authority_consistent_with_link_graph(spark):
     flags = [v[6] for v in got.values()]
     assert 0 < sum(flags) < len(flags)
     assert any(v[4] > 0 and v[6] == 0 for v in got.values())
+
+
+def test_hits_matches_naive_integer_reference(spark):
+    """Exact integer L1-normalized HITS recomputed in pure python from
+    the same deterministic edge rule — every hub/authority score must
+    match bit-for-bit (no float tolerance: the op is all-integer, and
+    python's unbounded floor-div reproduces the staged quotient
+    exactly)."""
+    import hashlib
+
+    from freki_spark.functions.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        PR_FANOUT,
+        hits_scores,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    targets = {
+        d: [
+            t
+            for t in dict.fromkeys(
+                h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+            )
+            if t != d
+        ]
+        for d in docs
+    }
+
+    def l1_ppm(raw):
+        tot = sum(raw.values())
+        return {k: v * 1_000_000 // tot for k, v in raw.items()}
+
+    auth = {d: HITS_SCALE for d in docs}
+    hub = {}
+    for _ in range(HITS_ITERS):
+        hr = {}
+        for u, ts in targets.items():
+            s = sum(auth.get(v, 0) for v in ts)
+            if ts:
+                hr[u] = s
+        hub = l1_ppm(hr)
+        ar = {}
+        for u, ts in targets.items():
+            hu = hub.get(u, 0)
+            for v in ts:
+                ar[v] = ar.get(v, 0) + hu
+        auth = l1_ppm(ar)
+    exp = {d: (hub.get(d, 0), auth.get(d, 0)) for d in docs}
+
+    got = {
+        r.doc_id: (r.hub_ppm, r.auth_ppm)
+        for r in hits_scores(spark, SF).collect()
+    }
+    assert got == exp
+    # L1 norm: each score vector sums to ~1e6 (floor losses only)
+    assert 0 < sum(v[0] for v in got.values()) <= 1_000_000
+    assert 0 < sum(v[1] for v in got.values()) <= 1_000_000
+    # hubs and authorities genuinely dissociate on the md5 graph
+    assert any(h > 0 and a == 0 for h, a in got.values()) or any(
+        a > 0 and h == 0 for h, a in got.values()
+    )

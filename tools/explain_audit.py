@@ -1198,6 +1198,22 @@ def main() -> int:
         f"corpus re-scans={n_scans}; domain-grain joins only",
     )
 
+    # 58p. hits_scores: every half-step's score sum combines map-side
+    #      (partial_sum per groupBy — 2 per iteration plus the 1-row
+    #      L1 totals), no all-pairs join (the only BNLJ rows are the
+    #      1-row node-count / total literals), no window, no python
+    p = plan_of(QUERIES["hits_scores"](spark, sf_dir))
+    n_psum = len(re.findall(r"partial_sum", p))
+    check(
+        "hits_partial_sums",
+        n_psum >= 4
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"partial_sum x{n_psum} (two per iteration), no CartesianProduct"
+        " / Window / Python",
+    )
+
     # 59. weighted_sample: the A-ES top-K is distributed
     #     (TakeOrderedAndProject — never a global Sort over the
     #     corpus); the only Window ranks the K survivors
