@@ -2211,6 +2211,110 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# mojibake_fix — encoding-damage detection and repair (the ftfy stage
+# of web-corpus cleaning): UTF-8 text decoded as Latin-1 somewhere in
+# a crawl/ETL hop turns every accented character into a 2-character
+# digraph ('á' → 'Ã¡', 'é' → 'Ã©', 'ñ' → 'Ã±') — the single most
+# common encoding pathology in CommonCrawl-scale corpora.  The repair
+# is the exact inverse: a chained literal replace of each canonical
+# digraph back to its intended code point.  The digraphs are chosen
+# non-overlapping (all share lead byte 'Ã' with distinct trail
+# chars), so left-to-right literal replacement is order-independent
+# and both engines produce identical output.
+#
+# Fixture synthesis (the ocr_garble precedent): the ASCII driver
+# corpus gets deterministic damaged variants — every (doc_id %
+# MOJI_MOD == MOJI_REM) document re-emitted as its accented
+# re-spelling double-encoded (a→Ã¡, e→Ã©, n→Ã±), so the detector has
+# both classes and the repair target (the accented single-encoded
+# form) is closed-form.  Variant offset clears the largest sf's id
+# space (the CLAUDE.md offset rule).
+#
+# Per-pattern occurrence counts are length-difference quotients
+# ((len(x) − len(replace(x,p,''))) div len(p)) — integer-exact, and
+# `length()` counts code points in both engines so the non-ASCII
+# digraphs measure identically.
+#
+# Scale shape (100 TB): ONE narrow pass over the two-projection
+# union — zero Exchange, zero Python, zero join (plan-audited).
+# --------------------------------------------------------------------------
+
+MOJI_MOD = 17
+MOJI_REM = 3
+MOJI_OFFSET = 500_000
+# (damaged digraph, intended character, ASCII source in the fixture)
+MOJI_PAIRS = [("Ã¡", "á", "a"), ("Ã©", "é", "e"), ("Ã±", "ñ", "n")]
+
+
+def mojibake_fix(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    damaged_text = F.col("text")
+    for bad, _good, src in MOJI_PAIRS:
+        damaged_text = F.replace(damaged_text, F.lit(src), F.lit(bad))
+    damaged = d.filter(F.col("doc_id") % MOJI_MOD == MOJI_REM).select(
+        (F.col("doc_id") + MOJI_OFFSET).alias("doc_id"),
+        damaged_text.alias("text"),
+    )
+    corpus = d.unionByName(damaged)
+    counts = []
+    for i, (bad, _good, _src) in enumerate(MOJI_PAIRS):
+        counts.append(
+            (
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(bad)))
+                )
+                / F.lit(len(bad))
+            )
+            .cast("bigint")
+            .alias(f"_c{i}")
+        )
+    fixed = F.col("text")
+    for bad, good, _src in MOJI_PAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    s = corpus.select("doc_id", "text", *counts, fixed.alias("text_fixed"))
+    total = None
+    for i in range(len(MOJI_PAIRS)):
+        c = F.col(f"_c{i}")
+        total = c if total is None else total + c
+    return s.select(
+        "doc_id",
+        total.cast("bigint").alias("n_moji"),
+        (total > 0).cast("int").alias("moji_bad"),
+        "text_fixed",
+    )
+
+
+def _sql_mojibake() -> str:
+    dmg = "text"
+    for bad, _good, src in MOJI_PAIRS:
+        dmg = f"replace({dmg}, '{src}', '{bad}')"
+    fixed = "text"
+    for bad, good, _src in MOJI_PAIRS:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    counts = " + ".join(
+        f"((length(text) - length(replace(text, '{bad}', ''))) // {len(bad)})"
+        for bad, _good, _src in MOJI_PAIRS
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MOJI_OFFSET}, {dmg}
+  FROM documents WHERE doc_id % {MOJI_MOD} = {MOJI_REM}
+)
+SELECT doc_id,
+       CAST({counts} AS BIGINT) AS n_moji,
+       CASE WHEN {counts} > 0 THEN 1 ELSE 0 END AS moji_bad,
+       {fixed} AS text_fixed
+FROM corpus
+"""
+
+
+SQL_MOJIBAKE = _sql_mojibake()
+
+
+# --------------------------------------------------------------------------
 # dist_drift — corpus-refresh drift telemetry: the top-K tokens whose
 # relative frequency moved most between two crawl snapshots (every
 # production corpus refresh ships next to exactly this dashboard —
@@ -2435,6 +2539,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "bpe_ids": bpe_ids,
     "code_detect": code_detect,
+    "mojibake_fix": mojibake_fix,
     "ocr_garble": ocr_garble,
     "dist_drift": dist_drift,
     "colloc_dice": colloc_dice,
@@ -2447,6 +2552,7 @@ ORACLE_SQL = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "bpe_ids": SQL_BPE_IDS,
     "code_detect": SQL_CODE_DETECT,
+    "mojibake_fix": SQL_MOJIBAKE,
     "ocr_garble": SQL_OCR_GARBLE,
     "dist_drift": SQL_DIST_DRIFT,
     "colloc_dice": SQL_COLLOC_DICE,

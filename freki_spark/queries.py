@@ -1687,7 +1687,8 @@ _PRIORITY = [
     "bleu_stats", "span_corruption", "weighted_sample", "semantic_pack",
     "doremi_weights", "filter_funnel", "bitext_mine", "vocab_coverage",
     "bpe_ids", "preference_pairs", "zorder_plan", "code_detect",
-    "ocr_garble", "dist_drift", "split_leakage", "colloc_dice",
+    "ocr_garble", "mojibake_fix", "dist_drift", "split_leakage",
+    "colloc_dice",
     "heavy_hitters_cms", "winnow_fingerprint", "temperature_sample",
     "shard_manifest", "media_phash_dedup", "clip_filter",
     "q_stream_incremental_dedup", "q_stream_curate", "q_stream_cms",

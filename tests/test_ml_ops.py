@@ -4006,6 +4006,57 @@ def test_ocr_garble_matches_python_recompute(spark):
     assert sum(v[3] for v in got.values()) > 0
 
 
+def test_mojibake_fix_matches_python_recompute(spark):
+    """The full relation must equal a plain-python recompute (digraph
+    occurrence counts + chained literal repair) over the same unioned
+    corpus; every double-encoded variant must be flagged and repaired
+    to the accented single-encoded form; no clean document changes."""
+    from freki_spark.functions.text_analysis import (
+        MOJI_MOD,
+        MOJI_OFFSET,
+        MOJI_PAIRS,
+        MOJI_REM,
+        mojibake_fix,
+    )
+
+    def score(text):
+        n = sum(text.count(bad) for bad, _good, _src in MOJI_PAIRS)
+        fixed = text
+        for bad, good, _src in MOJI_PAIRS:
+            fixed = fixed.replace(bad, good)
+        return (n, int(n > 0), fixed)
+
+    exp = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        exp[r.doc_id] = score(r.text)
+        if r.doc_id % MOJI_MOD == MOJI_REM:
+            dmg = r.text
+            for bad, _good, src in MOJI_PAIRS:
+                dmg = dmg.replace(src, bad)
+            exp[r.doc_id + MOJI_OFFSET] = score(dmg)
+            # the repair target is closed-form: the accented
+            # single-encoded re-spelling of the original
+            want = r.text
+            for (_bad, good, src) in MOJI_PAIRS:
+                want = want.replace(src, good)
+            assert exp[r.doc_id + MOJI_OFFSET][2] == want
+
+    got = {
+        r.doc_id: (r.n_moji, r.moji_bad, r.text_fixed)
+        for r in mojibake_fix(spark, SF).collect()
+    }
+    assert got == exp
+    assert all(v[1] == 1 for k, v in got.items() if k >= MOJI_OFFSET)
+    assert all(v[1] == 0 for k, v in got.items() if k < MOJI_OFFSET)
+    assert sum(v[1] for v in got.values()) > 0
+    # clean documents pass through the repair untouched
+    assert all(
+        got[k][2] == exp[k][2] and got[k][0] == 0
+        for k in got
+        if k < MOJI_OFFSET
+    )
+
+
 def test_dist_drift_matches_python_recompute(spark):
     """The top-K drift report must equal a plain-python recompute
     (token histograms over snapshot A and the _snapshot_b mutation,

@@ -1085,6 +1085,15 @@ def main() -> int:
         "zero Exchange / python / join",
     )
 
+    # 58h2. mojibake_fix: encoding repair is ONE narrow pass over the
+    #       unioned corpus — zero Exchange, zero python, zero join
+    p = plan_of(QUERIES["mojibake_fix"](spark, sf_dir))
+    check(
+        "mojibake_fix_narrow",
+        "Exchange" not in p and "Python" not in p and "Join" not in p,
+        "zero Exchange / python / join",
+    )
+
     # 58i. dist_drift: per-side counts partial-aggregate map-side, the
     #      top-K is distributed (TakeOrderedAndProject, never a global
     #      Sort), totals ride condition-free broadcast crosses, and no
