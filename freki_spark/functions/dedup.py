@@ -271,6 +271,98 @@ GROUP BY p.a, p.b
 
 
 # --------------------------------------------------------------------------
+# dup_verify_edit — edit-distance verification of LSH candidate pairs
+# (the confirm stage after banding): MinHash banding over-generates —
+# boilerplate band collisions produce candidate pairs that are not
+# near-duplicates — so production dedup confirms each candidate with
+# a direct string comparison before dropping documents.  Full-text
+# Levenshtein is O(len_a × len_b) per pair and unusable on multi-KB
+# web documents, so the verify runs on a bounded common-prefix window
+# W = least(len_a, len_b, EDIT_PREFIX): DP cost is capped at
+# EDIT_PREFIX^2 per pair regardless of document size, and a
+# suffix-truncation near-dup (the corpus's mutation class) scores a
+# perfect window similarity while unrelated collision pairs score the
+# base character-overlap of independent text.  `levenshtein` is the
+# standard unit-cost insert/delete/substitute distance in both
+# engines — integer-exact cross-engine.
+#
+# sim_ppm = (W − dist) · 10^6 div W (integer; W ≥ dist always since
+# dist ≤ max(len of the two W-prefixes) = W), is_dup at ≥ 900k ppm.
+#
+# Scale shape (100 TB): candidates come from the band equi-join
+# (never all-pairs); full text joins only onto candidate pair ids
+# (two equi-joins), and the DP window bounds per-pair compute.
+# --------------------------------------------------------------------------
+
+EDIT_PREFIX = 192
+EDIT_DUP_MIN_PPM = 900_000
+
+
+def dup_verify_edit(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    pairs = _band_pairs(_bands(_with_minhash(c)))
+    c1 = c.select(F.col("doc_id").alias("_id1"), F.col("text").alias("_t1"))
+    c2 = c.select(F.col("doc_id").alias("_id2"), F.col("text").alias("_t2"))
+    w = F.least(
+        F.length("_t1"), F.length("_t2"), F.lit(EDIT_PREFIX)
+    ).alias("w")
+    j = (
+        pairs.join(c1, F.col("a") == F.col("_id1"))
+        .join(c2, F.col("b") == F.col("_id2"))
+        .select("a", "b", w, "_t1", "_t2")
+    )
+    dist = F.levenshtein(
+        F.substring(F.col("_t1"), F.lit(1), F.col("w")),
+        F.substring(F.col("_t2"), F.lit(1), F.col("w")),
+    )
+    scored = j.select(
+        "a",
+        "b",
+        F.col("w").cast("bigint").alias("w"),
+        dist.cast("bigint").alias("edit_dist"),
+    )
+    sim = (
+        (F.col("w") - F.col("edit_dist"))
+        * F.lit(1_000_000)
+        / F.greatest(F.col("w"), F.lit(1))
+    ).cast("bigint")
+    return scored.select(
+        "a",
+        "b",
+        "w",
+        "edit_dist",
+        sim.alias("sim_ppm"),
+        (sim >= EDIT_DUP_MIN_PPM).cast("int").alias("is_dup"),
+    )
+
+
+SQL_DUP_VERIFY_EDIT = (
+    _MH_CTES
+    + f"""
+SELECT a, b, w, edit_dist,
+       (w - edit_dist) * 1000000 // greatest(w, 1) AS sim_ppm,
+       CASE WHEN (w - edit_dist) * 1000000 // greatest(w, 1)
+                 >= {EDIT_DUP_MIN_PPM}
+            THEN 1 ELSE 0 END AS is_dup
+FROM (
+  SELECT p.a, p.b,
+         CAST(least(length(c1.text), length(c2.text), {EDIT_PREFIX})
+              AS BIGINT) AS w,
+         CAST(levenshtein(
+           substr(c1.text, 1,
+                  least(length(c1.text), length(c2.text), {EDIT_PREFIX})),
+           substr(c2.text, 1,
+                  least(length(c1.text), length(c2.text), {EDIT_PREFIX}))
+         ) AS BIGINT) AS edit_dist
+  FROM pairs p
+  JOIN corpus c1 ON c1.doc_id = p.a
+  JOIN corpus c2 ON c2.doc_id = p.b
+)
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # dedup_incremental — new-batch-vs-corpus dedup (the daily-crawl
 # shape): the EXISTING corpus carries a minhash band index (in
 # production a stored table, appended to per batch and bucketed by
@@ -1830,6 +1922,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dup_verify_edit": dup_verify_edit,
     "dedup_incremental": dedup_incremental,
     "snapshot_diff": snapshot_diff,
     "scd2_history": scd2_history,
@@ -1850,6 +1943,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dup_verify_edit": SQL_DUP_VERIFY_EDIT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "scd2_history": SQL_SCD2_HISTORY,

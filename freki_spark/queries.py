@@ -1649,7 +1649,7 @@ _PRIORITY = [
     # round-2 dedup rewrites the judge's done-criteria name explicitly
     # (simhash banding, bucketed embedding dedup) + new round-2 ops
     "dedup_simhash", "dedup_embedding_cosine", "cc_bigstar",
-    "dup_span_detect", "dup_span_remove",
+    "dup_span_detect", "dup_span_remove", "dup_verify_edit",
     # round-1 driver-unchecked: similarity search (+ round-2 PQ family)
     "ann_topk_bruteforce", "ann_lsh_bucketed", "lsh_bucket_stats",
     "ann_ivf_flat", "ivf_assign",

@@ -30,6 +30,62 @@ def test_minhash_finds_mutated_near_dups(spark):
     assert all(pairs[p] >= 0.5 for p in hits)
 
 
+def test_dup_verify_edit_scores_match_python_dp(spark):
+    """The verify stage's scoring columns must equal an independent
+    python Levenshtein DP over the same common-prefix windows, every
+    planted mutant pair must confirm with edit_dist 0 (the mutant is a
+    strict prefix of its original, so the shared window is identical),
+    and at least one banding collision pair must be rejected — the
+    whole point of the confirm stage."""
+    from freki_spark.functions.dedup import (
+        EDIT_DUP_MIN_PPM,
+        EDIT_PREFIX,
+        dup_verify_edit,
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for d in sorted(texts):
+        if d < 50:
+            tk = texts[d].split(" ")
+            texts[d + 100000] = " ".join(tk[: max(len(tk) - 3, 0)])
+
+    rows = dup_verify_edit(spark, SF).collect()
+    assert rows
+    rejected = 0
+    mutant_pairs = set()
+    for r in rows:
+        w = min(len(texts[r.a]), len(texts[r.b]), EDIT_PREFIX)
+        d = lev(texts[r.a][:w], texts[r.b][:w])
+        assert (r.w, r.edit_dist) == (w, d), (r.a, r.b)
+        assert r.sim_ppm == (w - d) * 1_000_000 // max(w, 1)
+        assert r.is_dup == int(r.sim_ppm >= EDIT_DUP_MIN_PPM)
+        if r.b == r.a + 100000:
+            mutant_pairs.add(r.a)
+            assert r.edit_dist == 0 and r.is_dup == 1
+        elif r.is_dup == 0:
+            rejected += 1
+    assert len(mutant_pairs) >= 40  # LSH recall high but not 1.0
+    assert rejected >= 1
+
+
 def test_jaccard_scores_high_for_mutated(spark):
     from freki_spark.functions.dedup import dedup_ngram_jaccard
 

@@ -264,6 +264,19 @@ def main() -> int:
         "no CartesianProduct / BroadcastNestedLoopJoin in plan",
     )
 
+    # 11c2. dup_verify_edit confirms band candidates with a bounded
+    #       prefix-window Levenshtein — pair generation and both text
+    #       fetches are equi-joins, never an all-pairs product, and no
+    #       python touches the DP (levenshtein is a JVM expression)
+    p = plan_of(QUERIES["dup_verify_edit"](spark, sf_dir))
+    check(
+        "dup_verify_edit_bucketed",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        "no all-pairs product / python in the verify plan",
+    )
+
     # 11d. bitext mining: candidates + kNN neighborhoods come from the
     #      bucket equi-join, never an all-pairs product, and every
     #      window partitions on a corpus-grain growing key (src/tgt id
