@@ -1404,6 +1404,185 @@ FROM islands GROUP BY user_id, sess_no
 """
 
 
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user
+    converts stage k only with an event strictly after their stage-k−1
+    conversion time (first-touch semantics: t1 = first view, t2 =
+    first click after t1, t3 = first purchase after t2).  Emits one
+    row per stage with user counts and conversion ratios in ppm vs
+    the total user base and vs the previous stage.
+
+    Scale shape: ONE pass over events and ONE user-grain Exchange —
+    per-user stage times come from conditional aggregation (min-CASE
+    for t1, collect-then-array-min-filter for t2/t3, bounded by a
+    user's own activity exactly like the sessionize windows), the
+    funnel counts are a single global partial-agg rollup, and the
+    3-stage report explodes from one literal array (no per-stage
+    rescans, no joins).  t1/t2 are bound agg columns before any
+    lambda reads them (the CLAUDE.md HOF rule)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    g = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("_clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_purchases"),
+    )
+    g = g.withColumn(
+        "t2", F.array_min(F.filter("_clicks", lambda x: x > F.col("t1")))
+    ).withColumn(
+        "t3", F.array_min(F.filter("_purchases", lambda x: x > F.col("t2")))
+    )
+    c = g.agg(
+        F.count("*").alias("n_total"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+
+    def _ppm(n, d):
+        return (
+            (n * F.lit(1_000_000) / F.greatest(d, F.lit(1)))
+            .cast("bigint")
+            .alias("x")
+        )
+
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(no).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(n).alias("n_users"),
+                _ppm(F.col(n), F.col("n_total")).alias("conv_total_ppm"),
+                _ppm(F.col(n), F.col(prev)).alias("conv_prev_ppm"),
+            )
+            for no, name, n, prev in [
+                (1, "view", "n1", "n_total"),
+                (2, "click", "n2", "n1"),
+                (3, "purchase", "n3", "n2"),
+            ]
+        ]
+    )
+    return c.select(F.explode(stages).alias("x")).select("x.*")
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH g AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         list(ts) FILTER (WHERE event_type = 'click') AS clicks,
+         list(ts) FILTER (WHERE event_type = 'purchase') AS purchases
+  FROM events GROUP BY user_id
+),
+f2 AS (
+  SELECT user_id, t1, purchases,
+         list_min(list_filter(clicks, x -> x > t1)) AS t2
+  FROM g
+),
+f3 AS (
+  SELECT user_id, t1, t2,
+         list_min(list_filter(purchases, x -> x > t2)) AS t3
+  FROM f2
+),
+c AS (
+  SELECT count(*) AS n_total, count(t1) AS n1, count(t2) AS n2,
+         count(t3) AS n3
+  FROM f3
+)
+SELECT 1 AS stage_no, 'view' AS stage, n1 AS n_users,
+       n1 * 1000000 // greatest(n_total, 1) AS conv_total_ppm,
+       n1 * 1000000 // greatest(n_total, 1) AS conv_prev_ppm
+FROM c
+UNION ALL
+SELECT 2, 'click', n2,
+       n2 * 1000000 // greatest(n_total, 1),
+       n2 * 1000000 // greatest(n1, 1)
+FROM c
+UNION ALL
+SELECT 3, 'purchase', n3,
+       n3 * 1000000 // greatest(n_total, 1),
+       n3 * 1000000 // greatest(n2, 1)
+FROM c
+"""
+
+
+# week index = days-since-epoch div 7, computed from the DATE part of
+# the (timezone-naive) event timestamp: both engines truncate NTZ →
+# DATE identically and count whole days exactly, so the bucketing is
+# integer-exact with no timezone or fractional-epoch semantics in play
+# (unix_micros is out — Spark rejects it on TIMESTAMP_NTZ columns).
+
+
+def retention_cohort(spark, sf_dir):
+    """Weekly retention cohorts: users are cohorted by the week of
+    their first event; each (cohort_week, week_offset) cell reports
+    how many cohort members were active that week and the retention
+    ratio in ppm of the cohort size.
+
+    Scale shape: one user-grain agg for cohort assignment, one
+    (user, week) distinct for activity (both partial-aggregate before
+    their Exchange), a user-keyed equi-join, then cell-grain rollups;
+    every stage's key cardinality is user- or cohort-grain, never
+    constant, and the tiny cohort-size table broadcast-joins onto the
+    cells."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date'1970-01-01') div 7").alias(
+            "week"
+        ),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = e.distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active")
+            * F.lit(1_000_000)
+            / F.greatest(F.col("cohort_size"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("retention_ppm"),
+    )
+
+
+SQL_RETENTION_COHORT = """
+WITH e AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM e),
+cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         count(*) AS n_active
+  FROM active a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1
+)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+       n_active * 1000000 // greatest(cohort_size, 1) AS retention_ppm
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -1536,6 +1715,8 @@ QUERIES = {
     "q_grouped_agg_udf": q_grouped_agg_udf,
     "q_grouped_map_udf": q_grouped_map_udf,
     "q_sessionize_batch": q_sessionize_batch,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohort": retention_cohort,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -1598,6 +1779,8 @@ ORACLE_SQL = {
     "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,
     "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,
     "q_sessionize_batch": SQL_SESSIONIZE_BATCH,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "retention_cohort": SQL_RETENTION_COHORT,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -1702,7 +1885,8 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_components",
     # round-2 relational additions
-    "q_sessionize_batch", "q_percentile_agg", "q_salted_join",
+    "q_sessionize_batch", "funnel_conversion", "retention_cohort",
+    "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)
     "q_hash_agg", "q_broadcast_join", "q_smj_large", "q_window_rank",

@@ -1894,6 +1894,82 @@ def test_salted_join_equals_unsalted(spark):
     assert got == plain
 
 
+def test_funnel_conversion_matches_naive_python(spark):
+    """The 3-row funnel report must equal a brute-force per-user
+    recompute of first-touch stage times (first view, first click
+    strictly after it, first purchase strictly after that), and the
+    funnel must be monotone non-increasing."""
+    from freki_spark.queries import funnel_conversion
+
+    users = {}
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        users.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n1 = n2 = n3 = 0
+    for evs in users.values():
+        evs.sort()
+        t1 = min((t for t, k in evs if k == "view"), default=None)
+        t2 = (
+            min((t for t, k in evs if k == "click" and t > t1), default=None)
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (t for t, k in evs if k == "purchase" and t > t2),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        n1 += t1 is not None
+        n2 += t2 is not None
+        n3 += t3 is not None
+    n_total = len(users)
+
+    got = {r.stage_no: r for r in funnel_conversion(spark, SF).collect()}
+    assert [got[i].stage for i in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert [got[i].n_users for i in (1, 2, 3)] == [n1, n2, n3]
+    assert got[1].conv_total_ppm == n1 * 1_000_000 // max(n_total, 1)
+    assert got[2].conv_prev_ppm == n2 * 1_000_000 // max(n1, 1)
+    assert got[3].conv_prev_ppm == n3 * 1_000_000 // max(n2, 1)
+    assert n_total >= n1 >= n2 >= n3 > 0
+
+
+def test_retention_cohort_matches_naive_python(spark):
+    """Every (cohort_week, week_offset) cell must equal a brute-force
+    python recompute (cohort = week of first event, activity = distinct
+    user-weeks), offset 0 must retain 100% of every cohort, and offsets
+    are never negative."""
+    from freki_spark.queries import retention_cohort
+
+    EPOCH = __import__("datetime").date(1970, 1, 1)
+    weeks = {}
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        w = (r.ts.date() - EPOCH).days // 7
+        weeks.setdefault(r.user_id, set()).add(w)
+    cohort = {u: min(ws) for u, ws in weeks.items()}
+    sizes = {}
+    for c in cohort.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    exp = {}
+    for u, ws in weeks.items():
+        for w in ws:
+            key = (cohort[u], w - cohort[u])
+            exp[key] = exp.get(key, 0) + 1
+
+    rows = retention_cohort(spark, SF).collect()
+    got = {(r.cohort_week, r.week_offset): r for r in rows}
+    assert {k: r.n_active for k, r in got.items()} == exp
+    for (cw, off), r in got.items():
+        assert off >= 0
+        assert r.cohort_size == sizes[cw]
+        assert r.retention_ppm == r.n_active * 1_000_000 // max(
+            r.cohort_size, 1
+        )
+        if off == 0:
+            assert r.n_active == r.cohort_size  # week 0 retains everyone
+
+
 def test_percentile_agg_matches_numpy(spark):
     import numpy as np
 

@@ -471,6 +471,35 @@ def main() -> int:
         f"user_id Exchanges={n_user_ex}, Sorts={n_sort} for 2 windows",
     )
 
+    # 18b. funnel_conversion: ONE user-grain Exchange (conditional agg
+    #      computes all stage times in a single pass — no per-stage
+    #      rescans or self-joins) + the single-partition rollup; the
+    #      3-stage report explodes from a literal, no Join anywhere
+    p = plan_of(QUERIES["funnel_conversion"](spark, sf_dir))
+    n_user_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id", p))
+    check(
+        "funnel_single_user_pass",
+        n_user_ex == 1
+        and "Join" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"user_id Exchanges={n_user_ex}; no Join/Window/python",
+    )
+
+    # 18c. retention_cohort: cohort assignment + activity + cells are
+    #      partial-aggregated equi-join stages (no all-pairs product),
+    #      and the tiny cohort-size table broadcast-joins onto cells
+    p = plan_of(QUERIES["retention_cohort"](spark, sf_dir))
+    check(
+        "retention_cohort_broadcast_sizes",
+        "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        "broadcast size join; no all-pairs product / Window / python",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
