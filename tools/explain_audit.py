@@ -500,6 +500,47 @@ def main() -> int:
         "broadcast size join; no all-pairs product / Window / python",
     )
 
+    # 18d. event_transitions: the matrix pass is ONE user-grain
+    #      Exchange+Sort (audited pre-checkpoint); the checkpointed
+    #      matrix then feeds totals + broadcast join with ZERO raw
+    #      corpus scans downstream (the dist_drift fan-out rule)
+    from freki_spark.queries import _transition_matrix
+
+    pm = plan_of(_transition_matrix(spark, sf_dir))
+    n_user_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id", pm))
+    n_m_scans = len(re.findall(r"\(\d+\) Scan parquet", pm))
+    p = plan_of(QUERIES["event_transitions"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "event_transitions_single_lag_pass",
+        n_user_ex == 1
+        and n_m_scans == 1
+        and n_scans == 0
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"matrix pass: user_id Exchanges={n_user_ex}, scans={n_m_scans}; "
+        f"downstream corpus re-scans={n_scans}; broadcast totals join",
+    )
+
+    # 18e. rfm_segments: the user-metric table is checkpointed before
+    #      its two-consumer fan-out (quartile boundaries + bucketing),
+    #      so the downstream plan reads ZERO raw parquet scans; the
+    #      single-row boundary/global-day aggs ride condition-free
+    #      broadcast crosses; bucketing is a narrow projection
+    p = plan_of(QUERIES["rfm_segments"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "rfm_segments_checkpointed_fanout",
+        n_scans == 0
+        and not conditioned
+        and "Window" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"corpus re-scans={n_scans}; condition-free broadcast crosses",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
