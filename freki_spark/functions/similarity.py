@@ -415,6 +415,47 @@ assigned AS (
 )"""
 
 
+K_OUTLIERS = 5
+
+
+def embed_outliers(spark, sf_dir) -> "DataFrame":
+    """Per-inverted-list embedding outliers: the K_OUTLIERS members
+    FARTHEST from their assigned centroid (lowest cosine), ranked
+    ascending — the candidate noise/mislabel set a SemDeDup-style
+    curation pass reviews before pruning, and the quantizer-health
+    telemetry beside lsh_bucket_stats (a list whose tail cosines are
+    very low is under-clustered).
+
+    Scale shape: assignment is ivf_assign's broadcast-argmax narrow
+    map (zero shuffle, the assigned-centroid cosine is already the
+    other argmax struct field — never re-joined, see _assign_lists);
+    the bottom-K ranking window partitions on the K-list key, but
+    WindowGroupLimit pushes the per-list limit below the Exchange, so
+    the shuffle carries only ~K_OUTLIERS rows per list per input
+    partition — not the corpus (plan-audited)."""
+    a = _assign_lists(_emb(spark, sf_dir), with_ccos=True)
+    w = Window.partitionBy("list_id").orderBy(
+        F.asc("ccos"), F.asc("vec_id")
+    )
+    return (
+        a.withColumn("out_rank", F.row_number().over(w))
+        .filter(F.col("out_rank") <= K_OUTLIERS)
+        .select("list_id", "vec_id", "ccos", "out_rank")
+    )
+
+
+SQL_EMBED_OUTLIERS = f"""
+WITH {_IVF_CTES}
+SELECT list_id, vec_id, ccos, out_rank FROM (
+  SELECT cent_id AS list_id, vec_id, ccos,
+         row_number() OVER (PARTITION BY cent_id
+                            ORDER BY ccos ASC, vec_id) AS out_rank
+  FROM ranked_c WHERE crnk = 1
+)
+WHERE out_rank <= {K_OUTLIERS}
+"""
+
+
 def q_ivf_assign(spark, sf_dir) -> "DataFrame":
     """Registry surface for the inverted-list assignment itself (the
     narrow broadcast-argmax map) so its (vec_id -> list_id) VALUES are
@@ -1225,6 +1266,7 @@ QUERIES = {
     "lsh_bucket_stats": lsh_bucket_stats,
     "ann_ivf_flat": ann_ivf_flat,
     "ivf_assign": q_ivf_assign,
+    "embed_outliers": embed_outliers,
     "ann_topk_quantized": ann_topk_quantized,
     "pq_encode": q_pq_encode,
     "ann_topk_pq": ann_topk_pq,
@@ -1242,6 +1284,7 @@ ORACLE_SQL = {
     "lsh_bucket_stats": SQL_LSH_BUCKET_STATS,
     "ann_ivf_flat": SQL_ANN_IVF,
     "ivf_assign": SQL_IVF_ASSIGN,
+    "embed_outliers": SQL_EMBED_OUTLIERS,
     "ann_topk_quantized": SQL_ANN_QUANTIZED,
     "pq_encode": SQL_PQ_ENCODE,
     "ann_topk_pq": SQL_ANN_PQ,

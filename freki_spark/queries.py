@@ -1645,6 +1645,70 @@ FROM m JOIN totals USING (from_type)
 """
 
 
+STICKY_WINDOW = 7  # WAU window: a user's activity day counts for 7 days
+
+
+def stickiness_wau(spark, sf_dir):
+    """Product-stickiness telemetry: per active day, DAU / rolling
+    7-day WAU (distinct users active in [day−6, day]) in ppm.  The
+    rolling distinct count is computed WITHOUT a range self-join: each
+    (user, day) activity row fans out to the STICKY_WINDOW days it
+    keeps the user "weekly active" for (a bounded ×7 explode of the
+    already-deduplicated user-day grain), then a distinct + count per
+    day — every stage partial-aggregates, and the final day-grain
+    DAU⋈WAU join is over two tiny tables.
+
+    Scale shape: the heavy keys are (user_id, day) — high cardinality,
+    skew bounded by one user's activity; the ×7 expansion multiplies
+    user-days, not events; day-grain rollups broadcast.  Report days
+    are event days only (inner join), and the first WINDOW−1 days
+    carry partial windows (standard for the metric)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day"),
+    )
+    ud = e.distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.col("day") + (STICKY_WINDOW - 1)
+                )
+            ).alias("wday"),
+        )
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count("*").alias("wau"))
+    )
+    return dau.join(wau, dau["day"] == wau["wday"]).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau") * F.lit(1_000_000) / F.col("wau"))
+        .cast("bigint")
+        .alias("stickiness_ppm"),
+    )
+
+
+SQL_STICKINESS_WAU = f"""
+WITH e AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM e GROUP BY 1),
+w AS (
+  SELECT DISTINCT user_id, day + k.k AS wday
+  FROM e, (SELECT unnest(range(0, {STICKY_WINDOW})) AS k) k
+),
+wau AS (SELECT wday, count(*) AS wau FROM w GROUP BY 1)
+SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+FROM dau JOIN wau ON day = wday
+"""
+
+
 def rfm_segments(spark, sf_dir):
     """RFM customer segmentation: per user, recency (days since last
     event, against the corpus-wide last day), frequency (purchase
@@ -1917,6 +1981,7 @@ QUERIES = {
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
     "rfm_segments": rfm_segments,
+    "stickiness_wau": stickiness_wau,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -1983,6 +2048,7 @@ ORACLE_SQL = {
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "stickiness_wau": SQL_STICKINESS_WAU,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -2037,7 +2103,7 @@ _PRIORITY = [
     "dup_span_detect", "dup_span_remove", "dup_verify_edit",
     # round-1 driver-unchecked: similarity search (+ round-2 PQ family)
     "ann_topk_bruteforce", "ann_lsh_bucketed", "lsh_bucket_stats",
-    "ann_ivf_flat", "ivf_assign",
+    "ann_ivf_flat", "ivf_assign", "embed_outliers",
     "pq_encode", "ann_topk_pq", "knn_graph", "ann_topk_quantized",
     # round-1 driver-unchecked: text analysis (+ round-2 additions)
     "lang_id_ngram", "quality_score", "token_count_bpe", "doc_fingerprint",
@@ -2088,7 +2154,7 @@ _PRIORITY = [
     "dedup_components",
     # round-2 relational additions
     "q_sessionize_batch", "funnel_conversion", "retention_cohort",
-    "event_transitions", "rfm_segments",
+    "event_transitions", "rfm_segments", "stickiness_wau",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

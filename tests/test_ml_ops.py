@@ -3224,6 +3224,87 @@ def _fold_dot(a, b) -> float:
     return acc
 
 
+def test_embed_outliers_matches_python_recompute(spark):
+    """The per-list farthest members must equal an independent python
+    recompute of the whole chain — ivf_assign's argmax contract
+    (left-fold dot, HALF_UP round-5 cosine, smallest-centroid
+    tie-break), then bottom-K ascending (ccos, vec_id) per list — and
+    every reported ccos must be strictly below its list's best."""
+    import math
+
+    from freki_spark.functions.similarity import (
+        CENTROID_BASE,
+        K_OUTLIERS,
+        N_CENTROIDS,
+        embed_outliers,
+    )
+
+    em = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    cents = {
+        c: em[c]
+        for c in em
+        if CENTROID_BASE <= c < CENTROID_BASE + N_CENTROIDS
+    }
+
+    def ccos(v, c):
+        return _half_up(
+            _fold_dot(v, c)
+            / (math.sqrt(_fold_dot(v, v)) * math.sqrt(_fold_dot(c, c))),
+            5,
+        )
+
+    lists = {}
+    for vid, v in em.items():
+        best = max(((ccos(v, cv), -cid) for cid, cv in cents.items()))
+        lists.setdefault(-best[1], []).append((best[0], vid))
+    exp = {}
+    for lid, members in lists.items():
+        for rank, (cc, vid) in enumerate(sorted(members)[:K_OUTLIERS], 1):
+            exp[(lid, vid)] = (cc, rank)
+
+    rows = embed_outliers(spark, SF).collect()
+    got = {(r.list_id, r.vec_id): (r.ccos, r.out_rank) for r in rows}
+    assert got == exp
+    worst = {lid: max(cc for cc, _ in members) for lid, members in lists.items()}
+    assert all(
+        cc < worst[lid]
+        for (lid, _), (cc, _) in got.items()
+        if len(lists[lid]) > K_OUTLIERS
+    )
+
+
+def test_stickiness_wau_matches_naive_python(spark):
+    """Per-day DAU/WAU must equal a brute-force recompute of distinct
+    users over the trailing 7-day window, WAU must dominate DAU, and
+    ppm must use floor division."""
+    from freki_spark.queries import STICKY_WINDOW, stickiness_wau
+
+    EPOCH = __import__("datetime").date(1970, 1, 1)
+    by_day = {}
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        d = (r.ts.date() - EPOCH).days
+        by_day.setdefault(d, set()).add(r.user_id)
+
+    rows = stickiness_wau(spark, SF).collect()
+    assert {r.day for r in rows} == set(by_day)
+    for r in rows:
+        dau = len(by_day[r.day])
+        wau = len(
+            set().union(
+                *(
+                    by_day.get(d, set())
+                    for d in range(r.day - STICKY_WINDOW + 1, r.day + 1)
+                )
+            )
+        )
+        assert (r.dau, r.wau) == (dau, wau)
+        assert r.stickiness_ppm == dau * 1_000_000 // wau
+        assert wau >= dau > 0
+
+
 def test_kmeans_update_matches_numpy(spark):
     """One Lloyd update: per-(list, dim) fixed-point sums and member
     counts must equal an independent python recompute of the full

@@ -541,6 +541,36 @@ def main() -> int:
         f"corpus re-scans={n_scans}; condition-free broadcast crosses",
     )
 
+    # 18f. embed_outliers: assignment is the ivf_assign broadcast-
+    #      argmax narrow map (no extra Exchange); the bottom-K window
+    #      pushes its per-list limit below the one list_id Exchange
+    #      via WindowGroupLimit, so the shuffle carries ~K rows per
+    #      list per input partition, not the corpus
+    p = plan_of(QUERIES["embed_outliers"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check(
+        "embed_outliers_window_group_limit",
+        "WindowGroupLimit" in p
+        and n_ex <= 2  # list_id hash + the broadcast of the centroid row
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"WindowGroupLimit below the ranking window; Exchanges={n_ex}",
+    )
+
+    # 18g. stickiness_wau: the rolling distinct is a bounded ×7
+    #      Generate over the deduped user-day grain — no range
+    #      self-join, no window, no all-pairs product, no python
+    p = plan_of(QUERIES["stickiness_wau"](spark, sf_dir))
+    check(
+        "stickiness_wau_bounded_explode",
+        "Generate" in p
+        and "Window" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        "bounded explode; no range self-join / window / python",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
