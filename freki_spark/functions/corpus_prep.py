@@ -2728,9 +2728,10 @@ LIMIT {WS_K}
 # pages (+700000) with the clock compressed 60x, and sparse pages
 # (+800000) observed only at every 50th event (n_obs 1 → unknown,
 # n_obs >= 2 far apart → slow).  Offsets follow the repo's
-# collision-proof convention (+100000..+600000 are taken) — small
-# offsets would merge variant histories into natural pages once the
-# id space grows past them (measured at sf0.1 with +1000/+2000).
+# collision-proof convention (+100000..+600000 are taken; mojibake_fix
+# later claimed +900000) — small offsets would merge variant histories
+# into natural pages once the id space grows past them (measured at
+# sf0.1 with +1000/+2000).
 #
 # Scale shape (10^12 pages): ONE map-side-combined Exchange to page
 # grain (count/min/max partial-aggregate before the shuffle —

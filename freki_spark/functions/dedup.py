@@ -282,9 +282,18 @@ GROUP BY p.a, p.b
 # EDIT_PREFIX^2 per pair regardless of document size, and a
 # suffix-truncation near-dup (the corpus's mutation class) scores a
 # perfect window similarity while unrelated collision pairs score the
-# base character-overlap of independent text.  `levenshtein` is the
-# standard unit-cost insert/delete/substitute distance in both
-# engines — integer-exact cross-engine.
+# base character-overlap of independent text.  `levenshtein` exists in
+# both engines but is NOT cross-engine exact on raw text: Spark counts
+# CHARACTER edits while DuckDB counts BYTE edits (measured:
+# levenshtein('héllo','hello') = 1 in Spark, 2 in DuckDB — é is two
+# UTF-8 bytes), so both sides ASCII-project the comparison windows
+# first (non-ASCII codepoint → '?', one char in both engines).  The
+# projection is applied AFTER the code-point-aligned substr (substr /
+# length agree cross-engine) and makes the distance integer-exact;
+# distinct non-ASCII chars collapsing to '?' is a documented
+# approximation of the verify signal, not a correctness leak.  RULE:
+# never feed raw (potentially non-ASCII) text to cross-engine
+# levenshtein — byte-vs-char semantics silently diverge.
 #
 # sim_ppm = (W − dist) · 10^6 div W (integer; W ≥ dist always since
 # dist ≤ max(len of the two W-prefixes) = W), is_dup at ≥ 900k ppm.
@@ -300,7 +309,13 @@ EDIT_DUP_MIN_PPM = 900_000
 
 def dup_verify_edit(spark, sf_dir):
     c = _near_dup_corpus(spark, sf_dir)
-    pairs = _band_pairs(_bands(_with_minhash(c)))
+    # the minhash table feeds both sides of the band self-join —
+    # checkpoint so the shingle+md5 corpus pass computes ONCE (the
+    # dedup_minhash_lsh rule; without it both join sides replan the
+    # full scan).  The text fetch below re-reads only the narrow
+    # (doc_id, text) corpus projection onto candidate ids.
+    mh = _with_minhash(c).localCheckpoint()
+    pairs = _band_pairs(_bands(mh))
     c1 = c.select(F.col("doc_id").alias("_id1"), F.col("text").alias("_t1"))
     c2 = c.select(F.col("doc_id").alias("_id2"), F.col("text").alias("_t2"))
     w = F.least(
@@ -311,10 +326,13 @@ def dup_verify_edit(spark, sf_dir):
         .join(c2, F.col("b") == F.col("_id2"))
         .select("a", "b", w, "_t1", "_t2")
     )
-    dist = F.levenshtein(
-        F.substring(F.col("_t1"), F.lit(1), F.col("w")),
-        F.substring(F.col("_t2"), F.lit(1), F.col("w")),
-    )
+
+    def _ascii_win(t):  # byte==char only on ASCII; see header RULE
+        return F.regexp_replace(
+            F.substring(t, F.lit(1), F.col("w")), "[^\\x00-\\x7F]", "?"
+        )
+
+    dist = F.levenshtein(_ascii_win(F.col("_t1")), _ascii_win(F.col("_t2")))
     scored = j.select(
         "a",
         "b",
@@ -349,10 +367,12 @@ FROM (
          CAST(least(length(c1.text), length(c2.text), {EDIT_PREFIX})
               AS BIGINT) AS w,
          CAST(levenshtein(
-           substr(c1.text, 1,
+           regexp_replace(substr(c1.text, 1,
                   least(length(c1.text), length(c2.text), {EDIT_PREFIX})),
-           substr(c2.text, 1,
-                  least(length(c1.text), length(c2.text), {EDIT_PREFIX}))
+                '[^\\x00-\\x7f]', '?', 'g'),
+           regexp_replace(substr(c2.text, 1,
+                  least(length(c1.text), length(c2.text), {EDIT_PREFIX})),
+                '[^\\x00-\\x7f]', '?', 'g')
          ) AS BIGINT) AS edit_dist
   FROM pairs p
   JOIN corpus c1 ON c1.doc_id = p.a

@@ -149,15 +149,18 @@ FROM r{PR_ITERS} r LEFT JOIN t ON r.doc_id = t.doc_id
 # sourced through `_targets_expr` — the two signals can never be
 # computed over different graphs).
 #
-# Arithmetic is exact integer fixed-point: each half-step L1-
-# normalizes the raw sums to ppm via the shared `_ppm_exact` quotient
-# staging, so Spark and DuckDB agree bit-for-bit (no float power
-# iteration to desync engines; L1 replaces the classical L2 norm —
-# sqrt would reopen the float trap — and is itself a sanctioned HITS
-# variant).  Bigint headroom: raw sums ≤ n_nodes·1e6 and the staging
-# needs den·1000 < 2^63, so full-corpus normalization holds to ~9e9
-# nodes; past that the totals rebase per shard (the temperature_sample
-# / doremi_weights headroom-dial precedent).
+# Arithmetic is exact integer fixed-point: each half-step MAX-
+# normalizes the raw sums to ppm (score = raw·1e6 div max(raw), via
+# the shared `_ppm_exact` quotient staging), so Spark and DuckDB agree
+# bit-for-bit (no float power iteration to desync engines; max-norm
+# replaces the classical L2 — sqrt would reopen the float trap — and
+# is a sanctioned HITS variant).  Max-norm, NOT L1-to-1e6: L1 shares
+# ppm granularity across the whole corpus, so beyond ~1e6 nodes every
+# share floors to 0 and the signal vanishes — max-norm pins the top
+# node at 1e6 and keeps per-node resolution independent of corpus
+# size (the pagerank_iter per-node-scale principle).  Bigint headroom:
+# scores ≤ 1e6, raw sums ≤ out_deg·1e6 ≤ 3e6, and the staging needs
+# den·1000 < 2^63 — satisfied at any corpus size.
 #
 # Scale shape (10^12 edges): per half-step ONE shuffle join
 # (edges ⋈ scores) + one map-side-combined groupBy + a 1-row
@@ -167,14 +170,16 @@ FROM r{PR_ITERS} r LEFT JOIN t ON r.doc_id = t.doc_id
 # --------------------------------------------------------------------------
 
 HITS_ITERS = 2
-HITS_SCALE = 1_000_000  # L1 ppm normalization each half-step
+HITS_SCALE = 1_000_000  # max-norm ppm: top node = 1e6 each half-step
 
 
-def _l1_ppm(raw, key, val, out):
-    """L1-normalize ``val`` over ``raw`` to ppm, exact-integer."""
+def _max_ppm(raw, key, val, out):
+    """Max-normalize ``val`` over ``raw`` to ppm (top row → 1e6),
+    exact-integer.  Max, not L1: per-node granularity must not shrink
+    with corpus size (see module header)."""
     from .text_analysis import _ppm_exact
 
-    tot = raw.agg(F.sum(val).alias("_tot"))
+    tot = raw.agg(F.max(val).alias("_tot"))
     return raw.crossJoin(F.broadcast(tot)).select(
         F.col(key).alias("doc_id"),
         F.expr(_ppm_exact(val, "_tot", "div")).cast("bigint").alias(out),
@@ -186,7 +191,7 @@ def hits_scores(spark, sf_dir):
     deterministic doc-id link graph.
 
     a_0 = SCALE; h_t(u) = norm(Σ_{u→v} a_t(v)); a_{t+1}(v) =
-    norm(Σ_{u→v} h_t(u)) with norm(x) = x·1e6 div Σx (exact staged
+    norm(Σ_{u→v} h_t(u)) with norm(x) = x·1e6 div max(x) (exact staged
     division) — engine-independent, order-independent."""
     d = _docs(spark, sf_dir).select("doc_id")
     n = d.agg(F.count("*").alias("n_nodes"))
@@ -206,13 +211,13 @@ def hits_scores(spark, sf_dir):
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
         )
-        hub = _l1_ppm(h_raw, "src", "hr", "h")
+        hub = _max_ppm(h_raw, "src", "hr", "h")
         a_raw = (
             edges.join(hub, edges.src == hub.doc_id)
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
         )
-        auth = _l1_ppm(a_raw, "dst", "ar", "a")
+        auth = _max_ppm(a_raw, "dst", "ar", "a")
     return (
         d.join(hub, "doc_id", "left")
         .join(auth, "doc_id", "left")
@@ -225,7 +230,7 @@ def hits_scores(spark, sf_dir):
 
 
 def _sql_hits_half(score_tbl, score_col, edge_key, group_key, out_tbl, out_col):
-    """One HITS half-step as DuckDB CTEs: raw sum + L1 ppm norm."""
+    """One HITS half-step as DuckDB CTEs: raw sum + max ppm norm."""
     from .text_analysis import _ppm_exact
 
     return f"""
@@ -236,7 +241,7 @@ def _sql_hits_half(score_tbl, score_col, edge_key, group_key, out_tbl, out_col):
 {out_tbl} AS (
   SELECT doc_id,
          CAST({_ppm_exact('raw', '_tot', '//')} AS BIGINT) AS {out_col}
-  FROM {out_tbl}_raw, (SELECT sum(raw) AS _tot FROM {out_tbl}_raw)
+  FROM {out_tbl}_raw, (SELECT max(raw) AS _tot FROM {out_tbl}_raw)
 )"""
 
 

@@ -2241,7 +2241,11 @@ FROM p
 
 MOJI_MOD = 17
 MOJI_REM = 3
-MOJI_OFFSET = 500_000
+# +900000: the next free synthetic-id slot — +100000..+600000 are
+# taken (snapshot_diff re-keys at +500000) and recrawl_schedule holds
+# +700000/+800000; slot uniqueness keeps synthesized ids attributable
+# to their op during debugging (the corpus_prep offset convention)
+MOJI_OFFSET = 900_000
 # (damaged digraph, intended character, ASCII source in the fixture)
 MOJI_PAIRS = [("Ã¡", "á", "a"), ("Ã©", "é", "e"), ("Ã±", "ñ", "n")]
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from . import fixtures
 from .functions.common import DUCK_MD5I32, md5i32
+from .functions.text_analysis import _ppm_exact
 from .io import docs_to_df
 from .pipeline import extract
 
@@ -1443,10 +1444,11 @@ def funnel_conversion(spark, sf_dir):
     )
 
     def _ppm(n, d):
-        return (
-            (n * F.lit(1_000_000) / F.greatest(d, F.lit(1)))
-            .cast("bigint")
-            .alias("x")
+        # staged exact ppm, never bare n*1e6: user-grain counts at
+        # 10^10 users push n*1e6 past double's 2^53 exact range, and
+        # corpus-grain counts would wrap bigint (the _ppm_exact rule)
+        return F.expr(_ppm_exact(n, f"greatest({d}, 1)", "div")).cast(
+            "bigint"
         )
 
     stages = F.array(
@@ -1455,8 +1457,8 @@ def funnel_conversion(spark, sf_dir):
                 F.lit(no).alias("stage_no"),
                 F.lit(name).alias("stage"),
                 F.col(n).alias("n_users"),
-                _ppm(F.col(n), F.col("n_total")).alias("conv_total_ppm"),
-                _ppm(F.col(n), F.col(prev)).alias("conv_prev_ppm"),
+                _ppm(n, "n_total").alias("conv_total_ppm"),
+                _ppm(n, prev).alias("conv_prev_ppm"),
             )
             for no, name, n, prev in [
                 (1, "view", "n1", "n_total"),
@@ -1468,7 +1470,7 @@ def funnel_conversion(spark, sf_dir):
     return c.select(F.explode(stages).alias("x")).select("x.*")
 
 
-SQL_FUNNEL_CONVERSION = """
+SQL_FUNNEL_CONVERSION = f"""
 WITH g AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
@@ -1492,18 +1494,18 @@ c AS (
   FROM f3
 )
 SELECT 1 AS stage_no, 'view' AS stage, n1 AS n_users,
-       n1 * 1000000 // greatest(n_total, 1) AS conv_total_ppm,
-       n1 * 1000000 // greatest(n_total, 1) AS conv_prev_ppm
+       {_ppm_exact('n1', 'greatest(n_total, 1)', '//')} AS conv_total_ppm,
+       {_ppm_exact('n1', 'greatest(n_total, 1)', '//')} AS conv_prev_ppm
 FROM c
 UNION ALL
 SELECT 2, 'click', n2,
-       n2 * 1000000 // greatest(n_total, 1),
-       n2 * 1000000 // greatest(n1, 1)
+       {_ppm_exact('n2', 'greatest(n_total, 1)', '//')},
+       {_ppm_exact('n2', 'greatest(n1, 1)', '//')}
 FROM c
 UNION ALL
 SELECT 3, 'purchase', n3,
-       n3 * 1000000 // greatest(n_total, 1),
-       n3 * 1000000 // greatest(n2, 1)
+       {_ppm_exact('n3', 'greatest(n_total, 1)', '//')},
+       {_ppm_exact('n3', 'greatest(n2, 1)', '//')}
 FROM c
 """
 
@@ -1521,20 +1523,27 @@ def retention_cohort(spark, sf_dir):
     how many cohort members were active that week and the retention
     ratio in ppm of the cohort size.
 
-    Scale shape: one user-grain agg for cohort assignment, one
-    (user, week) distinct for activity (both partial-aggregate before
-    their Exchange), a user-keyed equi-join, then cell-grain rollups;
-    every stage's key cardinality is user- or cohort-grain, never
-    constant, and the tiny cohort-size table broadcast-joins onto the
-    cells."""
+    Scale shape: the corpus is scanned ONCE — the (user, week)
+    distinct is localCheckpointed (it feeds both cohort assignment and
+    the activity side; without the cut each branch replans the events
+    scan — the dist_drift rule), and the user-grain cohort table is
+    checkpointed too (it feeds the cells join AND the size rollup).
+    Every Exchange key is user- or cohort-grain, never constant, and
+    the tiny cohort-size table broadcast-joins onto the cells.  The
+    ppm goes through the staged exact quotient — bare n·1e6 loses
+    double exactness past ~9e9 users (the _ppm_exact rule)."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.expr("datediff(cast(ts as date), date'1970-01-01') div 7").alias(
             "week"
         ),
     )
-    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    active = e.distinct()
+    active = e.distinct().localCheckpoint()
+    cohort = (
+        active.groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+        .localCheckpoint()
+    )
     cells = (
         active.join(cohort, "user_id")
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
@@ -1548,26 +1557,22 @@ def retention_cohort(spark, sf_dir):
         "week_offset",
         "n_active",
         "cohort_size",
-        (
-            F.col("n_active")
-            * F.lit(1_000_000)
-            / F.greatest(F.col("cohort_size"), F.lit(1))
-        )
+        F.expr(_ppm_exact("n_active", "greatest(cohort_size, 1)", "div"))
         .cast("bigint")
         .alias("retention_ppm"),
     )
 
 
-SQL_RETENTION_COHORT = """
+SQL_RETENTION_COHORT = f"""
 WITH e AS (
   SELECT user_id,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
   FROM events
 ),
-cohort AS (
-  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
-),
 active AS (SELECT DISTINCT user_id, week FROM e),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id
+),
 cells AS (
   SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
          count(*) AS n_active
@@ -1578,7 +1583,8 @@ sizes AS (
   SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1
 )
 SELECT cohort_week, week_offset, n_active, cohort_size,
-       n_active * 1000000 // greatest(cohort_size, 1) AS retention_ppm
+       {_ppm_exact('n_active', 'greatest(cohort_size, 1)', '//')}
+         AS retention_ppm
 FROM cells JOIN sizes USING (cohort_week)
 """
 
@@ -1620,13 +1626,16 @@ def event_transitions(spark, sf_dir):
         "to_type",
         "n",
         "from_total",
-        (F.col("n") * F.lit(1_000_000) / F.col("from_total"))
+        # staged exact ppm: n is corpus-grain (~the event count), so
+        # bare n*1e6 wraps bigint past ~9.2e12 steps and the Spark `/`
+        # double path truncates differently past 2^53 (_ppm_exact rule)
+        F.expr(_ppm_exact("n", "from_total", "div"))
         .cast("bigint")
         .alias("prob_ppm"),
     )
 
 
-SQL_EVENT_TRANSITIONS = """
+SQL_EVENT_TRANSITIONS = f"""
 WITH steps AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS from_type,
@@ -1640,7 +1649,7 @@ m AS (
 ),
 totals AS (SELECT from_type, sum(n) AS from_total FROM m GROUP BY 1)
 SELECT from_type, to_type, n, from_total,
-       n * 1000000 // from_total AS prob_ppm
+       {_ppm_exact('n', 'from_total', '//')} AS prob_ppm
 FROM m JOIN totals USING (from_type)
 """
 
@@ -1660,14 +1669,19 @@ def stickiness_wau(spark, sf_dir):
 
     Scale shape: the heavy keys are (user_id, day) — high cardinality,
     skew bounded by one user's activity; the ×7 expansion multiplies
-    user-days, not events; day-grain rollups broadcast.  Report days
-    are event days only (inner join), and the first WINDOW−1 days
-    carry partial windows (standard for the metric)."""
+    user-days, not events; day-grain rollups broadcast.  The user-day
+    table feeds BOTH the DAU and WAU branches, so it is
+    localCheckpointed — otherwise each branch replans the corpus scan
+    + the (user, day) distinct Exchange (the dist_drift rule).  Report
+    days are event days only (inner join), and the first WINDOW−1 days
+    carry partial windows (standard for the metric).  DAU is
+    user-grain, so the ppm goes through the staged exact quotient
+    (bare dau·1e6 loses double exactness past ~9e9 users)."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day"),
     )
-    ud = e.distinct()
+    ud = e.distinct().localCheckpoint()
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     wau = (
         ud.select(
@@ -1686,7 +1700,7 @@ def stickiness_wau(spark, sf_dir):
         "day",
         "dau",
         "wau",
-        (F.col("dau") * F.lit(1_000_000) / F.col("wau"))
+        F.expr(_ppm_exact("dau", "wau", "div"))
         .cast("bigint")
         .alias("stickiness_ppm"),
     )
@@ -1704,7 +1718,7 @@ w AS (
   FROM e, (SELECT unnest(range(0, {STICKY_WINDOW})) AS k) k
 ),
 wau AS (SELECT wday, count(*) AS wau FROM w GROUP BY 1)
-SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+SELECT day, dau, wau, {_ppm_exact('dau', 'wau', '//')} AS stickiness_ppm
 FROM dau JOIN wau ON day = wday
 """
 
@@ -1723,12 +1737,14 @@ def rfm_segments(spark, sf_dir):
     the true cent total is an integer and the double error is orders
     of magnitude below the 0.5-cent rounding radius.
 
-    Scale shape: one user-grain agg, then two single-row aggs (global
-    last day, quartile boundaries) broadcast back as condition-free
-    crosses; bucketing is a narrow projection.  The user-metric table
-    is localCheckpointed before its two-consumer fan-out (boundaries +
-    final bucketing) so the corpus is scanned once (the dist_drift
-    rule; plan-audited).  Exact `percentile` buffers the user-grain
+    Scale shape: ONE corpus scan — the user-grain aggregate is
+    localCheckpointed and everything downstream derives from it: the
+    global last day is max(last_day) over the checkpoint (max of
+    per-group maxes — identical to a second corpus pass, without one),
+    and the quartile boundaries + final bucketing both replan only the
+    checkpointed user table (the dist_drift rule; plan-audited).  Both
+    single-row aggs broadcast back as condition-free crosses;
+    bucketing is a narrow projection.  Exact `percentile` buffers the user-grain
     metric vector — at 10^9+ users the drop-in scale path is
     `approx_percentile` (mergeable KLL sketch), same plan shape."""
     e = _t(spark, sf_dir, "events").select(
@@ -1738,23 +1754,19 @@ def rfm_segments(spark, sf_dir):
         F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day"),
     )
     is_p = F.col("event_type") == "purchase"
-    m = e.groupBy("user_id").agg(
+    m0 = e.groupBy("user_id").agg(
         F.max("day").alias("last_day"),
         F.count(F.when(is_p, 1)).alias("frequency"),
         F.round(F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)) * 100)
         .cast("bigint")
         .alias("monetary_cents"),
-    )
-    gmax = e.agg(F.max("day").alias("gday"))
-    m = (
-        m.crossJoin(F.broadcast(gmax))
-        .select(
-            "user_id",
-            (F.col("gday") - F.col("last_day")).alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
-        .localCheckpoint()
+    ).localCheckpoint()
+    gmax = m0.agg(F.max("last_day").alias("gday"))
+    m = m0.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        (F.col("gday") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
     )
     q = m.agg(
         F.expr(
@@ -1815,7 +1827,7 @@ m0 AS (
   FROM e GROUP BY user_id
 ),
 m AS (
-  SELECT user_id, (SELECT max(day) FROM e) - last_day AS recency_days,
+  SELECT user_id, (SELECT max(last_day) FROM m0) - last_day AS recency_days,
          frequency, monetary_cents
   FROM m0
 ),

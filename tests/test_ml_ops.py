@@ -86,6 +86,54 @@ def test_dup_verify_edit_scores_match_python_dp(spark):
     assert rejected >= 1
 
 
+def test_dup_verify_levenshtein_parity_on_non_ascii(spark):
+    """Spark `levenshtein` counts CHARACTER edits while DuckDB counts
+    BYTE edits ('héllo'→'hello' is 1 vs 2 — é is two UTF-8 bytes), so
+    the verify stage ASCII-projects both comparison windows first.
+    This pins the mechanism: both engines' exact projected
+    expressions must agree on adversarial non-ASCII pairs, and the
+    unprojected forms must be SHOWN to diverge (the trap is real)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from freki_spark.functions.dedup import EDIT_PREFIX
+
+    cases = [
+        ("héllo wörld", "hello world"),
+        ("Ã¡ Ã© Ã± mojibake", "a e n mojibake"),
+        ("ñañaña" * 40, "nananana" * 30),  # windows hit EDIT_PREFIX
+        ("plain ascii text", "plain ascii t3xt"),
+    ]
+    df = spark.createDataFrame(cases, "t1 string, t2 string")
+    w = F.least(F.length("t1"), F.length("t2"), F.lit(EDIT_PREFIX))
+
+    def win(c, proj):
+        s = F.substring(c, F.lit(1), w)
+        return F.regexp_replace(s, "[^\\x00-\\x7F]", "?") if proj else s
+
+    got = df.select(
+        F.levenshtein(win(F.col("t1"), True), win(F.col("t2"), True)).alias("d"),
+        F.levenshtein(win(F.col("t1"), False), win(F.col("t2"), False)).alias("raw"),
+    ).collect()
+
+    con = duckdb.connect()
+    diverged = 0
+    for (t1, t2), r in zip(cases, got):
+        wd = f"least(length(a), length(b), {EDIT_PREFIX})"
+        dd, rawd = con.execute(
+            f"""SELECT levenshtein(
+                  regexp_replace(substr(a, 1, {wd}), '[^\\x00-\\x7f]', '?', 'g'),
+                  regexp_replace(substr(b, 1, {wd}), '[^\\x00-\\x7f]', '?', 'g')),
+                levenshtein(substr(a, 1, {wd}), substr(b, 1, {wd}))
+                FROM (SELECT ? AS a, ? AS b)""",
+            [t1, t2],
+        ).fetchone()
+        assert r.d == dd, (t1, t2, r.d, dd)  # projected: engines agree
+        diverged += int(r.raw != rawd)
+    assert diverged >= 2  # unprojected byte-vs-char semantics differ
+
+
 def test_jaccard_scores_high_for_mutated(spark):
     from freki_spark.functions.dedup import dedup_ngram_jaccard
 
@@ -4682,11 +4730,13 @@ def test_domain_authority_consistent_with_link_graph(spark):
 
 
 def test_hits_matches_naive_integer_reference(spark):
-    """Exact integer L1-normalized HITS recomputed in pure python from
-    the same deterministic edge rule — every hub/authority score must
-    match bit-for-bit (no float tolerance: the op is all-integer, and
-    python's unbounded floor-div reproduces the staged quotient
-    exactly)."""
+    """Exact integer max-normalized HITS recomputed in pure python
+    from the same deterministic edge rule — every hub/authority score
+    must match bit-for-bit (no float tolerance: the op is all-integer,
+    and python's unbounded floor-div reproduces the staged quotient
+    exactly).  Max-norm, not L1: per-node ppm resolution must not
+    shrink with corpus size (L1-to-1e6 floors every share to 0 beyond
+    ~1e6 nodes)."""
     import hashlib
 
     from freki_spark.functions.graph import (
@@ -4717,8 +4767,8 @@ def test_hits_matches_naive_integer_reference(spark):
         for d in docs
     }
 
-    def l1_ppm(raw):
-        tot = sum(raw.values())
+    def max_ppm(raw):
+        tot = max(raw.values())
         return {k: v * 1_000_000 // tot for k, v in raw.items()}
 
     auth = {d: HITS_SCALE for d in docs}
@@ -4729,13 +4779,13 @@ def test_hits_matches_naive_integer_reference(spark):
             s = sum(auth.get(v, 0) for v in ts)
             if ts:
                 hr[u] = s
-        hub = l1_ppm(hr)
+        hub = max_ppm(hr)
         ar = {}
         for u, ts in targets.items():
             hu = hub.get(u, 0)
             for v in ts:
                 ar[v] = ar.get(v, 0) + hu
-        auth = l1_ppm(ar)
+        auth = max_ppm(ar)
     exp = {d: (hub.get(d, 0), auth.get(d, 0)) for d in docs}
 
     got = {
@@ -4743,9 +4793,12 @@ def test_hits_matches_naive_integer_reference(spark):
         for r in hits_scores(spark, SF).collect()
     }
     assert got == exp
-    # L1 norm: each score vector sums to ~1e6 (floor losses only)
-    assert 0 < sum(v[0] for v in got.values()) <= 1_000_000
-    assert 0 < sum(v[1] for v in got.values()) <= 1_000_000
+    # max norm: the top node of each vector sits exactly at 1e6, and
+    # the scale never collapses with corpus size
+    assert max(v[0] for v in got.values()) == 1_000_000
+    assert max(v[1] for v in got.values()) == 1_000_000
+    assert all(0 <= v[0] <= 1_000_000 and 0 <= v[1] <= 1_000_000
+               for v in got.values())
     # hubs and authorities genuinely dissociate on the md5 graph
     assert any(h > 0 and a == 0 for h, a in got.values()) or any(
         a > 0 and h == 0 for h, a in got.values()

@@ -266,15 +266,23 @@ def main() -> int:
 
     # 11c2. dup_verify_edit confirms band candidates with a bounded
     #       prefix-window Levenshtein — pair generation and both text
-    #       fetches are equi-joins, never an all-pairs product, and no
-    #       python touches the DP (levenshtein is a JVM expression)
+    #       fetches are equi-joins, never an all-pairs product, no
+    #       python touches the DP (levenshtein is a JVM expression),
+    #       and the minhash table is checkpointed before the band
+    #       self-join, so the only raw scans left are the two narrow
+    #       (doc_id, text) fetches — the shingle+md5 pass never
+    #       replans (the dedup_minhash_lsh checkpoint rule)
     p = plan_of(QUERIES["dup_verify_edit"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "dup_verify_edit_bucketed",
         "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
-        and "Python" not in p,
-        "no all-pairs product / python in the verify plan",
+        and "Python" not in p
+        and n_scans == 4,
+        f"no all-pairs product / python; raw scans={n_scans} "
+        "(the two text fetches only, x2 for the base+mutant union in "
+        "_near_dup_corpus — minhash pass checkpointed, never replans)",
     )
 
     # 11d. bitext mining: candidates + kNN neighborhoods come from the
@@ -488,16 +496,22 @@ def main() -> int:
 
     # 18c. retention_cohort: cohort assignment + activity + cells are
     #      partial-aggregated equi-join stages (no all-pairs product),
-    #      and the tiny cohort-size table broadcast-joins onto cells
+    #      the tiny cohort-size table broadcast-joins onto cells, and
+    #      the (user, week) + cohort tables are checkpointed before
+    #      their two-consumer fan-outs — zero raw corpus scans in the
+    #      final plan (the dist_drift rule)
     p = plan_of(QUERIES["retention_cohort"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "retention_cohort_broadcast_sizes",
         "BroadcastHashJoin" in p
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
         and "Window" not in p
-        and "Python" not in p,
-        "broadcast size join; no all-pairs product / Window / python",
+        and "Python" not in p
+        and n_scans == 0,
+        f"broadcast size join; no all-pairs product / Window / python; "
+        f"corpus re-scans={n_scans}",
     )
 
     # 18d. event_transitions: the matrix pass is ONE user-grain
@@ -559,16 +573,21 @@ def main() -> int:
 
     # 18g. stickiness_wau: the rolling distinct is a bounded ×7
     #      Generate over the deduped user-day grain — no range
-    #      self-join, no window, no all-pairs product, no python
+    #      self-join, no window, no all-pairs product, no python —
+    #      and the user-day table is checkpointed before its DAU/WAU
+    #      fan-out, so the final plan replays zero raw corpus scans
     p = plan_of(QUERIES["stickiness_wau"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "stickiness_wau_bounded_explode",
         "Generate" in p
         and "Window" not in p
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
-        and "Python" not in p,
-        "bounded explode; no range self-join / window / python",
+        and "Python" not in p
+        and n_scans == 0,
+        f"bounded explode; no range self-join / window / python; "
+        f"corpus re-scans={n_scans}",
     )
 
     # 19. Gopher quality rules: ZERO Exchange — every stat including
