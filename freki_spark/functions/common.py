@@ -85,3 +85,20 @@ def duck_shingles(l: str, n: int = SHINGLE_N) -> str:
 # width-SHINGLE_N template (callers .format(l=...)) — defined THROUGH
 # duck_shingles so the two can never desync
 DUCK_SHINGLES = duck_shingles("{l}")
+
+
+def _ppm_exact(num: str, den: str, div: str) -> str:
+    """floor(num * 1_000_000 / den) without ever forming num*1e6:
+    q*1e6 + (r*1e3 div den)*1e3 + ((r*1e3 mod den)*1e3 div den), with
+    r = num mod den.  Exact for non-negative bigints (truncating div ==
+    floor div there, so Spark `div` and DuckDB `//` agree); pass the
+    engine's integer-division operator as `div`.  Lives in common (no
+    intra-package imports) so every functions/ module can build its
+    module-level oracle SQL without the corpus_prep→text_analysis→
+    dedup→similarity→corpus_prep import cycle."""
+    q = f"({num} {div} {den})"
+    r = f"({num} % {den})"
+    return (
+        f"{q} * 1000000 + ({r} * 1000 {div} {den}) * 1000"
+        f" + (({r} * 1000 % {den}) * 1000 {div} {den})"
+    )

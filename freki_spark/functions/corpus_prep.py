@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .common import (
     DUCK_MD5I32,
+    _ppm_exact,
     bigrams,
     duck_bigrams,
     md5i32,
@@ -2885,6 +2886,227 @@ FROM (SELECT a, b, {_duck_split_bucket('a')} AS ba,
 SQL_SPLIT_LEAKAGE = _sql_split_leakage()
 
 
+# --------------------------------------------------------------------------
+# site_boilerplate — CROSS-PAGE template removal (the CCNet /
+# trafilatura site-level cut): a line that appears on most pages of
+# one DOMAIN is site chrome — nav bars, cookie banners, footers —
+# even when it is globally rare, so it cannot be caught by global
+# line/paragraph dedup (`paragraph_dedup`) or by within-document
+# repetition (`line_dedup`).  Mechanism: per (domain, line) count the
+# DISTINCT pages containing the line, flag lines on ≥ BP_PCT% of a
+# domain's pages (domains with ≥ BP_MIN_PAGES pages only — tiny
+# domains can't witness a template), and report per page how much of
+# it was chrome and whether it falls to the drop gate.
+#
+# The driver corpus has no real site chrome, so it is synthesized
+# deterministically (the line_dedup/ocr_garble precedent): every page
+# gets a per-domain nav banner line prepended, and pages with
+# doc_id % 10 != 0 get a per-domain copyright footer appended — so
+# each domain carries one ~100% template line and one ~90% one, both
+# above the gate, while natural 5-token lines stay (mostly) below it.
+# The GENERIC mechanism runs with no knowledge of the synthesis.
+#
+# Scale shape (100 TB): the doc-grain (domain, lines[]) table is
+# localCheckpointed (text dropped at the scan) — it feeds the
+# frequency branch AND the per-page chrome count, and each branch
+# replays only a narrow explode off the checkpoint, never the raw
+# corpus (the dist_drift rule).  The page-set count is
+# distinct-then-count (partial-aggregates; never a countDistinct
+# buffer), frequency and page-count tables join at domain/line grain
+# (high cardinality, no broadcast of unbounded sides), and the
+# boilerplate line set anti-joins nothing — the per-page rollup is a
+# (domain, line) equi-join + doc-grain groupBy.  All ratios are
+# integer-exact (_ppm_exact / cross-multiplied gates).
+# --------------------------------------------------------------------------
+
+BP_LINE_W = 5  # tokens per synthesized line (the line_dedup width)
+BP_PCT = 60  # boilerplate ⇔ line on ≥ 60% of the domain's pages
+BP_MIN_PAGES = 3  # domains smaller than this can't witness a template
+BP_DROP_PCT = 30  # drop a page if > 30% of its lines are chrome
+
+
+def _bp_pages(spark, sf_dir):
+    """Doc-grain (doc_id, domain, lines[]) with the synthetic chrome
+    injected — banner on every page, footer on 90% of them."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        toks(F.col("text")).alias("_tk"),
+    )
+    nl = F.expr(f"(size(_tk) + {BP_LINE_W - 1}) div {BP_LINE_W}")
+    d = d.select("doc_id", "domain", "_tk", nl.alias("_nl"))
+    body = F.expr(
+        f"transform(sequence(1, _nl), "
+        f"i -> concat_ws(' ', slice(_tk, (i - 1) * {BP_LINE_W} + 1, "
+        f"{BP_LINE_W})))"
+    )
+    banner = F.concat(F.lit("nav "), F.col("domain"), F.lit(" home"))
+    footer = F.concat(F.lit("copyright "), F.col("domain"), F.lit(" legal"))
+    lines = F.concat(
+        F.array(banner),
+        body,
+        F.when(F.col("doc_id") % 10 != 0, F.array(footer)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return d.select("doc_id", "domain", lines.alias("lines"))
+
+
+def site_boilerplate(spark, sf_dir):
+    d0 = _bp_pages(spark, sf_dir).localCheckpoint()
+    lines = d0.select(
+        "doc_id", "domain", F.explode("lines").alias("line")
+    )
+    freq = (
+        lines.distinct()  # page SET per line, not occurrence count
+        .groupBy("domain", "line")
+        .agg(F.count("*").cast("bigint").alias("n_docs_line"))
+    )
+    npages = d0.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_pages")
+    )
+    bp = (
+        freq.join(npages, "domain")
+        .filter(
+            (F.col("n_pages") >= BP_MIN_PAGES)
+            & (F.col("n_docs_line") * 100 >= BP_PCT * F.col("n_pages"))
+        )
+        .select("domain", "line")
+    )
+    boiler = lines.join(bp, ["domain", "line"]).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_boiler")
+    )
+    out = (
+        d0.select(
+            "doc_id", "domain", F.size("lines").cast("bigint").alias("n_lines")
+        )
+        .join(boiler, "doc_id", "left")
+        .withColumn("n_boiler", F.coalesce("n_boiler", F.lit(0).cast("bigint")))
+    )
+    return out.select(
+        "doc_id",
+        "domain",
+        "n_lines",
+        "n_boiler",
+        F.expr(_ppm_exact("(n_lines - n_boiler)", "n_lines", "div"))
+        .cast("bigint")
+        .alias("keep_ratio_ppm"),
+        (F.col("n_boiler") * 100 > BP_DROP_PCT * F.col("n_lines"))
+        .cast("int")
+        .alias("is_dropped"),
+    )
+
+
+SQL_SITE_BOILERPLATE = f"""
+WITH t AS (
+  SELECT doc_id, source AS domain, string_split(text, ' ') AS tk
+  FROM documents
+),
+d0 AS (
+  SELECT doc_id, domain,
+         list_concat(list_concat(
+           ['nav ' || domain || ' home'],
+           list_transform(
+             range(1, (len(tk) + {BP_LINE_W - 1}) // {BP_LINE_W} + 1),
+             i -> array_to_string(
+               tk[(i - 1) * {BP_LINE_W} + 1 : i * {BP_LINE_W}], ' '))),
+           CASE WHEN doc_id % 10 <> 0
+                THEN ['copyright ' || domain || ' legal']
+                ELSE [] END) AS lines
+  FROM t
+),
+lines AS (
+  SELECT doc_id, domain, unnest(lines) AS line FROM d0
+),
+freq AS (
+  SELECT domain, line, CAST(count(*) AS BIGINT) AS n_docs_line
+  FROM (SELECT DISTINCT doc_id, domain, line FROM lines) GROUP BY 1, 2
+),
+npages AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_pages FROM d0 GROUP BY 1
+),
+bp AS (
+  SELECT freq.domain, freq.line
+  FROM freq JOIN npages ON freq.domain = npages.domain
+  WHERE n_pages >= {BP_MIN_PAGES}
+    AND n_docs_line * 100 >= {BP_PCT} * n_pages
+),
+boiler AS (
+  SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+  FROM lines l JOIN bp ON l.domain = bp.domain AND l.line = bp.line
+  GROUP BY 1
+),
+o AS (
+  SELECT d0.doc_id, d0.domain,
+         CAST(len(d0.lines) AS BIGINT) AS n_lines,
+         coalesce(boiler.n_boiler, 0) AS n_boiler
+  FROM d0 LEFT JOIN boiler ON d0.doc_id = boiler.doc_id
+)
+SELECT doc_id, domain, n_lines, n_boiler,
+       {_ppm_exact('(n_lines - n_boiler)', 'n_lines', '//')}
+         AS keep_ratio_ppm,
+       CASE WHEN n_boiler * 100 > {BP_DROP_PCT} * n_lines
+            THEN 1 ELSE 0 END AS is_dropped
+FROM o
+"""
+
+
+# --------------------------------------------------------------------------
+# k_anonymity — privacy-governance telemetry (Sweeney 2002): group the
+# corpus by a quasi-identifier tuple and report each equivalence
+# class's size k and the l-diversity of a sensitive attribute, with
+# re-identification flags (k < K, or every record in the class shares
+# one sensitive value).  Training-data releases run exactly this audit
+# before publishing metadata-carrying corpora — a (lang, length-
+# bucket) pair with k = 1 pinpoints a single document/contributor.
+# QI here = (lang, n_chars DIV 256); sensitive attribute = source.
+#
+# Scale shape (100 TB): ONE map-side-combined Exchange at QI grain;
+# the l-diversity distinct-aggregate rewrites into a (QI, source)
+# partial dedup before the class rollup (Spark's expand-distinct —
+# both phases partial-aggregate; no unbounded buffer), and the
+# count(*) rides the same shuffle.  Narrow projection, no join, no
+# window, no python.  All integers.
+# --------------------------------------------------------------------------
+
+KANON_BUCKET = 256  # n_chars quantum for the QI tuple
+KANON_K_MIN = 5  # k < 5 ⇒ re-identification risk
+KANON_L_MIN = 2  # l < 2 ⇒ attribute-disclosure risk
+
+
+def k_anonymity(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.expr(f"n_chars div {KANON_BUCKET}").alias("size_bucket"),
+        "source",
+    )
+    g = d.groupBy("lang", "size_bucket").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.countDistinct("source").cast("bigint").alias("l_distinct"),
+    )
+    return g.select(
+        "lang",
+        "size_bucket",
+        "k",
+        "l_distinct",
+        (F.col("k") < KANON_K_MIN).cast("int").alias("at_risk_k"),
+        (F.col("l_distinct") < KANON_L_MIN).cast("int").alias("at_risk_l"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT lang,
+       n_chars // {KANON_BUCKET} AS size_bucket,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+       CASE WHEN count(*) < {KANON_K_MIN} THEN 1 ELSE 0 END AS at_risk_k,
+       CASE WHEN count(DISTINCT source) < {KANON_L_MIN}
+            THEN 1 ELSE 0 END AS at_risk_l
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -2920,6 +3142,8 @@ QUERIES = {
     "zorder_plan": zorder_plan,
     "span_corruption": span_corruption,
     "weighted_sample": weighted_sample,
+    "site_boilerplate": site_boilerplate,
+    "k_anonymity": k_anonymity,
 }
 
 ORACLE_SQL = {
@@ -2957,4 +3181,6 @@ ORACLE_SQL = {
     "link_graph": SQL_LINK_GRAPH,
     "anchor_text": SQL_ANCHOR_TEXT,
     "zorder_plan": SQL_ZORDER_PLAN,
+    "site_boilerplate": SQL_SITE_BOILERPLATE,
+    "k_anonymity": SQL_K_ANONYMITY,
 }

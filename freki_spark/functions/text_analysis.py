@@ -618,18 +618,9 @@ FROM t
 # --------------------------------------------------------------------------
 
 
-def _ppm_exact(num: str, den: str, div: str) -> str:
-    """floor(num * 1_000_000 / den) without ever forming num*1e6:
-    q*1e6 + (r*1e3 div den)*1e3 + ((r*1e3 mod den)*1e3 div den), with
-    r = num mod den.  Exact for non-negative bigints (truncating div ==
-    floor div there, so Spark `div` and DuckDB `//` agree); pass the
-    engine's integer-division operator as `div`."""
-    q = f"({num} {div} {den})"
-    r = f"({num} % {den})"
-    return (
-        f"{q} * 1000000 + ({r} * 1000 {div} {den}) * 1000"
-        f" + (({r} * 1000 % {den}) * 1000 {div} {den})"
-    )
+# _ppm_exact moved to common.py (import-cycle-free home); re-exported
+# here because many modules and oracles import it from this module.
+from .common import _ppm_exact  # noqa: E402,F401
 
 
 def vocab_coverage(spark, sf_dir):

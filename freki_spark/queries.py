@@ -2167,6 +2167,7 @@ _PRIORITY = [
     # round-2 relational additions
     "q_sessionize_batch", "funnel_conversion", "retention_cohort",
     "event_transitions", "rfm_segments", "stickiness_wau",
+    "site_boilerplate", "k_anonymity",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -4803,3 +4803,121 @@ def test_hits_matches_naive_integer_reference(spark):
     assert any(h > 0 and a == 0 for h, a in got.values()) or any(
         a > 0 and h == 0 for h, a in got.values()
     )
+
+
+def test_site_boilerplate_matches_naive_python(spark):
+    """Brute-force recompute of the cross-page template detection:
+    lines from raw text + injected chrome, per-(domain, line) distinct
+    page counts, ≥60%-of-pages gate on domains with ≥3 pages, per-page
+    chrome rollup and 30% drop gate — every output column must match,
+    both verdicts must occur, and the injected banner (100% of pages)
+    and footer (90%) must be flagged on every eligible domain while
+    the corpus keeps at least one sub-gate natural line."""
+    from freki_spark.functions.corpus_prep import (
+        BP_DROP_PCT,
+        BP_LINE_W,
+        BP_MIN_PAGES,
+        BP_PCT,
+        site_boilerplate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    pages = {}
+    for r in docs:
+        tk = r.text.split(" ")
+        body = [
+            " ".join(tk[i * BP_LINE_W : (i + 1) * BP_LINE_W])
+            for i in range((len(tk) + BP_LINE_W - 1) // BP_LINE_W)
+        ]
+        lines = [f"nav {r.source} home"] + body
+        if r.doc_id % 10 != 0:
+            lines.append(f"copyright {r.source} legal")
+        pages[r.doc_id] = (r.source, lines)
+
+    from collections import defaultdict
+
+    line_pages = defaultdict(set)
+    domain_pages = defaultdict(set)
+    for d, (dom, lines) in pages.items():
+        domain_pages[dom].add(d)
+        for ln in lines:
+            line_pages[(dom, ln)].add(d)
+    bp = {
+        (dom, ln)
+        for (dom, ln), ds in line_pages.items()
+        if len(domain_pages[dom]) >= BP_MIN_PAGES
+        and len(ds) * 100 >= BP_PCT * len(domain_pages[dom])
+    }
+
+    got = {r.doc_id: r for r in site_boilerplate(spark, SF).collect()}
+    assert set(got) == set(pages)
+    dropped = kept = 0
+    for d, (dom, lines) in pages.items():
+        n_boiler = sum(1 for ln in lines if (dom, ln) in bp)
+        r = got[d]
+        assert (r.domain, r.n_lines, r.n_boiler) == (dom, len(lines), n_boiler)
+        assert r.keep_ratio_ppm == (len(lines) - n_boiler) * 1_000_000 // len(lines)
+        assert r.is_dropped == int(n_boiler * 100 > BP_DROP_PCT * len(lines))
+        dropped += r.is_dropped
+        kept += 1 - r.is_dropped
+    assert dropped >= 1 and kept >= 1
+    # the injected chrome is actually caught: the banner sits on 100%
+    # of pages of every eligible domain; the footer only where the
+    # domain's footer-carrying share actually clears the gate (small
+    # domains can fall below 60% when their %10==0 pages cluster)
+    footer_flagged = 0
+    for dom, ds in domain_pages.items():
+        if len(ds) >= BP_MIN_PAGES:
+            assert (dom, f"nav {dom} home") in bp
+            with_footer = sum(1 for d in ds if d % 10 != 0)
+            if with_footer * 100 >= BP_PCT * len(ds):
+                assert (dom, f"copyright {dom} legal") in bp
+                footer_flagged += 1
+            else:
+                assert (dom, f"copyright {dom} legal") not in bp
+    assert footer_flagged >= 1
+    # and the gate is selective: some natural line stays unflagged
+    assert any(
+        (dom, ln) not in bp
+        for d, (dom, lines) in pages.items()
+        for ln in lines
+    )
+
+
+def test_k_anonymity_matches_naive_python(spark):
+    """Brute-force recompute of the equivalence-class audit: group by
+    (lang, n_chars div 256), class size k, distinct-source
+    l-diversity, and both risk flags — bit-exact, with both flag
+    states present at this sf (k=2 singleton-source classes exist in
+    the sf0.001 fixture)."""
+    from collections import defaultdict
+
+    from freki_spark.functions.corpus_prep import (
+        KANON_BUCKET,
+        KANON_K_MIN,
+        KANON_L_MIN,
+        k_anonymity,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "n_chars", "source"
+    ).collect()
+    cls = defaultdict(list)
+    for r in docs:
+        cls[(r.lang, r.n_chars // KANON_BUCKET)].append(r.source)
+    exp = {
+        q: (len(srcs), len(set(srcs)))
+        for q, srcs in cls.items()
+    }
+    got = {(r.lang, r.size_bucket): r for r in k_anonymity(spark, SF).collect()}
+    assert set(got) == set(exp)
+    for q, (k, ld) in exp.items():
+        r = got[q]
+        assert (r.k, r.l_distinct) == (k, ld), q
+        assert r.at_risk_k == int(k < KANON_K_MIN)
+        assert r.at_risk_l == int(ld < KANON_L_MIN)
+    assert any(r.at_risk_k for r in got.values())
+    assert any(r.at_risk_l for r in got.values())
+    assert any(not r.at_risk_k and not r.at_risk_l for r in got.values())

@@ -590,6 +590,42 @@ def main() -> int:
         f"corpus re-scans={n_scans}",
     )
 
+    # 18h. site_boilerplate: the doc-grain (domain, lines[]) table is
+    #      checkpointed before its three-consumer fan-out (frequency,
+    #      page counts, per-page rollup), so the final plan reads ZERO
+    #      raw parquet scans; candidate generation is equi-joins only
+    #      (domain/line grain), the page-set count partial-aggregates,
+    #      and no python touches the lines
+    p = plan_of(QUERIES["site_boilerplate"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "site_boilerplate_checkpointed_fanout",
+        n_scans == 0
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"corpus re-scans={n_scans}; equi-joins only, no window/python",
+    )
+
+    # 18i. k_anonymity: one distinct-aggregate over the QI grain — the
+    #      l-diversity countDistinct rewrites into the two-phase
+    #      (QI, source) dedup + QI rollup, both partial-aggregated
+    #      (no unbounded buffer), so the plan is exactly two Exchanges
+    #      with no join/window/python
+    p = plan_of(QUERIES["k_anonymity"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_partial = len(re.findall(r"partial_count|HashAggregate", p))
+    check(
+        "k_anonymity_two_phase_distinct",
+        n_ex == 2
+        and "Join" not in p
+        and "Window" not in p
+        and "Python" not in p
+        and n_partial >= 2,
+        f"Exchanges={n_ex} (QI+source dedup, QI rollup); no join/window",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
