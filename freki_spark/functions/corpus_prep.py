@@ -3052,6 +3052,114 @@ FROM o
 
 
 # --------------------------------------------------------------------------
+# license_detect — license classification for corpus release (the
+# code/Common-Crawl curation gate: Creative-Commons and permissive-
+# license detection decides what may enter a redistributable training
+# set; The Stack and C4's license filters run exactly this pass).
+# Detection is a PRECEDENCE-ordered regex family — 'cc-by-nc' must
+# win over its substring 'cc-by', the classic license-detector trap —
+# over the last LICENSE_TAIL chars (license boilerplate lives at
+# document tails; bounding the scan keeps per-row cost independent of
+# document size).  Patterns are Java∩RE2 (char classes only, no
+# lookaround — the pii_scrub rule).
+#
+# The driver corpus carries no license text, so deterministic
+# markers are injected by doc_id residue (the line_dedup/mojibake
+# synthesis precedent): five license classes + unmarked docs, so
+# every branch of the precedence chain and both train_ok verdicts
+# fire.  The GENERIC detector never sees the synthesis rule.
+#
+# Scale shape (100 TB): one narrow pass — zero Exchange, zero join,
+# zero python (plan-audited).  At 10^12 docs the output feeds the
+# curation anti-join (`curate_keep`); the policy column is computed
+# here so the join carries one int, not regex re-evaluation.
+# --------------------------------------------------------------------------
+
+LICENSE_TAIL = 256  # license boilerplate lives at document tails
+# (class, detector regex, marker text injected, redistributable)
+LICENSE_RULES = [
+    ("cc-by-nc", r"cc[- ]by[- ]nc", "licensed under cc-by-nc 4.0", 0),
+    ("cc-by", r"cc[- ]by", "licensed under cc-by 4.0", 1),
+    ("mit", r"mit license", "mit license applies", 1),
+    ("apache-2.0", r"apache license", "apache license 2.0", 1),
+    ("proprietary", r"all rights reserved", "all rights reserved", 0),
+]
+LICENSE_MOD = 7  # doc_id % 7 ∈ 1..5 picks a marker; 0/6 stay unmarked
+
+
+def _license_corpus(spark, sf_dir):
+    """documents with deterministic license markers appended."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    marker = F.lit("")
+    for i, (_cls, _re, m, _ok) in enumerate(LICENSE_RULES):
+        marker = F.when(
+            F.col("doc_id") % LICENSE_MOD == i + 1, F.lit(" " + m)
+        ).otherwise(marker)
+    return d.select("doc_id", F.concat("text", marker).alias("text"))
+
+
+def license_detect(spark, sf_dir):
+    c = _license_corpus(spark, sf_dir)
+    # explicit clamped start, not substring(-N): negative-start substr
+    # returns '' when the doc is shorter than N (Hive semantics), which
+    # would silently skip short docs — and DuckDB clamps differently
+    tail = F.expr(
+        f"substring(text, greatest(length(text) - {LICENSE_TAIL} + 1, 1), "
+        f"{LICENSE_TAIL})"
+    ).alias("_tail")
+    c = c.select("doc_id", tail)
+    lic = F.lit("none")
+    ok = F.lit(1)
+    # build the CASE chain back-to-front so earlier rules win
+    for cls, rx, _m, redis in reversed(LICENSE_RULES):
+        hit = F.col("_tail").rlike(rx)
+        lic = F.when(hit, F.lit(cls)).otherwise(lic)
+        ok = F.when(hit, F.lit(redis)).otherwise(ok)
+    return c.select(
+        "doc_id",
+        lic.alias("license"),
+        ok.cast("int").alias("train_ok"),
+    )
+
+
+def _sql_license() -> str:
+    marker = "''"
+    for i, (_cls, _re, m, _ok) in enumerate(LICENSE_RULES):
+        marker = (
+            f"CASE WHEN doc_id % {LICENSE_MOD} = {i + 1} "
+            f"THEN ' {m}' ELSE {marker} END"
+        )
+    whens_lic = "\n         ".join(
+        f"WHEN regexp_matches(tail, '{rx}') THEN '{cls}'"
+        for cls, rx, _m, _ok in LICENSE_RULES
+    )
+    whens_ok = "\n         ".join(
+        f"WHEN regexp_matches(tail, '{rx}') THEN {ok}"
+        for _cls, rx, _m, ok in LICENSE_RULES
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, text || ({marker}) AS text FROM documents
+),
+t AS (
+  SELECT doc_id,
+         substr(text, greatest(length(text) - {LICENSE_TAIL} + 1, 1),
+                {LICENSE_TAIL}) AS tail
+  FROM c
+)
+SELECT doc_id,
+       CASE {whens_lic}
+         ELSE 'none' END AS license,
+       CAST(CASE {whens_ok}
+         ELSE 1 END AS INT) AS train_ok
+FROM t
+"""
+
+
+SQL_LICENSE_DETECT = _sql_license()
+
+
+# --------------------------------------------------------------------------
 # k_anonymity — privacy-governance telemetry (Sweeney 2002): group the
 # corpus by a quasi-identifier tuple and report each equivalence
 # class's size k and the l-diversity of a sensitive attribute, with
@@ -3144,6 +3252,7 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "site_boilerplate": site_boilerplate,
     "k_anonymity": k_anonymity,
+    "license_detect": license_detect,
 }
 
 ORACLE_SQL = {
@@ -3183,4 +3292,5 @@ ORACLE_SQL = {
     "zorder_plan": SQL_ZORDER_PLAN,
     "site_boilerplate": SQL_SITE_BOILERPLATE,
     "k_anonymity": SQL_K_ANONYMITY,
+    "license_detect": SQL_LICENSE_DETECT,
 }

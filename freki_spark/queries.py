@@ -1857,6 +1857,118 @@ FROM s
 """
 
 
+DIALOG_USER_TYPES = ("view", "click")  # the rest speak as 'assistant'
+
+
+def dialog_assemble(spark, sf_dir):
+    """SFT conversation assembly: turn each user's event stream into
+    training dialogs — thread = session (the q_sessionize_batch 30-min
+    gap rule), role per message from the event type, CONSECUTIVE
+    same-role messages coalesced into one turn (the standard chat-log
+    normalization before tokenization), and each thread emitted as an
+    ordered ``role: text`` turn array with message/turn counts.
+
+    Scale shape: every window (session cut, role-change lag, both
+    running sums) shares ONE ``hash(user_id)`` / ``(ts, event_id)``
+    sort spec — one Exchange + one Sort total — and both aggregation
+    levels (turn grain, then thread grain) group on a user_id-prefixed
+    key, so hash(user_id) partitioning already satisfies them and
+    Catalyst adds NO further Exchange (plan-audited: exactly one
+    user_id Exchange in the whole plan).  Within-turn and within-
+    thread ordering comes from array_sort over (ts, event_id) /
+    (turn_no,) structs — collect_list order is never trusted.  Turn
+    texts are deterministic event labels (the corpus carries no real
+    utterances); the GENERIC mechanism — gap cut, role coalescing,
+    ordered assembly — is what scales to real message logs."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    role = F.when(
+        F.col("event_type").isin(*DIALOG_USER_TYPES), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    txt = F.concat_ws("#", "event_type", F.col("event_id").cast("string"))
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    m = e.select(
+        "user_id", "event_id", "ts",
+        role.alias("role"), txt.alias("txt"), is_new.alias("is_new"),
+        F.lag(role).over(w).alias("prev_role"),
+    )
+    turn_new = F.when(
+        (F.col("is_new") == 1)
+        | F.col("prev_role").isNull()
+        | (F.col("role") != F.col("prev_role")),
+        1,
+    ).otherwise(0)
+    m = m.select(
+        "*",
+        F.sum("is_new").over(cum).cast("int").alias("sess_no"),
+        F.sum(turn_new).over(cum).cast("int").alias("turn_no"),
+    )
+    turns = m.groupBy("user_id", "sess_no", "turn_no", "role").agg(
+        F.count("*").cast("bigint").alias("n_msgs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "txt"))
+                ),
+                lambda s: s["txt"],
+            ),
+            " ",
+        ).alias("utt"),
+    )
+    return turns.groupBy("user_id", "sess_no").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("n_msgs").cast("bigint").alias("n_msgs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_no", "role", "utt"))),
+            lambda s: F.concat_ws(": ", s["role"], s["utt"]),
+        ).alias("turns"),
+    )
+
+
+SQL_DIALOG_ASSEMBLE = f"""
+WITH m1 AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type IN {DIALOG_USER_TYPES!r}
+              THEN 'user' ELSE 'assistant' END AS role,
+         event_type || '#' || CAST(event_id AS VARCHAR) AS txt,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new,
+         lag(CASE WHEN event_type IN {DIALOG_USER_TYPES!r}
+              THEN 'user' ELSE 'assistant' END) OVER w AS prev_role
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m2 AS (
+  SELECT *,
+         CAST(sum(is_new) OVER wc AS INT) AS sess_no,
+         CAST(sum(CASE WHEN is_new = 1 OR prev_role IS NULL
+                         OR role <> prev_role
+                       THEN 1 ELSE 0 END) OVER wc AS INT) AS turn_no
+  FROM m1
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+),
+t AS (
+  SELECT user_id, sess_no, turn_no, role,
+         CAST(count(*) AS BIGINT) AS n_msgs,
+         string_agg(txt, ' ' ORDER BY ts, event_id) AS utt
+  FROM m2 GROUP BY 1, 2, 3, 4
+)
+SELECT user_id, sess_no,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_msgs) AS BIGINT) AS n_msgs,
+       list(role || ': ' || utt ORDER BY turn_no) AS turns
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -1994,6 +2106,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "rfm_segments": rfm_segments,
     "stickiness_wau": stickiness_wau,
+    "dialog_assemble": dialog_assemble,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -2061,6 +2174,7 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "stickiness_wau": SQL_STICKINESS_WAU,
+    "dialog_assemble": SQL_DIALOG_ASSEMBLE,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -2167,7 +2281,7 @@ _PRIORITY = [
     # round-2 relational additions
     "q_sessionize_batch", "funnel_conversion", "retention_cohort",
     "event_transitions", "rfm_segments", "stickiness_wau",
-    "site_boilerplate", "k_anonymity",
+    "site_boilerplate", "k_anonymity", "dialog_assemble", "license_detect",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -4921,3 +4921,104 @@ def test_k_anonymity_matches_naive_python(spark):
     assert any(r.at_risk_k for r in got.values())
     assert any(r.at_risk_l for r in got.values())
     assert any(not r.at_risk_k and not r.at_risk_l for r in got.values())
+
+
+def test_dialog_assemble_matches_naive_python(spark):
+    """Brute-force recompute of the conversation assembly: 30-min gap
+    sessionization, event-type role mapping, consecutive same-role
+    coalescing, and ordered 'role: text' turn arrays — every thread
+    must match exactly, real coalescing must occur (n_msgs > n_turns
+    somewhere), and some user must produce multiple threads."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from freki_spark.queries import DIALOG_USER_TYPES, dialog_assemble
+
+    ev = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    ):
+        ev[r.user_id].append((r.ts, r.event_id, r.event_type))
+
+    exp = {}
+    gap = timedelta(minutes=30)
+    for u, rows in ev.items():
+        rows.sort()
+        sess_no = 0
+        prev_ts = None
+        prev_role = None
+        turns = None
+        for ts, eid, et in rows:
+            role = "user" if et in DIALOG_USER_TYPES else "assistant"
+            txt = f"{et}#{eid}"
+            if prev_ts is None or ts > prev_ts + gap:
+                sess_no += 1
+                exp[(u, sess_no)] = turns = []
+                prev_role = None
+            if role != prev_role:
+                turns.append([role, []])
+            turns[-1][1].append(txt)
+            prev_ts, prev_role = ts, role
+
+    got = {(r.user_id, r.sess_no): r for r in dialog_assemble(spark, SF).collect()}
+    assert set(got) == set(exp)
+    coalesced = multi_thread_users = 0
+    for k, turns in exp.items():
+        r = got[k]
+        assert r.turns == [f"{role}: {' '.join(ms)}" for role, ms in turns], k
+        assert r.n_turns == len(turns)
+        assert r.n_msgs == sum(len(ms) for _, ms in turns)
+        coalesced += int(r.n_msgs > r.n_turns)
+    by_user = defaultdict(int)
+    for u, _s in exp:
+        by_user[u] += 1
+    multi_thread_users = sum(1 for n in by_user.values() if n > 1)
+    assert coalesced >= 1  # same-role runs really merge
+    assert multi_thread_users >= 1  # the gap rule really splits
+
+
+def test_license_detect_matches_naive_python(spark):
+    """Brute-force recompute of the precedence-ordered license
+    detector over the marker-injected corpus: every class and both
+    train_ok verdicts must occur, the detector must run on the
+    clamped 256-char tail (short docs exist at this sf), and the
+    cc-by-nc docs must ALSO match the broader cc-by pattern — proving
+    the precedence ordering is load-bearing, not decorative."""
+    import re
+
+    from freki_spark.functions.corpus_prep import (
+        LICENSE_MOD,
+        LICENSE_RULES,
+        LICENSE_TAIL,
+        license_detect,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    exp = {}
+    nc_also_by = 0
+    for r in docs:
+        text = r.text
+        res = r.doc_id % LICENSE_MOD
+        if 1 <= res <= len(LICENSE_RULES):
+            text += " " + LICENSE_RULES[res - 1][2]
+        tail = text[max(len(text) - LICENSE_TAIL, 0):]
+        lic, ok = "none", 1
+        for cls, rx, _m, redis in LICENSE_RULES:
+            if re.search(rx, tail):
+                lic, ok = cls, redis
+                break
+        if lic == "cc-by-nc":
+            nc_also_by += int(re.search(r"cc[- ]by", tail) is not None)
+        exp[r.doc_id] = (lic, ok)
+
+    got = {r.doc_id: (r.license, r.train_ok) for r in license_detect(spark, SF).collect()}
+    assert got == exp
+    seen = {v[0] for v in exp.values()}
+    assert seen == {c for c, *_ in LICENSE_RULES} | {"none"}
+    assert {v[1] for v in exp.values()} == {0, 1}
+    assert nc_also_by >= 1  # precedence decided at least one doc
+    assert any(len(r.text) < LICENSE_TAIL for r in docs)  # clamp path live

@@ -626,6 +626,34 @@ def main() -> int:
         f"Exchanges={n_ex} (QI+source dedup, QI rollup); no join/window",
     )
 
+    # 18j. dialog_assemble: session cut, role lag, both running sums,
+    #      and BOTH aggregation levels (turn grain, thread grain) ride
+    #      ONE hash(user_id) Exchange — the window spec and the
+    #      user-prefixed group keys all reuse the same partitioning
+    #      (the q_sessionize_batch shape), and no python touches the
+    #      assembly
+    p = plan_of(QUERIES["dialog_assemble"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_user_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id", p))
+    check(
+        "dialog_assemble_single_exchange",
+        n_ex == 1
+        and n_user_ex == 1
+        and "Python" not in p
+        and "CartesianProduct" not in p,
+        f"Exchanges={n_ex} (all user_id); windows+2-level agg share it",
+    )
+
+    # 18k. license_detect: precedence CASE chain over the clamped
+    #      256-char tail — a single narrow pass, zero Exchange, zero
+    #      join, zero python
+    p = plan_of(QUERIES["license_detect"](spark, sf_dir))
+    check(
+        "license_detect_narrow",
+        "Exchange" not in p and "Join" not in p and "Python" not in p,
+        "zero Exchange / join / python",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
