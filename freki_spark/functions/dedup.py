@@ -1938,7 +1938,145 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# cdc_chunks — content-defined chunking (the FastCDC / LBFS rolling-
+# hash family, Muthitacharoen et al. 2001): chunk boundaries fall
+# where a hash of the trailing CDC_W-token window hits a divisor
+# residue, so an insertion early in a document shifts ONLY the chunk
+# it lands in — fixed-width chunking (chunk_sliding) re-aligns every
+# downstream chunk and loses all sharing.  This is THE storage/
+# transfer dedup mechanism (rsync, restic, content stores) and the
+# byte-level complement to span-grain `dup_span_detect`: emits the
+# chunk table plus cross-document sharing counts per chunk hash.
+#
+# Chunking is a ZERO-Exchange narrow map: boundary positions come
+# from one O(n) filter over the bound token array (HOF rule: _tk/_n/
+# _bp bound as columns before any lambda reads them), chunk spans are
+# a closed-form transform over the boundary-position array (NEVER a
+# per-position prefix sum — that is the measured O(n^2) HOF trap),
+# and each chunk's text is sliced once.  The only Exchange is the
+# chunk-hash sharing rollup (distinct-then-count partial-aggregates);
+# the chunk table is checkpointed (text dropped) before its
+# two-consumer fan-out (the dist_drift rule).  Chunk ids are md5i60 —
+# 32-bit shingle keys already collided at sf0.1 (the dup_span lesson).
+# --------------------------------------------------------------------------
+
+CDC_W = 3  # rolling-window tokens feeding the boundary hash
+CDC_DIV = 8  # boundary ⇔ hash % DIV == 0 → mean chunk ≈ DIV tokens
+
+
+def _cdc_chunk_table(spark, sf_dir) -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk_hash) — narrow, no text."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    )
+    d = d.select("doc_id", "_tk", F.size("_tk").alias("_n"))
+    bp = F.filter(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda p: (p >= CDC_W)
+        & (
+            md5i32(F.concat_ws(" ", F.slice(F.col("_tk"), p - CDC_W + 1, CDC_W)))
+            % CDC_DIV
+            == 0
+        ),
+    )
+    d = d.select("doc_id", "_tk", "_n", bp.alias("_bp"))
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_bp")),
+            lambda k: F.struct(
+                k.cast("int").alias("chunk_no"),
+                F.when(k == 0, F.lit(1))
+                .otherwise(F.element_at(F.col("_bp"), k) + 1)
+                .alias("s"),
+                F.when(k == F.size("_bp"), F.col("_n"))
+                .otherwise(F.element_at(F.col("_bp"), k + 1))
+                .alias("e"),
+            ),
+        ),
+        lambda c: c["s"] <= c["e"],  # a final boundary at _n leaves an
+    )  # empty tail chunk — the only start>end case; drop it
+    ch = d.select(
+        "doc_id", "_tk", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        (F.col("c.e") - F.col("c.s") + 1).cast("int").alias("n_tokens"),
+        md5i60(
+            F.concat_ws(
+                " ", F.slice(F.col("_tk"), F.col("c.s"), F.col("c.e") - F.col("c.s") + 1)
+            )
+        ).alias("chunk_hash"),
+    )
+    return ch
+
+
+def cdc_chunks(spark, sf_dir):
+    ch = _cdc_chunk_table(spark, sf_dir).localCheckpoint()
+    freq = (
+        ch.select("chunk_hash", "doc_id")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count("*").cast("bigint").alias("n_docs_sharing"))
+    )
+    return ch.join(freq, "chunk_hash").select(
+        "doc_id",
+        "chunk_no",
+        "n_tokens",
+        "chunk_hash",
+        "n_docs_sharing",
+        (F.col("n_docs_sharing") > 1).cast("int").alias("is_shared"),
+    )
+
+
+def _sql_cdc() -> str:
+    bh = DUCK_MD5I32.format(
+        x=f"array_to_string(tk[p - {CDC_W - 1} : p], ' ')"
+    )
+    chash = DUCK_MD5I60.format(x="array_to_string(tk[s : e], ' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tk, n,
+         list_filter(range(1, n + 1),
+                     p -> p >= {CDC_W} AND {bh} % {CDC_DIV} = 0) AS bp
+  FROM t
+),
+z AS (
+  SELECT doc_id, tk, n, bp,
+         unnest(range(0, len(bp) + 1)) AS k
+  FROM b
+),
+spans AS (
+  SELECT doc_id, tk, CAST(k AS INT) AS chunk_no,
+         CASE WHEN k = 0 THEN 1 ELSE bp[CAST(k AS INT)] + 1 END AS s,
+         CASE WHEN k = len(bp) THEN n ELSE bp[CAST(k + 1 AS INT)] END AS e
+  FROM z
+),
+ch AS (
+  SELECT doc_id, chunk_no, CAST(e - s + 1 AS INT) AS n_tokens,
+         {chash} AS chunk_hash
+  FROM spans WHERE s <= e
+),
+freq AS (
+  SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_docs_sharing
+  FROM (SELECT DISTINCT chunk_hash, doc_id FROM ch) GROUP BY 1
+)
+SELECT ch.doc_id, ch.chunk_no, ch.n_tokens, ch.chunk_hash,
+       freq.n_docs_sharing,
+       CASE WHEN freq.n_docs_sharing > 1 THEN 1 ELSE 0 END AS is_shared
+FROM ch JOIN freq ON ch.chunk_hash = freq.chunk_hash
+"""
+
+
+SQL_CDC_CHUNKS = _sql_cdc()
+
+
 QUERIES = {
+    "cdc_chunks": cdc_chunks,
     "dedup_exact": dedup_exact,
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1960,6 +2098,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cdc_chunks": SQL_CDC_CHUNKS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

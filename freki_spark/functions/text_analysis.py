@@ -2511,7 +2511,125 @@ LIMIT {COLLOC_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# slop_filter — model-generated-boilerplate detection (the modern
+# curation gate: post-2023 crawls carry LLM output, and training on
+# it degrades models — "self-consuming" contamination; production
+# pipelines now screen for assistant-register phrases the way C4
+# screened for lorem ipsum).  Detection = occurrence counts of a
+# fixed phrase list over lowercased text via the length-difference
+# quotient (the mojibake idiom — exact integers, no regex engine
+# variance), flag at SLOP_MIN_HITS+ distinct-phrase families or any
+# hard marker.  Phrases are matched on the LOWERCASED text so casing
+# variants collapse (lower() is ASCII-stable cross-engine; the
+# fixture is ASCII — the dup_verify_edit byte-vs-char rule).
+#
+# Markers are injected deterministically by doc-id residue (the
+# license_detect precedent): hard refusal boilerplate, hedging
+# closers, and double markers, so the hit-count gate and both
+# verdicts fire; the GENERIC detector never sees the residue rule.
+#
+# Scale shape (100 TB): one narrow pass — zero Exchange, zero join,
+# zero python (plan-audited).  At scale the phrase list is a few
+# hundred literals: still a single fused projection, no broadcast
+# needed because the list compiles into the plan.
+# --------------------------------------------------------------------------
+
+SLOP_PHRASES = [
+    "as an ai language model",
+    "i cannot assist with that",
+    "certainly! here is",
+    "i hope this helps",
+    "it is important to note that",
+]
+SLOP_MOD = 13  # residues 1..6 pick injected marker combinations
+SLOP_MIN_HITS = 2  # soft phrases flag only in combination
+
+
+def _slop_corpus(spark, sf_dir):
+    """documents with assistant-register markers appended by residue:
+    1..5 → phrase i appended once; 6 → phrases 4+5 appended (the
+    combination case that trips the SLOP_MIN_HITS gate)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    marker = F.lit("")
+    for i, p in enumerate(SLOP_PHRASES):
+        marker = F.when(
+            F.col("doc_id") % SLOP_MOD == i + 1, F.lit(" " + p.capitalize())
+        ).otherwise(marker)
+    marker = F.when(
+        F.col("doc_id") % SLOP_MOD == len(SLOP_PHRASES) + 1,
+        F.lit(" " + SLOP_PHRASES[3] + ". " + SLOP_PHRASES[4]),
+    ).otherwise(marker)
+    return d.select("doc_id", F.concat("text", marker).alias("text"))
+
+
+def slop_filter(spark, sf_dir):
+    c = _slop_corpus(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    c = c.select("doc_id", low.alias("_low"))
+    counts = [
+        (
+            (
+                F.length("_low")
+                - F.length(F.replace(F.col("_low"), F.lit(p)))
+            )
+            / F.lit(len(p))
+        )
+        .cast("bigint")
+        .alias(f"_c{i}")
+        for i, p in enumerate(SLOP_PHRASES)
+    ]
+    s = c.select("doc_id", *counts)
+    total = None
+    hard = F.col("_c0") + F.col("_c1")  # refusal markers: one hit flags
+    for i in range(len(SLOP_PHRASES)):
+        col = F.col(f"_c{i}")
+        total = col if total is None else total + col
+    return s.select(
+        "doc_id",
+        total.cast("bigint").alias("n_slop"),
+        ((hard > 0) | (total >= SLOP_MIN_HITS)).cast("int").alias("is_slop"),
+    )
+
+
+def _sql_slop() -> str:
+    marker = "''"
+    for i, p in enumerate(SLOP_PHRASES):
+        cap = p[0].upper() + p[1:]
+        marker = (
+            f"CASE WHEN doc_id % {SLOP_MOD} = {i + 1} "
+            f"THEN ' {cap}' ELSE {marker} END"
+        )
+    combo = SLOP_PHRASES[3] + ". " + SLOP_PHRASES[4]
+    marker = (
+        f"CASE WHEN doc_id % {SLOP_MOD} = {len(SLOP_PHRASES) + 1} "
+        f"THEN ' {combo}' ELSE {marker} END"
+    )
+
+    def cnt(p):
+        return (
+            f"((length(low) - length(replace(low, '{p}', ''))) // {len(p)})"
+        )
+
+    total = " + ".join(cnt(p) for p in SLOP_PHRASES)
+    hard = " + ".join(cnt(p) for p in SLOP_PHRASES[:2])
+    return f"""
+WITH c AS (
+  SELECT doc_id, lower(text || ({marker})) AS low FROM documents
+)
+SELECT doc_id,
+       CAST({total} AS BIGINT) AS n_slop,
+       CASE WHEN ({hard}) > 0 OR ({total}) >= {SLOP_MIN_HITS}
+            THEN 1 ELSE 0 END AS is_slop
+FROM c
+"""
+
+
+SQL_SLOP_FILTER = _sql_slop()
+
+
 QUERIES = {
+    "slop_filter": slop_filter,
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
     "lexical_diversity": lexical_diversity,
@@ -2541,6 +2659,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "slop_filter": SQL_SLOP_FILTER,
     "bleu_stats": SQL_BLEU_STATS,
     "doremi_weights": SQL_DOREMI_WEIGHTS,
     "filter_funnel": SQL_FILTER_FUNNEL,

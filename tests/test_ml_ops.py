@@ -5022,3 +5022,155 @@ def test_license_detect_matches_naive_python(spark):
     assert {v[1] for v in exp.values()} == {0, 1}
     assert nc_also_by >= 1  # precedence decided at least one doc
     assert any(len(r.text) < LICENSE_TAIL for r in docs)  # clamp path live
+
+
+def test_cdc_chunks_matches_naive_python(spark):
+    """Brute-force recompute of the content-defined chunking: rolling
+    md5-window boundary rule, closed-form span assembly, empty-tail
+    drop, md5i60 chunk ids, and distinct-page sharing counts — every
+    chunk row must match, and both sharing verdicts must occur."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.dedup import CDC_DIV, CDC_W, cdc_chunks
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    exp = {}
+    by_hash = defaultdict(set)
+    for r in docs:
+        tk = r.text.split(" ")
+        n = len(tk)
+        bp = [
+            p
+            for p in range(CDC_W, n + 1)
+            if h32(" ".join(tk[p - CDC_W : p])) % CDC_DIV == 0
+        ]
+        bounds = [1] + [b + 1 for b in bp]
+        ends = bp + [n]
+        for k, (s, e) in enumerate(zip(bounds, ends)):
+            if s > e:
+                continue  # final boundary at n → empty tail
+            h = h60(" ".join(tk[s - 1 : e]))
+            exp[(r.doc_id, k)] = (e - s + 1, h)
+            by_hash[h].add(r.doc_id)
+
+    got = {(r.doc_id, r.chunk_no): r for r in cdc_chunks(spark, SF).collect()}
+    assert set(got) == set(exp)
+    shared = unshared = 0
+    for key, (nt, h) in exp.items():
+        r = got[key]
+        assert (r.n_tokens, r.chunk_hash) == (nt, h), key
+        assert r.n_docs_sharing == len(by_hash[h])
+        assert r.is_shared == int(len(by_hash[h]) > 1)
+        shared += r.is_shared
+        unshared += 1 - r.is_shared
+    assert shared >= 1 and unshared >= 1
+
+
+def test_cdc_chunks_survive_early_insertion(spark):
+    """THE content-defined-chunking property (vs fixed-width): insert
+    a token near the head of a document and most chunk hashes must
+    survive, because boundaries re-synchronize after the edit —
+    fixed-width chunking re-aligns everything downstream and loses
+    (nearly) all sharing.  Pure-python check of the same rule on the
+    fixture's longest doc."""
+    import hashlib
+
+    from freki_spark.functions.dedup import CDC_DIV, CDC_W
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def chunks(tk):
+        n = len(tk)
+        bp = [
+            p
+            for p in range(CDC_W, n + 1)
+            if h32(" ".join(tk[p - CDC_W : p])) % CDC_DIV == 0
+        ]
+        bounds = [1] + [b + 1 for b in bp]
+        ends = bp + [n]
+        return {
+            " ".join(tk[s - 1 : e])
+            for s, e in zip(bounds, ends)
+            if s <= e
+        }
+
+    text = max(
+        (
+            r.text
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("text")
+            .collect()
+        ),
+        key=len,
+    )
+    tk = text.split(" ")
+    assert len(tk) >= 60
+    mutated = tk[:3] + ["INSERTED"] + tk[3:]
+    a, b = chunks(tk), chunks(mutated)
+    # cdc: the edit disturbs only the chunk(s) around position 3
+    assert len(a & b) / len(a) >= 0.6
+
+    def fixed(tk, w=8):
+        return {
+            " ".join(tk[i : i + w]) for i in range(0, len(tk), w)
+        }
+
+    fa, fb = fixed(tk), fixed(mutated)
+    # fixed-width: the same edit re-aligns every downstream chunk
+    assert len(fa & fb) / len(fa) < len(a & b) / len(a)
+
+
+def test_slop_filter_matches_naive_python(spark):
+    """Brute-force recompute of the assistant-boilerplate gate over
+    the marker-injected corpus: exact occurrence totals (substring
+    counts on lowercased text) and the hard-phrase-or-2+-hits flag —
+    all four gate branches (clean, soft-single unflagged, hard-single
+    flagged, combo flagged) must occur."""
+    from freki_spark.functions.text_analysis import (
+        SLOP_MIN_HITS,
+        SLOP_MOD,
+        SLOP_PHRASES,
+        slop_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    exp = {}
+    branches = set()
+    for r in docs:
+        text = r.text
+        res = r.doc_id % SLOP_MOD
+        if 1 <= res <= len(SLOP_PHRASES):
+            p = SLOP_PHRASES[res - 1]
+            text += " " + p[0].upper() + p[1:]
+        elif res == len(SLOP_PHRASES) + 1:
+            text += " " + SLOP_PHRASES[3] + ". " + SLOP_PHRASES[4]
+        low = text.lower()
+        counts = [low.count(p) for p in SLOP_PHRASES]
+        total = sum(counts)
+        hard = counts[0] + counts[1]
+        flag = int(hard > 0 or total >= SLOP_MIN_HITS)
+        exp[r.doc_id] = (total, flag)
+        if total == 0:
+            branches.add("clean")
+        elif hard > 0 and total == 1:
+            branches.add("hard-single")
+        elif flag == 0:
+            branches.add("soft-single")
+        else:
+            branches.add("combo")
+
+    got = {r.doc_id: (r.n_slop, r.is_slop) for r in slop_filter(spark, SF).collect()}
+    assert got == exp
+    assert branches == {"clean", "soft-single", "hard-single", "combo"}

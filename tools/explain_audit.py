@@ -654,6 +654,36 @@ def main() -> int:
         "zero Exchange / join / python",
     )
 
+    # 18l. cdc_chunks: chunking itself is a zero-Exchange narrow map
+    #      (boundary filter + closed-form span transform over bound
+    #      arrays — no prefix-sum HOF, no window); the chunk table is
+    #      checkpointed before its two-consumer fan-out, so the final
+    #      plan reads ZERO raw scans and its only Exchanges are the
+    #      sharing rollup + its join
+    from freki_spark.functions.dedup import _cdc_chunk_table
+
+    pc = plan_of(_cdc_chunk_table(spark, sf_dir))
+    p = plan_of(QUERIES["cdc_chunks"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "cdc_chunks_narrow_then_rollup",
+        "Exchange" not in pc
+        and "Window" not in pc
+        and "Python" not in pc
+        and n_scans == 0
+        and "CartesianProduct" not in p,
+        f"chunk pass narrow (no Exchange); downstream raw scans={n_scans}",
+    )
+
+    # 18m. slop_filter: occurrence counting + the flag is one fused
+    #      narrow projection — zero Exchange, zero join, zero python
+    p = plan_of(QUERIES["slop_filter"](spark, sf_dir))
+    check(
+        "slop_filter_narrow",
+        "Exchange" not in p and "Join" not in p and "Python" not in p,
+        "zero Exchange / join / python",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
