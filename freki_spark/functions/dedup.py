@@ -2075,8 +2075,131 @@ FROM ch JOIN freq ON ch.chunk_hash = freq.chunk_hash
 SQL_CDC_CHUNKS = _sql_cdc()
 
 
+# --------------------------------------------------------------------------
+# merge_upsert — CDC MERGE application (the Iceberg/Delta MERGE INTO /
+# merge-on-read compaction semantics): apply a multi-version changelog
+# of upserts and DELETE TOMBSTONES onto a base snapshot, latest
+# version wins per key.  snapshot_diff classifies two snapshots;
+# scd2_history builds validity intervals; THIS op is the third CDC
+# primitive — materializing the current snapshot from base + log,
+# which is what a reader of a merge-on-read table does on every scan.
+#
+# The winner election is a partial-aggregable groupBy-max over a
+# (version, is_del, text_hash) struct — NOT a row_number window: the
+# struct max combines map-side, so a key's versions collapse before
+# the shuffle and the Exchange carries one row per key per upstream
+# partition, where a window would sort-shuffle every log row.
+# Version is unique per key (changelog grain), so the lexicographic
+# struct order reduces to version order.  Tombstones are filtered
+# AFTER the election — filtering them first would resurrect older
+# versions (the classic MERGE bug: a delete must beat, not vanish).
+#
+# Changelog synthesized deterministically: v1 updates (%9==2), v1
+# tombstones (%9==4), v1 inserts (+1000000 — the next free id slot
+# per the corpus_prep offset convention), v2 second updates (%18==2:
+# multi-version supersede), v2 re-inserts after delete (%27==4: the
+# delete-then-reinsert key case).  All five lifecycle shapes land in
+# the output and the pytest pins each.
+#
+# Scale shape (100 TB): base and log reduce to (key, version, is_del,
+# hash) narrow rows before the ONE key-grain Exchange; text never
+# shuffles.  With base and log bucketed by doc_id (io.py convention)
+# the agg is co-located, zero Exchange.
+# --------------------------------------------------------------------------
+
+UPSERT_OFFSET = 1_000_000  # insert slot: +100000..+900000 are taken
+
+
+def _merge_log(d: DataFrame) -> DataFrame:
+    """base(v0) ∪ changelog(v1, v2) as (doc_id, version, is_del, text)."""
+    base = d.select(
+        "doc_id", F.lit(0).alias("version"), F.lit(False).alias("is_del"),
+        "text",
+    )
+    upd1 = d.filter(F.col("doc_id") % 9 == 2).select(
+        "doc_id", F.lit(1).alias("version"), F.lit(False).alias("is_del"),
+        F.concat(F.lit("u1 "), F.col("text")).alias("text"),
+    )
+    del1 = d.filter(F.col("doc_id") % 9 == 4).select(
+        "doc_id", F.lit(1).alias("version"), F.lit(True).alias("is_del"),
+        F.lit("").alias("text"),
+    )
+    ins1 = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + UPSERT_OFFSET).alias("doc_id"),
+        F.lit(1).alias("version"), F.lit(False).alias("is_del"),
+        F.concat(F.lit("ins "), F.col("text")).alias("text"),
+    )
+    upd2 = d.filter(F.col("doc_id") % 18 == 2).select(
+        "doc_id", F.lit(2).alias("version"), F.lit(False).alias("is_del"),
+        F.concat(F.lit("u2 "), F.col("text")).alias("text"),
+    )
+    reins2 = d.filter(F.col("doc_id") % 27 == 4).select(
+        "doc_id", F.lit(2).alias("version"), F.lit(False).alias("is_del"),
+        F.concat(F.lit("back "), F.col("text")).alias("text"),
+    )
+    return base.unionByName(upd1).unionByName(del1).unionByName(
+        ins1
+    ).unionByName(upd2).unionByName(reins2)
+
+
+def merge_upsert(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    log = _merge_log(d).select(
+        "doc_id", "version", "is_del", md5i60(F.col("text")).alias("thash")
+    )
+    won = log.groupBy("doc_id").agg(
+        F.max(F.struct("version", "is_del", "thash")).alias("w"),
+        F.count("*").cast("bigint").alias("n_versions"),
+    )
+    return won.filter(~F.col("w.is_del")).select(
+        "doc_id",
+        F.col("w.version").cast("int").alias("version"),
+        F.col("w.thash").alias("text_hash"),
+        "n_versions",
+    )
+
+
+def _sql_merge() -> str:
+    th = DUCK_MD5I60.format(x="text")
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+log AS (
+  SELECT doc_id, 0 AS version, FALSE AS is_del, text FROM d
+  UNION ALL
+  SELECT doc_id, 1, FALSE, 'u1 ' || text FROM d WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id, 1, TRUE, '' FROM d WHERE doc_id % 9 = 4
+  UNION ALL
+  SELECT doc_id + {UPSERT_OFFSET}, 1, FALSE, 'ins ' || text
+  FROM d WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id, 2, FALSE, 'u2 ' || text FROM d WHERE doc_id % 18 = 2
+  UNION ALL
+  SELECT doc_id, 2, FALSE, 'back ' || text FROM d WHERE doc_id % 27 = 4
+),
+h AS (
+  SELECT doc_id, version, is_del, {th} AS thash FROM log
+),
+won AS (
+  SELECT doc_id,
+         max(version) AS version,
+         arg_max(is_del, version) AS is_del,
+         arg_max(thash, version) AS thash,
+         CAST(count(*) AS BIGINT) AS n_versions
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST(version AS INT) AS version, thash AS text_hash,
+       n_versions
+FROM won WHERE NOT is_del
+"""
+
+
+SQL_MERGE_UPSERT = _sql_merge()
+
+
 QUERIES = {
     "cdc_chunks": cdc_chunks,
+    "merge_upsert": merge_upsert,
     "dedup_exact": dedup_exact,
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2099,6 +2222,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "merge_upsert": SQL_MERGE_UPSERT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

@@ -1258,7 +1258,119 @@ WHERE ch.rnk <= {PREF_TOPN} AND rj.rnk <= {PREF_TOPN}
 SQL_PREFERENCE_PAIRS = _sql_preference_pairs()
 
 
+# --------------------------------------------------------------------------
+# mrl_recall — Matryoshka-truncation evaluation (Kusupati et al.
+# 2022): modern embedding models are trained so PREFIX dimensions
+# carry most of the signal, and serving stacks retrieve with
+# truncated vectors (half the dims = half the memory/bandwidth) then
+# re-rank with full ones.  Before flipping that switch you measure
+# exactly this: per probe, top-K under the full dimension count vs
+# top-K under the first MRL_DIM dims, overlap and recall.  Same
+# rounded-cosine + vec_id tie-break discipline as
+# ann_topk_bruteforce (round to 5dp BEFORE ranking — float sum-order
+# differs across engines, ranking must see canonical scores).
+#
+# Scale shape: both rankings broadcast the tiny probe set and stream
+# the corpus once EACH over the same scan (two narrow passes + two
+# q_id-grain windows over probe-bounded rows); the overlap join is
+# (q_id, vec_id)-grain over 2·P·K rows.  Truncation is a zero-cost
+# array slice — no second embedding table.
+# --------------------------------------------------------------------------
+
+MRL_DIM = 32  # prefix dims for the truncated ranking (full = 64)
+
+
+def _topk_ids(em, vcol, label):
+    probes = em.select(
+        F.col("vec_id").alias("q_id"), F.col(vcol).alias("pv")
+    ).filter(F.col("q_id") < N_PROBES)
+    cos = F.round(
+        _dot(F.col("pv"), F.col(vcol))
+        / (_norm(F.col("pv")) * _norm(F.col(vcol))),
+        5,
+    )
+    scored = em.crossJoin(F.broadcast(probes)).select(
+        "q_id", "vec_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", F.lit(label).alias("_side"))
+    )
+
+
+def mrl_recall(spark, sf_dir):
+    em = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.slice("v", 1, MRL_DIM).alias("vt")
+    )
+    full = _topk_ids(em, "v", "full")
+    half = _topk_ids(em, "vt", "trunc")
+    hits = full.join(half, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    base = full.groupBy("q_id").agg(F.count("*").cast("bigint").alias("k"))
+    from .common import _ppm_exact
+
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        "k",
+        F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias("n_overlap"),
+        F.expr(
+            _ppm_exact("coalesce(n_overlap, 0)", "k", "div")
+        ).cast("bigint").alias("recall_ppm"),
+    )
+
+
+def _sql_mrl() -> str:
+    from .common import _ppm_exact
+
+    def ranked(tbl, dim_pred, name):
+        return f"""
+{name}_s AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS vec_id,
+         round(sum(p.x * c.x) / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.x * c.x))), 5) AS cos
+  FROM {tbl} p JOIN {tbl} c ON p.j = c.j
+  WHERE p.vec_id < {N_PROBES} {dim_pred}
+  GROUP BY 1, 2
+),
+{name} AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM {name}_s)
+  WHERE rnk <= {TOP_K}
+)"""
+
+    return f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),{ranked('ex', '', 'tfull')},{ranked('ex', f'AND p.j <= {MRL_DIM} AND c.j <= {MRL_DIM}', 'ttrunc')},
+hits AS (
+  SELECT tfull.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM tfull JOIN ttrunc
+    ON tfull.q_id = ttrunc.q_id AND tfull.vec_id = ttrunc.vec_id
+  GROUP BY 1
+),
+base AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM tfull GROUP BY 1
+)
+SELECT base.q_id, base.k,
+       coalesce(hits.n_overlap, 0) AS n_overlap,
+       CAST({_ppm_exact('coalesce(hits.n_overlap, 0)', 'base.k', '//')}
+            AS BIGINT) AS recall_ppm
+FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+"""
+
+
+SQL_MRL_RECALL = _sql_mrl()
+
+
 QUERIES = {
+    "mrl_recall": mrl_recall,
     "bitext_mine": bitext_mine,
     "preference_pairs": preference_pairs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -1276,6 +1388,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mrl_recall": SQL_MRL_RECALL,
     "bitext_mine": SQL_BITEXT_MINE,
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "semantic_pack": SQL_SEMANTIC_PACK,

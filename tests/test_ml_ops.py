@@ -5174,3 +5174,96 @@ def test_slop_filter_matches_naive_python(spark):
     got = {r.doc_id: (r.n_slop, r.is_slop) for r in slop_filter(spark, SF).collect()}
     assert got == exp
     assert branches == {"clean", "soft-single", "hard-single", "combo"}
+
+
+def test_mrl_recall_matches_numpy_recompute(spark):
+    """Matryoshka-truncation recall vs a full numpy recompute of both
+    rankings (exact doubles, (cos desc, vec_id) tie-break): overlap
+    counts and ppm must match per probe, the probe itself must survive
+    truncation (self-cosine is 1.0 under any prefix), and truncation
+    must genuinely cost recall somewhere on the random fixture."""
+    import numpy as np
+
+    from freki_spark.functions.similarity import (
+        MRL_DIM,
+        N_PROBES,
+        TOP_K,
+        mrl_recall,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def topk(mat):
+        out = {}
+        norms = np.linalg.norm(mat, axis=1)
+        for q in range(N_PROBES):
+            qi = ids.index(q)
+            cos = (mat @ mat[qi]) / (norms * norms[qi])
+            order = sorted(zip(-np.round(cos, 5), ids))[:TOP_K]
+            out[q] = {v for _c, v in order}
+        return out
+
+    full, trunc = topk(M), topk(M[:, :MRL_DIM])
+    got = {r.q_id: r for r in mrl_recall(spark, SF).collect()}
+    assert set(got) == set(range(N_PROBES))
+    for q in range(N_PROBES):
+        exp_overlap = len(full[q] & trunc[q])
+        r = got[q]
+        assert r.k == TOP_K
+        assert r.n_overlap == exp_overlap, q
+        assert r.recall_ppm == exp_overlap * 1_000_000 // TOP_K
+        assert q in full[q] and q in trunc[q]  # self survives truncation
+        assert r.n_overlap >= 1
+    assert any(r.n_overlap < TOP_K for r in got.values())  # truncation bites
+
+
+def test_merge_upsert_matches_naive_python_and_lifecycle(spark):
+    """Brute-force recompute of the CDC merge (latest version wins,
+    tombstones beat older rows) plus a pin on each lifecycle shape:
+    untouched v0, single update, superseded double update, tombstoned
+    key absent, delete-then-reinsert present, and fresh inserts."""
+    import hashlib
+
+    from freki_spark.functions.dedup import UPSERT_OFFSET, merge_upsert
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{SF}/documents.parquet").select("doc_id", "text").collect()}
+    exp = {}
+    for d, text in docs.items():
+        versions = [(0, False, text)]
+        if d % 9 == 2:
+            versions.append((1, False, "u1 " + text))
+        if d % 9 == 4:
+            versions.append((1, True, ""))
+        if d % 18 == 2:
+            versions.append((2, False, "u2 " + text))
+        if d % 27 == 4:
+            versions.append((2, False, "back " + text))
+        v, is_del, t = max(versions)
+        if not is_del:
+            exp[d] = (v, h60(t), len(versions))
+        if d < 20:
+            exp[d + UPSERT_OFFSET] = (1, h60("ins " + text), 1)
+
+    got = {
+        r.doc_id: (r.version, r.text_hash, r.n_versions)
+        for r in merge_upsert(spark, SF).collect()
+    }
+    assert got == exp
+    # every lifecycle shape occurred in the fixture
+    ds = set(docs)
+    assert any(d % 9 not in (2, 4) and d >= 20 for d in ds)          # untouched
+    assert any(d % 9 == 2 and d % 18 != 2 for d in ds)               # u1 wins
+    assert any(d % 18 == 2 for d in ds)                              # u2 supersedes
+    tomb = [d for d in ds if d % 9 == 4 and d % 27 != 4]
+    assert tomb and all(d not in got for d in tomb)                  # tombstoned
+    reins = [d for d in ds if d % 27 == 4]
+    assert reins and all(got[d][0] == 2 for d in reins)              # reinserted
+    assert any(d + UPSERT_OFFSET in got for d in ds if d < 20)       # inserts

@@ -684,6 +684,33 @@ def main() -> int:
         "zero Exchange / join / python",
     )
 
+    # 18n. mrl_recall: both rankings broadcast the tiny probe set and
+    #      window only on q_id (probe-bounded rows); no python, no
+    #      conditioned nested-loop join beyond the two intentional
+    #      probe broadcasts
+    p = plan_of(QUERIES["mrl_recall"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "mrl_recall_probe_windows",
+        wins <= {"q_id"} and "Python" not in p and "CartesianProduct" not in p,
+        f"window keys={sorted(wins)}; probe-bounded, no python",
+    )
+
+    # 18o. merge_upsert: the winner election is a partial-aggregable
+    #      struct max — ONE key-grain Exchange with map-side combine
+    #      (partial_max), never a row_number window over the full log
+    p = plan_of(QUERIES["merge_upsert"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check(
+        "merge_upsert_partial_max",
+        n_ex == 1
+        and "partial_max" in p
+        and "Window" not in p
+        and "Python" not in p
+        and "CartesianProduct" not in p,
+        f"Exchanges={n_ex}; partial_max map-side combine; no window",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
