@@ -3160,6 +3160,94 @@ SQL_LICENSE_DETECT = _sql_license()
 
 
 # --------------------------------------------------------------------------
+# token_budget_cap — per-domain contribution bounding in TOKENS (the
+# Gopher / PaLM "cap any single domain's share" rule, and the
+# user-level contribution bound DP training needs): within each
+# source, documents are taken in a deterministic md5-shuffled order
+# until the token budget is hit; the straddling document is TRUNCATED
+# to the remaining budget (budgets are token-exact, not doc-exact),
+# everything after it drops.  Differs from crawl_frontier's top-K
+# COUNT cap: the budget is additive over a per-row weight, so the
+# cutoff needs a running sum, not a rank.
+#
+# Scale shape (100 TB): ONE Exchange+Sort keyed on source — domain
+# grain, millions of keys at web scale, so window parallelism scales
+# with domains (NOT the ~5-key lang trap q_compact_plan hit; a
+# mega-domain is bounded by its own doc count, and past the budget
+# every row is a constant-time 'drop').  The running sum uses
+# rowsBetween(unboundedPreceding, -1) so the straddle test sees the
+# PRIOR total — including the current row would misclassify the
+# first over-budget doc.  Order is (md5, doc_id) — deterministic,
+# retry-stable, and unbiased w.r.t. crawl order (the
+# sample_stratified hash convention).
+# --------------------------------------------------------------------------
+
+BUDGET_TOKENS = 1000  # per-source token budget
+
+
+def token_budget_cap(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(toks(F.col("text"))).cast("bigint").alias("n_tokens"),
+        md5i32(F.col("doc_id").cast("string")).alias("_ord"),
+    )
+    w = Window.partitionBy("source").orderBy("_ord", "doc_id")
+    before = F.coalesce(
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    d = d.select("doc_id", "source", "n_tokens", before.alias("cum_before"))
+    kept = F.greatest(
+        F.least(F.lit(BUDGET_TOKENS) - F.col("cum_before"), F.col("n_tokens")),
+        F.lit(0).cast("bigint"),
+    )
+    status = (
+        F.when(F.col("cum_before") >= BUDGET_TOKENS, F.lit("drop"))
+        .when(
+            F.col("cum_before") + F.col("n_tokens") <= BUDGET_TOKENS,
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("truncate"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        kept.cast("bigint").alias("kept_tokens"),
+        status.alias("status"),
+    )
+
+
+SQL_TOKEN_BUDGET_CAP = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR)")} AS ord
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_before
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_before,
+       greatest(least({BUDGET_TOKENS} - cum_before, n_tokens), 0)
+         AS kept_tokens,
+       CASE WHEN cum_before >= {BUDGET_TOKENS} THEN 'drop'
+            WHEN cum_before + n_tokens <= {BUDGET_TOKENS} THEN 'keep'
+            ELSE 'truncate' END AS status
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # k_anonymity — privacy-governance telemetry (Sweeney 2002): group the
 # corpus by a quasi-identifier tuple and report each equivalence
 # class's size k and the l-diversity of a sensitive attribute, with
@@ -3253,6 +3341,7 @@ QUERIES = {
     "site_boilerplate": site_boilerplate,
     "k_anonymity": k_anonymity,
     "license_detect": license_detect,
+    "token_budget_cap": token_budget_cap,
 }
 
 ORACLE_SQL = {
@@ -3293,4 +3382,5 @@ ORACLE_SQL = {
     "site_boilerplate": SQL_SITE_BOILERPLATE,
     "k_anonymity": SQL_K_ANONYMITY,
     "license_detect": SQL_LICENSE_DETECT,
+    "token_budget_cap": SQL_TOKEN_BUDGET_CAP,
 }

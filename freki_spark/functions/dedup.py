@@ -2197,9 +2197,112 @@ FROM won WHERE NOT is_del
 SQL_MERGE_UPSERT = _sql_merge()
 
 
+# --------------------------------------------------------------------------
+# inbatch_collisions — contrastive-training false-negative telemetry:
+# in-batch negatives assume the rest of the batch is UNRELATED to the
+# anchor, so a near-duplicate pair landing in one batch poisons the
+# loss (its "negative" is a positive).  Before training an embedding
+# model on a corpus you measure exactly this: assign documents to
+# batches the way the loader will (deterministic hash — random
+# batching), intersect the minhash candidate pairs with co-batched
+# pairs, and report per-batch collision counts + the collision rate
+# against the batch's pair capacity.  The rate drives the batch-size
+# / dedup-threshold tradeoff (birthday bound: collisions grow with
+# batch size even at a fixed dup rate).
+#
+# Scale shape (100 TB): candidate pairs come from the banded minhash
+# index (never all-pairs; mh checkpointed before the self-join — the
+# dedup_minhash_lsh rule); batch assignment is a narrow hash; the
+# pair→batch intersection is two id-grain equi-joins; per-batch
+# rollups partial-aggregate.  The capacity ratio goes through
+# _ppm_exact (n_docs² is corpus-grain).
+# --------------------------------------------------------------------------
+
+INBATCH_N = 8  # loader batches (small so fixture collisions occur)
+
+
+def inbatch_collisions(spark, sf_dir):
+    from .common import _ppm_exact
+
+    c = _near_dup_corpus(spark, sf_dir)
+    mh = _with_minhash(c).localCheckpoint()
+    pairs = _band_pairs(_bands(mh))
+    asg = c.select(
+        "doc_id",
+        (md5i32(F.col("doc_id").cast("string")) % INBATCH_N).alias("batch_id"),
+    )
+    a1 = asg.select(
+        F.col("doc_id").alias("a"), F.col("batch_id").alias("_ba")
+    )
+    a2 = asg.select(
+        F.col("doc_id").alias("b"), F.col("batch_id").alias("_bb")
+    )
+    coll = (
+        pairs.join(a1, "a")
+        .join(a2, "b")
+        .filter(F.col("_ba") == F.col("_bb"))
+        .groupBy(F.col("_ba").alias("batch_id"))
+        .agg(F.count("*").cast("bigint").alias("n_collisions"))
+    )
+    sizes = asg.groupBy("batch_id").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return sizes.join(coll, "batch_id", "left").select(
+        "batch_id",
+        "n_docs",
+        F.coalesce("n_collisions", F.lit(0).cast("bigint")).alias(
+            "n_collisions"
+        ),
+        F.expr(
+            _ppm_exact(
+                "(coalesce(n_collisions, 0) * 2)",
+                "greatest(n_docs * (n_docs - 1), 1)",
+                "div",
+            )
+        )
+        .cast("bigint")
+        .alias("collision_ppm"),
+    )
+
+
+def _sql_inbatch() -> str:
+    from .common import _ppm_exact
+
+    bh = DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR)")
+    return (
+        _MH_CTES
+        + f""",
+asg AS (
+  SELECT doc_id, {bh} % {INBATCH_N} AS batch_id FROM corpus
+),
+coll AS (
+  SELECT aa.batch_id, CAST(count(*) AS BIGINT) AS n_collisions
+  FROM pairs p
+  JOIN asg aa ON p.a = aa.doc_id
+  JOIN asg ab ON p.b = ab.doc_id
+  WHERE aa.batch_id = ab.batch_id
+  GROUP BY 1
+),
+sizes AS (
+  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY 1
+)
+SELECT s.batch_id, s.n_docs,
+       coalesce(c.n_collisions, 0) AS n_collisions,
+       CAST({_ppm_exact('(coalesce(c.n_collisions, 0) * 2)',
+                        'greatest(s.n_docs * (s.n_docs - 1), 1)', '//')}
+            AS BIGINT) AS collision_ppm
+FROM sizes s LEFT JOIN coll c ON s.batch_id = c.batch_id
+"""
+    )
+
+
+SQL_INBATCH_COLLISIONS = _sql_inbatch()
+
+
 QUERIES = {
     "cdc_chunks": cdc_chunks,
     "merge_upsert": merge_upsert,
+    "inbatch_collisions": inbatch_collisions,
     "dedup_exact": dedup_exact,
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2223,6 +2326,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "merge_upsert": SQL_MERGE_UPSERT,
+    "inbatch_collisions": SQL_INBATCH_COLLISIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,

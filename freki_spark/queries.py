@@ -2283,6 +2283,7 @@ _PRIORITY = [
     "event_transitions", "rfm_segments", "stickiness_wau",
     "site_boilerplate", "k_anonymity", "dialog_assemble", "license_detect",
     "cdc_chunks", "slop_filter", "mrl_recall", "merge_upsert",
+    "token_budget_cap", "inbatch_collisions",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -5267,3 +5267,113 @@ def test_merge_upsert_matches_naive_python_and_lifecycle(spark):
     reins = [d for d in ds if d % 27 == 4]
     assert reins and all(got[d][0] == 2 for d in reins)              # reinserted
     assert any(d + UPSERT_OFFSET in got for d in ds if d < 20)       # inserts
+
+
+def test_token_budget_cap_matches_naive_python(spark):
+    """Brute-force recompute of the per-source token-budget cap:
+    md5-ordered running totals, prior-rows-only straddle test,
+    boundary-doc truncation — every row must match, each source must
+    truncate exactly one doc (budget < source total in the fixture),
+    and kept token mass per source must equal the budget."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.corpus_prep import (
+        BUDGET_TOKENS,
+        token_budget_cap,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(
+            (h32(str(r.doc_id)), r.doc_id, len(r.text.split(" ")))
+        )
+    exp = {}
+    for src, docs in by_src.items():
+        docs.sort()
+        cum = 0
+        for _h, d, n in docs:
+            kept = max(min(BUDGET_TOKENS - cum, n), 0)
+            status = (
+                "drop" if cum >= BUDGET_TOKENS
+                else "keep" if cum + n <= BUDGET_TOKENS
+                else "truncate"
+            )
+            exp[d] = (src, n, cum, kept, status)
+            cum += n
+
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_before, r.kept_tokens, r.status)
+        for r in token_budget_cap(spark, SF).collect()
+    }
+    assert got == exp
+    per_src_kept = defaultdict(int)
+    per_src_trunc = defaultdict(int)
+    for d, (src, _n, _c, kept, status) in exp.items():
+        per_src_kept[src] += kept
+        per_src_trunc[src] += status == "truncate"
+    for src in by_src:
+        assert per_src_kept[src] == BUDGET_TOKENS  # budgets are exact
+        assert per_src_trunc[src] == 1  # fixture totals exceed budget
+    assert {s for *_x, s in exp.values()} == {"keep", "truncate", "drop"}
+
+
+def test_inbatch_collisions_matches_naive_python(spark):
+    """Brute-force recompute of the contrastive false-negative
+    telemetry: hash batch assignment over the near-dup corpus,
+    band-candidate pairs intersected with co-batched pairs, per-batch
+    counts and pair-capacity ppm — with real collisions present
+    (mutant pairs land co-batched at ~1/8 rate)."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.dedup import (
+        INBATCH_N,
+        _bands,
+        _near_dup_corpus,
+        _with_minhash,
+        inbatch_collisions,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ids = [r.doc_id for r in _near_dup_corpus(spark, SF).select("doc_id").collect()]
+    batch = {d: h32(str(d)) % INBATCH_N for d in ids}
+    # candidate pairs from the op's own (already oracle-checked)
+    # banding stage — this test pins the batching/intersection layer
+    pair_rows = (
+        _bands(_with_minhash(_near_dup_corpus(spark, SF)))
+        .groupBy("band", "bv")
+        .agg(__import__("pyspark").sql.functions.collect_list("doc_id").alias("ds"))
+        .collect()
+    )
+    pairs = set()
+    for r in pair_rows:
+        ds = sorted(set(r.ds))
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    coll = defaultdict(int)
+    for a, b in pairs:
+        if batch[a] == batch[b]:
+            coll[batch[a]] += 1
+    sizes = defaultdict(int)
+    for d in ids:
+        sizes[batch[d]] += 1
+
+    got = {r.batch_id: r for r in inbatch_collisions(spark, SF).collect()}
+    assert set(got) == set(range(INBATCH_N))
+    for b in got:
+        r = got[b]
+        assert r.n_docs == sizes[b]
+        assert r.n_collisions == coll[b], b
+        cap = max(sizes[b] * (sizes[b] - 1), 1)
+        assert r.collision_ppm == r.n_collisions * 2 * 1_000_000 // cap
+    assert sum(coll.values()) >= 1  # the telemetry has signal

@@ -711,6 +711,36 @@ def main() -> int:
         f"Exchanges={n_ex}; partial_max map-side combine; no window",
     )
 
+    # 18p. token_budget_cap: ONE source-grain Exchange+Sort carries
+    #      the whole running-budget computation — the window partitions
+    #      on source (domain grain, scales with domains), never a
+    #      constant key, and nothing else shuffles
+    p = plan_of(QUERIES["token_budget_cap"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "token_budget_cap_single_window",
+        n_ex == 1
+        and wins == {"source"}
+        and "Join" not in p
+        and "Python" not in p,
+        f"Exchanges={n_ex}; window keys={sorted(wins)}; no join/python",
+    )
+
+    # 18q. inbatch_collisions: candidates come from the banded index
+    #      (checkpointed minhash — no CartesianProduct, no re-derived
+    #      shingle scan), batch assignment is narrow, and the
+    #      intersection is id-grain equi-joins only
+    p = plan_of(QUERIES["inbatch_collisions"](spark, sf_dir))
+    check(
+        "inbatch_collisions_banded",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        "banded candidates; equi-joins only; no window/python",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
