@@ -90,9 +90,12 @@ DUCK_SHINGLES = duck_shingles("{l}")
 def _ppm_exact(num: str, den: str, div: str) -> str:
     """floor(num * 1_000_000 / den) without ever forming num*1e6:
     q*1e6 + (r*1e3 div den)*1e3 + ((r*1e3 mod den)*1e3 div den), with
-    r = num mod den.  Exact for non-negative bigints (truncating div ==
-    floor div there, so Spark `div` and DuckDB `//` agree); pass the
-    engine's integer-division operator as `div`.  Lives in common (no
+    r = num mod den.  Exact for non-negative bigints PROVIDED
+    den ≤ ~9.2e15: the staging forms r*1000 with r < den, so den*1000
+    must stay under 2^63 — callers with corpus-grain denominators must
+    clamp (the doremi_weights headroom rule).  Truncating div == floor
+    div on non-negatives, so Spark `div` and DuckDB `//` agree; pass
+    the engine's integer-division operator as `div`.  Lives in common (no
     intra-package imports) so every functions/ module can build its
     module-level oracle SQL without the corpus_prep→text_analysis→
     dedup→similarity→corpus_prep import cycle."""

@@ -25,6 +25,7 @@ from .common import (
     DUCK_MD5I32,
     DUCK_MD5I60,
     DUCK_SHINGLES,
+    _ppm_exact,
     md5i32,
     md5i60,
     shingles,
@@ -2214,16 +2215,21 @@ SQL_MERGE_UPSERT = _sql_merge()
 # index (never all-pairs; mh checkpointed before the self-join — the
 # dedup_minhash_lsh rule); batch assignment is a narrow hash; the
 # pair→batch intersection is two id-grain equi-joins; per-batch
-# rollups partial-aggregate.  The capacity ratio goes through
-# _ppm_exact (n_docs² is corpus-grain).
+# rollups partial-aggregate.  Bigint headroom: the pair capacity
+# n·(n−1) is quadratic in batch size and _ppm_exact's staging needs
+# den ≤ ~9.2e15, so n is CLAMPED at INBATCH_N_CAP = 3e6 for the
+# capacity term (clamped² ≈ 9e12 — in range with 1000x staging to
+# spare).  Real loader batches are 1e2–1e4 docs (loader-bounded, not
+# corpus-bounded); a synthetic batch past the clamp reports against
+# the saturated capacity instead of wrapping in Spark / raising in
+# DuckDB (the doremi_weights divergent-engine rule).
 # --------------------------------------------------------------------------
 
 INBATCH_N = 8  # loader batches (small so fixture collisions occur)
+INBATCH_N_CAP = 3_000_000  # capacity-term clamp: see headroom note
 
 
 def inbatch_collisions(spark, sf_dir):
-    from .common import _ppm_exact
-
     c = _near_dup_corpus(spark, sf_dir)
     mh = _with_minhash(c).localCheckpoint()
     pairs = _band_pairs(_bands(mh))
@@ -2247,6 +2253,7 @@ def inbatch_collisions(spark, sf_dir):
     sizes = asg.groupBy("batch_id").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+    nc = f"least(n_docs, {INBATCH_N_CAP})"
     return sizes.join(coll, "batch_id", "left").select(
         "batch_id",
         "n_docs",
@@ -2256,7 +2263,7 @@ def inbatch_collisions(spark, sf_dir):
         F.expr(
             _ppm_exact(
                 "(coalesce(n_collisions, 0) * 2)",
-                "greatest(n_docs * (n_docs - 1), 1)",
+                f"greatest({nc} * ({nc} - 1), 1)",
                 "div",
             )
         )
@@ -2266,9 +2273,8 @@ def inbatch_collisions(spark, sf_dir):
 
 
 def _sql_inbatch() -> str:
-    from .common import _ppm_exact
-
     bh = DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR)")
+    nc = f"least(s.n_docs, {INBATCH_N_CAP})"
     return (
         _MH_CTES
         + f""",
@@ -2289,7 +2295,7 @@ sizes AS (
 SELECT s.batch_id, s.n_docs,
        coalesce(c.n_collisions, 0) AS n_collisions,
        CAST({_ppm_exact('(coalesce(c.n_collisions, 0) * 2)',
-                        'greatest(s.n_docs * (s.n_docs - 1), 1)', '//')}
+                        f'greatest({nc} * ({nc} - 1), 1)', '//')}
             AS BIGINT) AS collision_ppm
 FROM sizes s LEFT JOIN coll c ON s.batch_id = c.batch_id
 """

@@ -18,7 +18,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .common import DUCK_MD5I32
+from .common import DUCK_MD5I32, _ppm_exact
 
 N_PLANES = 6
 N_PROBES = 8
@@ -1306,12 +1306,14 @@ def mrl_recall(spark, sf_dir):
     )
     full = _topk_ids(em, "v", "full")
     half = _topk_ids(em, "vt", "trunc")
+    # the full ranking feeds TWO consumers (overlap join + base) — it
+    # is P*K rows, so the checkpoint is free and the corpus-wide
+    # rank subtree plans once (the dist_drift rule)
+    full = full.localCheckpoint()
     hits = full.join(half, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count("*").cast("bigint").alias("n_overlap")
     )
     base = full.groupBy("q_id").agg(F.count("*").cast("bigint").alias("k"))
-    from .common import _ppm_exact
-
     return base.join(hits, "q_id", "left").select(
         "q_id",
         "k",
@@ -1323,8 +1325,6 @@ def mrl_recall(spark, sf_dir):
 
 
 def _sql_mrl() -> str:
-    from .common import _ppm_exact
-
     def ranked(tbl, dim_pred, name):
         return f"""
 {name}_s AS (
