@@ -3248,6 +3248,80 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# path_rollup — hierarchical URL-path accounting (the `du`-style
+# rollup a crawl store runs for storage attribution and section-level
+# curation: "how many docs / bytes under /forum vs /docs on this
+# host").  Every page contributes one row per PATH PREFIX level
+# (bounded ×PATH_LEVELS explode — the hierarchy is part of the row,
+# never a recursive self-join or a per-level rescan), then one
+# (domain, prefix) rollup; the parent/child containment invariant
+# (each prefix's count = Σ of its children + leaves) is what makes
+# the output navigable and is pytest-pinned.
+#
+# Paths are synthesized deterministically at 3 levels
+# (/cat<id%5>/sub<id%50>/page-<id>) since the driver corpus has no
+# real URLs — the GENERIC mechanism (prefix explode + rollup) is the
+# scale-relevant part.
+#
+# Scale shape (100 TB): one bounded Generate + ONE map-side-combined
+# Exchange at (domain, prefix) grain — high cardinality, no join, no
+# window, no python (plan-audited).
+# --------------------------------------------------------------------------
+
+PATH_LEVELS = 3
+
+
+def path_rollup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("domain"), "n_chars"
+    )
+    seg1 = F.concat(F.lit("/cat"), (F.col("doc_id") % 5).cast("string"))
+    seg2 = F.concat(
+        seg1, F.lit("/sub"), (F.col("doc_id") % 50).cast("string")
+    )
+    seg3 = F.concat(seg2, F.lit("/page-"), F.col("doc_id").cast("string"))
+    prefixes = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("depth"), s.alias("prefix"))
+            for i, s in enumerate([seg1, seg2, seg3])
+        ]
+    )
+    return (
+        d.select("domain", "n_chars", F.explode(prefixes).alias("p"))
+        .groupBy("domain", F.col("p.depth").alias("depth"), F.col("p.prefix").alias("prefix"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+SQL_PATH_ROLLUP = """
+WITH d AS (
+  SELECT doc_id, source AS domain, n_chars,
+         '/cat' || CAST(doc_id % 5 AS VARCHAR) AS s1
+  FROM documents
+),
+d2 AS (
+  SELECT *, s1 || '/sub' || CAST(doc_id % 50 AS VARCHAR) AS s2 FROM d
+),
+d3 AS (
+  SELECT *, s2 || '/page-' || CAST(doc_id AS VARCHAR) AS s3 FROM d2
+),
+x AS (
+  SELECT domain, n_chars,
+         unnest([1, 2, 3]) AS depth,
+         unnest([s1, s2, s3]) AS prefix
+  FROM d3
+)
+SELECT domain, CAST(depth AS INT) AS depth, prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM x GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # k_anonymity — privacy-governance telemetry (Sweeney 2002): group the
 # corpus by a quasi-identifier tuple and report each equivalence
 # class's size k and the l-diversity of a sensitive attribute, with
@@ -3342,6 +3416,7 @@ QUERIES = {
     "k_anonymity": k_anonymity,
     "license_detect": license_detect,
     "token_budget_cap": token_budget_cap,
+    "path_rollup": path_rollup,
 }
 
 ORACLE_SQL = {
@@ -3383,4 +3458,5 @@ ORACLE_SQL = {
     "k_anonymity": SQL_K_ANONYMITY,
     "license_detect": SQL_LICENSE_DETECT,
     "token_budget_cap": SQL_TOKEN_BUDGET_CAP,
+    "path_rollup": SQL_PATH_ROLLUP,
 }

@@ -1969,6 +1969,88 @@ FROM t GROUP BY 1, 2
 """
 
 
+ATTR_CHANNELS = 5  # view channel = json props k mod 5
+
+
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution — and the repo's LOCF
+    (last-observation-carried-forward / forward-fill) primitive: for
+    every purchase, the crediting channel is the user's most recent
+    prior 'view' channel in (ts, event_id) order, computed with
+    ``last(col, ignorenulls=True)`` over a running window (both
+    engines implement IGNORE-NULLS carry-forward identically).  View
+    channels come from the event's JSON props (k mod 5).  Purchases
+    with no prior view credit 'none' with lag −1.
+
+    Scale shape: ONE hash(user_id) Exchange + Sort carries both
+    forward-fills (channel + view timestamp share the window spec);
+    the purchase filter is a narrow post-projection.  No join — the
+    classic alternative (as-of join views⋈purchases) shuffles both
+    sides and re-sorts; the LOCF window does it in the one pass.  All
+    time math in integer epoch seconds (the timestamp rule)."""
+    e = _t(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    ch = F.when(
+        is_view,
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % ATTR_CHANNELS)
+            .cast("string"),
+        ),
+    )
+    ts_s = F.unix_timestamp("ts").alias("ts_s")
+    m = e.select(
+        "event_id", "user_id", "event_type", "ts", ts_s, ch.alias("_ch"),
+        F.when(is_view, F.unix_timestamp("ts")).alias("_vts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = m.select(
+        "*",
+        F.last("_ch", ignorenulls=True).over(w).alias("_last_ch"),
+        F.last("_vts", ignorenulls=True).over(w).alias("_last_vts"),
+    )
+    return f.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.coalesce("_last_ch", F.lit("none")).alias("channel"),
+        F.coalesce(F.col("ts_s") - F.col("_last_vts"), F.lit(-1))
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = f"""
+WITH m AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN event_type = 'view'
+              THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k')
+                                     AS INT) % {ATTR_CHANNELS} AS VARCHAR)
+         END AS ch,
+         CASE WHEN event_type = 'view'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS vts
+  FROM events
+),
+f AS (
+  SELECT *,
+         last_value(ch IGNORE NULLS) OVER w AS last_ch,
+         last_value(vts IGNORE NULLS) OVER w AS last_vts
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts_s,
+       coalesce(last_ch, 'none') AS channel,
+       CAST(coalesce(ts_s - last_vts, -1) AS BIGINT) AS lag_s
+FROM f WHERE event_type = 'purchase'
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -2107,6 +2189,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "stickiness_wau": stickiness_wau,
     "dialog_assemble": dialog_assemble,
+    "attribution_last_touch": attribution_last_touch,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -2175,6 +2258,7 @@ ORACLE_SQL = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "stickiness_wau": SQL_STICKINESS_WAU,
     "dialog_assemble": SQL_DIALOG_ASSEMBLE,
+    "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -2283,7 +2367,8 @@ _PRIORITY = [
     "event_transitions", "rfm_segments", "stickiness_wau",
     "site_boilerplate", "k_anonymity", "dialog_assemble", "license_detect",
     "cdc_chunks", "slop_filter", "mrl_recall", "merge_upsert",
-    "token_budget_cap", "inbatch_collisions",
+    "token_budget_cap", "inbatch_collisions", "attribution_last_touch",
+    "path_rollup",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -5377,3 +5377,87 @@ def test_inbatch_collisions_matches_naive_python(spark):
         cap = max(sizes[b] * (sizes[b] - 1), 1)
         assert r.collision_ppm == r.n_collisions * 2 * 1_000_000 // cap
     assert sum(coll.values()) >= 1  # the telemetry has signal
+
+
+def test_attribution_last_touch_matches_naive_python(spark):
+    """Brute-force LOCF recompute: per user in (ts, event_id) order,
+    carry the latest view channel/timestamp forward and read it at
+    every purchase — channel, lag, and the no-prior-view 'none'
+    branch must all match, with both branches present."""
+    import json
+    from collections import defaultdict
+
+    from freki_spark.queries import ATTR_CHANNELS, attribution_last_touch
+
+    ev = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type", "props")
+        .collect()
+    ):
+        ev[r.user_id].append(r)
+    exp = {}
+    for u, rows in ev.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        last_ch, last_vts = None, None
+        for r in rows:
+            ts_s = int(r.ts.timestamp())
+            if r.event_type == "view":
+                k = int(json.loads(r.props)["k"])
+                last_ch, last_vts = f"ch{k % ATTR_CHANNELS}", ts_s
+            if r.event_type == "purchase":
+                exp[r.event_id] = (
+                    u,
+                    ts_s,
+                    last_ch or "none",
+                    ts_s - last_vts if last_vts is not None else -1,
+                )
+
+    got = {
+        r.event_id: (r.user_id, r.ts_s, r.channel, r.lag_s)
+        for r in attribution_last_touch(spark, SF).collect()
+    }
+    assert got == exp
+    assert any(c == "none" for _u, _t, c, _l in exp.values())
+    assert any(c != "none" for _u, _t, c, _l in exp.values())
+    assert all(l >= 0 for _u, _t, c, l in exp.values() if c != "none")
+
+
+def test_path_rollup_matches_naive_python_and_contains(spark):
+    """Brute-force recompute of the prefix rollup plus the hierarchy
+    containment invariant: every non-leaf prefix's doc count and char
+    total must equal the sum over its children — the property that
+    makes the rollup navigable."""
+    from collections import defaultdict
+
+    from freki_spark.functions.corpus_prep import path_rollup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    exp = defaultdict(lambda: [0, 0])
+    for r in docs:
+        s1 = f"/cat{r.doc_id % 5}"
+        s2 = f"{s1}/sub{r.doc_id % 50}"
+        s3 = f"{s2}/page-{r.doc_id}"
+        for depth, p in ((1, s1), (2, s2), (3, s3)):
+            e = exp[(r.source, depth, p)]
+            e[0] += 1
+            e[1] += r.n_chars
+
+    got = {
+        (r.domain, r.depth, r.prefix): (r.n_docs, r.total_chars)
+        for r in path_rollup(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # containment: parent == Σ children, at both levels
+    for (dom, depth, p), (n, ch) in got.items():
+        if depth == 3:
+            continue
+        kids = [
+            v
+            for (d2, dep2, p2), v in got.items()
+            if d2 == dom and dep2 == depth + 1 and p2.startswith(p + "/")
+        ]
+        assert sum(k[0] for k in kids) == n, (dom, p)
+        assert sum(k[1] for k in kids) == ch, (dom, p)

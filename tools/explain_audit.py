@@ -745,6 +745,35 @@ def main() -> int:
         "banded candidates; equi-joins only; no window/python",
     )
 
+    # 18r. attribution_last_touch: both LOCF forward-fills ride ONE
+    #      hash(user_id) Exchange+Sort (shared window spec); no join —
+    #      the as-of-join alternative would shuffle and sort BOTH
+    #      sides — and no python
+    p = plan_of(QUERIES["attribution_last_touch"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check(
+        "attribution_last_touch_locf",
+        n_ex == 1 and "Join" not in p and "Python" not in p,
+        f"Exchanges={n_ex}; LOCF window, no join/python",
+    )
+
+    # 18s. path_rollup: one bounded Generate (the x3 prefix explode)
+    #      + ONE map-side-combined Exchange at (domain, prefix) grain;
+    #      no join, no window, no python
+    p = plan_of(QUERIES["path_rollup"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_partial = len(re.findall(r"partial_count", p))
+    check(
+        "path_rollup_single_rollup",
+        n_ex == 1
+        and "Generate" in p
+        and n_partial >= 1
+        and "Join" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"Exchanges={n_ex}; bounded Generate; partial agg; no join",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
