@@ -2051,6 +2051,173 @@ FROM f WHERE event_type = 'purchase'
 """
 
 
+def gap_fill_calendar(spark, sf_dir):
+    """Time-series densification: each user's sparse activity becomes
+    a DENSE daily series over [first_day, last_day] — missing days
+    get an explicit zero row (is_filled = 1) and the running lifetime
+    total carries across the gaps.  Dashboards, retention models, and
+    drift monitors all need the dense grid; the naive build is a
+    calendar-table join, which shuffles twice.
+
+    Scale shape: TWO partial-aggregated Exchanges and nothing more —
+    raw events collapse map-side to (user, day) grain BEFORE the
+    first shuffle (shuffling raw events by user to force one Exchange
+    would move strictly more data), then the tiny user-day rows
+    reshuffle to user grain where each user's day→count MAP rides the
+    same row as their [min, max] span; the calendar explode reads the
+    map narrowly (fan-out bounded by the user's OWN span, skew = one
+    user's lifetime, never the corpus), and the running-total window
+    runs on the already-user-partitioned rows so Catalyst adds NO
+    third Exchange (plan-audited).  No calendar join, no constant-key
+    window."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day"),
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.min("day").alias("_d0"),
+        F.max("day").alias("_d1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("day", "n"))
+        ).alias("_m"),
+    )
+    g = m.select(
+        "user_id",
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day"),
+        "_m",
+    ).select(
+        "user_id",
+        "day",
+        F.coalesce(F.element_at("_m", F.col("day")), F.lit(0).cast("bigint"))
+        .alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("cum_events"),
+        (F.col("n_events") == 0).cast("int").alias("is_filled"),
+    )
+
+
+SQL_GAP_FILL_CALENDAR = """
+WITH e AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+daily AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span
+),
+g AS (
+  SELECT grid.user_id, grid.day, coalesce(daily.n, 0) AS n_events
+  FROM grid LEFT JOIN daily
+    ON grid.user_id = daily.user_id AND grid.day = daily.day
+)
+SELECT user_id, day, n_events,
+       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_events,
+       CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS is_filled
+FROM g
+"""
+
+
+# anomaly_mad arithmetic note: medians of INTEGERS interpolate at .0
+# or .5 — dyadic doubles, exactly representable — so doubling them
+# back to bigint (2·median) is exact in both engines and every
+# comparison below is integer.  Never compare raw float z-scores
+# cross-engine (the BM25 association lesson).
+
+MAD_K2 = 3  # flag |x − med| > 3·MAD (the classic robust z cutoff)
+
+
+def anomaly_mad(spark, sf_dir):
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) instead of mean / stddev — one whale purchase
+    moves a mean far enough to mask other anomalies, while the median
+    pair is breakdown-resistant.  Values are exact integer cents; the
+    two medians come back as dyadic doubles and are re-scaled to
+    integers, so the 3·MAD flag is integer-exact cross-engine.
+
+    Scale shape: TWO grouped exact percentiles over event_type (5
+    groups — the documented exact-percentile envelope; at high-
+    cardinality keys the drop-in is approx_percentile, same shape),
+    each broadcast back; the deviation pass and the flag are narrow.
+    The grouped-median table feeds the deviation pass once (no
+    fan-out — d2 aggregates from the same join)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("cast(2 * percentile(cents, 0.5D) as bigint)").alias("_med2")
+    )
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.abs(2 * F.col("cents") - F.col("_med2")).alias("dev2"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("cast(2 * percentile(dev2, 0.5D) as bigint)").alias("_mad2")
+    )
+    return d.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        "dev2",
+        "_mad2",
+        (2 * F.col("dev2") > MAD_K2 * F.col("_mad2")).cast("int").alias(
+            "is_anomaly"
+        ),
+    ).withColumnRenamed("_mad2", "mad2")
+
+
+SQL_ANOMALY_MAD = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+  FROM e GROUP BY 1
+),
+d AS (
+  SELECT e.event_id, e.event_type, e.cents,
+         abs(2 * e.cents - med.med2) AS dev2
+  FROM e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2
+  FROM d GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.cents, d.dev2, mad.mad2,
+       CASE WHEN 2 * d.dev2 > {MAD_K2} * mad.mad2 THEN 1 ELSE 0 END
+         AS is_anomaly
+FROM d JOIN mad USING (event_type)
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -2190,6 +2357,8 @@ QUERIES = {
     "stickiness_wau": stickiness_wau,
     "dialog_assemble": dialog_assemble,
     "attribution_last_touch": attribution_last_touch,
+    "gap_fill_calendar": gap_fill_calendar,
+    "anomaly_mad": anomaly_mad,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -2259,6 +2428,8 @@ ORACLE_SQL = {
     "stickiness_wau": SQL_STICKINESS_WAU,
     "dialog_assemble": SQL_DIALOG_ASSEMBLE,
     "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+    "gap_fill_calendar": SQL_GAP_FILL_CALENDAR,
+    "anomaly_mad": SQL_ANOMALY_MAD,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -2368,7 +2539,7 @@ _PRIORITY = [
     "site_boilerplate", "k_anonymity", "dialog_assemble", "license_detect",
     "cdc_chunks", "slop_filter", "mrl_recall", "merge_upsert",
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",
-    "path_rollup",
+    "path_rollup", "gap_fill_calendar", "anomaly_mad",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

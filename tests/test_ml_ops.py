@@ -5461,3 +5461,83 @@ def test_path_rollup_matches_naive_python_and_contains(spark):
         ]
         assert sum(k[0] for k in kids) == n, (dom, p)
         assert sum(k[1] for k in kids) == ch, (dom, p)
+
+
+def test_gap_fill_calendar_matches_naive_python(spark):
+    """Brute-force recompute of the densification: per-user dense
+    [first, last] day grid, zero rows on silent days, running
+    lifetime totals carrying across gaps — exact match, with real
+    gaps present and the dense-grid invariants pinned (contiguous
+    days per user, final cum == user's event count)."""
+    from collections import Counter, defaultdict
+
+    from freki_spark.queries import gap_fill_calendar
+
+    days = defaultdict(Counter)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        days[r.user_id][(r.ts.date() - __import__("datetime").date(1970, 1, 1)).days] += 1
+
+    exp = {}
+    for u, cnt in days.items():
+        cum = 0
+        for d in range(min(cnt), max(cnt) + 1):
+            n = cnt.get(d, 0)
+            cum += n
+            exp[(u, d)] = (n, cum, int(n == 0))
+
+    got = {
+        (r.user_id, r.day): (r.n_events, r.cum_events, r.is_filled)
+        for r in gap_fill_calendar(spark, SF).collect()
+    }
+    assert got == exp
+    assert any(f for _n, _c, f in exp.values())  # real gaps exist
+    for u, cnt in days.items():
+        user_days = sorted(d for (uu, d) in exp if uu == u)
+        assert user_days == list(range(user_days[0], user_days[-1] + 1))
+        assert exp[(u, user_days[-1])][1] == sum(cnt.values())
+
+
+def test_anomaly_mad_matches_naive_python(spark):
+    """Brute-force recompute of the per-type median/MAD outlier flag
+    in exact integer cents (dyadic doubled medians), with both
+    verdicts present and the robustness property pinned: the flag
+    threshold a whale purchase would drag a mean/stddev cutoff past
+    stays put under MAD."""
+    import statistics
+    from collections import defaultdict
+
+    from freki_spark.queries import MAD_K2, anomaly_mad
+
+    vals = defaultdict(list)
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    cents = {}
+    for r in rows:
+        c = round(r.value * 100)
+        cents[r.event_id] = (r.event_type, c)
+        vals[r.event_type].append(c)
+    med2 = {t: int(2 * statistics.median(v)) for t, v in vals.items()}
+    dev2 = {
+        e: abs(2 * c - med2[t]) for e, (t, c) in cents.items()
+    }
+    devs_by_t = defaultdict(list)
+    for e, (t, _c) in cents.items():
+        devs_by_t[t].append(dev2[e])
+    mad2 = {t: int(2 * statistics.median(v)) for t, v in devs_by_t.items()}
+
+    got = {r.event_id: r for r in anomaly_mad(spark, SF).collect()}
+    assert set(got) == set(cents)
+    flags = defaultdict(set)
+    for e, (t, c) in cents.items():
+        r = got[e]
+        assert (r.event_type, r.cents, r.dev2, r.mad2) == (
+            t, c, dev2[e], mad2[t],
+        ), e
+        assert r.is_anomaly == int(2 * dev2[e] > MAD_K2 * mad2[t])
+        flags[t].add(r.is_anomaly)
+    assert all({0, 1} <= f for f in flags.values())  # both verdicts per type

@@ -774,6 +774,39 @@ def main() -> int:
         f"Exchanges={n_ex}; bounded Generate; partial agg; no join",
     )
 
+    # 18t. gap_fill_calendar: exactly TWO partial-aggregated Exchanges
+    #      — raw events collapse map-side to (user, day) grain before
+    #      the first shuffle, the user-grain map agg rides the second,
+    #      and the calendar explode + running-total window add NONE
+    #      (user partitioning satisfied); no calendar join
+    p = plan_of(QUERIES["gap_fill_calendar"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_partial = len(re.findall(r"partial_count", p))
+    check(
+        "gap_fill_calendar_two_exchanges",
+        n_ex == 2
+        and n_partial >= 1
+        and "Generate" in p
+        and "Window" in p
+        and "Join" not in p
+        and "Python" not in p,
+        f"Exchanges={n_ex} (both above partial aggs); window reuses "
+        "user partitioning; map-carried calendar explode, no join",
+    )
+
+    # 18u. anomaly_mad: two grouped exact percentiles broadcast back;
+    #      deviation + flag are narrow; no window, no python, and the
+    #      median joins are broadcast (type-grain)
+    p = plan_of(QUERIES["anomaly_mad"](spark, sf_dir))
+    check(
+        "anomaly_mad_broadcast_medians",
+        "BroadcastHashJoin" in p
+        and "Window" not in p
+        and "Python" not in p
+        and "CartesianProduct" not in p,
+        "broadcast grouped medians; narrow deviation/flag",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
