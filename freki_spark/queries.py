@@ -2218,6 +2218,196 @@ FROM d JOIN mad USING (event_type)
 """
 
 
+CUSUM_BOOST_NUM, CUSUM_BOOST_DEN = 2, 3  # shift starts at 2/3 of series
+CUSUM_ALARM_MULT = 6  # alarm when S_t > 6·ref (above random-walk noise)
+
+
+def changepoint_cusum(spark, sf_dir):
+    """CUSUM level-shift detection over daily event volumes — the
+    standard drift alarm for ingestion monitoring.  The textbook
+    recursion S_t = max(0, S_{t−1} + (x_t − ref)) looks unexpressible
+    in SQL, but has the closed form S_t = C_t − min(0, min_{k≤t} C_k)
+    with C = cumsum(x − ref): one running sum + one running min, both
+    integer-exact windows — no recursion, no UDF.  The 0 term is the
+    EMPTY prefix (C_0): without it a series whose C never dips below
+    zero under-reports S by its own running minimum (caught by the
+    pytest that checks the identity against the literal recursion).
+
+    Scale shape: the corpus collapses map-side to (type, day) grain
+    in ONE partial-aggregated Exchange — the heavy pass — and every
+    window after that runs over telemetry-sized data (days × types
+    rows), where partition-count concerns don't apply; the per-type
+    reference mean rides a broadcast join.  A deterministic level
+    shift is injected into 'click' from 2/3 of the series (the fixture is stationary; the detector is generic and
+    synthesis-blind) so both alarm polarities occur."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("_n0")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    idx = F.row_number().over(wd)
+    daily = daily.select(
+        "event_type", "day", "_n0", idx.alias("_i")
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.expr("sum(_n0) div count(*)").alias("_ref"),
+        F.count("*").alias("_nd"),
+    )
+    boost_from = F.expr(
+        f"({CUSUM_BOOST_NUM} * _nd) div {CUSUM_BOOST_DEN}"
+    )
+    boosted = daily.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "day",
+        "_i",
+        "_ref",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("_i") >= boost_from),
+            F.col("_n0") + 2 * F.col("_ref"),
+        )
+        .otherwise(F.col("_n0"))
+        .alias("n"),
+    )
+    run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.sum(F.col("n") - F.col("_ref")).over(run)
+    b = boosted.select(
+        "event_type", "day", "n", "_ref", c.alias("_c")
+    )
+    m = F.least(F.lit(0).cast("bigint"), F.min("_c").over(run))
+    s = b.select(
+        "event_type", "day", "n",
+        (F.col("_c") - m).cast("bigint").alias("cusum"),
+        "_ref",
+    )
+    return s.select(
+        "event_type",
+        "day",
+        "n",
+        "cusum",
+        (F.col("cusum") > CUSUM_ALARM_MULT * F.col("_ref"))
+        .cast("int")
+        .alias("is_alarm"),
+    )
+
+
+SQL_CHANGEPOINT_CUSUM = f"""
+WITH e AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n0
+  FROM e GROUP BY 1, 2
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+ref AS (
+  SELECT event_type, sum(n0) // count(*) AS ref, count(*) AS nd
+  FROM daily GROUP BY 1
+),
+boosted AS (
+  SELECT idx.event_type, idx.day,
+         CASE WHEN idx.event_type = 'click'
+                AND idx.i >= ({CUSUM_BOOST_NUM} * ref.nd) // {CUSUM_BOOST_DEN}
+              THEN idx.n0 + 2 * ref.ref ELSE idx.n0 END AS n,
+         ref.ref
+  FROM idx JOIN ref USING (event_type)
+),
+c AS (
+  SELECT *, sum(n - ref) OVER w AS cs
+  FROM boosted
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT event_type, day, n,
+         CAST(cs - least(0, min(cs) OVER w) AS BIGINT) AS cusum, ref
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, n, cusum,
+       CASE WHEN cusum > {CUSUM_ALARM_MULT} * ref THEN 1 ELSE 0 END
+         AS is_alarm
+FROM s
+"""
+
+
+COOC_CAP = 20  # max distinct items per user entering the pairing
+
+
+def item_cooccurrence(spark, sf_dir):
+    """Item-item co-engagement counts (the recommender / related-
+    content building block): project the user×item bipartite graph
+    onto item pairs — two items co-occur once per user that touched
+    both.  Items come from the event's JSON props.
+
+    The quadratic trap: pairing within a user is O(items²), so a
+    crawler-bot user with 10^5 items would emit 10^10 pairs.  Every
+    user's contribution is therefore CAPPED at COOC_CAP distinct
+    items — md5-ranked so the kept subset is deterministic and
+    unbiased — via a rank predicate that triggers WindowGroupLimit
+    pushdown (each map task pre-prunes to its local top-K before the
+    Exchange, the crawl_frontier precedent).  Pair grain then bounds
+    at K²/2 per user.
+
+    Scale shape: distinct (user, item) partial-aggregates; the cap
+    window is user-grain; the pair self-join is a user-keyed
+    equi-join of capped sides; the final (a, b) rollup map-side
+    combines.  No all-pairs product (plan-audited)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    ui = e.distinct()
+    wr = Window.partitionBy("user_id").orderBy(
+        md5i32(
+            F.concat_ws(":", F.col("user_id").cast("string"),
+                        F.col("item").cast("string"))
+        ),
+        "item",
+    )
+    capped = (
+        ui.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= COOC_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("a"))
+    b = capped.select("user_id", F.col("item").alias("b"))
+    pairs = a.join(b, "user_id").filter(F.col("a") < F.col("b"))
+    return pairs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+SQL_ITEM_COOCCURRENCE = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events
+),
+ranked AS (
+  SELECT user_id, item,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY {DUCK_MD5I32.format(
+               x="CAST(user_id AS VARCHAR) || ':' || CAST(item AS VARCHAR)")},
+                    item) AS r
+  FROM ui
+),
+capped AS (SELECT user_id, item FROM ranked WHERE r <= {COOC_CAP})
+SELECT a.item AS a, b.item AS b, CAST(count(*) AS BIGINT) AS n_users
+FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -2359,6 +2549,8 @@ QUERIES = {
     "attribution_last_touch": attribution_last_touch,
     "gap_fill_calendar": gap_fill_calendar,
     "anomaly_mad": anomaly_mad,
+    "changepoint_cusum": changepoint_cusum,
+    "item_cooccurrence": item_cooccurrence,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -2430,6 +2622,8 @@ ORACLE_SQL = {
     "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
     "gap_fill_calendar": SQL_GAP_FILL_CALENDAR,
     "anomaly_mad": SQL_ANOMALY_MAD,
+    "changepoint_cusum": SQL_CHANGEPOINT_CUSUM,
+    "item_cooccurrence": SQL_ITEM_COOCCURRENCE,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -2540,6 +2734,7 @@ _PRIORITY = [
     "cdc_chunks", "slop_filter", "mrl_recall", "merge_upsert",
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",
     "path_rollup", "gap_fill_calendar", "anomaly_mad",
+    "changepoint_cusum", "item_cooccurrence",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

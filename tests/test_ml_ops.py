@@ -5541,3 +5541,96 @@ def test_anomaly_mad_matches_naive_python(spark):
         assert r.is_anomaly == int(2 * dev2[e] > MAD_K2 * mad2[t])
         flags[t].add(r.is_anomaly)
     assert all({0, 1} <= f for f in flags.values())  # both verdicts per type
+
+
+def test_changepoint_cusum_matches_naive_python(spark):
+    """Brute-force recompute of the CUSUM closed form against the
+    textbook RECURSION S_t = max(0, S_{t-1} + (x_t - ref)) — proving
+    the prefix-min identity, not just mirroring the window math —
+    plus detection pins: the boosted type alarms only at/after its
+    injected changepoint, stationary types never alarm."""
+    from collections import Counter, defaultdict
+
+    from freki_spark.queries import (
+        CUSUM_ALARM_MULT,
+        CUSUM_BOOST_DEN,
+        CUSUM_BOOST_NUM,
+        changepoint_cusum,
+    )
+
+    daily = defaultdict(Counter)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "ts")
+        .collect()
+    ):
+        d = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days
+        daily[r.event_type][d] += 1
+
+    exp = {}
+    alarm_days = defaultdict(list)
+    for t, cnt in daily.items():
+        days = sorted(cnt)
+        ref = sum(cnt.values()) // len(days)
+        bf = (CUSUM_BOOST_NUM * len(days)) // CUSUM_BOOST_DEN
+        s = 0
+        for i, d in enumerate(days, 1):
+            n = cnt[d]
+            if t == "click" and i >= bf:
+                n += 2 * ref
+            s = max(0, s + (n - ref))  # the RECURSION, not the identity
+            alarm = int(s > CUSUM_ALARM_MULT * ref)
+            exp[(t, d)] = (n, s, alarm)
+            if alarm:
+                alarm_days[t].append(i)
+
+    got = {
+        (r.event_type, r.day): (r.n, r.cusum, r.is_alarm)
+        for r in changepoint_cusum(spark, SF).collect()
+    }
+    assert got == exp
+    # detection story: only the boosted type alarms, and only at or
+    # after its injected changepoint
+    assert set(alarm_days) == {"click"}
+    bf_click = (CUSUM_BOOST_NUM * len(daily["click"])) // CUSUM_BOOST_DEN
+    assert min(alarm_days["click"]) >= bf_click
+    assert len(alarm_days["click"]) >= 3
+
+
+def test_item_cooccurrence_matches_naive_python(spark):
+    """Brute-force recompute of the capped bipartite projection:
+    md5-ranked per-user item cap, within-user pair generation, pair
+    counts — exact match, with the cap genuinely binding for at least
+    one user (the quadratic-bound mechanism is live)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from freki_spark.queries import COOC_CAP, item_cooccurrence
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    import json
+
+    items = defaultdict(set)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "props")
+        .collect()
+    ):
+        items[r.user_id].add(int(json.loads(r.props)["k"]))
+
+    pairs = Counter()
+    capped_any = False
+    for u, its in items.items():
+        ranked = sorted(its, key=lambda i: (h32(f"{u}:{i}"), i))[:COOC_CAP]
+        capped_any = capped_any or len(its) > COOC_CAP
+        ranked = sorted(ranked)
+        for x in range(len(ranked)):
+            for y in range(x + 1, len(ranked)):
+                pairs[(ranked[x], ranked[y])] += 1
+
+    got = {(r.a, r.b): r.n_users for r in item_cooccurrence(spark, SF).collect()}
+    assert got == dict(pairs)
+    assert capped_any  # the contribution bound is exercised
+    assert max(pairs.values()) >= 2  # real co-engagement signal

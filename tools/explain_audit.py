@@ -807,6 +807,36 @@ def main() -> int:
         "broadcast grouped medians; narrow deviation/flag",
     )
 
+    # 18v. changepoint_cusum: the corpus collapses map-side to
+    #      (type, day) grain in ONE partial-aggregated Exchange; the
+    #      CUSUM windows run over telemetry-sized data and the ref
+    #      join is broadcast
+    p = plan_of(QUERIES["changepoint_cusum"](spark, sf_dir))
+    n_partial = len(re.findall(r"partial_count", p))
+    check(
+        "changepoint_cusum_partial_first",
+        n_partial >= 1
+        and "BroadcastHashJoin" in p
+        and "Python" not in p
+        and "CartesianProduct" not in p,
+        "partial agg before shuffle; broadcast ref; windows post-agg",
+    )
+
+    # 18w. item_cooccurrence: the per-user cap rank predicate pushes
+    #      WindowGroupLimit below the Exchange (bots bounded map-side
+    #      — the crawl_frontier precedent), the pairing is a user-
+    #      keyed equi-join of capped sides, and the pair rollup
+    #      partial-aggregates; no all-pairs product
+    p = plan_of(QUERIES["item_cooccurrence"](spark, sf_dir))
+    check(
+        "item_cooccurrence_capped",
+        "WindowGroupLimit" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        "WindowGroupLimit cap; user-keyed equi-join pairing",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
