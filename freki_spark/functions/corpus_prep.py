@@ -3322,6 +3322,86 @@ FROM x GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# vocab_dense_ids — dictionary encoding at vocabulary scale: assign
+# every distinct token a DENSE id 0..V−1 (embedding tables index by
+# dense ids; feature hashing trades collisions for this exact step).
+# The naive dense-id assignment is row_number() over one global
+# ordering — a single-partition sort bottleneck at 10^8-token
+# vocabularies.  This op is the TWO-PASS SHARD REBASE instead (the
+# pipeline.py salted-renumber / q_compact_plan pattern at vocabulary
+# grain): tokens shard by md5 bucket, rank within their bucket
+# (VOCAB_BUCKETS-way parallel), bucket sizes roll up to a tiny table
+# whose running sum gives each bucket's base offset, and
+# id = base(bucket) + rank − 1.  Ids are provably a permutation of
+# 0..V−1 (pytest-pinned).
+#
+# Scale shape (10^8 vocab): ONE vocab-grain Exchange for the counts,
+# per-bucket ranking windows (parallelism = VOCAB_BUCKETS — a dial,
+# 16 here, thousands at scale), a VOCAB_BUCKETS-row base table
+# computed with a single-partition window over TELEMETRY-sized data
+# and broadcast back.  Within-bucket order is (count desc, token) —
+# deterministic, and frequent tokens get small ids within their
+# bucket (cache-friendly for embedding rows).
+# --------------------------------------------------------------------------
+
+VOCAB_BUCKETS = 16
+
+
+def vocab_dense_ids(spark, sf_dir):
+    t = _docs(spark, sf_dir).select(
+        F.explode(toks(F.col("text"))).alias("token")
+    )
+    cnt = t.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    cnt = cnt.withColumn(
+        "bucket", (md5i32(F.col("token")) % VOCAB_BUCKETS).cast("int")
+    )
+    wr = Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = cnt.withColumn("_r", F.row_number().over(wr))
+    sizes = cnt.groupBy("bucket").agg(F.count("*").alias("_sz"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("_sz").over(wb), F.lit(0)).alias("_base"),
+    )
+    return ranked.join(F.broadcast(bases), "bucket").select(
+        "token",
+        "cnt",
+        "bucket",
+        (F.col("_base") + F.col("_r") - 1).cast("bigint").alias("vocab_id"),
+    )
+
+
+SQL_VOCAB_DENSE_IDS = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+         CAST({DUCK_MD5I32.format(x='token')} % {VOCAB_BUCKETS} AS INT)
+           AS bucket
+  FROM t GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY bucket ORDER BY cnt DESC, token) AS r
+  FROM cnt
+),
+bases AS (
+  SELECT bucket,
+         coalesce(sum(sz) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS base
+  FROM (SELECT bucket, count(*) AS sz FROM cnt GROUP BY 1)
+)
+SELECT ranked.token, ranked.cnt, ranked.bucket,
+       CAST(bases.base + ranked.r - 1 AS BIGINT) AS vocab_id
+FROM ranked JOIN bases USING (bucket)
+"""
+
+
+# --------------------------------------------------------------------------
 # k_anonymity — privacy-governance telemetry (Sweeney 2002): group the
 # corpus by a quasi-identifier tuple and report each equivalence
 # class's size k and the l-diversity of a sensitive attribute, with
@@ -3417,6 +3497,7 @@ QUERIES = {
     "license_detect": license_detect,
     "token_budget_cap": token_budget_cap,
     "path_rollup": path_rollup,
+    "vocab_dense_ids": vocab_dense_ids,
 }
 
 ORACLE_SQL = {
@@ -3459,4 +3540,5 @@ ORACLE_SQL = {
     "license_detect": SQL_LICENSE_DETECT,
     "token_budget_cap": SQL_TOKEN_BUDGET_CAP,
     "path_rollup": SQL_PATH_ROLLUP,
+    "vocab_dense_ids": SQL_VOCAB_DENSE_IDS,
 }

@@ -279,12 +279,100 @@ LEFT JOIN {prev_a} a ON d.doc_id = a.doc_id
 SQL_HITS = _sql_hits()
 
 
+# --------------------------------------------------------------------------
+# two_hop_reach — friend-of-friend expansion over the deterministic
+# doc-id link graph: per node, how many NEW pages become reachable at
+# exactly two hops (2-hop neighbors that are not the node itself and
+# not already direct out-links).  Crawl scheduling uses this as the
+# frontier-growth signal; recommenders as the candidate pool size.
+# Same `_targets_expr` graph as pagerank/HITS — the three signals can
+# never disagree about the edges.
+#
+# Scale shape (10^12 edges): the 2-hop expansion is edges ⋈ edges on
+# (dst = src) — per-node fan-out bounded by out_deg² (≤ FANOUT² = 9
+# here; real graphs cap the join's hot side the item_cooccurrence
+# way), then a distinct (src, v) partial dedup, a LEFT ANTI join
+# against the 1-hop set (the "not already a neighbor" subtraction),
+# and one src-grain rollup.  Left joins keep zero-reach nodes.
+# --------------------------------------------------------------------------
+
+
+def two_hop_reach(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    e2 = edges.select(F.col("src").alias("_mid"), F.col("dst").alias("v"))
+    two = (
+        edges.join(e2, edges.dst == e2._mid)
+        .select("src", "v")
+        .filter(F.col("v") != F.col("src"))
+        .distinct()
+    )
+    fresh = two.join(
+        edges.select(F.col("src"), F.col("dst").alias("v")),
+        ["src", "v"],
+        "left_anti",
+    )
+    deg1 = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_1hop")
+    )
+    deg2 = fresh.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_2hop")
+    )
+    return (
+        d.join(deg1, d.doc_id == deg1.src, "left")
+        .drop("src")
+        .join(deg2, d.doc_id == deg2.src, "left")
+        .drop("src")
+        .select(
+            "doc_id",
+            F.coalesce("n_1hop", F.lit(0).cast("bigint")).alias("n_1hop"),
+            F.coalesce("n_2hop", F.lit(0).cast("bigint")).alias("n_2hop"),
+        )
+    )
+
+
+SQL_TWO_HOP_REACH = f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+two AS (
+  SELECT DISTINCT e1.src, e2.dst AS v
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src
+),
+fresh AS (
+  SELECT two.src, two.v
+  FROM two ANTI JOIN e ON two.src = e.src AND two.v = e.dst
+),
+deg1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_1hop FROM e GROUP BY 1),
+deg2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n_2hop FROM fresh GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(deg1.n_1hop, 0) AS n_1hop,
+       coalesce(deg2.n_2hop, 0) AS n_2hop
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN deg1 ON d.doc_id = deg1.src
+LEFT JOIN deg2 ON d.doc_id = deg2.src
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "hits_scores": hits_scores,
+    "two_hop_reach": two_hop_reach,
 }
 
 ORACLE_SQL = {
     "pagerank_iter": SQL_PAGERANK,
     "hits_scores": SQL_HITS,
+    "two_hop_reach": SQL_TWO_HOP_REACH,
 }

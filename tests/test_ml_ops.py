@@ -5634,3 +5634,87 @@ def test_item_cooccurrence_matches_naive_python(spark):
     assert got == dict(pairs)
     assert capped_any  # the contribution bound is exercised
     assert max(pairs.values()) >= 2  # real co-engagement signal
+
+
+def test_vocab_dense_ids_matches_naive_python_and_is_permutation(spark):
+    """Brute-force recompute of the two-pass shard rebase (bucket by
+    md5, rank by (count desc, token), base = running bucket sizes) —
+    and THE invariant that makes dictionary encoding usable: the ids
+    are exactly a permutation of 0..V−1, dense and collision-free."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from freki_spark.functions.corpus_prep import (
+        VOCAB_BUCKETS,
+        vocab_dense_ids,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    cnt = Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect():
+        cnt.update(r.text.split(" "))
+    by_bucket = defaultdict(list)
+    for tok, c in cnt.items():
+        by_bucket[h32(tok) % VOCAB_BUCKETS].append((tok, c))
+    exp = {}
+    base = 0
+    for b in sorted(by_bucket):
+        toks_sorted = sorted(by_bucket[b], key=lambda tc: (-tc[1], tc[0]))
+        for i, (tok, c) in enumerate(toks_sorted):
+            exp[tok] = (c, b, base + i)
+        base += len(toks_sorted)
+
+    got = {
+        r.token: (r.cnt, r.bucket, r.vocab_id)
+        for r in vocab_dense_ids(spark, SF).collect()
+    }
+    assert got == exp
+    ids = sorted(v for _c, _b, v in got.values())
+    assert ids == list(range(len(got)))  # dense permutation 0..V-1
+    assert len(by_bucket) >= 2  # the shard rebase actually sharded
+
+
+def test_two_hop_reach_matches_naive_python(spark):
+    """Brute-force recompute of the friend-of-friend expansion on the
+    shared md5 link graph: 2-hop neighbors minus self minus direct
+    out-links, with zero-reach nodes preserved."""
+    import hashlib
+
+    from freki_spark.functions.graph import PR_FANOUT, two_hop_reach
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    out = {
+        d: [
+            t
+            for t in dict.fromkeys(
+                h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+            )
+            if t != d
+        ]
+        for d in docs
+    }
+    exp = {}
+    for d in docs:
+        two = set()
+        for mid in out[d]:
+            two.update(out.get(mid, ()))
+        fresh = two - {d} - set(out[d])
+        exp[d] = (len(out[d]), len(fresh))
+
+    got = {
+        r.doc_id: (r.n_1hop, r.n_2hop)
+        for r in two_hop_reach(spark, SF).collect()
+    }
+    assert got == exp
+    assert any(v[1] > 0 for v in exp.values())

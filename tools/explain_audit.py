@@ -837,6 +837,34 @@ def main() -> int:
         "WindowGroupLimit cap; user-keyed equi-join pairing",
     )
 
+    # 18x. vocab_dense_ids: the two-pass shard rebase — per-bucket
+    #      ranking windows (bucket key, never global), the tiny base
+    #      table broadcast back, no single-partition global sort of
+    #      the vocabulary
+    p = plan_of(QUERIES["vocab_dense_ids"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "vocab_dense_ids_shard_rebase",
+        "bucket" in wins
+        and "BroadcastHashJoin" in p
+        and "Python" not in p
+        and "CartesianProduct" not in p,
+        f"window keys={sorted(wins)}; broadcast bases; no global sort "
+        "of the vocabulary",
+    )
+
+    # 18y. two_hop_reach: degree-bounded equi-join expansion + anti-
+    #      join subtraction + partial-aggregated rollups; no all-pairs
+    #      product, no window, no python
+    p = plan_of(QUERIES["two_hop_reach"](spark, sf_dir))
+    check(
+        "two_hop_reach_equijoin",
+        "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        "equi-join expansion; anti-join subtraction; no window/python",
+    )
+
     # 19. Gopher quality rules: ZERO Exchange — every stat including
     #     the top-unigram count (sorted-run scan, not explode+groupBy)
     #     is a narrow per-row expression
