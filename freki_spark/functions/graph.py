@@ -365,14 +365,155 @@ LEFT JOIN deg2 ON d.doc_id = deg2.src
 """
 
 
+# --------------------------------------------------------------------------
+# triangle_count — per-node triangle counts over the undirected
+# closure of the deterministic doc-id link graph (clustering-
+# coefficient numerator: link farms show dense triangle cores, organic
+# link neighborhoods are sparse — the third graph signal next to
+# PageRank/HITS).  Algorithm = degree-ordered orientation (Suri &
+# Vassilvitskii 2011, "Counting triangles and the curse of the last
+# reducer"): orient every undirected edge from its lower (deg, id)
+# endpoint to its higher, enumerate wedges only at each triangle's
+# LOWEST-key apex, and close them against the oriented edge set.  The
+# orientation is the scale mechanism: a celebrity node with 10^7
+# undirected neighbors has oriented out-degree O(√m), so wedge fan-out
+# is bounded per node and no reducer ever sees the celebrity's full
+# neighborhood² — the naive wedge count dies exactly there.
+#
+# Orientation keys pack as okey(v) = deg(v)·10^9 + v (bigint-exact:
+# needs deg < 9.2e9 and id < 10^9 — both documented headroom at any
+# conceivable sf here).  Every join is an equi-join on node ids; the
+# undirected-closure distinct and both degree rollups partial-
+# aggregate map-side.  Triangles are found once (at the apex) and
+# exploded ×3 to per-corner rows — bounded fan-out.  Zero-triangle
+# nodes survive via the final left join.
+# --------------------------------------------------------------------------
+
+OKEY_SCALE = 1_000_000_000  # okey = deg * 1e9 + id (see headroom note)
+
+
+def triangle_count(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    dega = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    degb = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = (
+        und.join(dega, "a")
+        .join(degb, "b")
+        .select(
+            "a", "b",
+            (F.col("deg_a") * OKEY_SCALE + F.col("a")).alias("ka"),
+            (F.col("deg_b") * OKEY_SCALE + F.col("b")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b"))
+        .alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a"))
+        .alias("v"),
+        F.least("ka", "kb").alias("ku"),
+        F.greatest("ka", "kb").alias("kv"),
+    )
+    o1 = oriented.select("u", "v", "kv")
+    o2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")
+    )
+    wedges = (
+        o1.join(o2, o1.u == o2.u2)
+        .filter(F.col("kv") < F.col("kw"))
+        .select("u", "v", "w")
+    )
+    closer = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tris = wedges.join(closer, ["v", "w"])  # oriented v→w edge exists
+    corners = tris.select(
+        F.explode(F.array("u", "v", "w")).alias("doc_id")
+    ).groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tri"))
+    degd = deg.select(F.col("v").alias("doc_id"), F.col("deg"))
+    return (
+        d.join(degd, "doc_id", "left")
+        .join(corners, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0).cast("bigint")).alias("deg"),
+            F.coalesce("n_tri", F.lit(0).cast("bigint")).alias("n_tri"),
+        )
+    )
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT unnest([a, b]) AS v FROM und) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+         CASE WHEN ka < kb THEN b ELSE a END AS v,
+         least(ka, kb) AS ku, greatest(ka, kb) AS kv
+  FROM (SELECT und.a, und.b,
+               da.deg * {OKEY_SCALE} + und.a AS ka,
+               db.deg * {OKEY_SCALE} + und.b AS kb
+        FROM und
+        JOIN deg da ON da.v = und.a
+        JOIN deg db ON db.v = und.b)
+),
+wedges AS (
+  SELECT o1.u, o1.v, o2.v AS w
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+  WHERE o1.kv < o2.kv
+),
+tris AS (
+  SELECT wedges.u, wedges.v, wedges.w
+  FROM wedges JOIN oriented c ON c.u = wedges.v AND c.v = wedges.w
+),
+corners AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([u, v, w]) AS doc_id FROM tris) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(deg.deg, 0) AS deg,
+       coalesce(corners.n_tri, 0) AS n_tri
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN deg ON d.doc_id = deg.v
+LEFT JOIN corners ON d.doc_id = corners.doc_id
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "hits_scores": hits_scores,
     "two_hop_reach": two_hop_reach,
+    "triangle_count": triangle_count,
 }
 
 ORACLE_SQL = {
     "pagerank_iter": SQL_PAGERANK,
     "hits_scores": SQL_HITS,
     "two_hop_reach": SQL_TWO_HOP_REACH,
+    "triangle_count": SQL_TRIANGLE_COUNT,
 }

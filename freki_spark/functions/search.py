@@ -495,12 +495,135 @@ WHERE rk <= {HYBRID_TOPK}
 SQL_HYBRID_RRF = _sql_hybrid_rrf()
 
 
+# --------------------------------------------------------------------------
+# phrase_query — exact phrase retrieval over a POSITIONAL inverted
+# index (Manning/Raghavan/Schütze IR ch. 2): the retrieval primitive
+# bag-of-words indexes cannot answer ("new york times" ≠ {new, york,
+# times}).  Production decontamination audits and filter forensics
+# need it — "which training docs contain this exact benchmark
+# sentence" is a phrase query, not a term query.  The positional
+# postings relation is (term, doc_id, pos); a k-term phrase executes
+# as k−1 ADJACENCY self-joins keyed on (doc_id, pos+i) — the classic
+# positional-intersection algorithm, expressed as equi-joins Catalyst
+# hash-partitions on (doc_id, pos).
+#
+# Workload: deterministic 3-term phrases mined from the corpus itself —
+# trigrams (with multiplicity) at global-frequency ranks
+# PHRASE_START..PHRASE_START+N_PHRASES−1 (the bm25 mid-frequency
+# workload convention), restricted to true 3-word trigrams (short-doc
+# degenerates drop out).
+#
+# Scale shape (100 TB): the positional explode is a flat map; the
+# workload is a distributed top-k (TakeOrderedAndProject) broadcast
+# into the postings scan so only matching postings survive; both
+# adjacency joins are equi-joins on (doc_id, position) — under the
+# io.py doc_id bucketing convention the index is co-partitioned and
+# the joins are shuffle-free; the final rollup partial-aggregates to
+# (phrase, doc) grain.  No window touches corpus-grain rows.
+# --------------------------------------------------------------------------
+
+PHRASE_START = 3  # skip the 2 most frequent trigrams (stopword-like)
+N_PHRASES = 4
+
+
+def phrase_query(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", toks(F.col("text")).alias("_tk"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_tk") - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("_tk", i, 3)),
+    )
+    cnt = (
+        d.select(F.explode(tri).alias("phrase"))
+        .filter(F.size(F.split(F.col("phrase"), " ")) == 3)
+        .groupBy("phrase")
+        .agg(F.count("*").alias("c"))
+    )
+    gw = Window.orderBy(F.desc("c"), F.asc("phrase"))  # ≤6-row relation
+    wl = (
+        cnt.orderBy(F.desc("c"), F.asc("phrase"))
+        .limit(PHRASE_START + N_PHRASES - 1)
+        .withColumn("gr", F.row_number().over(gw))
+        .filter(F.col("gr") >= PHRASE_START)
+        .select(
+            (F.col("gr") - PHRASE_START + 1).cast("int").alias("phrase_id"),
+            "phrase",
+            F.split(F.col("phrase"), " ")[0].alias("t1"),
+            F.split(F.col("phrase"), " ")[1].alias("t2"),
+            F.split(F.col("phrase"), " ")[2].alias("t3"),
+        )
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("_tk").alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "term")
+    p1 = pos.join(F.broadcast(wl), pos.term == wl.t1).select(
+        "phrase_id", "phrase", "doc_id", "pos", "t2", "t3"
+    )
+    p2 = pos.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("q2"),
+        F.col("term").alias("w2"),
+    )
+    m2 = p1.join(
+        p2,
+        (p1.doc_id == p2.d2) & (p1.pos + 1 == p2.q2) & (p1.t2 == p2.w2),
+    ).select("phrase_id", "phrase", "doc_id", "pos", "t3")
+    p3 = pos.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("q3"),
+        F.col("term").alias("w3"),
+    )
+    m3 = m2.join(
+        p3,
+        (m2.doc_id == p3.d3) & (m2.pos + 2 == p3.q3) & (m2.t3 == p3.w3),
+    ).select("phrase_id", "phrase", "doc_id", "pos")
+    return m3.groupBy("phrase_id", "phrase", "doc_id").agg(
+        F.count("*").alias("n_occur"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )
+
+
+SQL_PHRASE_QUERY = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tri AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' '))) AS phrase
+  FROM d),
+cnt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS c
+        FROM tri
+        WHERE len(string_split(phrase, ' ')) = 3
+        GROUP BY phrase),
+wl AS (
+  SELECT CAST(gr - {PHRASE_START} + 1 AS INT) AS phrase_id, phrase,
+         string_split(phrase, ' ')[1] AS t1,
+         string_split(phrase, ' ')[2] AS t2,
+         string_split(phrase, ' ')[3] AS t3
+  FROM (SELECT phrase, row_number() OVER (ORDER BY c DESC, phrase) AS gr
+        FROM cnt)
+  WHERE gr BETWEEN {PHRASE_START} AND {PHRASE_START + N_PHRASES - 1}),
+pos AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos,
+               unnest(tk) AS term
+        FROM d),
+m AS (
+  SELECT wl.phrase_id, wl.phrase, p1.doc_id, p1.pos
+  FROM pos p1
+  JOIN wl ON p1.term = wl.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+             AND p2.term = wl.t2
+  JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+             AND p3.term = wl.t3)
+SELECT phrase_id, phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_occur,
+       CAST(min(pos) AS INT) AS first_pos
+FROM m GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "inverted_postings": inverted_postings,
     "bm25_topk": bm25_topk,
     "hard_negatives": hard_negatives,
     "heavy_hitters_cms": heavy_hitters_cms,
     "hybrid_rrf": hybrid_rrf,
+    "phrase_query": phrase_query,
 }
 
 ORACLE_SQL = {
@@ -509,4 +632,5 @@ ORACLE_SQL = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "phrase_query": SQL_PHRASE_QUERY,
 }

@@ -2735,7 +2735,7 @@ _PRIORITY = [
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",
     "path_rollup", "gap_fill_calendar", "anomaly_mad",
     "changepoint_cusum", "item_cooccurrence", "vocab_dense_ids",
-    "two_hop_reach",
+    "two_hop_reach", "phrase_query", "triangle_count",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

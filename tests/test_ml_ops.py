@@ -5718,3 +5718,111 @@ def test_two_hop_reach_matches_naive_python(spark):
     }
     assert got == exp
     assert any(v[1] > 0 for v in exp.values())
+
+
+def test_phrase_query_matches_naive_scan(spark):
+    """The positional-index phrase execution must equal a plain python
+    scan for consecutive-token matches of the same mined workload, and
+    the fixture must actually exercise multi-occurrence docs."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.search import (
+        N_PHRASES,
+        PHRASE_START,
+        phrase_query,
+    )
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    cnt = Counter()
+    for t in texts.values():
+        tk = t.split(" ")
+        for i in range(max(len(tk) - 2, 1)):
+            tri = " ".join(tk[i : i + 3])
+            if len(tri.split(" ")) == 3:
+                cnt[tri] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    workload = {
+        " ".join(p.split(" ")): pid + 1
+        for pid, (p, _) in enumerate(
+            ranked[PHRASE_START - 1 : PHRASE_START + N_PHRASES - 1]
+        )
+    }
+    want = {}
+    for doc_id, t in texts.items():
+        tk = t.split(" ")
+        for phrase, pid in workload.items():
+            w = phrase.split(" ")
+            hits = [
+                i + 1
+                for i in range(len(tk) - 2)
+                if tk[i : i + 3] == w
+            ]
+            if hits:
+                want[(pid, phrase, doc_id)] = (len(hits), min(hits))
+    got = {
+        (r.phrase_id, r.phrase, r.doc_id): (r.n_occur, r.first_pos)
+        for r in phrase_query(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # the adjacency joins must handle >1 occurrence in one doc
+    assert any(n > 1 for (n, _) in want.values()) or len(want) >= N_PHRASES
+
+
+def test_triangle_count_matches_naive_python(spark):
+    """Per-node triangle counts must equal a brute-force python
+    recompute over the same md5 link graph, the corner explode must
+    triple-count exactly (sum % 3 == 0), and the fixture graph must
+    contain real triangles."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.graph import PR_FANOUT, triangle_count
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    n = len(ids)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nbr = defaultdict(set)
+    for v in ids:
+        ts = []
+        for k in range(1, PR_FANOUT + 1):
+            t = h32(f"{v}:{k}") % n
+            if t != v and t not in ts:
+                ts.append(t)
+        for t in ts:
+            nbr[v].add(t)
+            nbr[t].add(v)
+    tri = defaultdict(int)
+    seen_edges = {
+        (min(a, b), max(a, b)) for a in nbr for b in nbr[a]
+    }
+    for a, b in seen_edges:
+        for c in nbr[a] & nbr[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    want = {v: tri.get(v, 0) // 3 for v in ids}
+    deg_want = {v: len(nbr.get(v, ())) for v in ids}
+    rows = triangle_count(spark, SF).collect()
+    got = {r.doc_id: r.n_tri for r in rows}
+    assert got == want
+    assert {r.doc_id: r.deg for r in rows} == deg_want
+    total = sum(got.values())
+    assert total % 3 == 0
+    assert total > 0  # the fixture graph really has triangles

@@ -1640,6 +1640,34 @@ def main() -> int:
         "distributed top-K via TakeOrderedAndProject",
     )
 
+    # 60. phrase_query: the workload broadcasts into the postings scan
+    #     (BroadcastHashJoin) and both positional-adjacency joins are
+    #     EQUI-joins on (doc_id, pos±i) — a term-condition regression
+    #     that degrades them to a nested-loop product dies here
+    p = plan_of(QUERIES["phrase_query"](spark, sf_dir))
+    check(
+        "phrase_query_equi_adjacency",
+        "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        "broadcast workload + equi adjacency joins, no all-pairs/python",
+    )
+
+    # 61. triangle_count: the orientation/wedge/closure chain is
+    #     equi-joins only (the 1-row node-count literal is the lone
+    #     broadcast-loop allowed), degree rollups partial-agg
+    #     map-side, no Window anywhere
+    p = plan_of(QUERIES["triangle_count"](spark, sf_dir))
+    check(
+        "triangle_count_oriented_joins",
+        "partial_count" in p
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        "equi-join wedge/closure chain, partial-agg degrees, no Window",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
