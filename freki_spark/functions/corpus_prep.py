@@ -3457,7 +3457,108 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# skyline_pareto — the Pareto frontier (skyline) over two integer doc
+# metrics (Börzsönyi et al. 2001, "The Skyline Operator"): the multi-
+# objective data-selection primitive — "the docs no other doc beats on
+# BOTH length and lexical diversity" is the natural shortlist when two
+# quality axes trade off and no scalar weighting is agreed yet.
+# Metrics: n_tok (maximize — training-token mass) and div_ppm =
+# distinct-token ratio in exact ppm (maximize — vocabulary richness);
+# naturally anti-correlated, so the frontier is non-trivial.
+# Dominance is STRICT (≥ on both, > on at least one): exact (x, y)
+# ties are mutually non-dominating and all survive.
+#
+# Algorithm = the distributed two-pass: (1) per-md5-bucket LOCAL
+# skyline — a point is dominated iff max(y over x' > x) ≥ y (a RANGE
+# window frame keyed on x) or max(y over x-ties) > y; (2) the tiny
+# union of local survivors (any global-frontier point is locally
+# non-dominated, so pass 1 never loses an answer) gets the SAME filter
+# globally.  The global window is partition-less by design — it runs
+# over candidate-grain rows only (Σ local frontiers, ~O(buckets·log n)
+# expected), never the corpus; bucket count is the pass-1 parallelism
+# dial.  All comparisons integer-exact (_ppm_exact staging).
+# --------------------------------------------------------------------------
+
+SKY_BUCKETS = 8
+
+
+def _sky_metrics(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    )
+    return d.select(
+        "doc_id",
+        F.size("_tk").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("_tk")).cast("bigint").alias("_nd"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.expr(_ppm_exact("_nd", "n_tok", "div")).cast("bigint")
+        .alias("div_ppm"),
+        (md5i32(F.col("doc_id").cast("string")) % SKY_BUCKETS).alias("_bk"),
+    )
+
+
+def _sky_filter(df, part_cols):
+    wgt = (
+        Window.partitionBy(*part_cols).orderBy(F.asc("n_tok"))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    weq = Window.partitionBy(*part_cols, "n_tok")
+    return (
+        df.withColumn("_mgt", F.max("div_ppm").over(wgt))
+        .withColumn("_meq", F.max("div_ppm").over(weq))
+        .filter(
+            (F.col("_mgt").isNull() | (F.col("_mgt") < F.col("div_ppm")))
+            & (F.col("_meq") == F.col("div_ppm"))
+        )
+        .drop("_mgt", "_meq")
+    )
+
+
+def skyline_pareto(spark, sf_dir):
+    m = _sky_metrics(spark, sf_dir)
+    cand = _sky_filter(m, ["_bk"]).select("doc_id", "n_tok", "div_ppm")
+    return _sky_filter(cand, []).select("doc_id", "n_tok", "div_ppm")
+
+
+def _sql_skyline() -> str:
+    bk = DUCK_MD5I32.format(x="CAST(doc_id AS VARCHAR)")
+    sky_pred = "(mgt IS NULL OR mgt < div_ppm) AND meq = div_ppm"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+m0 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+       FROM d),
+m AS (SELECT doc_id, n_tok,
+             CAST({_ppm_exact('nd', 'n_tok', '//')} AS BIGINT) AS div_ppm,
+             {bk} % {SKY_BUCKETS} AS bk
+      FROM m0),
+loc AS (
+  SELECT *,
+         max(div_ppm) OVER (PARTITION BY bk ORDER BY n_tok
+                            RANGE BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING) AS mgt,
+         max(div_ppm) OVER (PARTITION BY bk, n_tok) AS meq
+  FROM m),
+cand AS (SELECT doc_id, n_tok, div_ppm FROM loc WHERE {sky_pred}),
+g AS (
+  SELECT *,
+         max(div_ppm) OVER (ORDER BY n_tok
+                            RANGE BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING) AS mgt,
+         max(div_ppm) OVER (PARTITION BY n_tok) AS meq
+  FROM cand)
+SELECT doc_id, n_tok, div_ppm FROM g WHERE {sky_pred}
+"""
+
+
+SQL_SKYLINE_PARETO = _sql_skyline()
+
+
 QUERIES = {
+    "skyline_pareto": skyline_pareto,
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
     "dehyphenate": dehyphenate,
@@ -3501,6 +3602,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "skyline_pareto": SQL_SKYLINE_PARETO,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "decontaminate_ngram": SQL_DECONTAMINATE,

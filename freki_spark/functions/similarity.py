@@ -1369,7 +1369,98 @@ FROM base LEFT JOIN hits ON base.q_id = hits.q_id
 SQL_MRL_RECALL = _sql_mrl()
 
 
+# --------------------------------------------------------------------------
+# cluster_labels — c-TF-IDF distinguishing terms per IVF cluster
+# (Grootendorst 2022, BERTopic's class-based TF-IDF): after clustering
+# the corpus, NAME each cluster by the terms that are frequent inside
+# it but rare across clusters — the topic-labeling step every
+# embedding-clustered curation run needs before a human can decide
+# which clusters to up/down-weight in the pretraining mixture.
+# score(t, c) = tf_c(t) · ln(K / cdf(t)) with cdf = the number of
+# clusters containing t (class-grain idf: a term in every cluster
+# scores 0 and can never label anything).
+#
+# Cross-engine determinism: the ln() score is floored to integer
+# micros per (cluster, term) — written as the token-identical tree
+# floor(ln(K.0 / cdf) * tf * 1000000.0) in both engines (the BM25
+# association rule) — and ties break by term string.
+#
+# Scale shape (100 TB): cluster assignment is ivf_assign's broadcast-
+# argmax narrow map (zero corpus shuffle); the (list_id, term) rollup
+# and the term-grain cdf rollup both partial-aggregate map-side; the
+# cdf join is vocabulary-grain; the ranking window partitions on
+# list_id (cluster cardinality GROWS with the corpus — SemDeDup runs
+# 50k-100k lists — so window parallelism scales) and the rank
+# predicate triggers WindowGroupLimit map-side pruning.
+# --------------------------------------------------------------------------
+
+CLUSTER_LABEL_TOPK = 5
+
+
+def cluster_labels(spark, sf_dir):
+    from .common import toks
+    from .corpus_prep import _docs
+
+    a = ivf_assign(spark, sf_dir).select("vec_id", "list_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    )
+    j = a.join(d, a.vec_id == d.doc_id).select("list_id", "_tk")
+    tf = (
+        j.select("list_id", F.explode("_tk").alias("term"))
+        .groupBy("list_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cdf = tf.groupBy("term").agg(F.count("*").alias("cdf"))
+    scored = tf.join(cdf, "term").select(
+        "list_id",
+        "term",
+        "tf",
+        "cdf",
+        F.floor(
+            F.log(F.lit(float(N_CENTROIDS)) / F.col("cdf"))
+            * F.col("tf")
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= CLUSTER_LABEL_TOPK)
+        .select("list_id", "term", "tf", "cdf", "score_micro", "rk")
+    )
+
+
+SQL_CLUSTER_LABELS = f"""
+WITH {_IVF_CTES},
+d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+jt AS (
+  SELECT a.list_id, unnest(d.tk) AS term
+  FROM assigned a JOIN d ON a.vec_id = d.doc_id
+),
+tf AS (SELECT list_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM jt GROUP BY 1, 2),
+cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf FROM tf GROUP BY 1),
+scored AS (
+  SELECT list_id, term, tf, cdf,
+         CAST(floor(ln({N_CENTROIDS}.0 / cdf) * tf * 1000000.0)
+              AS BIGINT) AS score_micro
+  FROM tf JOIN cdf USING (term)
+)
+SELECT list_id, term, tf, cdf, score_micro, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY list_id
+                                   ORDER BY score_micro DESC, term) AS rk
+      FROM scored)
+WHERE rk <= {CLUSTER_LABEL_TOPK}
+"""
+
+
 QUERIES = {
+    "cluster_labels": cluster_labels,
     "mrl_recall": mrl_recall,
     "bitext_mine": bitext_mine,
     "preference_pairs": preference_pairs,
@@ -1388,6 +1479,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cluster_labels": SQL_CLUSTER_LABELS,
     "mrl_recall": SQL_MRL_RECALL,
     "bitext_mine": SQL_BITEXT_MINE,
     "preference_pairs": SQL_PREFERENCE_PAIRS,

@@ -2736,6 +2736,7 @@ _PRIORITY = [
     "path_rollup", "gap_fill_calendar", "anomaly_mad",
     "changepoint_cusum", "item_cooccurrence", "vocab_dense_ids",
     "two_hop_reach", "phrase_query", "triangle_count",
+    "cluster_labels", "skyline_pareto",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -5826,3 +5826,109 @@ def test_triangle_count_matches_naive_python(spark):
     total = sum(got.values())
     assert total % 3 == 0
     assert total > 0  # the fixture graph really has triangles
+
+
+def test_cluster_labels_matches_python_ctfidf(spark):
+    """c-TF-IDF labels must equal a python recompute over ivf_assign's
+    own (oracle-checked) assignment: per-cluster term counts, cluster
+    df, floor(ln(K/cdf)·tf·1e6) scoring, (-score, term) top-5."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.similarity import (
+        N_CENTROIDS,
+        CLUSTER_LABEL_TOPK,
+        cluster_labels,
+        ivf_assign,
+    )
+
+    assign = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(spark, SF).select("vec_id", "list_id").collect()
+    }
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    tf = defaultdict(Counter)
+    for doc_id, t in texts.items():
+        if doc_id in assign:
+            tf[assign[doc_id]].update(t.split(" "))
+    cdf = Counter()
+    for c in tf.values():
+        for term in c:
+            cdf[term] += 1
+    want = {}
+    for lid, c in tf.items():
+        scored = [
+            (
+                term,
+                n,
+                cdf[term],
+                math.floor(math.log(N_CENTROIDS / cdf[term]) * n * 1e6),
+            )
+            for term, n in c.items()
+        ]
+        scored.sort(key=lambda r: (-r[3], r[0]))
+        for rk, (term, n, df_, s) in enumerate(
+            scored[:CLUSTER_LABEL_TOPK], 1
+        ):
+            want[(lid, term)] = (n, df_, s, rk)
+    got = {
+        (r.list_id, r.term): (r.tf, r.cdf, r.score_micro, r.rk)
+        for r in cluster_labels(spark, SF).collect()
+    }
+    assert got == want
+    # every cluster that has docs gets labels, and a term present in
+    # every cluster scores exactly 0 (ln(K/K)) — the class-idf point
+    assert set(l for l, _ in got) == set(tf)
+    ubiquitous = [t for t, d in cdf.items() if d == len(tf)]
+    if ubiquitous:
+        assert all(
+            s == 0
+            for (lid, t), (_, _, s, _) in want.items()
+            if t in ubiquitous
+        )
+
+
+def test_skyline_pareto_matches_bruteforce(spark):
+    """The two-pass bucketed skyline must equal the O(n²) strict-
+    dominance brute force on the raw metrics — i.e. bucketing must be
+    invisible — and the frontier must contain both axis extremes."""
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import skyline_pareto
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+    def ppm(num, den):
+        return num * 1_000_000 // den
+
+    pts = {}
+    for doc_id, t in rows:
+        tk = t.split(" ")
+        pts[doc_id] = (len(tk), ppm(len(set(tk)), len(tk)))
+    want = set()
+    for d, (x, y) in pts.items():
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for d2, (x2, y2) in pts.items()
+            if d2 != d
+        )
+        if not dominated:
+            want.add((d, x, y))
+    got = {
+        (r.doc_id, r.n_tok, r.div_ppm)
+        for r in skyline_pareto(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) >= 2
+    max_x = max(x for x, _ in pts.values())
+    max_y = max(y for _, y in pts.values())
+    assert any(x == max_x for _, x, _ in got)
+    assert any(y == max_y for _, _, y in got)

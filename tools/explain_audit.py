@@ -1668,6 +1668,34 @@ def main() -> int:
         "equi-join wedge/closure chain, partial-agg degrees, no Window",
     )
 
+    # 62. cluster_labels: the only Window partitions on list_id
+    #     (cluster cardinality scales with the corpus) and the rank
+    #     predicate pushes WindowGroupLimit map-side; assignment stays
+    #     the broadcast-argmax narrow map (no CartesianProduct)
+    p = plan_of(QUERIES["cluster_labels"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "cluster_labels_listid_window",
+        wins <= {"list_id"}
+        and "WindowGroupLimit" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"window keys={sorted(wins)}; WindowGroupLimit pushdown, no python",
+    )
+
+    # 63. skyline_pareto: pass 1 windows on the _bk shard (parallelism
+    #     dial); the partition-less pass-2 window exists but runs over
+    #     candidate-grain survivors only; no join anywhere in the plan
+    p = plan_of(QUERIES["skyline_pareto"](spark, sf_dir))
+    check(
+        "skyline_two_pass",
+        "_bk" in p
+        and "Join" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        "bucketed local skyline + join-free candidate-grain global pass",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
