@@ -2361,6 +2361,13 @@ def item_cooccurrence(spark, sf_dir):
     window is user-grain; the pair self-join is a user-keyed
     equi-join of capped sides; the final (a, b) rollup map-side
     combines.  No all-pairs product (plan-audited)."""
+    return _cooc_pairs(_capped_user_items(spark, sf_dir))
+
+
+def _capped_user_items(spark, sf_dir):
+    """The capped distinct (user_id, item) relation — single-sourced
+    between ``item_cooccurrence`` and ``recommend_topk`` so the two
+    can never disagree about which items a user "has"."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.get_json_object("props", "$.k").cast("int").alias("item"),
@@ -2373,11 +2380,14 @@ def item_cooccurrence(spark, sf_dir):
         ),
         "item",
     )
-    capped = (
+    return (
         ui.withColumn("_r", F.row_number().over(wr))
         .filter(F.col("_r") <= COOC_CAP)
         .select("user_id", "item")
     )
+
+
+def _cooc_pairs(capped):
     a = capped.select("user_id", F.col("item").alias("a"))
     b = capped.select("user_id", F.col("item").alias("b"))
     pairs = a.join(b, "user_id").filter(F.col("a") < F.col("b"))
@@ -2386,8 +2396,9 @@ def item_cooccurrence(spark, sf_dir):
     )
 
 
-SQL_ITEM_COOCCURRENCE = f"""
-WITH ui AS (
+# ui/ranked/capped CTE chain shared verbatim by the item_cooccurrence
+# and recommend_topk oracles (the DUCK_BM25_AGG_CTES convention)
+_DUCK_CAPPED_CTES = f"""ui AS (
   SELECT DISTINCT user_id,
          CAST(json_extract_string(props, '$.k') AS INT) AS item
   FROM events
@@ -2401,10 +2412,108 @@ ranked AS (
                     item) AS r
   FROM ui
 ),
-capped AS (SELECT user_id, item FROM ranked WHERE r <= {COOC_CAP})
+capped AS (SELECT user_id, item FROM ranked WHERE r <= {COOC_CAP})"""
+
+SQL_ITEM_COOCCURRENCE = f"""
+WITH {_DUCK_CAPPED_CTES}
 SELECT a.item AS a, b.item AS b, CAST(count(*) AS BIGINT) AS n_users
 FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
 GROUP BY 1, 2
+"""
+
+
+REC_K = 3
+
+
+def recommend_topk(spark, sf_dir):
+    """Item-based collaborative-filtering recommendations (Sarwar et
+    al. 2001; Amazon's item-to-item CF, Linden et al. 2003) — the
+    SERVING batch job on top of ``item_cooccurrence``: for each user,
+    score every item co-engaged with something the user already has
+    (score = Σ co-occurrence counts over the user's items, n_paths =
+    how many of their items vouch for it), drop items the user
+    already touched (LEFT ANTI), keep the top-{k}.
+
+    Single-sourced with item_cooccurrence: the capped user-item
+    relation is built once (``_capped_user_items``), eagerly
+    localCheckpointed because it feeds THREE consumers — the pair
+    builder, the user side, and the anti-join (the dist_drift rule:
+    without the cut each consumer replans the distinct+cap from the
+    raw event scan).
+
+    Scale shape (10^9 users): the co-occurrence matrix is item-keyed
+    and its row mass is bounded by the COOC_CAP² pair cap; candidate
+    generation is an item-grain equi-join (user's ≤CAP items × each
+    item's co-list); the dedup/rollup partial-aggregates to (user,
+    item) grain; the ranking window is user-grain.  No all-pairs
+    product anywhere (plan-audited)."""
+    capped = _capped_user_items(spark, sf_dir).localCheckpoint()
+    cooc = _cooc_pairs(capped)
+    sym = cooc.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n_users"
+    ).unionByName(
+        cooc.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), "n_users"
+        )
+    )
+    cand = capped.join(sym, capped.item == sym.i).select(
+        "user_id", "j", "n_users"
+    )
+    fresh = cand.join(
+        capped.select("user_id", F.col("item").alias("j")),
+        ["user_id", "j"],
+        "left_anti",
+    )
+    scores = fresh.groupBy("user_id", "j").agg(
+        F.sum("n_users").alias("score"),
+        F.count("*").cast("int").alias("n_paths"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("j")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= REC_K)
+        .select(
+            "user_id", F.col("j").alias("item"), "score", "n_paths", "rk"
+        )
+    )
+
+
+recommend_topk.__doc__ = recommend_topk.__doc__.format(k=REC_K)
+
+
+SQL_RECOMMEND_TOPK = f"""
+WITH {_DUCK_CAPPED_CTES},
+cooc AS (
+  SELECT a.item AS a, b.item AS b, CAST(count(*) AS BIGINT) AS n_users
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT a AS i, b AS j, n_users FROM cooc
+  UNION ALL
+  SELECT b AS i, a AS j, n_users FROM cooc
+),
+cand AS (
+  SELECT c.user_id, s.j, s.n_users
+  FROM capped c JOIN sym s ON c.item = s.i
+),
+fresh AS (
+  SELECT cand.user_id, cand.j, cand.n_users
+  FROM cand ANTI JOIN capped k
+    ON cand.user_id = k.user_id AND cand.j = k.item
+),
+scores AS (
+  SELECT user_id, j AS item, CAST(sum(n_users) AS BIGINT) AS score,
+         CAST(count(*) AS INT) AS n_paths
+  FROM fresh GROUP BY 1, 2
+)
+SELECT user_id, item, score, n_paths, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY score DESC, item) AS rk
+      FROM scores)
+WHERE rk <= {REC_K}
 """
 
 
@@ -2551,6 +2660,7 @@ QUERIES = {
     "anomaly_mad": anomaly_mad,
     "changepoint_cusum": changepoint_cusum,
     "item_cooccurrence": item_cooccurrence,
+    "recommend_topk": recommend_topk,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
 }
@@ -2624,6 +2734,7 @@ ORACLE_SQL = {
     "anomaly_mad": SQL_ANOMALY_MAD,
     "changepoint_cusum": SQL_CHANGEPOINT_CUSUM,
     "item_cooccurrence": SQL_ITEM_COOCCURRENCE,
+    "recommend_topk": SQL_RECOMMEND_TOPK,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
 }
@@ -2736,7 +2847,8 @@ _PRIORITY = [
     "path_rollup", "gap_fill_calendar", "anomaly_mad",
     "changepoint_cusum", "item_cooccurrence", "vocab_dense_ids",
     "two_hop_reach", "phrase_query", "triangle_count",
-    "cluster_labels", "skyline_pareto",
+    "cluster_labels", "skyline_pareto", "recommend_topk",
+    "q_stream_ss_join",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

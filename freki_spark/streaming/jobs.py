@@ -528,7 +528,85 @@ GROUP BY 1, 2
 """
 
 
+def stream_ss_attrib(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    """STREAM-STREAM interval join (the click-attribution shape and
+    the last core Structured Streaming join mode beside the
+    stream-static q_stream_join): views and purchases arrive as two
+    independent watermarked streams; a purchase joins every view by
+    the same user in the preceding hour.  The watermark + the
+    two-sided time bound are what let Spark EVICT join state — without
+    them a stream-stream join buffers both streams forever, the #1
+    production OOM in streaming attribution.  Emitted per-pair in
+    append mode (each pair finalizes once both watermarks pass it);
+    lag is integer seconds (the shared timestamp rule).
+
+    Scale shape (10^12 events): state is hash-partitioned on user_id
+    (the equality key); per-key buffered rows are bounded by one
+    hour of that user's own activity — watermark eviction keeps state
+    O(recent window), never O(stream)."""
+    src = _stage_events(spark, sf_dir)
+    views = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purch_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 1 hour")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purch_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+        ).cast("bigint").alias("lag_s"),
+    )
+
+
+def q_stream_ss_join(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_ss_attrib(spark, sf_dir, f"stream_ss_{_SINK_N[0]}")
+
+
+SQL_STREAM_SS_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purch_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS lag_s
+FROM events v JOIN events p ON v.user_id = p.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
+    "q_stream_ss_join": q_stream_ss_join,
     "q_stream_join": q_stream_join,
     "q_stream_cms": q_stream_cms,
     "q_stream_hourly": q_stream_hourly,
@@ -540,6 +618,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_stream_ss_join": SQL_STREAM_SS_JOIN,
     "q_stream_join": SQL_STREAM_JOIN,
     "q_stream_cms": SQL_STREAM_CMS,
     "q_stream_hourly": SQL_STREAM_HOURLY,

@@ -5932,3 +5932,97 @@ def test_skyline_pareto_matches_bruteforce(spark):
     max_y = max(y for _, y in pts.values())
     assert any(x == max_x for _, x, _ in got)
     assert any(y == max_y for _, _, y in got)
+
+
+def test_stream_ss_join_matches_python_bruteforce(spark):
+    """The watermarked stream-stream interval join must emit exactly
+    the view→purchase pairs a python scan finds (same user, purchase
+    in [view_ts, view_ts+1h]), with integer-second lags in bounds."""
+    import duckdb
+
+    from freki_spark.streaming.jobs import q_stream_ss_join
+
+    evs = duckdb.sql(
+        f"SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT), user_id,"
+        f" event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+    views = [(e, t, u) for (e, t, u, k) in evs if k == "view"]
+    purch = [(e, t, u) for (e, t, u, k) in evs if k == "purchase"]
+    want = {
+        (u, ve, pe, pt - vt)
+        for (ve, vt, u) in views
+        for (pe, pt, pu) in purch
+        if pu == u and vt <= pt <= vt + 3600
+    }
+    got = {
+        (r.user_id, r.view_id, r.purch_id, r.lag_s)
+        for r in q_stream_ss_join(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert all(0 <= l <= 3600 for (_, _, _, l) in got)
+
+
+def test_recommend_topk_matches_python_cf(spark):
+    """Item-based CF recommendations must equal a python recompute
+    (cap -> cooc -> symmetric score -> already-seen anti-join ->
+    top-3), and the anti-join must actually suppress at least one
+    already-owned candidate."""
+    import hashlib
+    import json
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import COOC_CAP, REC_K, recommend_topk
+
+    rows = duckdb.sql(
+        f"SELECT user_id, props FROM '{SF}/events.parquet'"
+    ).fetchall()
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ui = defaultdict(set)
+    for u, props in rows:
+        k = json.loads(props).get("k")
+        if k is not None:
+            ui[u].add(int(k))
+    capped = {
+        u: set(
+            sorted(items, key=lambda i: (h32(f"{u}:{i}"), i))[:COOC_CAP]
+        )
+        for u, items in ui.items()
+    }
+    cooc = Counter()
+    for items in capped.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                cooc[(s[x], s[y])] += 1
+    sym = defaultdict(list)
+    for (a, b), n in cooc.items():
+        sym[a].append((b, n))
+        sym[b].append((a, n))
+    want = {}
+    suppressed_any = False
+    for u, items in capped.items():
+        score = Counter()
+        paths = Counter()
+        for i in items:
+            for (j, n) in sym.get(i, ()):
+                if j in items:
+                    suppressed_any = True
+                    continue
+                score[j] += n
+                paths[j] += 1
+        ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (j, s) in enumerate(ranked[:REC_K], 1):
+            want[(u, j)] = (s, paths[j], rk)
+    got = {
+        (r.user_id, r.item): (r.score, r.n_paths, r.rk)
+        for r in recommend_topk(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert suppressed_any

@@ -1696,6 +1696,24 @@ def main() -> int:
         "bucketed local skyline + join-free candidate-grain global pass",
     )
 
+    # 64. recommend_topk: the capped user-item relation is
+    #     localCheckpointed before its three consumers (pair builder,
+    #     user side, anti-join) — zero raw event scans downstream
+    #     (check-37 pattern); candidate generation is item/user-grain
+    #     equi-joins only; the ranking window is user-grain
+    p = plan_of(QUERIES["recommend_topk"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "recommend_topk_checkpointed_cf",
+        n_scans == 0
+        and wins <= {"user_id"}
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        f"raw re-scans={n_scans}; window keys={sorted(wins)}; equi-joins only",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
