@@ -400,13 +400,20 @@ def triangle_count(spark, sf_dir):
     edges = withn.select(
         F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
     )
+    # eager localCheckpoints on every multi-consumer relation (the
+    # dist_drift rule): und feeds deg + the orientation join (2),
+    # deg feeds both endpoint joins + the final output (3), oriented
+    # feeds both wedge legs + the closure (3) — without the cuts the
+    # shuffling distinct and the degree rollup replan from the raw
+    # scan once per consumer (measured: 21 raw scans, 0 reuse)
     und = edges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("deg"))
+        .localCheckpoint()
     )
     dega = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     degb = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
@@ -426,7 +433,7 @@ def triangle_count(spark, sf_dir):
         .alias("v"),
         F.least("ka", "kb").alias("ku"),
         F.greatest("ka", "kb").alias("kv"),
-    )
+    ).localCheckpoint()
     o1 = oriented.select("u", "v", "kv")
     o2 = oriented.select(
         F.col("u").alias("u2"), F.col("v").alias("w"), F.col("kv").alias("kw")

@@ -552,9 +552,16 @@ def phrase_query(spark, sf_dir):
             F.split(F.col("phrase"), " ")[2].alias("t3"),
         )
     )
+    # eager localCheckpoint: the positional index feeds THREE join
+    # legs (p1/p2/p3) — without the cut each leg replans the
+    # posexplode from the raw corpus scan (the dist_drift rule;
+    # measured 4 raw scans before the cut).  At scale this is the
+    # point of an index: built once, probed many times.
     pos = d.select(
         "doc_id", F.posexplode("_tk").alias("p0", "term")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "term")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "term"
+    ).localCheckpoint()
     p1 = pos.join(F.broadcast(wl), pos.term == wl.t1).select(
         "phrase_id", "phrase", "doc_id", "pos", "t2", "t3"
     )

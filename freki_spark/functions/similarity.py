@@ -1395,6 +1395,7 @@ SQL_MRL_RECALL = _sql_mrl()
 # --------------------------------------------------------------------------
 
 CLUSTER_LABEL_TOPK = 5
+CLABEL_TF_CLAMP = 3_000_000_000_000  # ln(16)·3e12·1e6 < 2^63 (see below)
 
 
 def cluster_labels(spark, sf_dir):
@@ -1406,12 +1407,22 @@ def cluster_labels(spark, sf_dir):
         "doc_id", toks(F.col("text")).alias("_tk")
     )
     j = a.join(d, a.vec_id == d.doc_id).select("list_id", "_tk")
+    # eager localCheckpoint: the (list_id, term) count table feeds TWO
+    # consumers (the cdf rollup and the scored join) — without the cut
+    # each replans the corpus tokenization + the ivf broadcast-argmax
+    # from the raw scans (the dist_drift rule)
     tf = (
         j.select("list_id", F.explode("_tk").alias("term"))
         .groupBy("list_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     cdf = tf.groupBy("term").agg(F.count("*").alias("cdf"))
+    # bigint headroom (the doremi_weights rule): ln(K/1) ≤ ln(16) ≈
+    # 2.773, so tf enters the micro product clamped at 3e12 —
+    # 2.773·3e12·1e6 ≈ 8.3e18 < 2^63; past the clamp Spark's non-ANSI
+    # cast would saturate silently while DuckDB raises (divergent
+    # engine failures).  The reported tf column stays unclamped.
     scored = tf.join(cdf, "term").select(
         "list_id",
         "term",
@@ -1419,7 +1430,7 @@ def cluster_labels(spark, sf_dir):
         "cdf",
         F.floor(
             F.log(F.lit(float(N_CENTROIDS)) / F.col("cdf"))
-            * F.col("tf")
+            * F.least(F.col("tf"), F.lit(CLABEL_TF_CLAMP))
             * F.lit(1000000.0)
         )
         .cast("bigint")
@@ -1447,7 +1458,8 @@ tf AS (SELECT list_id, term, CAST(count(*) AS BIGINT) AS tf
 cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf FROM tf GROUP BY 1),
 scored AS (
   SELECT list_id, term, tf, cdf,
-         CAST(floor(ln({N_CENTROIDS}.0 / cdf) * tf * 1000000.0)
+         CAST(floor(ln({N_CENTROIDS}.0 / cdf)
+                    * least(tf, {CLABEL_TF_CLAMP}) * 1000000.0)
               AS BIGINT) AS score_micro
   FROM tf JOIN cdf USING (term)
 )

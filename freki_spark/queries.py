@@ -2364,15 +2364,20 @@ def item_cooccurrence(spark, sf_dir):
     return _cooc_pairs(_capped_user_items(spark, sf_dir))
 
 
-def _capped_user_items(spark, sf_dir):
+def _user_items(spark, sf_dir):
+    """The FULL distinct (user_id, item) ownership relation."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    ).distinct()
+
+
+def _capped_user_items(spark, sf_dir, ui=None):
     """The capped distinct (user_id, item) relation — single-sourced
     between ``item_cooccurrence`` and ``recommend_topk`` so the two
     can never disagree about which items a user "has"."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.get_json_object("props", "$.k").cast("int").alias("item"),
-    )
-    ui = e.distinct()
+    if ui is None:
+        ui = _user_items(spark, sf_dir)
     wr = Window.partitionBy("user_id").orderBy(
         md5i32(
             F.concat_ws(":", F.col("user_id").cast("string"),
@@ -2435,11 +2440,14 @@ def recommend_topk(spark, sf_dir):
     already touched (LEFT ANTI), keep the top-{k}.
 
     Single-sourced with item_cooccurrence: the capped user-item
-    relation is built once (``_capped_user_items``), eagerly
-    localCheckpointed because it feeds THREE consumers — the pair
-    builder, the user side, and the anti-join (the dist_drift rule:
-    without the cut each consumer replans the distinct+cap from the
-    raw event scan).
+    relation derives from ONE checkpointed full-ownership relation
+    and is itself eagerly localCheckpointed (it feeds the pair
+    builder and the user side — the dist_drift rule: without the
+    cuts each consumer replans the distinct+cap from the raw event
+    scan).  The already-owned anti-join runs against the FULL
+    ownership relation, NOT the capped one — a user past the
+    COOC_CAP would otherwise be "recommended" an item they already
+    touched that the cap happened to drop.
 
     Scale shape (10^9 users): the co-occurrence matrix is item-keyed
     and its row mass is bounded by the COOC_CAP² pair cap; candidate
@@ -2447,7 +2455,8 @@ def recommend_topk(spark, sf_dir):
     item's co-list); the dedup/rollup partial-aggregates to (user,
     item) grain; the ranking window is user-grain.  No all-pairs
     product anywhere (plan-audited)."""
-    capped = _capped_user_items(spark, sf_dir).localCheckpoint()
+    ui = _user_items(spark, sf_dir).localCheckpoint()
+    capped = _capped_user_items(spark, sf_dir, ui).localCheckpoint()
     cooc = _cooc_pairs(capped)
     sym = cooc.select(
         F.col("a").alias("i"), F.col("b").alias("j"), "n_users"
@@ -2460,7 +2469,7 @@ def recommend_topk(spark, sf_dir):
         "user_id", "j", "n_users"
     )
     fresh = cand.join(
-        capped.select("user_id", F.col("item").alias("j")),
+        ui.select("user_id", F.col("item").alias("j")),
         ["user_id", "j"],
         "left_anti",
     )
@@ -2501,7 +2510,7 @@ cand AS (
 ),
 fresh AS (
   SELECT cand.user_id, cand.j, cand.n_users
-  FROM cand ANTI JOIN capped k
+  FROM cand ANTI JOIN ui k
     ON cand.user_id = k.user_id AND cand.j = k.item
 ),
 scores AS (

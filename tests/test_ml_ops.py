@@ -5942,17 +5942,20 @@ def test_stream_ss_join_matches_python_bruteforce(spark):
 
     from freki_spark.streaming.jobs import q_stream_ss_join
 
+    # the JOIN window applies to RAW microsecond timestamps (exactly
+    # what the engine and the oracle join on — fixture timestamps are
+    # sub-second-fractional); only the reported lag floors each epoch
     evs = duckdb.sql(
-        f"SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT), user_id,"
-        f" event_type FROM '{SF}/events.parquet'"
+        f"SELECT event_id, epoch_us(ts), CAST(floor(epoch(ts)) AS BIGINT),"
+        f" user_id, event_type FROM '{SF}/events.parquet'"
     ).fetchall()
-    views = [(e, t, u) for (e, t, u, k) in evs if k == "view"]
-    purch = [(e, t, u) for (e, t, u, k) in evs if k == "purchase"]
+    views = [(e, us, fl, u) for (e, us, fl, u, k) in evs if k == "view"]
+    purch = [(e, us, fl, u) for (e, us, fl, u, k) in evs if k == "purchase"]
     want = {
-        (u, ve, pe, pt - vt)
-        for (ve, vt, u) in views
-        for (pe, pt, pu) in purch
-        if pu == u and vt <= pt <= vt + 3600
+        (u, ve, pe, pfl - vfl)
+        for (ve, vus, vfl, u) in views
+        for (pe, pus, pfl, pu) in purch
+        if pu == u and vus <= pus <= vus + 3_600_000_000
     }
     got = {
         (r.user_id, r.view_id, r.purch_id, r.lag_s)
@@ -5960,6 +5963,7 @@ def test_stream_ss_join_matches_python_bruteforce(spark):
     }
     assert got == want
     assert len(got) > 0
+    # p ∈ [v, v+3600s] on raw timestamps bounds the floored lag too
     assert all(0 <= l <= 3600 for (_, _, _, l) in got)
 
 
@@ -5994,6 +5998,7 @@ def test_recommend_topk_matches_python_cf(spark):
         )
         for u, items in ui.items()
     }
+    # the anti-join must exclude the FULL owned set, not the capped one
     cooc = Counter()
     for items in capped.values():
         s = sorted(items)
@@ -6011,7 +6016,7 @@ def test_recommend_topk_matches_python_cf(spark):
         paths = Counter()
         for i in items:
             for (j, n) in sym.get(i, ()):
-                if j in items:
+                if j in ui[u]:
                     suppressed_any = True
                     continue
                 score[j] += n

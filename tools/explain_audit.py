@@ -1645,13 +1645,16 @@ def main() -> int:
     #     EQUI-joins on (doc_id, pos±i) — a term-condition regression
     #     that degrades them to a nested-loop product dies here
     p = plan_of(QUERIES["phrase_query"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "phrase_query_equi_adjacency",
         "BroadcastHashJoin" in p
+        and n_scans <= 1
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
         and "Python" not in p,
-        "broadcast workload + equi adjacency joins, no all-pairs/python",
+        f"broadcast workload + equi adjacency joins over the "
+        f"checkpointed index; raw scans={n_scans}",
     )
 
     # 61. triangle_count: the orientation/wedge/closure chain is
@@ -1659,13 +1662,15 @@ def main() -> int:
     #     broadcast-loop allowed), degree rollups partial-agg
     #     map-side, no Window anywhere
     p = plan_of(QUERIES["triangle_count"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "triangle_count_oriented_joins",
-        "partial_count" in p
+        n_scans <= 1
         and "CartesianProduct" not in p
         and "Window" not in p
         and "Python" not in p,
-        "equi-join wedge/closure chain, partial-agg degrees, no Window",
+        f"equi-join wedge/closure chain over checkpointed und/deg/"
+        f"oriented; raw scans={n_scans}, no Window",
     )
 
     # 62. cluster_labels: the only Window partitions on list_id
