@@ -511,11 +511,133 @@ LEFT JOIN corners ON d.doc_id = corners.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# community_lpa — label-propagation communities (Raghavan et al.
+# 2007) over the undirected closure of the deterministic doc-id link
+# graph: each node repeatedly adopts the label MOST FREQUENT among
+# its neighbors (ties → smallest label).  Communities are the fourth
+# graph signal: unlike connected components (dedup_components /
+# cc_bigstar find everything reachable), LPA splits a connected graph
+# into densely-linked regions — the mirror-site / link-farm
+# neighborhood detector beside triangle_count's local density.
+# Synchronous updates for a FIXED LPA_ROUNDS rounds (deterministic
+# and oracle-mirrorable; classic LPA stops at convergence, and the
+# docstring scopes that honestly).
+#
+# Scale shape (10^12 edges): each round is ONE shuffle join
+# (edges ⋈ labels on the neighbor key) + one partial-aggregated
+# (node, label) count + one partial-aggregable struct-max per node —
+# the per-node winner is max(struct(cnt, -label)), constant-size
+# aggregation state, NO window anywhere (a row_number per node would
+# sort-shuffle the neighbor-label table every round).  The symmetric
+# edge list is localCheckpointed once and reused by every round.
+# Isolated nodes keep their own label via the final left join.
+# --------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def community_lpa(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    # one symmetric edge list, checkpointed: it feeds every round's
+    # neighbor join (the dist_drift multi-consumer rule)
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+        )
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("lab"))
+    for _ in range(LPA_ROUNDS):
+        nl = sym.join(
+            labels, sym.nbr == labels.doc_id
+        ).select("v", "lab")
+        cnts = nl.groupBy("v", "lab").agg(F.count("*").alias("cnt"))
+        win = cnts.groupBy("v").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("nl")))
+            .alias("best")
+        )
+        labels = (
+            d.join(win, d.doc_id == win.v, "left")
+            .select(
+                "doc_id",
+                F.coalesce(-F.col("best")["nl"], F.col("doc_id"))
+                .alias("lab"),
+            )
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count("*").cast("bigint").alias("comm_size")
+    )
+    return (
+        labels.join(sizes, "lab")
+        .select("doc_id", F.col("lab").alias("community"), "comm_size")
+    )
+
+
+def _sql_lpa_round(prev: str, out: str) -> str:
+    return f"""
+c{out} AS (
+  SELECT s.v, {prev}.lab, count(*) AS cnt
+  FROM sym s JOIN {prev} ON s.nbr = {prev}.doc_id
+  GROUP BY 1, 2
+),
+w{out} AS (
+  SELECT v, lab,
+         row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab) AS rk
+  FROM c{out}
+),
+{out} AS (
+  SELECT d.doc_id, coalesce(w{out}.lab, d.doc_id) AS lab
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN w{out} ON d.doc_id = w{out}.v AND w{out}.rk = 1
+)"""
+
+
+SQL_COMMUNITY_LPA = f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+sym AS (
+  SELECT a AS v, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM und
+),
+l0 AS (
+  SELECT doc_id, doc_id AS lab FROM documents
+),{",".join(_sql_lpa_round(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))},
+sizes AS (
+  SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
+  FROM l{LPA_ROUNDS} GROUP BY 1
+)
+SELECT l.doc_id, l.lab AS community, sizes.comm_size
+FROM l{LPA_ROUNDS} l JOIN sizes ON l.lab = sizes.lab
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "hits_scores": hits_scores,
     "two_hop_reach": two_hop_reach,
     "triangle_count": triangle_count,
+    "community_lpa": community_lpa,
 }
 
 ORACLE_SQL = {
@@ -523,4 +645,5 @@ ORACLE_SQL = {
     "hits_scores": SQL_HITS,
     "two_hop_reach": SQL_TWO_HOP_REACH,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "community_lpa": SQL_COMMUNITY_LPA,
 }

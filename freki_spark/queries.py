@@ -1360,20 +1360,8 @@ def q_sessionize_batch(spark, sf_dir):
     partitioning already satisfies the (user_id, sess_no) grouping, so
     Catalyst aggregates in place (plan-audited: exactly one user_id
     Exchange in the whole plan)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    sess_no = F.sum("is_new").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        e.withColumn("is_new", is_new)
-        .withColumn("sess_no", sess_no.cast("int"))
+        _sessionized(_t(spark, sf_dir, "events"))
         .groupBy("user_id", "sess_no")
         .agg(
             F.min("ts").alias("sess_start"),
@@ -1384,9 +1372,30 @@ def q_sessionize_batch(spark, sf_dir):
     )
 
 
-SQL_SESSIONIZE_BATCH = """
-WITH marked AS (
-  SELECT user_id, event_id, ts, value,
+def _sessionized(e):
+    """Events + the 30-min-gap ``sess_no`` island id — single-sourced
+    between ``q_sessionize_batch`` and ``session_path_topk`` (and
+    semantically twinned with ``q_stream_sessionize``) so the session
+    cut rule can never drift between consumers."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess_no = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.withColumn("is_new", is_new).withColumn(
+        "sess_no", sess_no.cast("int")
+    )
+
+
+# marked/islands CTE chain shared verbatim by the q_sessionize_batch
+# and session_path_topk oracles (the DUCK_BM25_AGG_CTES convention)
+_DUCK_SESS_CTES = """marked AS (
+  SELECT user_id, event_id, ts, value, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
@@ -1398,10 +1407,92 @@ islands AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
             AS sess_no
   FROM marked
-)
+)"""
+
+SQL_SESSIONIZE_BATCH = f"""
+WITH {_DUCK_SESS_CTES}
 SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end,
        count(*) AS n_events, round(sum(value), 2) AS sess_value
 FROM islands GROUP BY user_id, sess_no
+"""
+
+
+# --------------------------------------------------------------------------
+# session_path_topk — the most common within-session navigation paths
+# (clickstream path mining, the "how do users actually move" relation
+# behind every funnel redesign): per session, the (ts, event_id)-
+# ordered event-type sequence, capped at PATH_SESS_CAP events (the
+# item_cooccurrence bot bound — a crawler session must not emit an
+# unbounded trigram fan-out), then every consecutive 3-step path
+# counted corpus-wide and the top PATH_TOPK reported.
+#
+# Scale shape (10^12 events): sessionization + the per-session
+# sequence agg share ONE user-grain Exchange+Sort (the
+# q_sessionize_batch rule; within-session order from array_sort over
+# (ts, event_id) structs — collect_list order never trusted); the
+# trigram explode fans out ≤ CAP−2 per session; the path rollup
+# partial-aggregates to ≤ |event_types|³ rows, and the final ranking
+# runs over that tiny relation via a distributed top-k
+# (TakeOrderedAndProject), never a global sort of anything
+# corpus-sized.
+# --------------------------------------------------------------------------
+
+PATH_SESS_CAP = 50
+PATH_TOPK = 10
+
+
+def session_path_topk(spark, sf_dir):
+    s = _sessionized(_t(spark, sf_dir, "events"))
+    seqs = s.groupBy("user_id", "sess_no").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda r: r["event_type"],
+            ),
+            1,
+            PATH_SESS_CAP,
+        ).alias("seq")
+    )
+    tri = F.when(
+        F.size("seq") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("seq") - 2, F.lit(1))),
+            lambda i: F.concat_ws(">", F.slice("seq", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        seqs.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    gw = Window.orderBy(F.desc("n"), F.asc("path"))  # ≤ PATH_TOPK rows
+    return (
+        cnt.orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOPK)
+        .withColumn("rk", F.row_number().over(gw).cast("int"))
+    )
+
+
+SQL_SESSION_PATH_TOPK = f"""
+WITH {_DUCK_SESS_CTES},
+seqs AS (
+  SELECT user_id, sess_no,
+         (list(event_type ORDER BY ts, event_id))[1:{PATH_SESS_CAP}] AS seq
+  FROM islands GROUP BY 1, 2
+),
+tri AS (
+  SELECT unnest(CASE WHEN len(seq) >= 3
+                THEN list_transform(
+                       range(1, greatest(len(seq) - 2, 1) + 1),
+                       i -> array_to_string(seq[i:i+2], '>'))
+                ELSE [] END) AS path
+  FROM seqs
+),
+cnt AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1)
+SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk
+FROM cnt ORDER BY n DESC, path LIMIT {PATH_TOPK}
 """
 
 
@@ -2658,6 +2749,7 @@ QUERIES = {
     "q_grouped_agg_udf": q_grouped_agg_udf,
     "q_grouped_map_udf": q_grouped_map_udf,
     "q_sessionize_batch": q_sessionize_batch,
+    "session_path_topk": session_path_topk,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -2732,6 +2824,7 @@ ORACLE_SQL = {
     "q_grouped_agg_udf": SQL_GROUPED_AGG_UDF,
     "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,
     "q_sessionize_batch": SQL_SESSIONIZE_BATCH,
+    "session_path_topk": SQL_SESSION_PATH_TOPK,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -2857,7 +2950,7 @@ _PRIORITY = [
     "changepoint_cusum", "item_cooccurrence", "vocab_dense_ids",
     "two_hop_reach", "phrase_query", "triangle_count",
     "cluster_labels", "skyline_pareto", "recommend_topk",
-    "q_stream_ss_join",
+    "q_stream_ss_join", "session_path_topk", "community_lpa",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6031,3 +6031,106 @@ def test_recommend_topk_matches_python_cf(spark):
     assert got == want
     assert len(got) > 0
     assert suppressed_any
+
+
+def test_session_path_topk_matches_python_bruteforce(spark):
+    """Top navigation paths must equal a python recompute (30-min
+    sessionize -> ordered type sequence -> capped trigrams -> global
+    top-10), and multi-event sessions must actually contribute."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import (
+        PATH_SESS_CAP,
+        PATH_TOPK,
+        session_path_topk,
+    )
+
+    evs = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts), event_id, event_type"
+        f" FROM '{SF}/events.parquet' ORDER BY user_id, 2, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, us, e, k in evs:
+        by_user[u].append((us, e, k))
+    cnt = Counter()
+    n_multi = 0
+    for u, rows in by_user.items():
+        sessions = []
+        for us, e, k in rows:
+            if not sessions or us > sessions[-1][-1][0] + 1800_000_000:
+                sessions.append([])
+            sessions[-1].append((us, e, k))
+        for s in sessions:
+            seq = [k for (_, _, k) in s][:PATH_SESS_CAP]
+            if len(seq) >= 3:
+                n_multi += 1
+                for i in range(len(seq) - 2):
+                    cnt[">".join(seq[i : i + 3])] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        (p, n, rk) for rk, (p, n) in enumerate(ranked[:PATH_TOPK], 1)
+    }
+    got = {
+        (r.path, r.n, r.rk) for r in session_path_topk(spark, SF).collect()
+    }
+    assert got == want
+    assert n_multi > 0 and len(got) > 0
+
+
+def test_community_lpa_matches_python_and_coarsens(spark):
+    """Synchronous 3-round LPA must equal a python recompute with the
+    same (count desc, label asc) adoption rule, and must produce real
+    communities (some multi-member label) without collapsing to one."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.graph import (
+        LPA_ROUNDS,
+        PR_FANOUT,
+        community_lpa,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    n = len(ids)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nbr = defaultdict(set)
+    for v in ids:
+        ts = []
+        for k in range(1, PR_FANOUT + 1):
+            t = h32(f"{v}:{k}") % n
+            if t != v and t not in ts:
+                ts.append(t)
+        for t in ts:
+            nbr[v].add(t)
+            nbr[t].add(v)
+    lab = {v: v for v in ids}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for v in ids:
+            if not nbr[v]:
+                new[v] = lab[v]
+                continue
+            c = Counter(lab[u] for u in nbr[v])
+            new[v] = min(c, key=lambda l: (-c[l], l))
+        lab = new
+    sizes = Counter(lab.values())
+    want = {v: (lab[v], sizes[lab[v]]) for v in ids}
+    got = {
+        r.doc_id: (r.community, r.comm_size)
+        for r in community_lpa(spark, SF).collect()
+    }
+    assert got == want
+    assert max(sizes.values()) >= 2  # real communities formed
+    assert len(sizes) >= 2  # and the graph did not collapse to one

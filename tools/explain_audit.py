@@ -1719,6 +1719,38 @@ def main() -> int:
         f"raw re-scans={n_scans}; window keys={sorted(wins)}; equi-joins only",
     )
 
+    # 65. session_path_topk: sessionization windows + the per-session
+    #     sequence agg all run on the user_id grain, and the final
+    #     path ranking is a distributed top-k (TakeOrderedAndProject),
+    #     never a global sort of corpus-sized rows
+    p = plan_of(QUERIES["session_path_topk"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    # "n" is the rank window's ORDER key over the ≤PATH_TOPK rows that
+    # survive TakeOrderedAndProject — not a corpus-grain window
+    check(
+        "session_path_user_grain",
+        wins <= {"user_id", "n"}
+        and "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"window keys={sorted(wins)}; distributed top-k, no python",
+    )
+
+    # 66. community_lpa: per-round winner election is a partial-
+    #     aggregable struct-max (NO window — a per-node row_number
+    #     would sort-shuffle the neighbor-label table every round);
+    #     neighbor joins are equi-joins over the checkpointed sym list
+    p = plan_of(QUERIES["community_lpa"](spark, sf_dir))
+    check(
+        "community_lpa_structmax",
+        "partial_count" in p
+        and "Window" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        "struct-max winner election, no Window/all-pairs/python",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
