@@ -1471,7 +1471,149 @@ WHERE rk <= {CLUSTER_LABEL_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# kcenter_coreset — greedy k-center coreset selection (Sener &
+# Savarese 2018, "Active Learning for CNNs: A Core-Set Approach"; the
+# Gonzalez 1985 2-approximation): pick the data point FARTHEST from
+# the current center set, repeat — the diversity-maximizing data-
+# selection rule that complements quality filters (a quality filter
+# keeps good docs, k-center keeps *different* ones).  Distances are
+# cosine-based: the next center is the vector whose MAXIMUM cosine to
+# any selected center is MINIMAL (max-min distance == min-max
+# similarity), seed = vec_id 0, ties → smallest vec_id.
+#
+# The iterative-algorithm representative done Spark-first: the center
+# set is a 1-ROW DataFrame carrying an array of (id, vector) structs —
+# each round is ONE narrow pass over the corpus (broadcast the 1-row
+# set, array_max over a ≤K-element per-row transform — the ivf_assign
+# argmax shape) + ONE constant-size min_by aggregate; NO driver-side
+# .collect() anywhere (the tfidf_topk rule).  The 1-row set is
+# localCheckpointed per round, so round r never replans rounds
+# 1..r−1's corpus scans (total scans = rounds + 1, the irreducible
+# iterative shape).  Cosines land on the integer 1e-5 grid
+# (round(cos·1e5), the ann rounded-cosine rule) BEFORE any max/min/
+# rank, so cross-engine float summation order cannot flip a pick.
+#
+# Output = the coreset ASSIGNMENT relation: every vector, its nearest
+# center, the cosine (1e-5 units), and the is_center flag — what a
+# diversity-sampling job joins against.
+# --------------------------------------------------------------------------
+
+KC_ROUNDS = 3  # greedy picks beyond the seed -> 4 centers total
+KC_SEED_ID = 0
+
+
+def _c5(v, cv):
+    """round(cos(v, cv) · 1e5) as bigint — the integer cosine grid."""
+    return F.round(
+        _dot(v, cv) / (_norm(v) * _norm(cv)) * 100000, 0
+    ).cast("bigint")
+
+
+def kcenter_coreset(spark, sf_dir):
+    em = _emb(spark, sf_dir)
+    sel = em.filter(F.col("vec_id") == KC_SEED_ID).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("id"), F.col("v").alias("cv"))
+        ).alias("cents")
+    ).localCheckpoint()
+    for _ in range(KC_ROUNDS):
+        scored = em.crossJoin(F.broadcast(sel)).select(
+            "vec_id",
+            "v",
+            F.array_max(
+                F.transform("cents", lambda c: _c5(F.col("v"), c["cv"]))
+            ).alias("cmax5"),
+            F.exists(
+                "cents", lambda c: c["id"] == F.col("vec_id")
+            ).alias("_in"),
+        )
+        pick = scored.filter(~F.col("_in")).agg(
+            F.min_by(
+                F.struct(F.col("vec_id").alias("id"), F.col("v").alias("cv")),
+                F.struct(F.col("cmax5"), F.col("vec_id")),
+            ).alias("p")
+        )
+        sel = (
+            sel.crossJoin(pick)
+            .select(F.concat("cents", F.array("p")).alias("cents"))
+            .localCheckpoint()
+        )
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _c5(F.col("v"), c["cv"]).alias("c5"),
+                (-c["id"]).alias("nid"),
+            ),
+        )
+    )
+    return (
+        em.crossJoin(F.broadcast(sel))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            (-F.col("best")["nid"]).alias("center_id"),
+            F.col("best")["c5"].alias("cos5"),
+            F.exists("cents", lambda c: c["id"] == F.col("vec_id"))
+            .cast("int")
+            .alias("is_center"),
+        )
+    )
+
+
+def _sql_kcenter() -> str:
+    rounds = []
+    for r in range(1, KC_ROUNDS + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+m{r} AS (
+  SELECT ac.i, max(ac.c5) AS cmax5
+  FROM ac JOIN {prev} ON ac.j = {prev}.id GROUP BY 1
+),
+p{r} AS (
+  SELECT i AS id FROM m{r}
+  WHERE i NOT IN (SELECT id FROM {prev})
+  ORDER BY cmax5, i LIMIT 1
+),
+s{r} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM p{r})""")
+    steps = ",".join(rounds)
+    last = f"s{KC_ROUNDS}"
+    return f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM em
+),
+ac AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(round(sum(a.x * b.x)
+                    / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x)))
+                    * 100000, 0) AS BIGINT) AS c5
+  FROM ex a JOIN ex b ON a.j = b.j
+  GROUP BY 1, 2
+),
+s0 AS (SELECT CAST({KC_SEED_ID} AS BIGINT) AS id),{steps},
+nearest AS (
+  SELECT ac.i AS vec_id, ac.j AS center_id, ac.c5,
+         row_number() OVER (PARTITION BY ac.i
+                            ORDER BY ac.c5 DESC, ac.j) AS rk
+  FROM ac JOIN {last} ON ac.j = {last}.id
+)
+SELECT vec_id, center_id, c5 AS cos5,
+       CAST(CASE WHEN vec_id IN (SELECT id FROM {last})
+            THEN 1 ELSE 0 END AS INT) AS is_center
+FROM nearest WHERE rk = 1
+"""
+
+
+SQL_KCENTER_CORESET = _sql_kcenter()
+
+
 QUERIES = {
+    "kcenter_coreset": kcenter_coreset,
     "cluster_labels": cluster_labels,
     "mrl_recall": mrl_recall,
     "bitext_mine": bitext_mine,
@@ -1491,6 +1633,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "kcenter_coreset": SQL_KCENTER_CORESET,
     "cluster_labels": SQL_CLUSTER_LABELS,
     "mrl_recall": SQL_MRL_RECALL,
     "bitext_mine": SQL_BITEXT_MINE,

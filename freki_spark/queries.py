@@ -2617,6 +2617,147 @@ WHERE rk <= {REC_K}
 """
 
 
+# --------------------------------------------------------------------------
+# ab_chi2 — A/B experiment significance gate: per conversion metric,
+# the 2×2 contingency table (variant = user_id parity — the
+# deterministic hash-bucket assignment real experiment platforms use)
+# and Pearson's chi-square independence test at p=0.05 (df=1,
+# critical value 3.841), computed EXACTLY: the test
+# chi2 > 3.841 is evaluated as the cross-multiplied integer
+# comparison 1000·N·(ad−bc)² > 3841·(a+b)(c+d)(a+c)(b+d) — no float
+# chi-square anywhere, so Spark and DuckDB cannot disagree at the
+# decision boundary.  The products exceed bigint (diff² alone reaches
+# 1e24), so both engines compute them in their exact wide-integer
+# type — Spark DECIMAL(38,0) (scale-0 products are exact while
+# < 1e38), DuckDB HUGEINT (int128) — with every cell CLAMPED at 1e6
+# users first (the doremi headroom rule: clamped values bound
+# 1000·N·diff² ≤ 4e33 and 3841·r1r2c1c2 ≤ 6e28, both < 1e38;
+# conversion ppms are computed from the UNCLAMPED cells).
+#
+# One metric per event type (converted = user emitted ≥1 such event)
+# plus a synthetic perfectly-confounded metric (converted ⟺ variant
+# A) so the significant=1 branch provably fires on any fixture —
+# random parity assignment leaves the real metrics flat.
+#
+# Scale shape (10^9 users): the (metric, user) conversion relation
+# and the user universe both partial-aggregate to user grain
+# map-side; everything above is metric-grain (≤6 rows) with the
+# variant totals folded in as a broadcast 1-row pivot.  No window.
+# --------------------------------------------------------------------------
+
+CHI2_CELL_CLAMP = 1_000_000
+CHI2_CRIT_MILLI = 3841  # chi2(0.95, df=1) = 3.841, ×1000
+
+
+def _chi2_flag_expr(dec: str) -> str:
+    """The exact integer chi-square comparison over clamped cells
+    ca/cb/cc/cd; `dec` = the engine's exact wide-integer cast type
+    (DECIMAL(38,0) in Spark, HUGEINT in DuckDB)."""
+    c = f"CAST(ca AS {dec})"
+    d_ = f"CAST(cd AS {dec})"
+    b = f"CAST(cb AS {dec})"
+    cc = f"CAST(cc AS {dec})"
+    diff = f"({c} * {d_} - {b} * {cc})"
+    n = f"({c} + {b} + {cc} + {d_})"
+    lhs = f"(1000 * {n} * {diff} * {diff})"
+    rhs = (
+        f"({CHI2_CRIT_MILLI} * ({c} + {b}) * ({cc} + {d_})"
+        f" * ({c} + {cc}) * ({b} + {d_}))"
+    )
+    return f"CAST(CASE WHEN {lhs} > {rhs} THEN 1 ELSE 0 END AS INT)"
+
+
+def ab_chi2(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    tot = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint").alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint").alias("nb"),
+    )
+    conv = e.select(
+        F.col("event_type").alias("metric"), "user_id"
+    ).distinct()
+    cells = conv.groupBy("metric").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint").alias("c"),
+    )
+    syn = tot.select(
+        F.lit("synthetic_ab").alias("metric"),
+        F.col("na").alias("a"),
+        F.lit(0).cast("bigint").alias("c"),
+    )
+    rows = (
+        cells.unionByName(syn)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "metric",
+            "a",
+            (F.col("na") - F.col("a")).alias("b"),
+            "c",
+            (F.col("nb") - F.col("c")).alias("d"),
+        )
+        .withColumn("ca", F.least("a", F.lit(CHI2_CELL_CLAMP)))
+        .withColumn("cb", F.least("b", F.lit(CHI2_CELL_CLAMP)))
+        .withColumn("cc", F.least("c", F.lit(CHI2_CELL_CLAMP)))
+        .withColumn("cd", F.least("d", F.lit(CHI2_CELL_CLAMP)))
+    )
+    return rows.select(
+        "metric",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(_ppm_exact("a", "(a + b)", "div")).cast("bigint")
+        .alias("conv_a_ppm"),
+        F.expr(_ppm_exact("c", "(c + d)", "div")).cast("bigint")
+        .alias("conv_b_ppm"),
+        F.expr(_chi2_flag_expr("DECIMAL(38,0)")).alias("significant"),
+    )
+
+
+SQL_AB_CHI2 = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+tot AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb
+  FROM users
+),
+conv AS (SELECT DISTINCT event_type AS metric, user_id FROM events),
+cells AS (
+  SELECT metric,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c
+  FROM conv GROUP BY 1
+),
+allcells AS (
+  SELECT metric, a, c FROM cells
+  UNION ALL
+  SELECT 'synthetic_ab' AS metric, na AS a, CAST(0 AS BIGINT) AS c FROM tot
+),
+rows_ AS (
+  SELECT metric, a, na - a AS b, c, nb - c AS d,
+         least(a, {CHI2_CELL_CLAMP}) AS ca,
+         least(na - a, {CHI2_CELL_CLAMP}) AS cb,
+         least(c, {CHI2_CELL_CLAMP}) AS cc,
+         least(nb - c, {CHI2_CELL_CLAMP}) AS cd
+  FROM allcells, tot
+)
+SELECT metric, a, b, c, d,
+       CAST({_ppm_exact('a', '(a + b)', '//')} AS BIGINT) AS conv_a_ppm,
+       CAST({_ppm_exact('c', '(c + d)', '//')} AS BIGINT) AS conv_b_ppm,
+       {_chi2_flag_expr('HUGEINT')} AS significant
+FROM rows_
+"""
+
+
 def q_percentile_agg(spark, sf_dir):
     """Exact ordered-statistics aggregation: quartiles of ``value`` per
     event_type via Spark's exact ``percentile`` (linear interpolation at
@@ -2750,6 +2891,7 @@ QUERIES = {
     "q_grouped_map_udf": q_grouped_map_udf,
     "q_sessionize_batch": q_sessionize_batch,
     "session_path_topk": session_path_topk,
+    "ab_chi2": ab_chi2,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -2825,6 +2967,7 @@ ORACLE_SQL = {
     "q_grouped_map_udf": SQL_GROUPED_MAP_UDF,
     "q_sessionize_batch": SQL_SESSIONIZE_BATCH,
     "session_path_topk": SQL_SESSION_PATH_TOPK,
+    "ab_chi2": SQL_AB_CHI2,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -2951,6 +3094,7 @@ _PRIORITY = [
     "two_hop_reach", "phrase_query", "triangle_count",
     "cluster_labels", "skyline_pareto", "recommend_topk",
     "q_stream_ss_join", "session_path_topk", "community_lpa",
+    "kcenter_coreset", "ab_chi2",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

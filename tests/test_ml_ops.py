@@ -6134,3 +6134,125 @@ def test_community_lpa_matches_python_and_coarsens(spark):
     assert got == want
     assert max(sizes.values()) >= 2  # real communities formed
     assert len(sizes) >= 2  # and the graph did not collapse to one
+
+
+def test_kcenter_coreset_matches_python_greedy(spark):
+    """The no-collect iterative k-center must equal a python greedy
+    recompute on the integer cosine grid (seed 0, min-max-cos picks,
+    (cmax, id) ties), centers must self-assign at cos5=1e5, and the
+    worst-case coverage must improve monotonically with each pick."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from freki_spark.functions.similarity import (
+        KC_ROUNDS,
+        KC_SEED_ID,
+        kcenter_coreset,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = {r[0]: np.array(r[1], dtype=np.float64) for r in rows}
+
+    def r5(x):
+        # HALF-UP away from zero, matching Spark/DuckDB round()
+        return (
+            int(math.floor(x * 1e5 + 0.5))
+            if x >= 0
+            else -int(math.floor(-x * 1e5 + 0.5))
+        )
+
+    def c5(u, w):
+        a, b = V[u], V[w]
+        return r5(
+            float(a @ b) / (math.sqrt(a @ a) * math.sqrt(b @ b))
+        )
+
+    sel = [KC_SEED_ID]
+    radii = []
+    for _ in range(KC_ROUNDS):
+        cmax = {
+            v: max(c5(v, s) for s in sel) for v in ids if v not in sel
+        }
+        pick = min(cmax, key=lambda v: (cmax[v], v))
+        radii.append(cmax[pick])
+        sel.append(pick)
+    want = {}
+    for v in ids:
+        best = max(((c5(v, s), -s) for s in sel))
+        want[v] = (-best[1], best[0], int(v in sel))
+    got = {
+        r.vec_id: (r.center_id, r.cos5, r.is_center)
+        for r in kcenter_coreset(spark, SF).collect()
+    }
+    assert got == want
+    centers = {v for v, (_, _, isc) in got.items() if isc}
+    assert len(centers) == KC_ROUNDS + 1 and KC_SEED_ID in centers
+    assert all(got[s] == (s, 100000, 1) for s in centers)
+    # each pick's min-max cos is >= the previous (coverage tightens)
+    assert radii == sorted(radii)
+
+
+def test_ab_chi2_matches_python_exact(spark):
+    """The 2x2 chi-square gate must equal an exact python-int
+    recompute (unbounded ints stand in for DECIMAL38/HUGEINT), the
+    confounded synthetic metric must flag significant, and the random
+    parity split must leave at least one real metric flat."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import (
+        CHI2_CELL_CLAMP,
+        CHI2_CRIT_MILLI,
+        ab_chi2,
+    )
+
+    evs = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM '{SF}/events.parquet'"
+    ).fetchall()
+    users = {u for _, u in evs}
+    na = sum(1 for u in users if u % 2 == 0)
+    nb = len(users) - na
+    conv = defaultdict(set)
+    for k, u in evs:
+        conv[k].add(u)
+    tables = {
+        m: (
+            sum(1 for u in s if u % 2 == 0),
+            sum(1 for u in s if u % 2 == 1),
+        )
+        for m, s in conv.items()
+    }
+    tables["synthetic_ab"] = (na, 0)
+    want = {}
+    for m, (a, c) in tables.items():
+        b, d = na - a, nb - c
+        ca, cb, cc, cd = (
+            min(x, CHI2_CELL_CLAMP) for x in (a, b, c, d)
+        )
+        diff = ca * cd - cb * cc
+        n = ca + cb + cc + cd
+        sig = int(
+            1000 * n * diff * diff
+            > CHI2_CRIT_MILLI * (ca + cb) * (cc + cd) * (ca + cc) * (cb + cd)
+        )
+        want[m] = (
+            a, b, c, d,
+            a * 1_000_000 // (a + b),
+            c * 1_000_000 // (c + d),
+            sig,
+        )
+    got = {
+        r.metric: (
+            r.a, r.b, r.c, r.d, r.conv_a_ppm, r.conv_b_ppm, r.significant
+        )
+        for r in ab_chi2(spark, SF).collect()
+    }
+    assert got == want
+    assert got["synthetic_ab"][-1] == 1
+    assert any(v[-1] == 0 for m, v in got.items() if m != "synthetic_ab")

@@ -1751,6 +1751,34 @@ def main() -> int:
         "struct-max winner election, no Window/all-pairs/python",
     )
 
+    # 67. kcenter_coreset: the per-round 1-row center set is
+    #     checkpointed, so the FINAL assignment plan holds exactly one
+    #     corpus scan (rounds never replan into each other); the
+    #     argmax is a narrow array expression — no Window, no python
+    p = plan_of(QUERIES["kcenter_coreset"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "kcenter_single_scan_rounds",
+        n_scans == 1
+        and "Window" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"final-plan scans={n_scans}; narrow argmax, no Window/python",
+    )
+
+    # 68. ab_chi2: user/conversion grids partial-aggregate map-side,
+    #     the metric layer is broadcast-1-row only (no shuffle join),
+    #     the DECIMAL38 comparison is a narrow expression — no Window
+    p = plan_of(QUERIES["ab_chi2"](spark, sf_dir))
+    check(
+        "ab_chi2_metric_grain",
+        "partial" in p
+        and "Window" not in p
+        and "SortMergeJoin" not in p
+        and "Python" not in p,
+        "partial-agg'd grids, broadcast totals, exact decimal gate",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
