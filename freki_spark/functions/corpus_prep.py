@@ -24,10 +24,12 @@ from pyspark.sql import functions as F
 
 from .common import (
     DUCK_MD5I32,
+    DUCK_MD5I60,
     _ppm_exact,
     bigrams,
     duck_bigrams,
     md5i32,
+    md5i60,
     toks,
 )
 
@@ -3557,7 +3559,219 @@ SELECT doc_id, n_tok, div_ppm FROM g WHERE {sky_pred}
 SQL_SKYLINE_PARETO = _sql_skyline()
 
 
+# --------------------------------------------------------------------------
+# skipgram_pairs — word2vec SGNS training-pair generation (Mikolov et
+# al. 2013): the (center, context, label) relation an embedding
+# trainer consumes — positives from a ±SG_WINDOW token window,
+# SG_NEG_K deterministic NEGATIVE samples per center occurrence drawn
+# from the unigram distribution (plain unigram for cross-engine
+# exactness; the classic count^0.75 damping is a float pow whose last
+# ulp differs between engines at integer boundaries — documented
+# swap-in).  A negative may collide with a true context (classic SGNS
+# accepts this).  Emitted aggregated to (center, context, label,
+# n_pairs) grain — the trainer's input is the weighted pair table.
+#
+# The scale mechanisms, all reused from audited precedents:
+# - context extraction is a NARROW per-row expression (F.get over the
+#   bound token array — never a positions self-join, whose unfiltered
+#   per-doc fan-out is len² before the |i−j|≤W filter);
+# - the vocabulary interval table [lo, hi) comes from the TWO-PASS
+#   SHARD REBASE (md5-bucket cumsum + 8-row base window — the
+#   vocab_dense_ids pattern; a global ORDER BY token window is the
+#   single-partition trap at 10^8-token vocabularies);
+# - weighted sampling = md5 draw in [0, Wtot) resolved by the
+#   BUCKETED range join (coarse grid cell = value div G with
+#   G ≈ Wtot/V, intervals exploded over the ≤2V cells they span,
+#   equi-join + post-filter — the q_range_join rewrite; a raw
+#   lo ≤ r < hi join is a BroadcastNestedLoopJoin).
+# --------------------------------------------------------------------------
+
+SG_WINDOW = 2
+SG_NEG_K = 2
+SG_BUCKETS = 8
+
+
+def skipgram_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    )
+    t = d.select(
+        "doc_id", "_tk", F.posexplode("_tk").alias("p0", "center")
+    )
+    # vocabulary intervals via the shard-rebased cumsum
+    cnt = (
+        t.groupBy("center").agg(F.count("*").cast("bigint").alias("w"))
+        .withColumn("bk", md5i32(F.col("center")) % SG_BUCKETS)
+    )
+    wcum = Window.partitionBy("bk").orderBy("center").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    incum = cnt.withColumn("cum", F.sum("w").over(wcum))
+    bt = incum.groupBy("bk").agg(F.sum("w").alias("bw"))
+    wbase = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # SG_BUCKETS rows
+    bases = bt.withColumn(
+        "base", F.coalesce(F.sum("bw").over(wbase), F.lit(0))
+    ).select("bk", "base")
+    vocab = (
+        incum.join(F.broadcast(bases), "bk")
+        .select(
+            "center",
+            (F.col("base") + F.col("cum") - F.col("w")).alias("lo"),
+            (F.col("base") + F.col("cum")).alias("hi"),
+        )
+        .localCheckpoint()  # feeds stats + the interval explode
+    )
+    stats = vocab.agg(
+        F.max("hi").alias("wtot"), F.count("*").alias("vsz")
+    )
+    # positives: contexts at offsets ±1..±SG_WINDOW via 0-based F.get
+    # (out-of-bounds -> NULL; element_at would index from the END on
+    # negative positions — the classic wraparound bug)
+    offs = [o for o in range(-SG_WINDOW, SG_WINDOW + 1) if o != 0]
+    ctxs = F.array(*[F.get("_tk", F.col("p0") + o) for o in offs])
+    pos = (
+        t.select(
+            "center", F.explode(F.filter(ctxs, lambda c: c.isNotNull()))
+            .alias("context")
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select("center", "context", F.lit(1).alias("label"), "n_pairs")
+    )
+    # negatives: SG_NEG_K md5 draws per center occurrence -> bucketed
+    # range join into the vocabulary intervals
+    draws = (
+        t.select("doc_id", "p0", "center")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "center",
+            "wtot",
+            "vsz",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(SG_NEG_K)),
+                    lambda k: md5i60(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("p0").cast("string"),
+                            k.cast("string"),
+                        )
+                    )
+                    % F.col("wtot"),
+                )
+            ).alias("r"),
+        )
+        .withColumn("gb", F.expr("r div (greatest(1, wtot div vsz))"))
+    )
+    iv = (
+        vocab.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("center").alias("context"),
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr("lo div (greatest(1, wtot div vsz))"),
+                    F.expr("(hi - 1) div (greatest(1, wtot div vsz))"),
+                )
+            ).alias("gb"),
+        )
+    )
+    neg = (
+        draws.join(F.broadcast(iv), "gb")
+        .filter((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select("center", "context", F.lit(0).alias("label"), "n_pairs")
+    )
+    return pos.unionByName(neg)
+
+
+def _sql_skipgram() -> str:
+    h60 = DUCK_MD5I60.format(
+        x="CAST(doc_id AS VARCHAR) || ':' || CAST(p0 AS VARCHAR)"
+          " || ':' || CAST(k AS VARCHAR)"
+    )
+    bk = DUCK_MD5I32.format(x="center")
+    offs = [o for o in range(-SG_WINDOW, SG_WINDOW + 1) if o != 0]
+    ctx_elems = ", ".join(
+        f"CASE WHEN p0 + {o} BETWEEN 0 AND len(tk) - 1"
+        f" THEN tk[p0 + {o} + 1] END"
+        for o in offs
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+t AS (
+  SELECT doc_id, tk, generate_subscripts(tk, 1) - 1 AS p0,
+         unnest(tk) AS center
+  FROM d
+),
+cnt AS (
+  SELECT center, CAST(count(*) AS BIGINT) AS w, {bk} % {SG_BUCKETS} AS bk
+  FROM t GROUP BY center
+),
+incum AS (
+  SELECT *, sum(w) OVER (PARTITION BY bk ORDER BY center
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM cnt
+),
+bt AS (SELECT bk, sum(w) AS bw FROM incum GROUP BY bk),
+bases AS (
+  SELECT bk, coalesce(sum(bw) OVER (ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS base
+  FROM bt
+),
+vocab AS (
+  SELECT center, CAST(base + cum - w AS BIGINT) AS lo,
+         CAST(base + cum AS BIGINT) AS hi
+  FROM incum JOIN bases USING (bk)
+),
+stats AS (SELECT max(hi) AS wtot, count(*) AS vsz FROM vocab),
+pos AS (
+  SELECT center, context, CAST(1 AS INT) AS label,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM (
+    SELECT center, unnest(list_filter([{ctx_elems}], c -> c IS NOT NULL))
+             AS context
+    FROM t
+  )
+  GROUP BY 1, 2
+),
+draws AS (
+  SELECT center, {h60} % wtot AS r, wtot, vsz
+  FROM t, stats, UNNEST(range(1, {SG_NEG_K} + 1)) u(k)
+),
+iv AS (
+  SELECT vocab.center AS context, lo, hi,
+         unnest(range(lo // greatest(1, wtot // vsz),
+                      (hi - 1) // greatest(1, wtot // vsz) + 1)) AS gb
+  FROM vocab, stats
+),
+neg AS (
+  SELECT d2.center, iv.context, CAST(0 AS INT) AS label,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM (SELECT center, r, r // greatest(1, wtot // vsz) AS gb
+        FROM draws) d2
+  JOIN iv USING (gb)
+  WHERE d2.r >= iv.lo AND d2.r < iv.hi
+  GROUP BY 1, 2
+)
+SELECT center, context, label, n_pairs FROM pos
+UNION ALL
+SELECT center, context, label, n_pairs FROM neg
+"""
+
+
+SQL_SKIPGRAM_PAIRS = _sql_skipgram()
+
+
 QUERIES = {
+    "skipgram_pairs": skipgram_pairs,
     "skyline_pareto": skyline_pareto,
     "pii_scrub": pii_scrub,
     "text_normalize": text_normalize,
@@ -3602,6 +3816,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
     "skyline_pareto": SQL_SKYLINE_PARETO,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -1612,8 +1612,107 @@ FROM nearest WHERE rk = 1
 SQL_KCENTER_CORESET = _sql_kcenter()
 
 
+# --------------------------------------------------------------------------
+# colbert_maxsim — late-interaction retrieval scoring (Khattab &
+# Zaharia 2020, ColBERT): instead of one vector per document, each
+# side carries MULTIPLE token vectors and the score is
+# MaxSim(q, d) = Σ_i max_j cos(q_i, d_j) — every query sub-vector
+# finds its best match independently, which is what lets late
+# interaction beat single-vector retrieval on multi-aspect queries.
+# The fixture's 64-dim embeddings stand in for per-token vectors by
+# deterministic slicing into MAXSIM_BLOCKS 16-dim blocks (the honest
+# multi-vector stand-in — real ColBERT stores actual token vectors;
+# the MECHANISM is what's exercised).
+#
+# Cross-engine determinism: every sub-cosine lands on the integer
+# 1e-5 grid (round(cos·1e5), the ann rule) BEFORE the max and the
+# sum, so MaxSim is an exact bigint in both engines.
+#
+# Scale shape (10^9 docs): the probe set broadcasts (the
+# ann_topk_bruteforce shape); MaxSim is ONE narrow per-pair
+# expression — an aggregate over the query's blocks of an array_max
+# over the doc's blocks, both bound as array-of-array columns (the
+# HOF materialization rule) — no explode to sub-vector grain, no
+# shuffle of anything but the final probe-grain ranking window.
+# --------------------------------------------------------------------------
+
+MAXSIM_BLOCKS = 4
+MAXSIM_DIM = 16
+
+
+def _subvecs(v):
+    return F.array(
+        *[
+            F.slice(v, i * MAXSIM_DIM + 1, MAXSIM_DIM)
+            for i in range(MAXSIM_BLOCKS)
+        ]
+    )
+
+
+def colbert_maxsim(spark, sf_dir):
+    em = _emb(spark, sf_dir).select(
+        "vec_id", _subvecs(F.col("v")).alias("sub")
+    )
+    probes = em.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("sub").alias("qsub")
+    )
+    pair = em.crossJoin(F.broadcast(probes))
+    maxsim = F.aggregate(
+        "qsub",
+        F.lit(0).cast("bigint"),
+        lambda acc, q: acc
+        + F.array_max(F.transform("sub", lambda d: _c5(q, d))),
+    )
+    scored = pair.select(
+        "q_id", "vec_id", maxsim.alias("maxsim5")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("maxsim5"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+SQL_COLBERT_MAXSIM = f"""
+WITH em AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         (generate_subscripts(v, 1) - 1) // {MAXSIM_DIM} AS blk,
+         (generate_subscripts(v, 1) - 1) % {MAXSIM_DIM} AS pi
+  FROM em
+),
+bc AS (
+  SELECT q.vec_id AS q_id, d.vec_id AS vec_id, q.blk AS qb, d.blk AS db,
+         CAST(round(sum(q.x * d.x)
+                    / (sqrt(sum(q.x * q.x)) * sqrt(sum(d.x * d.x)))
+                    * 100000, 0) AS BIGINT) AS c5
+  FROM ex q JOIN ex d ON q.pi = d.pi
+  WHERE q.vec_id < {N_PROBES}
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT q_id, vec_id, qb, max(c5) AS m FROM bc GROUP BY 1, 2, 3
+),
+ms AS (
+  SELECT q_id, vec_id, CAST(sum(m) AS BIGINT) AS maxsim5
+  FROM best GROUP BY 1, 2
+)
+SELECT q_id, vec_id, maxsim5,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY maxsim5 DESC, vec_id) AS rnk
+      FROM ms)
+WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "kcenter_coreset": kcenter_coreset,
+    "colbert_maxsim": colbert_maxsim,
     "cluster_labels": cluster_labels,
     "mrl_recall": mrl_recall,
     "bitext_mine": bitext_mine,
@@ -1634,6 +1733,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "kcenter_coreset": SQL_KCENTER_CORESET,
+    "colbert_maxsim": SQL_COLBERT_MAXSIM,
     "cluster_labels": SQL_CLUSTER_LABELS,
     "mrl_recall": SQL_MRL_RECALL,
     "bitext_mine": SQL_BITEXT_MINE,

@@ -3094,7 +3094,7 @@ _PRIORITY = [
     "two_hop_reach", "phrase_query", "triangle_count",
     "cluster_labels", "skyline_pareto", "recommend_topk",
     "q_stream_ss_join", "session_path_topk", "community_lpa",
-    "kcenter_coreset", "ab_chi2",
+    "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

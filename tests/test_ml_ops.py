@@ -6256,3 +6256,141 @@ def test_ab_chi2_matches_python_exact(spark):
     assert got == want
     assert got["synthetic_ab"][-1] == 1
     assert any(v[-1] == 0 for m, v in got.items() if m != "synthetic_ab")
+
+
+def test_colbert_maxsim_matches_numpy(spark):
+    """MaxSim top-k must equal a numpy recompute over the 16-dim
+    block decomposition (per-block cosines on the integer 1e-5 grid,
+    max per query block, summed), with every probe's own vector at
+    rank 1 with the perfect score."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from freki_spark.functions.similarity import (
+        MAXSIM_BLOCKS,
+        MAXSIM_DIM,
+        N_PROBES,
+        TOP_K,
+        colbert_maxsim,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    V = {r[0]: np.array(r[1], dtype=np.float64) for r in rows}
+
+    def r5(x):
+        return (
+            int(math.floor(x * 1e5 + 0.5))
+            if x >= 0
+            else -int(math.floor(-x * 1e5 + 0.5))
+        )
+
+    def blocks(v):
+        return [
+            v[i * MAXSIM_DIM : (i + 1) * MAXSIM_DIM]
+            for i in range(MAXSIM_BLOCKS)
+        ]
+
+    def maxsim(q, d):
+        s = 0
+        for qb in blocks(V[q]):
+            s += max(
+                r5(
+                    float(qb @ db)
+                    / (math.sqrt(qb @ qb) * math.sqrt(db @ db))
+                )
+                for db in blocks(V[d])
+            )
+        return s
+
+    want = {}
+    for q in range(N_PROBES):
+        scored = sorted(
+            ((maxsim(q, d), d) for d in V), key=lambda t: (-t[0], t[1])
+        )
+        for rk, (s, d) in enumerate(scored[:TOP_K], 1):
+            want[(q, d)] = (s, rk)
+    got = {
+        (r.q_id, r.vec_id): (r.maxsim5, r.rnk)
+        for r in colbert_maxsim(spark, SF).collect()
+    }
+    assert got == want
+    for q in range(N_PROBES):
+        assert got[(q, q)] == (MAXSIM_BLOCKS * 100000, 1)
+
+
+def test_skipgram_pairs_matches_python(spark):
+    """The SGNS pair relation must equal a python recompute —
+    windowed positives, md5 negative draws resolved through the
+    identical shard-rebased interval layout — and the negative mass
+    must be exactly SG_NEG_K per token occurrence."""
+    import hashlib
+    from bisect import bisect_right
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import (
+        SG_BUCKETS,
+        SG_NEG_K,
+        SG_WINDOW,
+        skipgram_pairs,
+    )
+
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cnt = Counter()
+    for _, t in texts:
+        cnt.update(t.split(" "))
+    # interval layout: md5 bucket, in-bucket (center asc) cumsum,
+    # bucket bases in bk order
+    by_bk = {}
+    for tok, w in cnt.items():
+        by_bk.setdefault(h32(tok) % SG_BUCKETS, []).append(tok)
+    lo = {}
+    base = 0
+    for bk in sorted(by_bk):
+        for tok in sorted(by_bk[bk]):
+            lo[tok] = base
+            base += cnt[tok]
+    wtot = base
+    bounds = sorted((l, t) for t, l in lo.items())
+    starts = [b[0] for b in bounds]
+
+    def sample(r):
+        return bounds[bisect_right(starts, r) - 1][1]
+
+    pos = Counter()
+    neg = Counter()
+    n_tok = 0
+    for doc_id, t in texts:
+        tk = t.split(" ")
+        for i, c in enumerate(tk):
+            n_tok += 1
+            for o in range(-SG_WINDOW, SG_WINDOW + 1):
+                if o != 0 and 0 <= i + o < len(tk):
+                    pos[(c, tk[i + o])] += 1
+            for k in range(1, SG_NEG_K + 1):
+                r = h60(f"{doc_id}:{i}:{k}") % wtot
+                neg[(c, sample(r))] += 1
+    want = {(c, x, 1): n for (c, x), n in pos.items()}
+    want |= {(c, x, 0): n for (c, x), n in neg.items()}
+    got = {
+        (r.center, r.context, r.label): r.n_pairs
+        for r in skipgram_pairs(spark, SF).collect()
+    }
+    assert got == want
+    assert sum(n for (_, _, l), n in got.items() if l == 0) == (
+        SG_NEG_K * n_tok
+    )

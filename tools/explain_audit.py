@@ -1779,6 +1779,35 @@ def main() -> int:
         "partial-agg'd grids, broadcast totals, exact decimal gate",
     )
 
+    # 69. colbert_maxsim: MaxSim is a narrow per-pair array expression
+    #     over the broadcast probe set — no sub-vector explode, no
+    #     shuffle join; the only window ranks on the probe grain
+    p = plan_of(QUERIES["colbert_maxsim"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "colbert_maxsim_narrow",
+        wins <= {"q_id"}
+        and "SortMergeJoin" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"window keys={sorted(wins)}; narrow MaxSim, no shuffle join",
+    )
+
+    # 70. skipgram_pairs: the weighted-sampling range join is a
+    #     bucketed EQUI join (BroadcastHashJoin on the grid cell —
+    #     a raw lo<=r<hi join degrades to BroadcastNestedLoopJoin over
+    #     corpus-grain draws); vocab cumsums window on the md5 shard
+    p = plan_of(QUERIES["skipgram_pairs"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "skipgram_bucketed_sampling",
+        "BroadcastHashJoin" in p
+        and wins <= {"bk"}
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"window keys={sorted(wins)}; equi-join interval sampling",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
