@@ -2618,6 +2618,165 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# q_session_window — Spark's NATIVE session_window() aggregation,
+# value-checked against the manual gaps-and-islands construction: the
+# engine's built-in session windows (merge events closer than the gap,
+# window end = last event + gap) must agree with the lag/cumsum
+# islands that q_sessionize_batch / q_stream_sessionize implement by
+# hand.  This is the API-surface twin of the islands trio — a user
+# migrating from hand-rolled sessionization to session_window() needs
+# the two to be provably identical (the oracle IS the islands CTE).
+#
+# Scale shape: one user-grain Exchange feeding the session merge —
+# Spark's session_window aggregation sorts within partition and
+# merges adjacent windows, the same cost envelope as the islands
+# window.  Epochs floor per-timestamp (the shared timestamp rule).
+# --------------------------------------------------------------------------
+
+
+def q_session_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sess_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("start_epoch"),
+            F.unix_timestamp("w.end").cast("bigint").alias("end_epoch"),
+            "n_events",
+            "sess_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH {_DUCK_SESS_CTES}
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+         AS end_epoch,
+       count(*) AS n_events, round(sum(value), 2) AS sess_value
+FROM islands GROUP BY user_id, sess_no
+"""
+
+
+# --------------------------------------------------------------------------
+# q_sliding_window — overlapping (hopping) time windows: 1-hour
+# windows sliding every 30 minutes, so each event lands in exactly 2
+# windows — the moving-average / trailing-rate shape dashboards plot
+# (tumbling windows jump, sliding windows smooth).  The batch twin of
+# the streaming window(slide) API; the oracle expands each event to
+# its 2 covering window starts arithmetically (start ≡ 0 mod 30min,
+# start ≤ ts < start + 1h), which is exactly Spark's window
+# assignment rule.
+#
+# Scale shape: the ×2 expansion is a bounded narrow fan-out
+# (window-count = size/slide, a plan constant), then one map-side-
+# combined (window, type) rollup — never a self-join.
+# --------------------------------------------------------------------------
+
+
+def q_sliding_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("win_epoch"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH expanded AS (
+  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off AS win_epoch,
+         event_type, value
+  FROM events, UNNEST([0, 1800]) o(off)
+)
+SELECT win_epoch, event_type, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM expanded GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q_scan_binary — the binaryFile SOURCE: media assets land on object
+# storage as FILES, not parquet rows, and the ingest edge of a
+# multimodal pipeline is spark.read.format("binaryFile") over them
+# (path/length/content per file, partitioned by files).  The staged
+# corpus is synth_media_table's deterministic 32-byte blobs written
+# one file per asset (driver-side staging is test scaffolding, the
+# _stage_events convention — the operator under test is the
+# distributed read).  Output proves content fidelity byte-for-byte
+# (hex of the full bytes) against DuckDB's read_blob over the same
+# files.
+#
+# Scale note: binaryFile parallelizes across files (one row per
+# file, non-splittable by definition); small-file mass is the real
+# bottleneck at 10^9 assets — which is exactly what q_compact_plan /
+# shard_manifest exist for downstream.
+# --------------------------------------------------------------------------
+
+
+def q_scan_binary(spark, sf_dir):
+    from .functions.multimodal import synth_media_table
+
+    media = synth_media_table(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="freki_bin_"), "assets")
+    os.makedirs(d, exist_ok=True)
+    for r in media.select("doc_id", "content").collect():
+        with open(os.path.join(d, f"m{r.doc_id}.bin"), "wb") as f:
+            f.write(bytes(r.content))
+    return (
+        spark.read.format("binaryFile")
+        .load(d)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.hex("content").alias("content_hex"),
+        )
+    )
+
+
+def _sql_scan_binary(bin_dir: str) -> str:
+    return f"""
+SELECT string_split(filename, '/')[-1] AS fname,
+       CAST(size AS BIGINT) AS n_bytes,
+       hex(content) AS content_hex
+FROM read_blob('{bin_dir}/*.bin')
+"""
+
+
+# the oracle needs the SAME staged dir the Spark side read; the op
+# re-stages deterministically per call, so the oracle mirrors the
+# CONTENT rule instead: blobs are unhex(sha256(ref)) by construction
+SQL_SCAN_BINARY = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+       CAST(32 AS BIGINT) AS n_bytes,
+       upper(sha256('img://' || CAST(doc_id AS VARCHAR) || '/0'))
+         AS content_hex
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# --------------------------------------------------------------------------
 # ab_chi2 — A/B experiment significance gate: per conversion metric,
 # the 2×2 contingency table (variant = user_id parity — the
 # deterministic hash-bucket assignment real experiment platforms use)
@@ -2892,6 +3051,9 @@ QUERIES = {
     "q_sessionize_batch": q_sessionize_batch,
     "session_path_topk": session_path_topk,
     "ab_chi2": ab_chi2,
+    "q_session_window": q_session_window,
+    "q_sliding_window": q_sliding_window,
+    "q_scan_binary": q_scan_binary,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -2968,6 +3130,9 @@ ORACLE_SQL = {
     "q_sessionize_batch": SQL_SESSIONIZE_BATCH,
     "session_path_topk": SQL_SESSION_PATH_TOPK,
     "ab_chi2": SQL_AB_CHI2,
+    "q_session_window": SQL_SESSION_WINDOW,
+    "q_sliding_window": SQL_SLIDING_WINDOW,
+    "q_scan_binary": SQL_SCAN_BINARY,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3095,6 +3260,7 @@ _PRIORITY = [
     "cluster_labels", "skyline_pareto", "recommend_topk",
     "q_stream_ss_join", "session_path_topk", "community_lpa",
     "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
+    "q_session_window", "q_sliding_window", "q_scan_binary",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6394,3 +6394,82 @@ def test_skipgram_pairs_matches_python(spark):
     assert sum(n for (_, _, l), n in got.items() if l == 0) == (
         SG_NEG_K * n_tok
     )
+
+
+def test_session_window_native_equals_islands(spark):
+    """Spark's built-in session_window() must produce exactly the
+    sessions the manual gaps-and-islands operator finds: same count,
+    same (user, start, n_events) triples, end = last event + gap."""
+    from freki_spark.queries import q_session_window, q_sessionize_batch
+
+    native = {
+        (r.user_id, r.start_epoch): (r.end_epoch, r.n_events, r.sess_value)
+        for r in q_session_window(spark, SF).collect()
+    }
+    manual = {
+        (r.user_id, int(r.sess_start.timestamp() // 1)): (
+            int(r.sess_end.timestamp() // 1) + 1800,
+            r.n_events,
+            r.sess_value,
+        )
+        for r in q_sessionize_batch(spark, SF).collect()
+    }
+    assert set(native) == set(manual)
+    for k in native:
+        assert native[k][1:] == manual[k][1:]
+        assert native[k][0] == manual[k][0]  # end = last event + 30 min
+
+
+def test_sliding_window_double_counts_exactly(spark):
+    """Every event must land in exactly 2 sliding windows (1h window,
+    30min slide), window starts must sit on the 30-min grid, and the
+    per-window counts must match a python recompute."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.queries import q_sliding_window
+
+    rows = q_sliding_window(spark, SF).collect()
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == 2 * n_events
+    assert all(r.win_epoch % 1800 == 0 for r in rows)
+    evs = duckdb.sql(
+        f"SELECT CAST(floor(epoch(ts)) AS BIGINT), event_type"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    want = Counter()
+    for t, k in evs:
+        base = t // 1800 * 1800
+        want[(base, k)] += 1
+        want[(base - 1800, k)] += 1
+    got = {(r.win_epoch, r.event_type): r.n for r in rows}
+    assert got == dict(want)
+
+
+def test_scan_binary_round_trips_media_bytes(spark):
+    """The binaryFile source must read back exactly the staged media
+    blobs: one file per synthesized asset, 32 bytes each, content
+    hex equal to the synthesis rule sha256(media_ref)."""
+    import hashlib
+
+    import duckdb
+
+    from freki_spark.queries import q_scan_binary
+
+    rows = q_scan_binary(spark, SF).collect()
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+            f" WHERE doc_id % 5 = 0"
+        ).fetchall()
+    ]
+    assert {r.fname for r in rows} == {f"m{i}.bin" for i in ids}
+    assert all(r.n_bytes == 32 for r in rows)
+    for r in rows:
+        did = int(r.fname[1:-4])
+        want = hashlib.sha256(f"img://{did}/0".encode()).hexdigest().upper()
+        assert r.content_hex == want

@@ -1808,6 +1808,31 @@ def main() -> int:
         f"window keys={sorted(wins)}; equi-join interval sampling",
     )
 
+    # 71. q_sliding_window: the ×2 hop expansion is a narrow fan-out
+    #     feeding ONE map-side-combined rollup — no self-join, no
+    #     window function, partial agg below the single Exchange
+    p = plan_of(QUERIES["q_sliding_window"](spark, sf_dir))
+    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    check(
+        "sliding_window_partial_agg",
+        "partial" in p
+        and agg and ex and min(agg) < min(ex)
+        and "Join" not in p
+        and "Python" not in p,
+        "narrow hop expansion + partial agg, no join",
+    )
+
+    # 72. q_session_window: the native session merge runs on ONE
+    #     user-grain Exchange (same envelope as the islands windows)
+    p = plan_of(QUERIES["q_session_window"](spark, sf_dir))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    check(
+        "session_window_single_exchange",
+        n_ex == 1 and "Join" not in p and "Python" not in p,
+        f"shuffle Exchanges={n_ex}; native session merge, no join",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
