@@ -2628,7 +2628,145 @@ FROM c
 SQL_SLOP_FILTER = _sql_slop()
 
 
+# --------------------------------------------------------------------------
+# entropy_filter — character-entropy corpus gate: Shannon entropy of
+# the per-document character distribution, in exact integer
+# micro-nats.  The two tails are the two classic garbage classes a
+# text-quality stack cannot catch with word rules: NEAR-ZERO entropy
+# = degenerate repetition (padding, cursor spam, "aaaa..."), HIGH
+# entropy ≈ alphabet-uniform = encoded blobs (base64/hex dumps inside
+# scraped pages) whose "words" look fine to length/stopword rules.
+#
+# Exactness: H = Σ_c (k_c/n)·ln(n/k_c) is float, so each character's
+# term is floored to micro-nats with the token-identical tree
+# floor(ln(n/k)·k·1e6/n) in both engines (the BM25 association rule)
+# and only the integer terms are summed.  Counts come from the
+# length-difference idiom (the mojibake precedent) over a fixed
+# 37-symbol alphabet literal — one narrow projection, no explode, no
+# groupBy, zero Exchange.
+#
+# Deterministic variants make both flags fire on the all-natural
+# fixture: every doc_id % 31 == 6 re-emitted as ~uniform base-36 text
+# (md5 chunks through conv(·,16,36) — 36-symbol uniform has
+# H = ln 36 ≈ 3.58 nats; natural text sits near 2.8-3.0) at the
+# +1_100_000 id slot, and every doc_id % 37 == 9 as a single-char run
+# (H = 0) at +1_200_000 (collision-proof offsets — the recrawl rule;
+# +1_000_000 is taken by merge_upsert's insert slot).
+# --------------------------------------------------------------------------
+
+ENT_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+ENT_LOW_MICRO = 1_000_000  # < 1 nat -> degenerate repetition
+ENT_HIGH_MICRO = 3_300_000  # > 3.3 nats -> encoded-blob suspicion
+ENT_RND_MOD, ENT_RND_REM, ENT_RND_OFFSET = 31, 6, 1_100_000
+ENT_REP_MOD, ENT_REP_REM, ENT_REP_OFFSET = 37, 9, 1_200_000
+# 12 chunks ≈ 144 chars: the EMPIRICAL entropy of a small uniform
+# sample undershoots ln(36) (singleton bias) — measured at sf0.001:
+# 5 chunks bottom out at 3.03 nats (below the gate), 12 chunks at
+# 3.38 vs a natural-text max of 2.94 — clean separation either side
+# of the 3.3 threshold
+ENT_RND_CHUNKS = 12
+ENT_REP_LEN = 400
+
+
+def _ent_term(ch: str) -> str:
+    """One character's micro-nat entropy term — shared SQL text for
+    both engines (identical float tree)."""
+    q = "''" if ch != "'" else "''''"
+    k = f"(length(text) - length(replace(text, '{ch}', {q})))"
+    return (
+        f"CASE WHEN {k} > 0 THEN CAST(floor(ln(n_chars / {k}) * {k}"
+        f" * 1000000.0 / n_chars) AS BIGINT) ELSE 0 END"
+    )
+
+
+_ENT_H_EXPR = " + ".join(_ent_term(c) for c in ENT_ALPHABET)
+
+
+def _ent_spark_rnd():
+    chunks = [
+        F.lower(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("text"), F.lit(str(k)))), 1, 15
+                ),
+                16,
+                36,
+            )
+        )
+        for k in range(ENT_RND_CHUNKS)
+    ]
+    return F.concat_ws("", *chunks)
+
+
+def entropy_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rnd = d.filter(
+        F.col("doc_id") % ENT_RND_MOD == ENT_RND_REM
+    ).select(
+        (F.col("doc_id") + ENT_RND_OFFSET).alias("doc_id"),
+        _ent_spark_rnd().alias("text"),
+    )
+    rep = d.filter(
+        F.col("doc_id") % ENT_REP_MOD == ENT_REP_REM
+    ).select(
+        (F.col("doc_id") + ENT_REP_OFFSET).alias("doc_id"),
+        F.repeat(F.lit("a"), ENT_REP_LEN).alias("text"),
+    )
+    corpus = d.unionByName(rnd).unionByName(rep)
+    s = corpus.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    )
+    return s.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_ENT_H_EXPR).cast("bigint").alias("h_micro"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "h_micro",
+        (F.col("h_micro") < ENT_LOW_MICRO).cast("int").alias("flag_low"),
+        (F.col("h_micro") > ENT_HIGH_MICRO).cast("int").alias("flag_high"),
+    )
+
+
+def _sql_ent_rnd() -> str:
+    chunks = " || ".join(
+        "lower(to_base(CAST('0x' || substr(md5(text || '"
+        f"{k}'), 1, 15) AS BIGINT), 36))"
+        for k in range(ENT_RND_CHUNKS)
+    )
+    return chunks
+
+
+SQL_ENTROPY_FILTER = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ENT_RND_OFFSET}, {_sql_ent_rnd()}
+  FROM documents WHERE doc_id % {ENT_RND_MOD} = {ENT_RND_REM}
+  UNION ALL
+  SELECT doc_id + {ENT_REP_OFFSET}, repeat('a', {ENT_REP_LEN})
+  FROM documents WHERE doc_id % {ENT_REP_MOD} = {ENT_REP_REM}
+),
+s AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+  FROM corpus
+),
+h AS (
+  SELECT doc_id, n_chars, CAST({_ENT_H_EXPR} AS BIGINT) AS h_micro
+  FROM s
+)
+SELECT doc_id, n_chars, h_micro,
+       CAST(CASE WHEN h_micro < {ENT_LOW_MICRO} THEN 1 ELSE 0 END AS INT)
+         AS flag_low,
+       CAST(CASE WHEN h_micro > {ENT_HIGH_MICRO} THEN 1 ELSE 0 END AS INT)
+         AS flag_high
+FROM h
+"""
+
+
 QUERIES = {
+    "entropy_filter": entropy_filter,
     "slop_filter": slop_filter,
     "lang_id_ngram": lang_id_ngram,
     "winnow_fingerprint": winnow_fingerprint,
@@ -2659,6 +2797,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "entropy_filter": SQL_ENTROPY_FILTER,
     "slop_filter": SQL_SLOP_FILTER,
     "bleu_stats": SQL_BLEU_STATS,
     "doremi_weights": SQL_DOREMI_WEIGHTS,

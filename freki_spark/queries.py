@@ -2618,6 +2618,81 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# decile_bins — exact global decile assignment WITHOUT a global sort:
+# equal-frequency binning of order values (the feature-bucketization /
+# revenue-band relation BI stacks compute with ntile()).  A naive
+# ntile/row_number over the whole corpus is a single-partition sort —
+# the exact trap q_compact_plan's lang-cumsum fix and
+# shuffle_deterministic's shard rebase exist for.  Here the rebase key
+# is the VALUE RANGE (rb = cents div W, a plan literal): range buckets
+# are monotone in the sort key, so per-bucket row_number + a tiny
+# running-sum base table IS the exact global rank (ties cannot span
+# buckets — rb is a function of the value; (value, key) ordering
+# within buckets finishes the total order).  decile = (rank−1)·10 div
+# n, an arithmetic rule both engines share exactly (ntile's
+# remainder-to-early-bins convention is deliberately NOT used — the
+# arithmetic rule is order-equivalent and engine-independent).
+#
+# Scale shape: parallelism = value-range cardinality (W is the dial);
+# the base table is range-grain (broadcast), n is a 1-row broadcast
+# aggregate, the final rollup is decile-grain.  Exact integer cents
+# (the rfm_segments rule).
+# --------------------------------------------------------------------------
+
+DEC_RANGE_W = 500_000  # $5,000 value ranges — the rank-rebase shards
+
+
+def decile_bins(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).withColumn("rb", F.expr(f"cents div {DEC_RANGE_W}"))
+    wr = Window.partitionBy("rb").orderBy("cents", "k")
+    ranked = t.withColumn("ir", F.row_number().over(wr))
+    rc = t.groupBy("rb").agg(F.count("*").alias("rn"))
+    wb = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    bases = rc.withColumn(
+        "base", F.coalesce(F.sum("rn").over(wb), F.lit(0))
+    ).select("rb", "base")
+    n1 = t.agg(F.count("*").alias("n"))
+    g = (
+        ranked.join(F.broadcast(bases), "rb")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "cents",
+            F.expr("(base + ir - 1) * 10 div n").cast("int").alias("decile"),
+        )
+    )
+    return g.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("cents").alias("cents_min"),
+        F.max("cents").alias("cents_max"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+SQL_DECILE_BINS = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, k) AS rk,
+         count(*) OVER () AS n
+  FROM t
+)
+SELECT CAST((rk - 1) * 10 // n AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(cents) AS cents_min, max(cents) AS cents_max,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q_session_window — Spark's NATIVE session_window() aggregation,
 # value-checked against the manual gaps-and-islands construction: the
 # engine's built-in session windows (merge events closer than the gap,
@@ -3054,6 +3129,7 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_sliding_window": q_sliding_window,
     "q_scan_binary": q_scan_binary,
+    "decile_bins": decile_bins,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -3133,6 +3209,7 @@ ORACLE_SQL = {
     "q_session_window": SQL_SESSION_WINDOW,
     "q_sliding_window": SQL_SLIDING_WINDOW,
     "q_scan_binary": SQL_SCAN_BINARY,
+    "decile_bins": SQL_DECILE_BINS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3261,6 +3338,7 @@ _PRIORITY = [
     "q_stream_ss_join", "session_path_topk", "community_lpa",
     "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
     "q_session_window", "q_sliding_window", "q_scan_binary",
+    "entropy_filter", "decile_bins",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6473,3 +6473,123 @@ def test_scan_binary_round_trips_media_bytes(spark):
         did = int(r.fname[1:-4])
         want = hashlib.sha256(f"img://{did}/0".encode()).hexdigest().upper()
         assert r.content_hex == want
+
+
+def test_entropy_filter_matches_python_and_separates(spark):
+    """Integer micro-nat entropies must equal a python recompute with
+    the same per-character floor staging, and the three populations
+    must separate: naturals unflagged, base-36 variants flag_high,
+    repetition variants flag_low."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from freki_spark.functions.text_analysis import (
+        ENT_ALPHABET,
+        ENT_HIGH_MICRO,
+        ENT_LOW_MICRO,
+        ENT_REP_LEN,
+        ENT_REP_MOD,
+        ENT_REP_OFFSET,
+        ENT_REP_REM,
+        ENT_RND_CHUNKS,
+        ENT_RND_MOD,
+        ENT_RND_OFFSET,
+        ENT_RND_REM,
+        entropy_filter,
+    )
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def b36(n):
+        digs = "0123456789abcdefghijklmnopqrstuvwxyz"
+        out = ""
+        while n:
+            out = digs[n % 36] + out
+            n //= 36
+        return out or "0"
+
+    corpus = dict(texts)
+    for d, t in texts.items():
+        if d % ENT_RND_MOD == ENT_RND_REM:
+            corpus[d + ENT_RND_OFFSET] = "".join(
+                b36(
+                    int(
+                        hashlib.md5(f"{t}{k}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                )
+                for k in range(ENT_RND_CHUNKS)
+            )
+        if d % ENT_REP_MOD == ENT_REP_REM:
+            corpus[d + ENT_REP_OFFSET] = "a" * ENT_REP_LEN
+
+    def h_micro(t):
+        n = len(t)
+        tot = 0
+        for ch in ENT_ALPHABET:
+            k = t.count(ch)
+            if k > 0:
+                tot += math.floor(math.log(n / k) * k * 1e6 / n)
+        return tot
+
+    want = {
+        d: (len(t), h_micro(t)) for d, t in corpus.items()
+    }
+    rows = entropy_filter(spark, SF).collect()
+    got = {r.doc_id: (r.n_chars, r.h_micro) for r in rows}
+    assert got == want
+    flags = {r.doc_id: (r.flag_low, r.flag_high) for r in rows}
+    for d in texts:
+        assert flags[d] == (0, 0), f"natural doc {d} flagged"
+    rnd_ids = [
+        d + ENT_RND_OFFSET for d in texts if d % ENT_RND_MOD == ENT_RND_REM
+    ]
+    rep_ids = [
+        d + ENT_REP_OFFSET for d in texts if d % ENT_REP_MOD == ENT_REP_REM
+    ]
+    assert rnd_ids and all(flags[d] == (0, 1) for d in rnd_ids)
+    assert rep_ids and all(flags[d] == (1, 0) for d in rep_ids)
+    assert all(got[d][1] < ENT_HIGH_MICRO for d in texts)
+    assert all(got[d][1] >= ENT_LOW_MICRO for d in texts)
+
+
+def test_decile_bins_matches_global_sort(spark):
+    """The range-rebased decile assignment must equal the naive
+    global-sort deciles exactly (equal-frequency to within 1), with
+    bins ordered by value and partitioning the order count."""
+    import duckdb
+
+    from freki_spark.queries import decile_bins
+
+    cents = sorted(
+        (int(round(p * 100)), k)
+        for k, p in duckdb.sql(
+            f"SELECT o_orderkey, o_totalprice FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    )
+    n = len(cents)
+    want = {}
+    for i, (c, _) in enumerate(cents):
+        d = i * 10 // n
+        a = want.setdefault(d, [0, c, c, 0])
+        a[0] += 1
+        a[1] = min(a[1], c)
+        a[2] = max(a[2], c)
+        a[3] += c
+    got = {
+        r.decile: [r.n_orders, r.cents_min, r.cents_max, r.cents_sum]
+        for r in decile_bins(spark, SF).collect()
+    }
+    assert got == want
+    assert set(got) == set(range(10))
+    sizes = [got[d][0] for d in range(10)]
+    assert max(sizes) - min(sizes) <= 1  # equal-frequency
+    assert sum(sizes) == n
+    for d in range(9):  # bins ordered by value
+        assert got[d][2] <= got[d + 1][1]

@@ -1833,6 +1833,33 @@ def main() -> int:
         f"shuffle Exchanges={n_ex}; native session merge, no join",
     )
 
+    # 73. entropy_filter: one narrow projection over the unioned
+    #     corpus — the 37-term entropy sum is per-row expression work;
+    #     zero Exchange, no join/window/python (the code_detect shape)
+    p = plan_of(QUERIES["entropy_filter"](spark, sf_dir))
+    n_ex = len(re.findall(r"Exchange \(\d+\)", p))
+    check(
+        "entropy_filter_zero_exchange",
+        n_ex == 0
+        and "Join" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"Exchanges={n_ex}; narrow entropy pass",
+    )
+
+    # 74. decile_bins: the exact global rank comes from VALUE-RANGE
+    #     shard windows (rb — the parallelism dial), never a global
+    #     single-partition sort; bases and n broadcast back
+    p = plan_of(QUERIES["decile_bins"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "decile_bins_range_rebase",
+        wins <= {"rb"}
+        and "SortMergeJoin" not in p
+        and "Python" not in p,
+        f"window keys={sorted(wins)}; range-rebased rank, broadcast bases",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
