@@ -3680,8 +3680,12 @@ def skipgram_pairs(spark, sf_dir):
             ).alias("gb"),
         )
     )
+    # NOTE: no broadcast hint — the interval table is vocabulary-sized
+    # (~2V exploded rows), which at a 10^8-token vocabulary is far
+    # past any broadcast ceiling; the gb equi-join lets Catalyst/AQE
+    # pick broadcast at small V and shuffle-hash at large V
     neg = (
-        draws.join(F.broadcast(iv), "gb")
+        draws.join(iv, "gb")
         .filter((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
         .groupBy("center", "context")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))

@@ -575,6 +575,11 @@ def community_lpa(spark, sf_dir):
                 .alias("lab"),
             )
         )
+    # eager localCheckpoint: the converged labels feed TWO consumers
+    # (the sizes rollup and the output join) — without the cut the
+    # whole 3-round LPA DAG executes once per branch (measured: 8 raw
+    # scans, 0 reuse; the dist_drift rule)
+    labels = labels.localCheckpoint()
     sizes = labels.groupBy("lab").agg(
         F.count("*").cast("bigint").alias("comm_size")
     )

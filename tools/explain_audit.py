@@ -1741,14 +1741,16 @@ def main() -> int:
     #     would sort-shuffle the neighbor-label table every round);
     #     neighbor joins are equi-joins over the checkpointed sym list
     p = plan_of(QUERIES["community_lpa"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "community_lpa_structmax",
-        "partial_count" in p
+        n_scans == 0
         and "Window" not in p
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
         and "Python" not in p,
-        "struct-max winner election, no Window/all-pairs/python",
+        f"raw re-scans={n_scans} (checkpointed labels); struct-max "
+        "election, no Window/all-pairs/python",
     )
 
     # 67. kcenter_coreset: the per-round 1-row center set is
@@ -1770,13 +1772,15 @@ def main() -> int:
     #     the metric layer is broadcast-1-row only (no shuffle join),
     #     the DECIMAL38 comparison is a narrow expression — no Window
     p = plan_of(QUERIES["ab_chi2"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "ab_chi2_metric_grain",
-        "partial" in p
+        n_scans == 0
         and "Window" not in p
         and "SortMergeJoin" not in p
         and "Python" not in p,
-        "partial-agg'd grids, broadcast totals, exact decimal gate",
+        f"raw re-scans={n_scans} (checkpointed conv/tot); "
+        "exact decimal gate, no Window",
     )
 
     # 69. colbert_maxsim: MaxSim is a narrow per-pair array expression
@@ -1799,28 +1803,32 @@ def main() -> int:
     #     corpus-grain draws); vocab cumsums window on the md5 shard
     p = plan_of(QUERIES["skipgram_pairs"](spark, sf_dir))
     wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    # the sampling join must be an EQUI join keyed on the grid cell
+    # (no broadcast HINT — vocabulary-sized at scale; Catalyst/AQE
+    # picks the strategy) — a raw lo<=r<hi join shows up as a
+    # BroadcastNestedLoopJoin carrying corpus-grain draws
+    gb_keyed = bool(re.search(r"\[gb#\d+L?\]", p))
     check(
         "skipgram_bucketed_sampling",
-        "BroadcastHashJoin" in p
+        gb_keyed
         and wins <= {"bk"}
         and "CartesianProduct" not in p
         and "Python" not in p,
-        f"window keys={sorted(wins)}; equi-join interval sampling",
+        f"window keys={sorted(wins)}; gb-keyed equi-join sampling",
     )
 
     # 71. q_sliding_window: the ×2 hop expansion is a narrow fan-out
     #     feeding ONE map-side-combined rollup — no self-join, no
     #     window function, partial agg below the single Exchange
     p = plan_of(QUERIES["q_sliding_window"](spark, sf_dir))
-    agg = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
-    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", p)]
+    n_ex, fed = shuffle_exchanges_feed_aggregates(p)
     check(
         "sliding_window_partial_agg",
         "partial" in p
-        and agg and ex and min(agg) < min(ex)
+        and n_ex >= 1 and fed
         and "Join" not in p
         and "Python" not in p,
-        "narrow hop expansion + partial agg, no join",
+        f"narrow hop expansion; all {n_ex} Exchanges fed by partial agg",
     )
 
     # 72. q_session_window: the native session merge runs on ONE
@@ -1852,12 +1860,15 @@ def main() -> int:
     #     single-partition sort; bases and n broadcast back
     p = plan_of(QUERIES["decile_bins"](spark, sf_dir))
     wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "decile_bins_range_rebase",
         wins <= {"rb"}
+        and n_scans == 0
         and "SortMergeJoin" not in p
         and "Python" not in p,
-        f"window keys={sorted(wins)}; range-rebased rank, broadcast bases",
+        f"window keys={sorted(wins)}; raw re-scans={n_scans}; "
+        "range-rebased rank, broadcast bases",
     )
 
     spark.stop()
