@@ -2618,6 +2618,99 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# q_xml_functions — Spark 4's NATIVE XML expressions (to_xml /
+# from_xml / xpath_string), exercised as a round-trip identity: this
+# engine's whole domain is XML extraction (the TET/PDFMiner glyph
+# docs), so the built-in XML surface a user would reach for first
+# belongs in the registry.  Each document's metadata renders to an
+# XML fragment (with a deliberately hostile `<&>`-bearing field — the
+# escaping witness) and must parse back IDENTICALLY through both
+# from_xml (schema-full) and xpath_string (schema-less, the Hive
+# XPath surface); the oracle is the identity projection, so any
+# escaping or parsing loss hash-fails.
+#
+# Scale shape: two narrow per-row expressions — zero Exchange; at
+# 10^12 docs XML render/parse cost is the per-row constant, exactly
+# like the engine's own fastparse path.  (The PRODUCTION glyph-XML
+# path deliberately does NOT use from_xml: it needs the expat
+# fallback guarantees + mapInArrow batching — fastparse.py.  This op
+# covers the API surface, not a replacement.)
+# --------------------------------------------------------------------------
+
+
+def q_xml_functions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payload = F.struct(
+        F.col("doc_id"),
+        F.concat(F.col("lang"), F.lit("<&>")).alias("lang_esc"),
+        F.col("n_chars"),
+    )
+    x = d.select("doc_id", F.to_xml(payload).alias("x"))
+    parsed = x.select(
+        "doc_id",
+        F.from_xml(
+            "x", "doc_id BIGINT, lang_esc STRING, n_chars BIGINT"
+        ).alias("p"),
+        F.expr("xpath_string(x, '/ROW/lang_esc')").alias("xp_lang"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.lang_esc").alias("lang_rt"),
+        F.col("p.n_chars").alias("n_chars_rt"),
+        "xp_lang",
+        (F.col("p.doc_id") == F.col("doc_id")).cast("int").alias("id_ok"),
+    )
+
+
+SQL_XML_FUNCTIONS = """
+SELECT doc_id,
+       lang || '<&>' AS lang_rt,
+       n_chars AS n_chars_rt,
+       lang || '<&>' AS xp_lang,
+       CAST(1 AS INT) AS id_ok
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q_variant_json — Spark 4's VARIANT type (the open-format
+# semi-structured column replacing string-JSON hot paths):
+# parse_json -> variant_get typed path extraction, with
+# try_variant_get proving missing-path null-safety.  VARIANT keeps a
+# binary-encoded tree per value, so typed path reads skip the
+# re-tokenize-the-string cost get_json_object pays on every access —
+# at 10^12 events with multi-access per row that is the difference
+# between one parse and N parses.  The oracle reads the same paths
+# with DuckDB's JSON extraction; q_json_props remains the
+# string-function twin (both surfaces stay covered).
+#
+# Scale shape: narrow per-row expressions, zero Exchange.
+# --------------------------------------------------------------------------
+
+
+def q_variant_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_int"),
+        F.try_variant_get("v", "$.missing", "string").alias("k_missing"),
+        F.schema_of_variant("v").alias("v_schema"),
+    )
+
+
+SQL_VARIANT_JSON = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       CAST(NULL AS VARCHAR) AS k_missing,
+       'OBJECT<k: BIGINT>' AS v_schema
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # decile_bins — exact global decile assignment WITHOUT a global sort:
 # equal-frequency binning of order values (the feature-bucketization /
 # revenue-band relation BI stacks compute with ntile()).  A naive
@@ -3140,6 +3233,8 @@ QUERIES = {
     "q_sliding_window": q_sliding_window,
     "q_scan_binary": q_scan_binary,
     "decile_bins": decile_bins,
+    "q_xml_functions": q_xml_functions,
+    "q_variant_json": q_variant_json,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -3220,6 +3315,8 @@ ORACLE_SQL = {
     "q_sliding_window": SQL_SLIDING_WINDOW,
     "q_scan_binary": SQL_SCAN_BINARY,
     "decile_bins": SQL_DECILE_BINS,
+    "q_xml_functions": SQL_XML_FUNCTIONS,
+    "q_variant_json": SQL_VARIANT_JSON,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3348,7 +3445,7 @@ _PRIORITY = [
     "q_stream_ss_join", "session_path_topk", "community_lpa",
     "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
     "q_session_window", "q_sliding_window", "q_scan_binary",
-    "entropy_filter", "decile_bins",
+    "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

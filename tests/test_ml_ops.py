@@ -6593,3 +6593,47 @@ def test_decile_bins_matches_global_sort(spark):
     assert sum(sizes) == n
     for d in range(9):  # bins ordered by value
         assert got[d][2] <= got[d + 1][1]
+
+
+def test_xml_functions_round_trip_and_escaping(spark):
+    """to_xml∘from_xml must be the identity on metadata structs —
+    including XML-hostile field values — and the schema-less xpath
+    extraction must agree with the schema-full parse."""
+    from pyspark.sql import functions as F
+
+    from freki_spark.queries import q_xml_functions
+
+    rows = q_xml_functions(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r.id_ok == 1 for r in rows)
+    assert all(r.lang_rt.endswith("<&>") for r in rows)
+    assert all(r.xp_lang == r.lang_rt for r in rows)
+    # harder adversarial payload than the fixture carries
+    nasty = 'a<&>"\'\tz & <tag> ]]>'
+    df = spark.range(1).select(
+        F.to_xml(F.struct(F.lit(nasty).alias("s"))).alias("x")
+    )
+    back = df.select(F.from_xml("x", "s STRING").alias("p")).collect()
+    assert back[0].p.s == nasty
+
+
+def test_variant_json_typed_paths(spark):
+    """VARIANT path extraction must agree with plain JSON parsing,
+    missing paths must be null (not an error), and the variant
+    schema must be the constant object shape."""
+    import json
+
+    import duckdb
+
+    from freki_spark.queries import q_variant_json
+
+    want = {
+        e: json.loads(p)["k"]
+        for e, p in duckdb.sql(
+            f"SELECT event_id, props FROM '{SF}/events.parquet'"
+        ).fetchall()
+    }
+    rows = q_variant_json(spark, SF).collect()
+    assert {r.event_id: r.k_int for r in rows} == want
+    assert all(r.k_missing is None for r in rows)
+    assert {r.v_schema for r in rows} == {"OBJECT<k: BIGINT>"}

@@ -1871,6 +1871,18 @@ def main() -> int:
         "range-rebased rank, broadcast bases",
     )
 
+    # 75. q_xml_functions / q_variant_json: the Spark-4 XML and
+    #     VARIANT surfaces are narrow per-row expressions — zero
+    #     Exchange, no join/window/python in either plan
+    for slug in ("q_xml_functions", "q_variant_json"):
+        p = plan_of(QUERIES[slug](spark, sf_dir))
+        n_ex = len(re.findall(r"Exchange \(\d+\)", p))
+        check(
+            f"{slug}_narrow",
+            n_ex == 0 and "Join" not in p and "Python" not in p,
+            f"Exchanges={n_ex}; narrow expression surface",
+        )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
