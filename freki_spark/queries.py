@@ -2618,6 +2618,111 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# q_unpivot — the UNPIVOT/melt relational operator (wide → long),
+# exercised as the inverse of q_pivot's long → wide: per-user event
+# counts pivot into 5 typed columns and unpivot straight back, so the
+# registry proves pivot ∘ unpivot = identity on the original long
+# aggregate (missing (user, type) combos surface as NULL cells and
+# are dropped on the way back — the documented round-trip contract).
+# Melt is the standard normalization step when wide exports
+# (spreadsheets, feature matrices) re-enter a relational pipeline.
+#
+# Scale shape: the pivot is a groupBy over a PLAN-LITERAL value list
+# (5 event types — never an inferred-distinct scan), the unpivot a
+# narrow ×5 expand; one user-grain Exchange total.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_unpivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n").isNotNull()).select(
+        "user_id", "event_type", F.col("n").cast("bigint").alias("n")
+    )
+
+
+SQL_UNPIVOT = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# pack_lpt — load-balanced shard packing by size rank (the
+# longest-processing-time greedy, distributable form): docs sorted by
+# token count DESC get dealt round-robin across NSHARDS — the classic
+# guarantee that no shard exceeds any other by more than one item's
+# mass (descending deal: each round of NSHARDS placements levels the
+# decks), which is what keeps 10^3-executor training-data writes from
+# a straggler shard.  The third packing discipline in the registry:
+# pack_sequences packs by POSITION, semantic_pack by TOPIC, pack_lpt
+# by LOAD.
+#
+# The global size rank uses the decile_bins VALUE-RANGE rebase (rb =
+# sort-key div W — never a single-partition row_number): parallelism
+# = range cardinality.  Sort key = −n_tok (descending deal), ties by
+# doc_id.
+# --------------------------------------------------------------------------
+
+LPT_SHARDS = 8
+LPT_RANGE_W = 16
+
+
+def pack_lpt(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    t = d.select(
+        "doc_id", "n_tok", (-F.col("n_tok")).alias("s")
+    ).withColumn("rb", F.expr(f"s div {LPT_RANGE_W}")).localCheckpoint()
+    wr = Window.partitionBy("rb").orderBy("s", "doc_id")
+    ranked = t.withColumn("ir", F.row_number().over(wr))
+    rc = t.groupBy("rb").agg(F.count("*").alias("rn"))
+    wb = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    bases = rc.withColumn(
+        "base", F.coalesce(F.sum("rn").over(wb), F.lit(0))
+    ).select("rb", "base")
+    g = ranked.join(F.broadcast(bases), "rb").select(
+        "n_tok",
+        F.expr(f"(base + ir - 1) % {LPT_SHARDS}").cast("int").alias("shard"),
+    )
+    return g.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+    )
+
+
+SQL_PACK_LPT = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT n_tok,
+         row_number() OVER (ORDER BY -n_tok, doc_id) AS rk
+  FROM d
+)
+SELECT CAST((rk - 1) % {LPT_SHARDS} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q_xml_functions — Spark 4's NATIVE XML expressions (to_xml /
 # from_xml / xpath_string), exercised as a round-trip identity: this
 # engine's whole domain is XML extraction (the TET/PDFMiner glyph
@@ -3235,6 +3340,8 @@ QUERIES = {
     "decile_bins": decile_bins,
     "q_xml_functions": q_xml_functions,
     "q_variant_json": q_variant_json,
+    "q_unpivot": q_unpivot,
+    "pack_lpt": pack_lpt,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -3317,6 +3424,8 @@ ORACLE_SQL = {
     "decile_bins": SQL_DECILE_BINS,
     "q_xml_functions": SQL_XML_FUNCTIONS,
     "q_variant_json": SQL_VARIANT_JSON,
+    "q_unpivot": SQL_UNPIVOT,
+    "pack_lpt": SQL_PACK_LPT,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3446,6 +3555,7 @@ _PRIORITY = [
     "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
     "q_session_window", "q_sliding_window", "q_scan_binary",
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
+    "q_unpivot", "pack_lpt",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

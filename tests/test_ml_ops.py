@@ -6637,3 +6637,70 @@ def test_variant_json_typed_paths(spark):
     assert {r.event_id: r.k_int for r in rows} == want
     assert all(r.k_missing is None for r in rows)
     assert {r.v_schema for r in rows} == {"OBJECT<k: BIGINT>"}
+
+
+def test_unpivot_inverts_pivot(spark):
+    """pivot∘unpivot must be the identity on the long aggregate, and
+    the NULL-cell drop must be exercised (some user misses a type)."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.queries import EVENT_TYPES, q_unpivot
+
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+    want = Counter(evs)
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in q_unpivot(spark, SF).collect()
+    }
+    assert got == dict(want)
+    # the fixture is dense (every user has every type), so drive the
+    # NULL-cell drop with a synthetic sparse frame through the same
+    # pivot -> unpivot chain
+    import pyspark.sql.functions as F
+
+    sparse = spark.createDataFrame(
+        [(1, "view"), (1, "click"), (2, "view")], "user_id int, et string"
+    )
+    wide = sparse.groupBy("user_id").pivot("et", ["view", "click"]).agg(
+        F.count(F.lit(1))
+    )
+    back = wide.unpivot(["user_id"], ["view", "click"], "et", "n")
+    assert {(r.user_id, r.et): r.n for r in back.collect()}[(2, "click")] is None
+    kept = back.filter(F.col("n").isNotNull()).collect()
+    assert {(r.user_id, r.et) for r in kept} == {
+        (1, "view"), (1, "click"), (2, "view")
+    }
+
+
+def test_pack_lpt_balances_shards(spark):
+    """The size-ranked round-robin deal must equal the naive global
+    recompute and bound shard imbalance by one document's mass."""
+    import duckdb
+
+    from freki_spark.queries import LPT_SHARDS, pack_lpt
+
+    docs = sorted(
+        (-len(t.split(" ")), k)
+        for k, t in duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    want = {}
+    for rk, (negtok, _) in enumerate(docs, 1):
+        s = (rk - 1) % LPT_SHARDS
+        a = want.setdefault(s, [0, 0])
+        a[0] += 1
+        a[1] += -negtok
+    got = {
+        r.shard: [r.n_docs, r.tok_sum] for r in pack_lpt(spark, SF).collect()
+    }
+    assert got == want
+    loads = [v[1] for v in got.values()]
+    max_item = max(-n for n, _ in docs)
+    assert max(loads) - min(loads) <= max_item
+    counts = [v[0] for v in got.values()]
+    assert max(counts) - min(counts) <= 1

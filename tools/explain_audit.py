@@ -1883,6 +1883,35 @@ def main() -> int:
             f"Exchanges={n_ex}; narrow expression surface",
         )
 
+    # 76. q_unpivot: the pivot groups over a PLAN-LITERAL value list
+    #     (no inferred-distinct pre-scan: exactly one parquet scan)
+    #     and the unpivot is a narrow Expand — one user-grain Exchange
+    p = plan_of(QUERIES["q_unpivot"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    # pivot compiles to Spark's two-phase aggregate ((user, type)
+    # grain then pivot-merge) — 2 Exchanges is its canonical shape
+    check(
+        "unpivot_literal_pivot",
+        n_scans == 1 and n_ex <= 2 and "Expand" in p and "Python" not in p,
+        f"scans={n_scans}, Exchanges={n_ex}; literal pivot + Expand",
+    )
+
+    # 77. pack_lpt: the size rank uses the range-rebase (windows on
+    #     rb only, broadcast bases), never a global single-partition
+    #     row_number; one checkpointed scan feeds both consumers
+    p = plan_of(QUERIES["pack_lpt"](spark, sf_dir))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "pack_lpt_range_rebase",
+        wins <= {"rb"}
+        and n_scans == 0
+        and "SortMergeJoin" not in p
+        and "Python" not in p,
+        f"window keys={sorted(wins)}; raw re-scans={n_scans}",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
