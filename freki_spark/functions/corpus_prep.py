@@ -3774,7 +3774,106 @@ SELECT center, context, label, n_pairs FROM neg
 SQL_SKIPGRAM_PAIRS = _sql_skipgram()
 
 
+# --------------------------------------------------------------------------
+# prefix_cache_stats — shared-prefix mass at exponential depths (the
+# prefix-caching savings estimate behind vLLM/SGLang-style serving
+# and dataloader prompt dedup): for k ∈ {1,2,4,8} leading tokens,
+# how many documents share a k-prefix with another document, and how
+# many tokens a cache-the-prefix-once policy saves — saved(k) =
+# Σ_{groups ≥2} (n_docs − 1)·k.  Rising saved mass at deep k means
+# templated prompts (the SFT/agent-log signature); flat means organic
+# text.  The depth ladder is the path_rollup idea applied to TOKEN
+# space.
+#
+# Scale shape: one corpus scan, a bounded ×4 level explode (docs
+# shorter than k contribute no row at that k), md5-keyed (k, prefix)
+# rollup that partial-aggregates map-side (prefix text itself never
+# shuffles — only its 60-bit hash), k-grain second rollup, and a
+# 1-row broadcast token total for the exact ppm.
+# --------------------------------------------------------------------------
+
+PREFIX_KS = (1, 2, 4, 8)
+
+
+def prefix_cache_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    )
+    tot = d.agg(F.sum(F.size("_tk")).cast("bigint").alias("n_tok_total"))
+    lv = d.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.size("_tk") >= k,
+                            F.struct(
+                                F.lit(k).alias("k"),
+                                md5i60(
+                                    F.concat_ws(" ", F.slice("_tk", 1, k))
+                                ).alias("ph"),
+                            ),
+                        )
+                        for k in PREFIX_KS
+                    ]
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("s")
+    ).select("s.k", "s.ph")
+    grp = lv.groupBy("k", "ph").agg(F.count("*").alias("nd"))
+    agg = grp.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("nd")).otherwise(0))
+        .cast("bigint").alias("n_shared_docs"),
+        F.sum(
+            F.when(F.col("nd") >= 2, (F.col("nd") - 1) * F.col("k"))
+            .otherwise(0)
+        ).cast("bigint").alias("saved_tokens"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_groups",
+        "n_shared_docs",
+        "saved_tokens",
+        F.expr(_ppm_exact("saved_tokens", "n_tok_total", "div"))
+        .cast("bigint").alias("saved_ppm"),
+    )
+
+
+def _sql_prefix_cache() -> str:
+    h = DUCK_MD5I60.format(x="array_to_string(tk[1:k], ' ')")
+    ks = ", ".join(str(k) for k in PREFIX_KS)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n_tok_total FROM d),
+lv AS (
+  SELECT k, {h} AS ph
+  FROM d, UNNEST([{ks}]) u(k)
+  WHERE len(tk) >= k
+),
+grp AS (SELECT k, ph, count(*) AS nd FROM lv GROUP BY 1, 2),
+agg AS (
+  SELECT k,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN nd >= 2 THEN nd ELSE 0 END) AS BIGINT)
+           AS n_shared_docs,
+         CAST(sum(CASE WHEN nd >= 2 THEN (nd - 1) * k ELSE 0 END) AS BIGINT)
+           AS saved_tokens
+  FROM grp GROUP BY 1
+)
+SELECT k, n_groups, n_shared_docs, saved_tokens,
+       CAST({_ppm_exact('saved_tokens', 'n_tok_total', '//')} AS BIGINT)
+         AS saved_ppm
+FROM agg, tot
+"""
+
+
+SQL_PREFIX_CACHE_STATS = _sql_prefix_cache()
+
+
 QUERIES = {
+    "prefix_cache_stats": prefix_cache_stats,
     "skipgram_pairs": skipgram_pairs,
     "skyline_pareto": skyline_pareto,
     "pii_scrub": pii_scrub,
@@ -3820,6 +3919,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "prefix_cache_stats": SQL_PREFIX_CACHE_STATS,
     "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
     "skyline_pareto": SQL_SKYLINE_PARETO,
     "span_corruption": SQL_SPAN_CORRUPTION,

@@ -3555,7 +3555,7 @@ _PRIORITY = [
     "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
     "q_session_window", "q_sliding_window", "q_scan_binary",
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
-    "q_unpivot", "pack_lpt",
+    "q_unpivot", "pack_lpt", "prefix_cache_stats",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6704,3 +6704,48 @@ def test_pack_lpt_balances_shards(spark):
     assert max(loads) - min(loads) <= max_item
     counts = [v[0] for v in got.values()]
     assert max(counts) - min(counts) <= 1
+
+
+def test_prefix_cache_stats_matches_python(spark):
+    """Per-depth shared-prefix savings must equal a python recompute,
+    savings must shrink monotonically with depth on organic text, and
+    depth-1 sharing must actually exist."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import (
+        PREFIX_KS,
+        prefix_cache_stats,
+    )
+
+    texts = [
+        t.split(" ")
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    total = sum(len(t) for t in texts)
+    want = {}
+    for k in PREFIX_KS:
+        grp = Counter(
+            " ".join(t[:k]) for t in texts if len(t) >= k
+        )
+        shared = {p: n for p, n in grp.items() if n >= 2}
+        saved = sum((n - 1) * k for n in shared.values())
+        want[k] = (
+            len(grp),
+            sum(shared.values()),
+            saved,
+            saved * 1_000_000 // total,
+        )
+    got = {
+        r.k: (r.n_groups, r.n_shared_docs, r.saved_tokens, r.saved_ppm)
+        for r in prefix_cache_stats(spark, SF).collect()
+    }
+    assert got == want
+    assert got[1][1] > 0  # depth-1 sharing exists (small vocab)
+    # organic (non-templated) corpus: shared-doc mass non-increasing in k
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a][1] >= got[b][1]

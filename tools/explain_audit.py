@@ -1912,6 +1912,20 @@ def main() -> int:
         f"window keys={sorted(wins)}; raw re-scans={n_scans}",
     )
 
+    # 78. prefix_cache_stats: only the 60-bit prefix HASH shuffles
+    #     (never prefix text), both rollups partial-agg map-side, the
+    #     token total folds in as a broadcast 1-row aggregate
+    p = plan_of(QUERIES["prefix_cache_stats"](spark, sf_dir))
+    n_ex, fed = shuffle_exchanges_feed_aggregates(p)
+    check(
+        "prefix_cache_partial_aggs",
+        n_ex >= 1 and fed
+        and "Window" not in p
+        and "SortMergeJoin" not in p
+        and "Python" not in p,
+        f"all {n_ex} Exchanges fed by partial agg; hash-only shuffle",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
