@@ -2618,6 +2618,119 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# feature_label_pit — POINT-IN-TIME feature/label assembly (the
+# feature-store discipline; Kleppmann's "training-serving skew" and
+# every churn-model pipeline): a deterministic cutoff T splits the
+# event history, features aggregate STRICTLY BEFORE T, the label
+# (converted in the post-T window) strictly at/after — by
+# construction no feature can read post-cutoff data, which is the
+# leakage bug PIT joins exist to prevent.  Users with no pre-T events
+# are excluded (no feature vector — the documented cold-start rule).
+# T = t0 + 0.9·(t1−t0) in integer epoch seconds, folded in as a
+# broadcast 1-row aggregate (never a driver action); 0.9 (not the
+# conventional 0.7) because the fixture's users are all active enough
+# that a 30% label window converts EVERYONE — the 10% window leaves
+# both label classes populated at every sf (pytest-pinned).
+#
+# All feature math integer-exact: epoch seconds (the shared
+# floor(epoch()) rule), value in exact cents (the anomaly_mad rule),
+# activity days as fe div 86400 distinct-counts.
+#
+# Scale shape: ONE event scan (the projected frame is checkpointed —
+# it feeds the bounds, the feature filter, and the label filter; the
+# 1-row cutoff is checkpointed for its three consumers); both sides
+# collapse map-side to user grain; label attaches via a user-grain
+# left join.
+# --------------------------------------------------------------------------
+
+
+def feature_label_pit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("fe"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).localCheckpoint()
+    c = e.agg(
+        F.min("fe").alias("t0"), F.max("fe").alias("t1")
+    ).select(
+        F.expr("t0 + (t1 - t0) * 9 div 10").alias("tcut")
+    ).localCheckpoint()
+    pre = e.crossJoin(F.broadcast(c)).filter(F.col("fe") < F.col("tcut"))
+    feats = (
+        pre.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("n_purch"),
+            F.sum("cents").alias("cents_sum"),
+            F.max("fe").alias("_last"),
+            F.expr("count(DISTINCT fe div 86400)").alias("active_days"),
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            "user_id",
+            "n_events",
+            "n_purch",
+            "cents_sum",
+            (F.col("tcut") - F.col("_last")).alias("recency_s"),
+            "active_days",
+        )
+    )
+    lab = (
+        e.crossJoin(F.broadcast(c))
+        .filter(
+            (F.col("fe") >= F.col("tcut"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return feats.join(lab, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purch",
+        "cents_sum",
+        "recency_s",
+        "active_days",
+        F.coalesce("label", F.lit(0)).cast("int").alias("label"),
+    )
+
+
+SQL_FEATURE_LABEL_PIT = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS fe, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT CAST(min(fe) + (max(fe) - min(fe)) * 9 // 10 AS BIGINT) AS tcut
+  FROM e
+),
+feats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch,
+         CAST(sum(cents) AS BIGINT) AS cents_sum,
+         CAST(max(tcut) - max(fe) AS BIGINT) AS recency_s,
+         CAST(count(DISTINCT fe // 86400) AS BIGINT) AS active_days
+  FROM e, c WHERE fe < tcut GROUP BY user_id
+),
+lab AS (
+  SELECT DISTINCT user_id, 1 AS label
+  FROM e, c WHERE fe >= tcut AND event_type = 'purchase'
+)
+SELECT feats.user_id, n_events, n_purch, cents_sum, recency_s,
+       active_days, CAST(coalesce(lab.label, 0) AS INT) AS label
+FROM feats LEFT JOIN lab ON feats.user_id = lab.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q_unpivot — the UNPIVOT/melt relational operator (wide → long),
 # exercised as the inverse of q_pivot's long → wide: per-user event
 # counts pivot into 5 typed columns and unpivot straight back, so the
@@ -3342,6 +3455,7 @@ QUERIES = {
     "q_variant_json": q_variant_json,
     "q_unpivot": q_unpivot,
     "pack_lpt": pack_lpt,
+    "feature_label_pit": feature_label_pit,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -3426,6 +3540,7 @@ ORACLE_SQL = {
     "q_variant_json": SQL_VARIANT_JSON,
     "q_unpivot": SQL_UNPIVOT,
     "pack_lpt": SQL_PACK_LPT,
+    "feature_label_pit": SQL_FEATURE_LABEL_PIT,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3555,7 +3670,7 @@ _PRIORITY = [
     "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
     "q_session_window", "q_sliding_window", "q_scan_binary",
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
-    "q_unpivot", "pack_lpt", "prefix_cache_stats",
+    "q_unpivot", "pack_lpt", "prefix_cache_stats", "feature_label_pit",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6749,3 +6749,51 @@ def test_prefix_cache_stats_matches_python(spark):
     ks = sorted(got)
     for a, b in zip(ks, ks[1:]):
         assert got[a][1] >= got[b][1]
+
+
+def test_feature_label_pit_matches_python_and_no_leakage(spark):
+    """The PIT assembly must equal a python recompute, every feature
+    must come strictly from before the cutoff (recency > 0 — the
+    leakage witness), and both label classes must be present."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import feature_label_pit
+
+    evs = duckdb.sql(
+        f"SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT), event_type,"
+        f" CAST(round(value * 100, 0) AS BIGINT)"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    t0 = min(fe for _, fe, _, _ in evs)
+    t1 = max(fe for _, fe, _, _ in evs)
+    tcut = t0 + (t1 - t0) * 9 // 10
+    pre = defaultdict(list)
+    post_purch = set()
+    for u, fe, k, cents in evs:
+        if fe < tcut:
+            pre[u].append((fe, k, cents))
+        elif k == "purchase":
+            post_purch.add(u)
+    want = {}
+    for u, rows in pre.items():
+        want[u] = (
+            len(rows),
+            sum(1 for _, k, _ in rows if k == "purchase"),
+            sum(c for _, _, c in rows),
+            tcut - max(fe for fe, _, _ in rows),
+            len({fe // 86400 for fe, _, _ in rows}),
+            int(u in post_purch),
+        )
+    got = {
+        r.user_id: (
+            r.n_events, r.n_purch, r.cents_sum, r.recency_s,
+            r.active_days, r.label,
+        )
+        for r in feature_label_pit(spark, SF).collect()
+    }
+    assert got == want
+    assert all(v[3] > 0 for v in got.values())  # strictly pre-cutoff
+    labels = {v[5] for v in got.values()}
+    assert labels == {0, 1}

@@ -1926,6 +1926,20 @@ def main() -> int:
         f"all {n_ex} Exchanges fed by partial agg; hash-only shuffle",
     )
 
+    # 79. feature_label_pit: ONE event scan (checkpointed projection
+    #     feeds bounds/features/labels), user-grain map-side collapse,
+    #     no corpus-grain shuffle join, no window
+    p = plan_of(QUERIES["feature_label_pit"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "feature_label_pit_single_scan",
+        n_scans == 0
+        and "Window" not in p
+        and "Python" not in p
+        and "CartesianProduct" not in p,
+        f"raw re-scans={n_scans} (checkpointed projection); no Window",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
