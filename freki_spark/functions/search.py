@@ -624,7 +624,97 @@ FROM m GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# rank_agreement — retriever-agreement telemetry between the lexical
+# (bm25_topk) and fused (hybrid_rrf) top-k lists: per query, the
+# overlap of the two top-5 sets (Jaccard in exact ppm) and the
+# Spearman-style displacement mass Σd² over the common documents
+# (d = lexical rank − fused rank; ρ = 1 − 6Σd²/(n(n²−1)) is a
+# constant-size driver-side read off these integers — the float never
+# touches a row).  This is the eval every fusion rollout watches: a
+# fused list that never moves (Σd² = 0, overlap 1e6) means the extra
+# retrievers add nothing; one that shares nothing with lexical
+# (overlap 0) means the fusion is drowning the signal.
+#
+# Both rankings are SINGLE-SOURCED (the same bm25_topk / hybrid_rrf
+# plans and, on the oracle side, their exact SQL texts as CTEs — the
+# DUCK_BM25_AGG_CTES convention), so this op can never disagree with
+# the retrievers it measures.  All outputs exact integers
+# (_ppm_exact; d² sums are tiny).
+#
+# Scale shape: both inputs are already top-k relations (≤k rows per
+# query); the full-outer join and both rollups are query-grain.
+# --------------------------------------------------------------------------
+
+
+def rank_agreement(spark, sf_dir):
+    from .common import _ppm_exact
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("rl")
+    )
+    fus = hybrid_rrf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("rf")
+    )
+    j = lex.join(fus, ["query_id", "doc_id"], "full_outer")
+    per = j.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(
+            F.when(F.col("rl").isNotNull() & F.col("rf").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_common"),
+        F.sum(
+            F.when(
+                F.col("rl").isNotNull() & F.col("rf").isNotNull(),
+                (F.col("rl") - F.col("rf")) * (F.col("rl") - F.col("rf")),
+            ).otherwise(0)
+        ).cast("bigint").alias("sum_d2"),
+    )
+    return per.select(
+        "query_id",
+        "n_common",
+        "sum_d2",
+        F.expr(_ppm_exact("n_common", "n_union", "div")).cast("bigint")
+        .alias("overlap_ppm"),
+    )
+
+
+def _sql_rank_agreement() -> str:
+    from .common import _ppm_exact
+
+    return f"""
+WITH lex_full AS ({SQL_BM25_TOPK}),
+fus_full AS ({SQL_HYBRID_RRF}),
+lex AS (SELECT query_id, doc_id, rk AS rl FROM lex_full),
+fus AS (SELECT query_id, doc_id, rk AS rf FROM fus_full),
+j AS (
+  SELECT coalesce(lex.query_id, fus.query_id) AS query_id,
+         lex.rl, fus.rf
+  FROM lex FULL OUTER JOIN fus
+    ON lex.query_id = fus.query_id AND lex.doc_id = fus.doc_id
+),
+per AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_union,
+         CAST(sum(CASE WHEN rl IS NOT NULL AND rf IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         CAST(sum(CASE WHEN rl IS NOT NULL AND rf IS NOT NULL
+                  THEN (rl - rf) * (rl - rf) ELSE 0 END) AS BIGINT)
+           AS sum_d2
+  FROM j GROUP BY 1
+)
+SELECT query_id, n_common, sum_d2,
+       CAST({_ppm_exact('n_common', 'n_union', '//')} AS BIGINT)
+         AS overlap_ppm
+FROM per
+"""
+
+
+SQL_RANK_AGREEMENT = _sql_rank_agreement()
+
+
 QUERIES = {
+    "rank_agreement": rank_agreement,
     "inverted_postings": inverted_postings,
     "bm25_topk": bm25_topk,
     "hard_negatives": hard_negatives,
@@ -634,6 +724,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rank_agreement": SQL_RANK_AGREEMENT,
     "inverted_postings": SQL_INVERTED_POSTINGS,
     "bm25_topk": SQL_BM25_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,

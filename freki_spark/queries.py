@@ -3671,6 +3671,7 @@ _PRIORITY = [
     "q_session_window", "q_sliding_window", "q_scan_binary",
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
     "q_unpivot", "pack_lpt", "prefix_cache_stats", "feature_label_pit",
+    "rank_agreement",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

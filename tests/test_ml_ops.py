@@ -6797,3 +6797,37 @@ def test_feature_label_pit_matches_python_and_no_leakage(spark):
     assert all(v[3] > 0 for v in got.values())  # strictly pre-cutoff
     labels = {v[5] for v in got.values()}
     assert labels == {0, 1}
+
+
+def test_rank_agreement_matches_component_ops(spark):
+    """The agreement relation must be derivable from the two
+    retrievers' own outputs (single-sourcing witness), overlap must
+    be a true Jaccard in ppm, and the fixture must exercise partial
+    (non-total, non-empty) agreement."""
+    from freki_spark.functions.search import rank_agreement
+    from freki_spark.functions.search import bm25_topk, hybrid_rrf
+
+    lex = {}
+    for r in bm25_topk(spark, SF).collect():
+        lex.setdefault(r.query_id, {})[r.doc_id] = r.rk
+    fus = {}
+    for r in hybrid_rrf(spark, SF).collect():
+        fus.setdefault(r.query_id, {})[r.doc_id] = r.rk
+    want = {}
+    for q in set(lex) | set(fus):
+        l, f = lex.get(q, {}), fus.get(q, {})
+        common = set(l) & set(f)
+        union = set(l) | set(f)
+        want[q] = (
+            len(common),
+            sum((l[d] - f[d]) ** 2 for d in common),
+            len(common) * 1_000_000 // len(union),
+        )
+    got = {
+        r.query_id: (r.n_common, r.sum_d2, r.overlap_ppm)
+        for r in rank_agreement(spark, SF).collect()
+    }
+    assert got == want
+    assert any(0 < v[0] < 5 for v in got.values()) or any(
+        v[1] > 0 for v in got.values()
+    )

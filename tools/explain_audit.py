@@ -1940,6 +1940,17 @@ def main() -> int:
         f"raw re-scans={n_scans} (checkpointed projection); no Window",
     )
 
+    # 80. rank_agreement: the agreement layer only touches the two
+    #     retrievers' top-k survivors — query-grain joins/rollups, no
+    #     corpus re-entry beyond the retrievers' own audited plans
+    p = plan_of(QUERIES["rank_agreement"](spark, sf_dir))
+    check(
+        "rank_agreement_topk_layer",
+        "CartesianProduct" not in p
+        and "Python" not in p,
+        "query-grain full-outer agreement over top-k survivors",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
