@@ -637,12 +637,126 @@ FROM l{LPA_ROUNDS} l JOIN sizes ON l.lab = sizes.lab
 """
 
 
+# --------------------------------------------------------------------------
+# bfs_landmarks — multi-source BFS hop distances (landmark/ANF-style
+# distance sketching, Palmer et al. 2002): per node, the minimum hop
+# count to ANY of BFS_N_SEEDS seed pages within BFS_ROUNDS hops
+# (unreached → −1).  The crawl-coverage / influence-radius relation:
+# "how much of the graph is within k hops of the seed list" is the
+# first question a frontier plan answers, and landmark distances are
+# the standard approximation for point-to-point distance queries at
+# 10^10-node scale (exact APSP is impossible).
+#
+# This is the THIRD propagation semiring in the graph family — MIN-
+# PLUS (shortest path), beside pagerank/HITS' sum-times and LPA's
+# mode — on the same single-sourced `_targets_expr` edges.  Each
+# round is one shuffle join (sym ⋈ frontier) + one partial-aggregable
+# min per node + a min-merge with the previous distances; the
+# symmetric edge list is checkpointed once for all rounds, distances
+# stay one row per REACHED node (sparse) until the final left join.
+# --------------------------------------------------------------------------
+
+BFS_N_SEEDS = 4  # landmarks = doc_ids 0..3
+BFS_ROUNDS = 3
+
+
+def bfs_landmarks(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+        )
+        .localCheckpoint()
+    )
+    dist = d.filter(F.col("doc_id") < BFS_N_SEEDS).select(
+        "doc_id", F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(BFS_ROUNDS):
+        cand = (
+            sym.join(dist, sym.nbr == dist.doc_id)
+            .select("v", (F.col("dist") + 1).alias("nd"))
+            .groupBy("v")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.select(F.col("doc_id").alias("v"), "dist")
+            .join(cand, "v", "full_outer")
+            .select(
+                F.col("v").alias("doc_id"),
+                F.least(
+                    F.coalesce("dist", F.lit(BFS_ROUNDS + 1)),
+                    F.coalesce("nd", F.lit(BFS_ROUNDS + 1)),
+                ).cast("int").alias("dist"),
+            )
+        )
+    return (
+        d.join(dist, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"),
+        )
+    )
+
+
+def _sql_bfs_round(prev: str, out: str) -> str:
+    return f"""
+c{out} AS (
+  SELECT s.v, min({prev}.dist + 1) AS nd
+  FROM sym s JOIN {prev} ON s.nbr = {prev}.doc_id
+  GROUP BY 1
+),
+{out} AS (
+  SELECT coalesce({prev}.doc_id, c{out}.v) AS doc_id,
+         least(coalesce({prev}.dist, {BFS_ROUNDS + 1}),
+               coalesce(c{out}.nd, {BFS_ROUNDS + 1})) AS dist
+  FROM {prev} FULL OUTER JOIN c{out} ON {prev}.doc_id = c{out}.v
+)"""
+
+
+SQL_BFS_LANDMARKS = f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+sym AS (
+  SELECT a AS v, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM und
+),
+d0 AS (
+  SELECT doc_id, 0 AS dist FROM documents WHERE doc_id < {BFS_N_SEEDS}
+),{",".join(_sql_bfs_round(f"d{i}", f"d{i + 1}") for i in range(BFS_ROUNDS))}
+SELECT docs.doc_id,
+       CAST(coalesce(d{BFS_ROUNDS}.dist, -1) AS INT) AS dist
+FROM (SELECT doc_id FROM documents) docs
+LEFT JOIN d{BFS_ROUNDS} ON docs.doc_id = d{BFS_ROUNDS}.doc_id
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "hits_scores": hits_scores,
     "two_hop_reach": two_hop_reach,
     "triangle_count": triangle_count,
     "community_lpa": community_lpa,
+    "bfs_landmarks": bfs_landmarks,
 }
 
 ORACLE_SQL = {
@@ -651,4 +765,5 @@ ORACLE_SQL = {
     "two_hop_reach": SQL_TWO_HOP_REACH,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "community_lpa": SQL_COMMUNITY_LPA,
+    "bfs_landmarks": SQL_BFS_LANDMARKS,
 }

@@ -2618,6 +2618,41 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# q_python_datasource — Spark 4's custom PYTHON DATA SOURCE API (see
+# freki_spark/sources/pysource.py): register the source, read through
+# the engine's planner (format().option().load()), and emit the rows
+# verbatim.  The oracle mirrors the synthesis in closed form, so what
+# gets value-checked is the source CONTRACT — schema, option passing,
+# the SYNTH_PARTS partition fan-out, and per-partition row ownership
+# (part = doc_id % SYNTH_PARTS).  Connector-boundary Python is the
+# API's purpose (systems with no JVM reader); the engine still plans
+# partitions and schedules read() per partition task.
+# --------------------------------------------------------------------------
+
+
+def q_python_datasource(spark, sf_dir):
+    from .sources.pysource import SYNTH_N, SynthDocsSource
+
+    try:
+        spark.dataSource.register(SynthDocsSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("freki_synth")
+        .option("n", SYNTH_N)
+        .load()
+        .select("doc_id", "part", "payload")
+    )
+
+
+SQL_PYTHON_DATASOURCE = """
+SELECT r AS doc_id, CAST(r % 4 AS INT) AS part,
+       md5(CAST(r AS VARCHAR)) AS payload
+FROM range(0, 200) t(r)
+"""
+
+
+# --------------------------------------------------------------------------
 # feature_label_pit — POINT-IN-TIME feature/label assembly (the
 # feature-store discipline; Kleppmann's "training-serving skew" and
 # every churn-model pipeline): a deterministic cutoff T splits the
@@ -3456,6 +3491,7 @@ QUERIES = {
     "q_unpivot": q_unpivot,
     "pack_lpt": pack_lpt,
     "feature_label_pit": feature_label_pit,
+    "q_python_datasource": q_python_datasource,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -3541,6 +3577,7 @@ ORACLE_SQL = {
     "q_unpivot": SQL_UNPIVOT,
     "pack_lpt": SQL_PACK_LPT,
     "feature_label_pit": SQL_FEATURE_LABEL_PIT,
+    "q_python_datasource": SQL_PYTHON_DATASOURCE,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3671,7 +3708,7 @@ _PRIORITY = [
     "q_session_window", "q_sliding_window", "q_scan_binary",
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
     "q_unpivot", "pack_lpt", "prefix_cache_stats", "feature_label_pit",
-    "rank_agreement",
+    "rank_agreement", "bfs_landmarks", "q_python_datasource",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6831,3 +6831,78 @@ def test_rank_agreement_matches_component_ops(spark):
     assert any(0 < v[0] < 5 for v in got.values()) or any(
         v[1] > 0 for v in got.values()
     )
+
+
+def test_bfs_landmarks_matches_python_bfs(spark):
+    """Min-plus propagation must equal a plain python BFS from the
+    seed set (bounded at BFS_ROUNDS hops, unreached = -1), with every
+    hop count 0..BFS_ROUNDS actually present in the fixture."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from freki_spark.functions.graph import (
+        BFS_N_SEEDS,
+        BFS_ROUNDS,
+        PR_FANOUT,
+        bfs_landmarks,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    n = len(ids)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nbr = defaultdict(set)
+    for v in ids:
+        ts = []
+        for k in range(1, PR_FANOUT + 1):
+            t = h32(f"{v}:{k}") % n
+            if t != v and t not in ts:
+                ts.append(t)
+        for t in ts:
+            nbr[v].add(t)
+            nbr[t].add(v)
+    dist = {v: 0 for v in ids if v < BFS_N_SEEDS}
+    q = deque(dist)
+    while q:
+        v = q.popleft()
+        if dist[v] >= BFS_ROUNDS:
+            continue
+        for u in nbr[v]:
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    want = {v: dist.get(v, -1) for v in ids}
+    got = {r.doc_id: r.dist for r in bfs_landmarks(spark, SF).collect()}
+    assert got == want
+    assert set(range(BFS_ROUNDS + 1)) <= set(got.values())
+
+
+def test_python_datasource_contract(spark):
+    """The custom source must deliver exactly the synthesized rows,
+    fan out into SYNTH_PARTS planner partitions, and respect the
+    per-partition ownership rule part = doc_id % SYNTH_PARTS."""
+    import hashlib
+
+    from freki_spark.queries import q_python_datasource
+    from freki_spark.sources.pysource import SYNTH_N, SYNTH_PARTS
+
+    df = q_python_datasource(spark, SF)
+    assert df.rdd.getNumPartitions() == SYNTH_PARTS
+    rows = df.collect()
+    assert len(rows) == SYNTH_N
+    for r in rows:
+        assert r.part == r.doc_id % SYNTH_PARTS
+        assert (
+            r.payload
+            == hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        )
+    assert {r.doc_id for r in rows} == set(range(SYNTH_N))

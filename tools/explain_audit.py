@@ -1951,6 +1951,20 @@ def main() -> int:
         "query-grain full-outer agreement over top-k survivors",
     )
 
+    # 81. bfs_landmarks: min-plus rounds are equi-joins over the
+    #     checkpointed sym list + partial-aggregable mins — no Window,
+    #     no all-pairs; distances stay sparse until the final left join
+    p = plan_of(QUERIES["bfs_landmarks"](spark, sf_dir))
+    check(
+        "bfs_landmarks_minplus",
+        "partial_min" in p
+        and "Window" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        "partial-agg'd min-plus rounds, no Window/all-pairs/python",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
