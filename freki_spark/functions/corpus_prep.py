@@ -3796,9 +3796,12 @@ PREFIX_KS = (1, 2, 4, 8)
 
 
 def prefix_cache_stats(spark, sf_dir):
+    # checkpointed once: the tokenized projection feeds BOTH the token
+    # total and the level explode (the dist_drift rule — without the
+    # cut the corpus is scanned and re-tokenized twice)
     d = _docs(spark, sf_dir).select(
         "doc_id", toks(F.col("text")).alias("_tk")
-    )
+    ).localCheckpoint()
     tot = d.agg(F.sum(F.size("_tk")).cast("bigint").alias("n_tok_total"))
     lv = d.select(
         F.explode(

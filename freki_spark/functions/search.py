@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .corpus_prep import _docs
-from .common import DUCK_MD5I32, md5i32, toks
+from .common import DUCK_MD5I32, _ppm_exact, md5i32, toks
 
 # inverted index: drop df-1 singleton terms (retrieval-useless index
 # bloat), keep the top-POSTINGS_CAP highest-tf postings per term
@@ -648,8 +648,6 @@ FROM m GROUP BY 1, 2, 3
 
 
 def rank_agreement(spark, sf_dir):
-    from .common import _ppm_exact
-
     lex = bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rk").alias("rl")
     )
@@ -680,8 +678,6 @@ def rank_agreement(spark, sf_dir):
 
 
 def _sql_rank_agreement() -> str:
-    from .common import _ppm_exact
-
     return f"""
 WITH lex_full AS ({SQL_BM25_TOPK}),
 fus_full AS ({SQL_HYBRID_RRF}),

@@ -1321,7 +1321,7 @@ def q_pivot(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .pivot("event_type", EVENT_TYPES)  # shared with q_unpivot
         .count()
         .select(
             "user_id",
@@ -2635,8 +2635,9 @@ def q_python_datasource(spark, sf_dir):
 
     try:
         spark.dataSource.register(SynthDocsSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:  # re-registration only; real failures raise
+        if "exist" not in str(e).lower():
+            raise
     return (
         spark.read.format("freki_synth")
         .option("n", SYNTH_N)
@@ -2645,10 +2646,13 @@ def q_python_datasource(spark, sf_dir):
     )
 
 
-SQL_PYTHON_DATASOURCE = """
-SELECT r AS doc_id, CAST(r % 4 AS INT) AS part,
+from .sources.pysource import SYNTH_N as _SYNTH_N  # noqa: E402
+from .sources.pysource import SYNTH_PARTS as _SYNTH_PARTS  # noqa: E402
+
+SQL_PYTHON_DATASOURCE = f"""
+SELECT r AS doc_id, CAST(r % {_SYNTH_PARTS} AS INT) AS part,
        md5(CAST(r AS VARCHAR)) AS payload
-FROM range(0, 200) t(r)
+FROM range(0, {_SYNTH_N}) t(r)
 """
 
 
@@ -2780,6 +2784,8 @@ FROM feats LEFT JOIN lab ON feats.user_id = lab.user_id
 # narrow ×5 expand; one user-grain Exchange total.
 # --------------------------------------------------------------------------
 
+# the one event-type literal, shared by q_pivot and its inverse
+# q_unpivot (a divergent copy would let the two "inverses" disagree)
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2801,9 +2807,14 @@ def q_unpivot(spark, sf_dir):
     )
 
 
-SQL_UNPIVOT = """
+# the WHERE clause states the actual contract: the Spark side pivots
+# over the literal EVENT_TYPES list, so a hypothetical 6th type would
+# be dropped by design — the oracle must say so, not diverge
+SQL_UNPIVOT = f"""
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2
+FROM events
+WHERE event_type IN ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
+GROUP BY 1, 2
 """
 
 

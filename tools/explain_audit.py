@@ -1917,13 +1917,15 @@ def main() -> int:
     #     token total folds in as a broadcast 1-row aggregate
     p = plan_of(QUERIES["prefix_cache_stats"](spark, sf_dir))
     n_ex, fed = shuffle_exchanges_feed_aggregates(p)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     check(
         "prefix_cache_partial_aggs",
         n_ex >= 1 and fed
+        and n_scans == 0
         and "Window" not in p
         and "SortMergeJoin" not in p
         and "Python" not in p,
-        f"all {n_ex} Exchanges fed by partial agg; hash-only shuffle",
+        f"all {n_ex} Exchanges fed by partial agg; raw re-scans={n_scans}",
     )
 
     # 79. feature_label_pit: ONE event scan (checkpointed projection
