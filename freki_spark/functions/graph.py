@@ -750,6 +750,88 @@ LEFT JOIN d{BFS_ROUNDS} ON docs.doc_id = d{BFS_ROUNDS}.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q_recursive_bfs — Spark 4's native WITH RECURSIVE, value-locked to
+# its dataflow twin: the recursive CTE enumerates bounded-depth paths
+# from the landmark seeds over the SAME symmetric edge relation
+# bfs_landmarks iterates on, and min(dist) per node must equal the
+# iterative min-plus result row for row (pytest cross-checks the two
+# in-engine; the oracle is DuckDB's own WITH RECURSIVE — both
+# engines' recursion exercised on one contract).
+#
+# Scale honesty: recursion materializes PATHS, not nodes — per-level
+# multiplicity grows with deg^depth, so the recursive form is the
+# small-graph/ad-hoc surface; the production path for 10^12 edges is
+# bfs_landmarks' per-round min-aggregated frontier (each level
+# collapses to ≤1 row per node before the next join).  That tradeoff
+# is exactly why this op exists beside, not instead of, the dataflow
+# twin.
+# --------------------------------------------------------------------------
+
+
+def q_recursive_bfs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.select(
+        F.col("a").alias("v"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    d.createOrReplaceTempView("rbfs_docs")
+    sym.createOrReplaceTempView("rbfs_edges")
+    return spark.sql(f"""
+WITH RECURSIVE reach(doc_id, dist) AS (
+  SELECT doc_id, 0 FROM rbfs_docs WHERE doc_id < {BFS_N_SEEDS}
+  UNION ALL
+  SELECT e.nbr, r.dist + 1
+  FROM reach r JOIN rbfs_edges e ON e.v = r.doc_id
+  WHERE r.dist < {BFS_ROUNDS}
+),
+best AS (SELECT doc_id, min(dist) AS dist FROM reach GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(best.dist, -1) AS INT) AS dist
+FROM rbfs_docs d LEFT JOIN best ON d.doc_id = best.doc_id
+""")
+
+
+SQL_RECURSIVE_BFS = f"""
+WITH RECURSIVE n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+sym AS (
+  SELECT a AS v, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM und
+),
+reach(doc_id, dist) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id < {BFS_N_SEEDS}
+  UNION ALL
+  SELECT s.nbr, r.dist + 1
+  FROM reach r JOIN sym s ON s.v = r.doc_id
+  WHERE r.dist < {BFS_ROUNDS}
+),
+best AS (SELECT doc_id, min(dist) AS dist FROM reach GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(best.dist, -1) AS INT) AS dist
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN best ON d.doc_id = best.doc_id
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "hits_scores": hits_scores,
@@ -757,6 +839,7 @@ QUERIES = {
     "triangle_count": triangle_count,
     "community_lpa": community_lpa,
     "bfs_landmarks": bfs_landmarks,
+    "q_recursive_bfs": q_recursive_bfs,
 }
 
 ORACLE_SQL = {
@@ -766,4 +849,5 @@ ORACLE_SQL = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "community_lpa": SQL_COMMUNITY_LPA,
     "bfs_landmarks": SQL_BFS_LANDMARKS,
+    "q_recursive_bfs": SQL_RECURSIVE_BFS,
 }

@@ -2618,6 +2618,53 @@ WHERE rk <= {REC_K}
 
 
 # --------------------------------------------------------------------------
+# q_lateral_topk — correlated LATERAL subquery (SQL:1999 lateral
+# derived tables; Spark ≥3.4): per nation, the top-2 customers by
+# account balance via `..., LATERAL (SELECT ... WHERE correlated
+# ORDER BY ... LIMIT 2)` — the for-each-row-run-a-subquery surface
+# analysts reach for before learning window functions, and the only
+# way to express per-row parameterized table functions.  Catalyst
+# rewrites the correlated limit into a ranked join (the same
+# WindowGroupLimit machinery q_window_rank audits), so the lateral
+# FORM carries no plan penalty over the window form — which is the
+# point being verified.  Oracle: DuckDB's own LATERAL, same text
+# modulo table names; values exact (balances compared at full
+# precision, ties broken by custkey).
+# --------------------------------------------------------------------------
+
+LATERAL_TOPK = 2
+
+
+def q_lateral_topk(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(f"""
+SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+FROM lat_nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM lat_customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT {LATERAL_TOPK}
+) t
+""")
+
+
+SQL_LATERAL_TOPK = f"""
+SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT {LATERAL_TOPK}
+) t
+"""
+
+
+# --------------------------------------------------------------------------
 # q_python_datasource — Spark 4's custom PYTHON DATA SOURCE API (see
 # freki_spark/sources/pysource.py): register the source, read through
 # the engine's planner (format().option().load()), and emit the rows
@@ -3503,6 +3550,7 @@ QUERIES = {
     "pack_lpt": pack_lpt,
     "feature_label_pit": feature_label_pit,
     "q_python_datasource": q_python_datasource,
+    "q_lateral_topk": q_lateral_topk,
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "event_transitions": event_transitions,
@@ -3589,6 +3637,7 @@ ORACLE_SQL = {
     "pack_lpt": SQL_PACK_LPT,
     "feature_label_pit": SQL_FEATURE_LABEL_PIT,
     "q_python_datasource": SQL_PYTHON_DATASOURCE,
+    "q_lateral_topk": SQL_LATERAL_TOPK,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohort": SQL_RETENTION_COHORT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
@@ -3720,6 +3769,7 @@ _PRIORITY = [
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
     "q_unpivot", "pack_lpt", "prefix_cache_stats", "feature_label_pit",
     "rank_agreement", "bfs_landmarks", "q_python_datasource",
+    "q_recursive_bfs", "q_lateral_topk",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

@@ -6906,3 +6906,49 @@ def test_python_datasource_contract(spark):
             == hashlib.md5(str(r.doc_id).encode()).hexdigest()
         )
     assert {r.doc_id for r in rows} == set(range(SYNTH_N))
+
+
+def test_recursive_bfs_equals_dataflow_twin(spark):
+    """Spark's native WITH RECURSIVE must produce exactly the same
+    (doc_id, dist) relation as the iterative min-plus dataflow op —
+    the two surfaces are contract twins."""
+    from freki_spark.functions.graph import bfs_landmarks, q_recursive_bfs
+
+    rec = {r.doc_id: r.dist for r in q_recursive_bfs(spark, SF).collect()}
+    it = {r.doc_id: r.dist for r in bfs_landmarks(spark, SF).collect()}
+    assert rec == it
+    assert 0 in rec.values() and max(rec.values()) >= 2
+
+
+def test_lateral_topk_matches_python(spark):
+    """The correlated LATERAL limit must equal a python top-2-per-
+    nation recompute with the same (balance desc, custkey) order, and
+    every nation must be represented."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import LATERAL_TOPK, q_lateral_topk
+
+    cust = duckdb.sql(
+        f"SELECT c_nationkey, c_custkey, c_acctbal"
+        f" FROM '{SF}/customer.parquet'"
+    ).fetchall()
+    nations = dict(
+        duckdb.sql(
+            f"SELECT n_nationkey, n_name FROM '{SF}/nation.parquet'"
+        ).fetchall()
+    )
+    by_n = defaultdict(list)
+    for nk, ck, bal in cust:
+        by_n[nk].append((-bal, ck))
+    want = set()
+    for nk, rows in by_n.items():
+        for negbal, ck in sorted(rows)[:LATERAL_TOPK]:
+            want.add((nk, nations[nk], ck, -negbal))
+    got = {
+        (r.n_nationkey, r.n_name, r.c_custkey, r.c_acctbal)
+        for r in q_lateral_topk(spark, SF).collect()
+    }
+    assert got == want
+    assert {nk for nk, _, _, _ in got} == set(by_n)

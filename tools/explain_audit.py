@@ -1967,6 +1967,19 @@ def main() -> int:
         "partial-agg'd min-plus rounds, no Window/all-pairs/python",
     )
 
+    # 82. q_lateral_topk: Catalyst must rewrite the correlated LATERAL
+    #     limit into the ranked-join form (a window/limit over the
+    #     per-key group), never a per-row re-execution — no
+    #     CartesianProduct, no Python
+    p = plan_of(QUERIES["q_lateral_topk"](spark, sf_dir))
+    check(
+        "lateral_topk_rewrite",
+        ("WindowGroupLimit" in p or "Window" in p)
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        "correlated lateral limit rewritten to ranked join",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
