@@ -564,7 +564,124 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# audio_vad_windows — voice-activity segmentation plumbing (the
+# audio-modality counterpart of media_frame_sample): per media asset,
+# per-frame energy is thresholded and CONSECUTIVE active frames merge
+# into segments (start frame, end frame, length) — the relation every
+# speech pipeline cuts transcription batches from (webrtcvad /
+# silero-style gating; decode is environment-stubbed like
+# decode_image, so energy is a deterministic md5 stand-in per
+# (media_ref, frame) — the Spark-side plumbing is the real artifact:
+# frame explode bounded by the asset's own meta.n_frames, the
+# gaps-and-islands merge, the asset-grain windows).
+#
+# Scale shape: the frame fan-out is bounded per row by meta.n_frames
+# (an asset's own length, never corpus-grain); both islands windows
+# share one hash(doc_id) partitioning (the q_sessionize_batch rule);
+# the segment rollup aggregates in place on the same key.
+# --------------------------------------------------------------------------
+
+VAD_ENERGY_MAX = 1000  # synthetic per-frame energy in [0, 1000)
+VAD_THRESHOLD = 400  # frames >= threshold are "speech" (~60%)
+
+
+def audio_vad_windows(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .common import md5i32
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synth_media_table(docs).select(
+        "doc_id", "media_ref", F.col("meta.n_frames").alias("n_frames")
+    )
+    frames = media.select(
+        "doc_id",
+        "media_ref",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("f"),
+    ).withColumn(
+        "energy",
+        (
+            md5i32(
+                F.concat(
+                    F.col("media_ref"), F.lit(":e"), F.col("f").cast("string")
+                )
+            )
+            % VAD_ENERGY_MAX
+        ).cast("int"),
+    )
+    speech = frames.filter(F.col("energy") >= VAD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("f")
+    seg_no = F.sum(
+        F.when(
+            F.lag("f").over(w).isNull()
+            | (F.col("f") > F.lag("f").over(w) + 1),
+            1,
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        speech.withColumn("seg_no", seg_no.cast("int"))
+        .groupBy("doc_id", "media_ref", "seg_no")
+        .agg(
+            F.min("f").cast("int").alias("f_start"),
+            F.max("f").cast("int").alias("f_end"),
+            F.count("*").cast("int").alias("n_frames_seg"),
+        )
+    )
+
+
+def _sql_vad() -> str:
+    from .common import DUCK_MD5I32
+
+    h = DUCK_MD5I32.format(
+        x="media_ref || ':e' || CAST(f AS VARCHAR)"
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id,
+         'img://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
+         1 + doc_id % 16 AS n_frames
+  FROM documents WHERE doc_id % 5 = 0
+),
+frames AS (
+  SELECT doc_id, media_ref, unnest(range(0, n_frames)) AS f
+  FROM media
+),
+energized AS (
+  SELECT doc_id, media_ref, f,
+         CAST({h} % {VAD_ENERGY_MAX} AS INT) AS energy
+  FROM frames
+),
+speech AS (
+  SELECT * FROM energized WHERE energy >= {VAD_THRESHOLD}
+),
+marked AS (
+  SELECT *, CASE WHEN lag(f) OVER w IS NULL OR f > lag(f) OVER w + 1
+                 THEN 1 ELSE 0 END AS is_new
+  FROM speech
+  WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+),
+islands AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+            AS seg_no
+  FROM marked
+)
+SELECT doc_id, media_ref, seg_no,
+       CAST(min(f) AS INT) AS f_start,
+       CAST(max(f) AS INT) AS f_end,
+       CAST(count(*) AS INT) AS n_frames_seg
+FROM islands GROUP BY 1, 2, 3
+"""
+
+
+SQL_AUDIO_VAD_WINDOWS = _sql_vad()
+
+
 QUERIES = {
+    "audio_vad_windows": audio_vad_windows,
     "media_features": q_media_features,
     "media_phash_dedup": media_phash_dedup,
     "clip_filter": clip_filter,
@@ -574,6 +691,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "audio_vad_windows": SQL_AUDIO_VAD_WINDOWS,
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
     "clip_filter": SQL_CLIP_FILTER,

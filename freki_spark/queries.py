@@ -3769,7 +3769,7 @@ _PRIORITY = [
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
     "q_unpivot", "pack_lpt", "prefix_cache_stats", "feature_label_pit",
     "rank_agreement", "bfs_landmarks", "q_python_datasource",
-    "q_recursive_bfs", "q_lateral_topk",
+    "q_recursive_bfs", "q_lateral_topk", "audio_vad_windows",
     "q_percentile_agg", "q_salted_join",
     # representative Q-ops (one per join/agg/window/UDF shape; all
     # green in round 1, unchanged)

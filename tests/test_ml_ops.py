@@ -6952,3 +6952,62 @@ def test_lateral_topk_matches_python(spark):
     }
     assert got == want
     assert {nk for nk, _, _, _ in got} == set(by_n)
+
+
+def test_audio_vad_windows_matches_python(spark):
+    """VAD segments must equal a python recompute of the md5 energy
+    gate + consecutive-frame merge, segments must be maximal (gaps on
+    both sides), and multi-segment assets must exist."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.multimodal import (
+        VAD_ENERGY_MAX,
+        VAD_THRESHOLD,
+        audio_vad_windows,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+            f" WHERE doc_id % 5 = 0"
+        ).fetchall()
+    ]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = {}
+    per_asset = defaultdict(int)
+    for d in ids:
+        ref = f"img://{d}/0"
+        nf = 1 + d % 16
+        speech = [
+            f
+            for f in range(nf)
+            if h32(f"{ref}:e{f}") % VAD_ENERGY_MAX >= VAD_THRESHOLD
+        ]
+        seg = 0
+        prev = None
+        for f in speech:
+            if prev is None or f > prev + 1:
+                seg += 1
+            want.setdefault((d, ref, seg), []).append(f)
+            prev = f
+        per_asset[d] = seg
+    want = {
+        k: (min(fs), max(fs), len(fs)) for k, fs in want.items()
+    }
+    got = {
+        (r.doc_id, r.media_ref, r.seg_no): (
+            r.f_start, r.f_end, r.n_frames_seg
+        )
+        for r in audio_vad_windows(spark, SF).collect()
+    }
+    assert got == want
+    # maximality: each segment spans exactly its frames
+    assert all(e - s + 1 == n for (s, e, n) in got.values())
+    assert any(n >= 2 for n in per_asset.values())  # real merging

@@ -1980,6 +1980,19 @@ def main() -> int:
         "correlated lateral limit rewritten to ranked join",
     )
 
+    # 83. audio_vad_windows: the frame explode is bounded by each
+    #     asset's own meta.n_frames; both islands windows + the
+    #     segment rollup share ONE hash(doc_id) Exchange (the
+    #     q_sessionize_batch rule)
+    p = plan_of(QUERIES["audio_vad_windows"](spark, sf_dir))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "vad_single_exchange_islands",
+        n_ex == 1 and wins <= {"doc_id"} and "Python" not in p,
+        f"Exchanges={n_ex}, window keys={sorted(wins)}; asset-grain islands",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
