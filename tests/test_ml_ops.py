@@ -7011,3 +7011,22 @@ def test_audio_vad_windows_matches_python(spark):
     # maximality: each segment spans exactly its frames
     assert all(e - s + 1 == n for (s, e, n) in got.values())
     assert any(n >= 2 for n in per_asset.values())  # real merging
+
+
+def test_observe_metrics_equal_ground_truth(spark):
+    """In-flight observed metrics must equal a direct relational
+    recompute over the same table — the no-second-pass metrics
+    channel reports the truth."""
+    import duckdb
+
+    from freki_spark.queries import q_observe_metrics
+
+    want = duckdb.sql(
+        f"SELECT CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),"
+        f" CAST(max(n_chars) AS BIGINT),"
+        f" CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    r = q_observe_metrics(spark, SF).collect()[0]
+    assert (r.n_docs, r.chars_total, r.chars_max, r.null_texts) == want
+    assert r.n_docs == 500 and r.null_texts == 0
