@@ -925,12 +925,30 @@ JACCARD_DF_MAX = 10
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Scored Jaccard edges between rare-overlap near-dup pairs.
+
+    CONTRACT (a coverage cap, like POSTINGS_CAP): candidate shingles
+    must have df in [JACCARD_DF_MIN, JACCARD_DF_MAX] — see the constants
+    comment above.  A cluster replicated in more than JACCARD_DF_MAX
+    copies has every shingle above the cap and emits NO edges here;
+    that exact/boilerplate regime is owned by dedup_exact and
+    dedup_minhash_lsh (banded keys never cap df) — run those alongside
+    this operator, never instead of it.  A run that needs the dropped
+    mass quantified should aggregate `df > JACCARD_DF_MAX` counts from
+    the same shingle table; the cap value is a module constant
+    precisely so such an audit can reference it.
+    """
     c = _near_dup_corpus(spark, sf_dir)
     ds = (
-        # tokens bound first — same O(n^2) HOF trap as _with_minhash
+        # tokens bound first — same O(n^2) HOF trap as _with_minhash.
+        # localCheckpoint, not persist: ds feeds four consumers below
+        # (sizes, rare, and both sides of the candidate self-join) and
+        # must compute once; an in-operator persist has no safe
+        # unpersist point and pins the unified cache for the session
+        # (see dedup_minhash_lsh above — same rule).
         c.select("doc_id", toks(F.col("text")).alias("_tk"))
         .select("doc_id", F.explode(shingles(F.col("_tk"))).alias("sh"))
-        .persist()
+        .localCheckpoint()
     )
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(

@@ -578,8 +578,10 @@ FROM s
 #
 # Scale shape: the frame fan-out is bounded per row by meta.n_frames
 # (an asset's own length, never corpus-grain); both islands windows
-# share one hash(doc_id) partitioning (the q_sessionize_batch rule);
-# the segment rollup aggregates in place on the same key.
+# share one hash(doc_id, media_ref) partitioning — the ASSET grain, so
+# multi-asset docs can never merge segments across assets (the
+# q_sessionize_batch rule); the segment rollup aggregates in place on
+# the same key (a superset-keyed groupBy reuses the window Exchange).
 # --------------------------------------------------------------------------
 
 VAD_ENERGY_MAX = 1000  # synthetic per-frame energy in [0, 1000)
@@ -612,8 +614,21 @@ def audio_vad_windows(spark, sf_dir):
             % VAD_ENERGY_MAX
         ).cast("int"),
     )
+    return _vad_segments(frames)
+
+
+def _vad_segments(frames):
+    """Gaps-and-islands merge over a (doc_id, media_ref, f, energy)
+    frame table.  Windows partition on (doc_id, media_ref) — the ASSET
+    grain — so frames from different assets of one doc can never
+    interleave or merge across assets, and the frame index f is unique
+    within each partition (no nondeterministic lag ties).  Factored out
+    so the multi-asset contract is testable independently of
+    synth_media_table's current one-asset-per-doc shape."""
+    from pyspark.sql import Window
+
     speech = frames.filter(F.col("energy") >= VAD_THRESHOLD)
-    w = Window.partitionBy("doc_id").orderBy("f")
+    w = Window.partitionBy("doc_id", "media_ref").orderBy("f")
     seg_no = F.sum(
         F.when(
             F.lag("f").over(w).isNull()
@@ -661,10 +676,10 @@ marked AS (
   SELECT *, CASE WHEN lag(f) OVER w IS NULL OR f > lag(f) OVER w + 1
                  THEN 1 ELSE 0 END AS is_new
   FROM speech
-  WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+  WINDOW w AS (PARTITION BY doc_id, media_ref ORDER BY f)
 ),
 islands AS (
-  SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY f
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY doc_id, media_ref ORDER BY f
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
             AS seg_no
   FROM marked

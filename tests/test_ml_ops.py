@@ -6912,7 +6912,18 @@ def test_recursive_bfs_equals_dataflow_twin(spark):
     """Spark's native WITH RECURSIVE must produce exactly the same
     (doc_id, dist) relation as the iterative min-plus dataflow op —
     the two surfaces are contract twins."""
-    from freki_spark.functions.graph import bfs_landmarks, q_recursive_bfs
+    from freki_spark.functions.graph import (
+        BFS_N_SEEDS,
+        BFS_ROUNDS,
+        bfs_landmarks,
+        q_recursive_bfs,
+    )
+
+    # scale-note pin: the recursive form materializes PATHS with
+    # deg^depth multiplicity (its docstring's declared caveat), so the
+    # depth/seed bounds must stay small — widening either silently
+    # changes the op from "bounded ad-hoc surface" to a blow-up.
+    assert BFS_ROUNDS <= 3 and BFS_N_SEEDS <= 4
 
     rec = {r.doc_id: r.dist for r in q_recursive_bfs(spark, SF).collect()}
     it = {r.doc_id: r.dist for r in bfs_landmarks(spark, SF).collect()}
@@ -7011,6 +7022,41 @@ def test_audio_vad_windows_matches_python(spark):
     # maximality: each segment spans exactly its frames
     assert all(e - s + 1 == n for (s, e, n) in got.values())
     assert any(n >= 2 for n in per_asset.values())  # real merging
+
+
+def test_vad_segments_asset_grain_no_cross_asset_merge(spark):
+    """Islands windows partition on (doc_id, media_ref): a doc with
+    TWO assets whose active frame ranges touch must produce separate
+    per-asset segments (and per-asset seg_no numbering), never one
+    merged island — the multi-asset contract behind the docstring,
+    independent of synth_media_table's one-asset-per-doc shape."""
+    from freki_spark.functions.multimodal import (
+        VAD_THRESHOLD,
+        _vad_segments,
+    )
+
+    hot = VAD_THRESHOLD  # >= threshold → speech
+    rows = [
+        # asset A: frames 0-2 active (one island)
+        *[(1, "a://1/0", f, hot) for f in (0, 1, 2)],
+        # asset B: frames 3-4 active — consecutive with A's last frame,
+        # so a doc_id-only window would merge them into A's island
+        *[(1, "a://1/1", f, hot) for f in (3, 4)],
+        # asset B second island after a gap
+        *[(1, "a://1/1", f, hot) for f in (7, 8)],
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id int, media_ref string, f int, energy int"
+    )
+    got = {
+        (r.media_ref, r.seg_no): (r.f_start, r.f_end, r.n_frames_seg)
+        for r in _vad_segments(frames).collect()
+    }
+    assert got == {
+        ("a://1/0", 1): (0, 2, 3),
+        ("a://1/1", 1): (3, 4, 2),
+        ("a://1/1", 2): (7, 8, 2),
+    }
 
 
 def test_observe_metrics_equal_ground_truth(spark):

@@ -255,6 +255,25 @@ def main() -> int:
         f"no Window, no hashpartitioning Exchange (window={'Window' in p})",
     )
 
+    # 11b2. ngram-jaccard: the shingle table is localCheckpointed before
+    #       its four-consumer fan-out (sizes, rare df filter, both sides
+    #       of the candidate self-join), so the final plan reads ONLY
+    #       the materialized shingles — zero raw parquet scans, the
+    #       tokenize+shingle pass never replans (dedup_minhash rule);
+    #       pair generation is the rare-shingle equi-join, never a
+    #       product, and no Python touches the plan
+    p = plan_of(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "ngram_jaccard_checkpointed",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p
+        and n_scans == 0,
+        f"rare-shingle equi-join, no python; raw scans={n_scans} "
+        "(shingle table checkpointed before its 4-consumer fan-out)",
+    )
+
     # 11c. embedding dedup generates candidates from LSH buckets — an
     #      equi-join on the bucket id, never an all-pairs product
     p = plan_of(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
@@ -1944,13 +1963,26 @@ def main() -> int:
 
     # 80. rank_agreement: the agreement layer only touches the two
     #     retrievers' top-k survivors — query-grain joins/rollups, no
-    #     corpus re-entry beyond the retrievers' own audited plans
+    #     corpus re-entry beyond the retrievers' own audited plans.
+    #     Pinned structurally: raw scans stay exactly the 7 the two
+    #     retriever subplans own (a regression that re-scans the corpus
+    #     for the agreement layer fails here), every window partitions
+    #     on a query/term-grain key, and the only nested-loop joins are
+    #     the retrievers' condition-free broadcast crosses (corpus
+    #     stats / static priors — the hybrid_rrf check-58l convention)
     p = plan_of(QUERIES["rank_agreement"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
     check(
         "rank_agreement_topk_layer",
-        "CartesianProduct" not in p
+        n_scans == 7
+        and wins <= {"query_id", "q_id", "cf", "gr"}
+        and "CartesianProduct" not in p
+        and not conditioned
         and "Python" not in p,
-        "query-grain full-outer agreement over top-k survivors",
+        f"raw scans={n_scans} (retrievers' own); window keys="
+        f"{sorted(wins)}; no conditioned nested join, no python",
     )
 
     # 81. bfs_landmarks: min-plus rounds are equi-joins over the
@@ -1982,14 +2014,21 @@ def main() -> int:
 
     # 83. audio_vad_windows: the frame explode is bounded by each
     #     asset's own meta.n_frames; both islands windows + the
-    #     segment rollup share ONE hash(doc_id) Exchange (the
-    #     q_sessionize_batch rule)
+    #     segment rollup share ONE hash(doc_id, media_ref) Exchange —
+    #     the ASSET grain, so multi-asset docs cannot merge segments
+    #     across assets (the q_sessionize_batch rule).  The window-key
+    #     regex captures BOTH partition keys so a regression back to
+    #     doc_id-only windows fails here.
     p = plan_of(QUERIES["audio_vad_windows"](spark, sf_dir))
     n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
-    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    wins = set(
+        re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", p)
+    )
     check(
         "vad_single_exchange_islands",
-        n_ex == 1 and wins <= {"doc_id"} and "Python" not in p,
+        n_ex == 1
+        and wins == {("doc_id", "media_ref")}
+        and "Python" not in p,
         f"Exchanges={n_ex}, window keys={sorted(wins)}; asset-grain islands",
     )
 
