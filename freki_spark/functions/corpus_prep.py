@@ -548,6 +548,73 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# pack_stats — packing-efficiency telemetry over the pack_sequences
+# layout: per shard (lang), document count, total token mass, the
+# number of SEQ_LEN sequences the mass fills, the wasted tail tokens
+# of the final partial sequence, and the document-straddle rate in
+# exact ppm (straddling docs pay the attention-mask / loss-boundary
+# tax — the number every packing-discipline comparison reads first;
+# cf. pack_lpt's balance bound and semantic_pack's coherence stats).
+#
+# The layout relation is SINGLE-SOURCED from pack_sequences (and the
+# oracle embeds SQL_PACK_SEQUENCES as its CTE — the rank_agreement
+# convention), so the stats can never desync from the layout they
+# describe.  n_seqs/tail_waste are closed-form integer expressions of
+# the summed mass; straddle_ppm goes through _ppm_exact (den = docs
+# per shard, far under the ~9.2e15 staging bound).
+#
+# Scale shape: ONE pass over the layout, lang-grain partial agg
+# (map-side combine feeds the single Exchange), then per-group
+# closed-form arithmetic — nothing corpus-sized survives the groupBy.
+# --------------------------------------------------------------------------
+
+
+def pack_stats(spark, sf_dir):
+    p = pack_sequences(spark, sf_dir)
+    agg = p.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("straddles").cast("int")).cast("bigint").alias(
+            "n_straddlers"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_straddlers",
+        F.expr(f"(total_tokens + {SEQ_LEN} - 1) div {SEQ_LEN}")
+        .cast("bigint")
+        .alias("n_seqs"),
+        F.expr(f"({SEQ_LEN} - total_tokens % {SEQ_LEN}) % {SEQ_LEN}")
+        .cast("int")
+        .alias("tail_waste"),
+        F.expr(_ppm_exact("n_straddlers", "n_docs", "div"))
+        .cast("bigint")
+        .alias("straddle_ppm"),
+    )
+
+
+SQL_PACK_STATS = f"""
+WITH p AS ({SQL_PACK_SEQUENCES}),
+a AS (
+  SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS n_straddlers
+  FROM p GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(n_straddlers AS BIGINT) AS n_straddlers,
+       CAST((total_tokens + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT) AS n_seqs,
+       CAST(({SEQ_LEN} - total_tokens % {SEQ_LEN}) % {SEQ_LEN} AS INT)
+         AS tail_waste,
+       CAST({_ppm_exact('n_straddlers', 'n_docs', '//')} AS BIGINT)
+         AS straddle_ppm
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # decontaminate_ngram — benchmark decontamination.  Training corpora
 # must not contain evaluation data; the standard defense is n-gram
 # overlap (e.g. GPT-3 App. C / PaLM §8: 8-13-token collisions against
@@ -2281,8 +2348,6 @@ AUTH_MIN_SOURCES = 5
 
 
 def domain_authority(spark, sf_dir):
-    from .text_analysis import _ppm_exact
-
     edges = link_graph(spark, sf_dir).localCheckpoint()
     out = edges.groupBy(F.col("src_domain").alias("domain")).agg(
         F.countDistinct("dst_domain").cast("int").alias("out_degree"),
@@ -2324,8 +2389,6 @@ def domain_authority(spark, sf_dir):
 
 
 def _sql_domain_authority() -> str:
-    from .text_analysis import _ppm_exact
-
     return f"""
 WITH lg AS ({SQL_LINK_GRAPH}),
 o AS (
@@ -3896,6 +3959,7 @@ QUERIES = {
     "tfidf_topk": tfidf_topk,
     "q_compact_plan": q_compact_plan,
     "pack_sequences": pack_sequences,
+    "pack_stats": pack_stats,
     "pack_interleaved": pack_interleaved,
     "decontaminate_ngram": decontaminate_ngram,
     "decontaminate_bloom": decontaminate_bloom,
@@ -3943,6 +4007,7 @@ ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "q_compact_plan": SQL_COMPACT_PLAN,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_stats": SQL_PACK_STATS,
     "pack_interleaved": SQL_PACK_INTERLEAVED,
     "shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -173,6 +173,92 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# readability_fk — Flesch–Kincaid-style grade-level scoring (Kincaid et
+# al. 1975), the readability gate legal/medical/edu corpus curation
+# runs beside the Gopher rules: grade = 0.39·(words/sentences) +
+# 11.8·(syllables/word) − 15.59.  Deterministic proxies (the MARKERS
+# convention — the corpus is synthetic; the *mechanism* scales):
+# syllables = vowel-group count over the whole text ('[aeiou]+' runs,
+# the classic syllable estimator), sentences = 1 + (words−1) div
+# SENT_WINDOW (the corpus carries no terminal punctuation, so a fixed
+# token window stands in for '[.!?]' splitting — swap the expression,
+# keep the plan, on a punctuated corpus).
+#
+# Integer-exact cross-engine: grade·100 is computed as ONE integer
+# quotient (39·W² + 1180·Syl·S − 1559·S·W) div (S·W), clamped at 0
+# before dividing so truncating div == floor div in both engines.
+# Bigint headroom (the doremi_weights rule): W and Syl are clamped at
+# FK_CLAMP = 1e8, making S ≤ ~8.4e6 and every term ≤ ~1.3e18 — the
+# sum stays under 2^63 for any document whatsoever.
+#
+# Scale shape: pure narrow map — zero Exchange, zero explode, one
+# corpus scan; whole-stage codegen end to end (plan-audited).
+# --------------------------------------------------------------------------
+
+SENT_WINDOW = 12  # synthetic sentence stand-in (tokens per "sentence")
+FK_CLAMP = 100_000_000  # bigint-headroom clamp on words/syllables
+
+
+def readability_fk(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.size(toks(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0)).alias(
+            "n_syll"
+        ),
+    )
+    s = t.select(
+        "doc_id",
+        "n_words",
+        "n_syll",
+        F.expr(f"1 + (n_words - 1) div {SENT_WINDOW}").alias("n_sent"),
+        F.expr(f"least(cast(n_words as bigint), {FK_CLAMP})").alias("wc"),
+        F.expr(f"least(cast(n_syll as bigint), {FK_CLAMP})").alias("yc"),
+    )
+    n = s.withColumn(
+        "num",
+        F.expr("39 * wc * wc + 1180 * yc * n_sent - 1559 * n_sent * wc"),
+    )
+    return n.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_sent").cast("int").alias("n_sentences"),
+        F.col("n_syll").cast("int").alias("n_syllables"),
+        F.expr("CASE WHEN num < 0 THEN 0 ELSE num div (n_sent * wc) END")
+        .cast("bigint")
+        .alias("fk_grade_c"),
+    )
+
+
+SQL_READABILITY_FK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[aeiou]+')) AS n_syll
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words, n_syll,
+         1 + (n_words - 1) // {SENT_WINDOW} AS n_sent,
+         least(n_words, {FK_CLAMP}) AS wc,
+         least(n_syll, {FK_CLAMP}) AS yc
+  FROM t
+),
+n AS (
+  SELECT *, 39 * wc * wc + 1180 * yc * n_sent - 1559 * n_sent * wc AS num
+  FROM s
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_sent AS INT) AS n_sentences,
+       CAST(n_syll AS INT) AS n_syllables,
+       CAST(CASE WHEN num < 0 THEN 0
+                 ELSE num // (n_sent * wc) END AS BIGINT) AS fk_grade_c
+FROM n
+"""
+
+
 def doc_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     e = d.select(
@@ -2775,6 +2861,7 @@ QUERIES = {
     "badword_filter": badword_filter,
     "curate_keep": curate_keep,
     "token_count_bpe": token_count_bpe,
+    "readability_fk": readability_fk,
     "doc_fingerprint": doc_fingerprint,
     "gopher_repetition": gopher_repetition,
     "gopher_ngram_flags": gopher_ngram_flags,
@@ -2814,6 +2901,7 @@ ORACLE_SQL = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "quality_score": SQL_QUALITY,
     "token_count_bpe": SQL_TOKEN_COUNT,
+    "readability_fk": SQL_READABILITY_FK,
     "doc_fingerprint": SQL_FINGERPRINT,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "gopher_ngram_flags": SQL_GOPHER_NGRAM_FLAGS,

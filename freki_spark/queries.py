@@ -3540,6 +3540,67 @@ FROM events e JOIN dim d USING (user_id)
 
 
 # --------------------------------------------------------------------------
+# join_skew_diag — the diagnostic that decides WHEN to reach for
+# q_salted_join's pattern: per join key (events.user_id), the exact
+# row count, its share of the table in exact ppm, and the salt factor
+# a skew-split would need (ceil(cnt / SKEW_TARGET_ROWS) — 1 means the
+# key needs no salting).  Every 100-TB join review starts with this
+# relation; AQE's runtime skew split covers sort-merge joins, but
+# grouped-map / applyInPandas stages (the extraction pipeline's P13)
+# need the explicit diagnosis + salt, and this op is the measuring
+# half of that pair.
+#
+# Scale shape: the key-grain count partial-aggregates map-side; the
+# counted relation is localCheckpointed before its two-consumer
+# fan-out (the 1-row total + the top-K ranking — the dist_drift rule,
+# scan-count audited), the total joins back as a condition-free 1-row
+# broadcast cross, and the top-K is a distributed
+# TakeOrderedAndProject (ties broken by user_id — deterministic),
+# never a global sort.  share_ppm goes through _ppm_exact (den =
+# total table rows; ≤ ~9.2e15 staging bound — fine to 10^15 rows,
+# documented like doremi_weights).
+# --------------------------------------------------------------------------
+
+SKEW_TOPK = 20
+SKEW_TARGET_ROWS = 16  # rows a single salted task should carry
+
+
+def join_skew_diag(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cnt = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    tot = cnt.agg(F.sum("cnt").alias("tot"))
+    top = cnt.orderBy(F.col("cnt").desc(), "user_id").limit(SKEW_TOPK)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr(_ppm_exact("cnt", "tot", "div"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.expr(
+            f"(cnt + {SKEW_TARGET_ROWS} - 1) div {SKEW_TARGET_ROWS}"
+        )
+        .cast("int")
+        .alias("salt_factor"),
+    )
+
+
+SQL_JOIN_SKEW_DIAG = f"""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT sum(cnt) AS tot FROM c),
+top AS (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPK})
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       CAST({_ppm_exact('cnt', 'tot', '//')} AS BIGINT) AS share_ppm,
+       CAST((cnt + {SKEW_TARGET_ROWS} - 1) // {SKEW_TARGET_ROWS} AS INT)
+         AS salt_factor
+FROM top, t
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3625,6 +3686,7 @@ QUERIES = {
     "recommend_topk": recommend_topk,
     "q_percentile_agg": q_percentile_agg,
     "q_salted_join": q_salted_join,
+    "join_skew_diag": join_skew_diag,
 }
 
 GOLDEN_INPUTS_JSONL = os.path.join(_REPO, "tests", "golden", "fixture_inputs.jsonl")
@@ -3713,6 +3775,7 @@ ORACLE_SQL = {
     "recommend_topk": SQL_RECOMMEND_TOPK,
     "q_percentile_agg": SQL_PERCENTILE_AGG,
     "q_salted_join": SQL_SALTED_JOIN,
+    "join_skew_diag": SQL_JOIN_SKEW_DIAG,
 }
 
 # --------------------------------------------------------------------------
@@ -3800,6 +3863,8 @@ _PRIORITY = [
     "q_variant_json", "q_unpivot", "pack_lpt", "prefix_cache_stats",
     "feature_label_pit", "rank_agreement", "q_python_datasource",
     "q_percentile_agg", "q_salted_join",
+    # round-3 additions (never driver-checked; oracle-backed from birth)
+    "readability_fk", "pack_stats", "join_skew_diag",
     # ---- TAIL: green driver rows in r1/r2, code unchanged ----------------
     # Covered every round by tools/verify_queries.py (local gate).
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",

@@ -7059,6 +7059,115 @@ def test_vad_segments_asset_grain_no_cross_asset_merge(spark):
     }
 
 
+def test_readability_fk_matches_python(spark):
+    """FK centigrade scores must equal a python recompute of the
+    vowel-group syllable proxy + windowed sentence stand-in + the
+    single-quotient integer formula, and the clamp-at-zero floor must
+    hold everywhere."""
+    import re as _re
+
+    import duckdb
+
+    from freki_spark.functions.text_analysis import (
+        FK_CLAMP,
+        SENT_WINDOW,
+        readability_fk,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for d, text in docs:
+        w = len(text.split(" "))
+        syl = len(_re.findall(r"[aeiou]+", text))
+        sent = 1 + (w - 1) // SENT_WINDOW
+        wc, yc = min(w, FK_CLAMP), min(syl, FK_CLAMP)
+        num = 39 * wc * wc + 1180 * yc * sent - 1559 * sent * wc
+        grade = 0 if num < 0 else num // (sent * wc)
+        want[d] = (w, sent, syl, grade)
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.fk_grade_c)
+        for r in readability_fk(spark, SF).collect()
+    }
+    assert got == want
+    assert all(g >= 0 for (_, _, _, g) in got.values())
+    # the corpus must exercise real spread, not a constant column
+    assert len({g for (_, _, _, g) in got.values()}) >= 5
+
+
+def test_pack_stats_consistent_with_layout(spark):
+    """Per-lang packing stats must equal a direct recompute over the
+    pack_sequences layout rows: token mass, closed-form sequence count
+    and tail waste, and the straddler count."""
+    from collections import defaultdict
+
+    from freki_spark.functions.corpus_prep import (
+        SEQ_LEN,
+        pack_sequences,
+        pack_stats,
+    )
+
+    rows = pack_sequences(spark, SF).collect()
+    mass = defaultdict(int)
+    docs = defaultdict(int)
+    straddlers = defaultdict(int)
+    for r in rows:
+        mass[r.lang] += r.n_tokens
+        docs[r.lang] += 1
+        straddlers[r.lang] += int(r.straddles)
+    got = {r.lang: r for r in pack_stats(spark, SF).collect()}
+    assert set(got) == set(mass) and len(got) >= 2
+    for lang, r in got.items():
+        assert r.n_docs == docs[lang]
+        assert r.total_tokens == mass[lang]
+        assert r.n_straddlers == straddlers[lang]
+        assert r.n_seqs == (mass[lang] + SEQ_LEN - 1) // SEQ_LEN
+        assert r.tail_waste == (SEQ_LEN - mass[lang] % SEQ_LEN) % SEQ_LEN
+        assert 0 <= r.straddle_ppm <= 1_000_000
+    # packing straddles must actually occur on this corpus
+    assert sum(straddlers.values()) > 0
+
+
+def test_join_skew_diag_matches_python(spark):
+    """The skew report must equal a python recompute: exact top-K by
+    (count desc, user_id), exact ppm share, ceil salt factor — and the
+    corpus must contain at least one key heavy enough to need salt."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.queries import (
+        SKEW_TARGET_ROWS,
+        SKEW_TOPK,
+        join_skew_diag,
+    )
+
+    users = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT user_id FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    c = Counter(users)
+    tot = len(users)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOPK]
+
+    def ppm(n, d):
+        q, r = divmod(n, d)
+        return q * 10**6 + (r * 1000 // d) * 1000 + ((r * 1000 % d) * 1000 // d)
+
+    want = {
+        u: (n, ppm(n, tot), -(-n // SKEW_TARGET_ROWS)) for u, n in ranked
+    }
+    got = {
+        r.user_id: (r.cnt, r.share_ppm, r.salt_factor)
+        for r in join_skew_diag(spark, SF).collect()
+    }
+    assert got == want
+    assert any(sf > 1 for (_, _, sf) in got.values())
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics

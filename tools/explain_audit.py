@@ -2032,6 +2032,52 @@ def main() -> int:
         f"Exchanges={n_ex}, window keys={sorted(wins)}; asset-grain islands",
     )
 
+    # 84. readability_fk: pure narrow map — single corpus scan, zero
+    #     Exchange, no Join, no Python; the whole score is one
+    #     codegen'd integer expression chain
+    p = plan_of(QUERIES["readability_fk"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_ex = len(re.findall(r"Exchange \(\d+\)", p))
+    check(
+        "readability_narrow_map",
+        n_scans == 1 and n_ex == 0 and "Join" not in p and "Python" not in p,
+        f"scans={n_scans}, Exchanges={n_ex}; zero-shuffle integer score",
+    )
+
+    # 85. pack_stats: rides pack_sequences' audited sharded cumsum
+    #     (two scans: main branch + the tiny shard-grain bases branch),
+    #     windows only on the (lang, shard) grain, and the lang-grain
+    #     rollup partial-aggregates — no product, no Python
+    p = plan_of(QUERIES["pack_stats"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "pack_stats_rollup",
+        n_scans == 2
+        and wins <= {"lang"}
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"scans={n_scans} (layout's own), window keys={sorted(wins)}",
+    )
+
+    # 86. join_skew_diag: the key-grain count is localCheckpointed
+    #     before its two-consumer fan-out (total + top-K), so the
+    #     final plan has ZERO raw scans; the top-K is a distributed
+    #     TakeOrderedAndProject, and the only nested-loop join is the
+    #     condition-free 1-row total broadcast cross
+    p = plan_of(QUERIES["join_skew_diag"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "join_skew_diag_checkpointed_topk",
+        n_scans == 0
+        and "TakeOrderedAndProject" in p
+        and not conditioned
+        and "Python" not in p,
+        f"raw scans={n_scans} (counts checkpointed); distributed top-K,"
+        " condition-free 1-row cross only",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
