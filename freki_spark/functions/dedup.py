@@ -272,6 +272,103 @@ GROUP BY p.a, p.b
 
 
 # --------------------------------------------------------------------------
+# dedup_eval — recall/precision of the banded MinHash candidate set
+# against the corpus's PLANTED ground truth (the _mutated convention:
+# every doc_id < 50 has a suffix-truncated copy at +100000).  Every
+# dedup rollout is judged by exactly this relation — "what fraction of
+# known duplicates does the banding catch, and how much of what it
+# emits is the planted signal" — and making it a first-class operator
+# means the recall number is oracle-checked cross-engine instead of
+# living only in a pytest threshold.  Precision here is measured
+# against the planted set specifically: organic band pairs (real
+# near-dups the base corpus happens to contain) count against it by
+# construction — documented, since the planted set is the only ground
+# truth that exists.
+#
+# Scale shape: the found side is dedup_minhash_lsh's audited plan
+# (banded equi-join, checkpointed minhash); the planted side is a
+# narrow filtered scan; the comparison is ONE pair-grain full-outer
+# equi-join on (a, b) followed by a single 1-row aggregate — nothing
+# corpus-sized survives.  Ratio denominators are pair counts (far
+# under the _ppm_exact ~9.2e15 staging bound), zero-guarded with
+# greatest(..., 1).
+# --------------------------------------------------------------------------
+
+DEDUP_PLANT_OFFSET = 100000  # the _mutated re-key (single source: above)
+DEDUP_PLANT_MAX = 50  # docs with doc_id < this carry a planted mutant
+
+
+def dedup_eval(spark, sf_dir):
+    found = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("a", "b")
+        .withColumn("f", F.lit(1))
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DEDUP_PLANT_MAX)
+        .select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + DEDUP_PLANT_OFFSET).alias("b"),
+        )
+        .withColumn("p", F.lit(1))
+    )
+    j = planted.join(found, ["a", "b"], "full_outer")
+    agg = j.agg(
+        F.sum("p").cast("bigint").alias("n_planted"),
+        F.sum("f").cast("bigint").alias("n_found"),
+        F.sum(
+            F.when(F.col("p").isNotNull() & F.col("f").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_planted",
+        "n_found",
+        "n_hit",
+        F.expr(_ppm_exact("n_hit", "greatest(n_planted, 1)", "div"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.expr(_ppm_exact("n_hit", "greatest(n_found, 1)", "div"))
+        .cast("bigint")
+        .alias("precision_ppm"),
+    )
+
+
+SQL_DEDUP_EVAL = (
+    _MH_CTES
+    + f""",
+planted AS (
+  SELECT doc_id AS a, doc_id + {DEDUP_PLANT_OFFSET} AS b
+  FROM documents WHERE doc_id < {DEDUP_PLANT_MAX}
+),
+j AS (
+  SELECT CASE WHEN pl.a IS NOT NULL THEN 1 END AS p,
+         CASE WHEN pr.a IS NOT NULL THEN 1 END AS f
+  FROM planted pl FULL OUTER JOIN pairs pr
+    ON pl.a = pr.a AND pl.b = pr.b
+),
+agg AS (
+  SELECT count(p) AS n_planted, count(f) AS n_found,
+         sum(CASE WHEN p IS NOT NULL AND f IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_hit
+  FROM j
+)
+SELECT CAST(n_planted AS BIGINT) AS n_planted,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST({_ppm_exact('n_hit', 'greatest(n_planted, 1)', '//')} AS BIGINT)
+         AS recall_ppm,
+       CAST({_ppm_exact('n_hit', 'greatest(n_found, 1)', '//')} AS BIGINT)
+         AS precision_ppm
+FROM agg
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # dup_verify_edit — edit-distance verification of LSH candidate pairs
 # (the confirm stage after banding): MinHash banding over-generates —
 # boilerplate band collisions produce candidate pairs that are not
@@ -2330,6 +2427,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "paragraph_dedup": paragraph_dedup,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_eval": dedup_eval,
     "dup_verify_edit": dup_verify_edit,
     "dedup_incremental": dedup_incremental,
     "snapshot_diff": snapshot_diff,
@@ -2354,6 +2452,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_eval": SQL_DEDUP_EVAL,
     "dup_verify_edit": SQL_DUP_VERIFY_EDIT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

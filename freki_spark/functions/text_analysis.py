@@ -17,6 +17,7 @@ from .common import (
     DUCK_MD5I32,
     DUCK_MD5I60,
     MOD31,
+    _ppm_exact,
     bigrams,
     duck_bigrams,
     md5i32,
@@ -40,8 +41,12 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def lang_id_ngram(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+def _langid_cols():
+    """Marker scores + first-match-wins predicted language over the
+    `text` column — the ONE Spark-side builder of the lang-ID decision
+    (lang_id_ngram and langid_confusion both consume it; `_duck_pred`
+    is the oracle mirror, so a tie-break change touches exactly two
+    single-sourced sites)."""
     tk = F.array_distinct(toks(F.col("text")))
     scores = {
         lang: F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in words])))
@@ -59,6 +64,12 @@ def lang_id_ngram(spark, sf_dir):
             c = scores[lang] > scores[other] if j < i else scores[lang] >= scores[other]
             cond = cond & c
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scores, pred
+
+
+def lang_id_ngram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scores, pred = _langid_cols()
     sel = [F.col("doc_id")]
     sel += [scores[lang].alias(f"s_{lang}") for lang in LANG_PRIORITY]
     sel += [
@@ -101,6 +112,59 @@ SELECT doc_id, {", ".join(f"s_{lang}" for lang in LANG_PRIORITY)},
        CAST(({_duck_pred()}) = lang AS INT) AS is_correct
 FROM s
 """
+
+# --------------------------------------------------------------------------
+# langid_confusion — the confusion matrix of the lang-ID heuristic
+# against the corpus's labeled `lang` column: per (true, predicted)
+# cell, the doc count and its exact-ppm share of the true language's
+# row — the eval every classifier swap in a curation pipeline reads
+# before shipping (which languages bleed into which, and how much of
+# each label survives).  Decision logic single-sourced from
+# `_langid_cols` / `_duck_pred` — this op can never disagree with the
+# classifier it evaluates.
+#
+# Scale shape: ONE corpus scan into a (lang, pred)-grain partial agg;
+# the row-share window runs over the ≤|langs|² cell table (a bounded
+# handful of rows), never corpus-grain.
+# --------------------------------------------------------------------------
+
+
+def langid_confusion(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    _, pred = _langid_cols()
+    cells = (
+        d.select(F.col("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("tot", F.sum("n").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(_ppm_exact("n", "tot", "div"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_duck_score(lang)} AS s_{lang}" for lang in LANG_PRIORITY)}
+  FROM documents
+),
+p AS (SELECT lang, {_duck_pred()} AS pred_lang FROM s),
+c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST({_ppm_exact('n', 'tot', '//')} AS BIGINT) AS share_ppm
+FROM c JOIN t ON c.lang = t.lang
+"""
+
 
 STOPWORDS = ["the", "a", "of", "to", "and", "row", "data", "key"]
 
@@ -704,9 +768,9 @@ FROM t
 # --------------------------------------------------------------------------
 
 
-# _ppm_exact moved to common.py (import-cycle-free home); re-exported
-# here because many modules and oracles import it from this module.
-from .common import _ppm_exact  # noqa: E402,F401
+# _ppm_exact lives in common.py (import-cycle-free home) and is
+# imported in this module's top import block; many modules and oracles
+# re-import it from here, so the name is part of this module's surface.
 
 
 def vocab_coverage(spark, sf_dir):
@@ -2855,6 +2919,7 @@ QUERIES = {
     "entropy_filter": entropy_filter,
     "slop_filter": slop_filter,
     "lang_id_ngram": lang_id_ngram,
+    "langid_confusion": langid_confusion,
     "winnow_fingerprint": winnow_fingerprint,
     "lexical_diversity": lexical_diversity,
     "quality_score": quality_score,
@@ -2897,6 +2962,7 @@ ORACLE_SQL = {
     "dist_drift": SQL_DIST_DRIFT,
     "colloc_dice": SQL_COLLOC_DICE,
     "lang_id_ngram": SQL_LANG_ID,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "quality_score": SQL_QUALITY,

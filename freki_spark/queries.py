@@ -3864,7 +3864,8 @@ _PRIORITY = [
     "feature_label_pit", "rank_agreement", "q_python_datasource",
     "q_percentile_agg", "q_salted_join",
     # round-3 additions (never driver-checked; oracle-backed from birth)
-    "readability_fk", "pack_stats", "join_skew_diag",
+    "readability_fk", "pack_stats", "join_skew_diag", "dedup_eval",
+    "langid_confusion",
     # ---- TAIL: green driver rows in r1/r2, code unchanged ----------------
     # Covered every round by tools/verify_queries.py (local gate).
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",

@@ -7168,6 +7168,89 @@ def test_join_skew_diag_matches_python(spark):
     assert any(sf > 1 for (_, _, sf) in got.values())
 
 
+def test_dedup_eval_matches_pair_recount(spark):
+    """The eval row must equal a direct recount over the minhash pair
+    relation and the planted-mutant convention, and banding recall on
+    the planted set must clear the known floor (the
+    test_minhash_finds_mutated_near_dups threshold, as exact ppm)."""
+    import duckdb
+
+    from freki_spark.functions.dedup import (
+        DEDUP_PLANT_MAX,
+        DEDUP_PLANT_OFFSET,
+        dedup_eval,
+        dedup_minhash_lsh,
+    )
+
+    found = {
+        (r.a, r.b) for r in dedup_minhash_lsh(spark, SF).collect()
+    }
+    n_docs_planted = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+        f" WHERE doc_id < {DEDUP_PLANT_MAX}"
+    ).fetchone()[0]
+    planted = {
+        (a, a + DEDUP_PLANT_OFFSET)
+        for a in range(DEDUP_PLANT_MAX)
+    }
+
+    def ppm(n, d):
+        d = max(d, 1)
+        q, r = divmod(n, d)
+        return q * 10**6 + (r * 1000 // d) * 1000 + ((r * 1000 % d) * 1000 // d)
+
+    hit = len(found & planted)
+    r = dedup_eval(spark, SF).collect()[0]
+    assert r.n_planted == n_docs_planted == DEDUP_PLANT_MAX
+    assert r.n_found == len(found)
+    assert r.n_hit == hit
+    assert r.recall_ppm == ppm(hit, r.n_planted)
+    assert r.precision_ppm == ppm(hit, r.n_found)
+    assert r.recall_ppm >= 800_000  # 40/50 — the minhash-test floor
+
+
+def test_langid_confusion_matches_classifier_twin(spark):
+    """Confusion cells must equal a recount over the lang_id_ngram
+    relation joined to the labeled lang column, shares must sum to
+    ~1e6 per true language, and off-diagonal bleed must exist (the
+    marker heuristic is deliberately imperfect)."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.text_analysis import (
+        lang_id_ngram,
+        langid_confusion,
+    )
+
+    true_lang = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    pred = {
+        r.doc_id: r.pred_lang for r in lang_id_ngram(spark, SF).collect()
+    }
+    cells = Counter((true_lang[d], p) for d, p in pred.items())
+    rows = langid_confusion(spark, SF).collect()
+    got = {(r.lang, r.pred_lang): (r.n, r.share_ppm) for r in rows}
+    assert {k: v[0] for k, v in got.items()} == dict(cells)
+    by_lang = Counter()
+    for (lang, _), (n, _) in got.items():
+        by_lang[lang] += n
+    for (lang, _), (n, share) in got.items():
+        d = by_lang[lang]
+        q, r = divmod(n, d)
+        assert share == q * 10**6 + (r * 1000 // d) * 1000 + (
+            (r * 1000 % d) * 1000 // d
+        )
+    # per-lang shares sum to 1e6 up to the floor truncation per cell
+    for lang in by_lang:
+        s = sum(sh for (lg, _), (_, sh) in got.items() if lg == lang)
+        assert 1_000_000 - len(got) * 3 <= s <= 1_000_000
+    assert any(lang != p for (lang, p) in got)  # real off-diagonal mass
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics

@@ -2078,6 +2078,40 @@ def main() -> int:
         " condition-free 1-row cross only",
     )
 
+    # 87. dedup_eval: the found side rides dedup_minhash_lsh's
+    #     checkpointed plan (zero raw scans of its own), so the whole
+    #     eval holds exactly ONE raw scan — the planted side's narrow
+    #     filtered read; the compare is a pair-grain equi-join (never
+    #     a product) into a 1-row aggregate, no Python
+    p = plan_of(QUERIES["dedup_eval"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "dedup_eval_single_scan",
+        n_scans == 1
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (planted side only; minhash checkpointed),"
+        " pair-grain equi-join, no python",
+    )
+
+    # 88. langid_confusion: ONE corpus scan into the (lang, pred)
+    #     partial agg; the row-share window runs over the bounded
+    #     ≤|langs|² cell table and partitions on lang only — no join,
+    #     no product, no Python anywhere
+    p = plan_of(QUERIES["langid_confusion"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "langid_confusion_cell_window",
+        n_scans == 1
+        and wins <= {"lang"}
+        and "Join" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans}, window keys={sorted(wins)} (cell-table"
+        " grain), no join/python",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
