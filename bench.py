@@ -164,11 +164,35 @@ def time_extraction(
     return min(walls), n
 
 
+def _burn_loop(_arg) -> float:
+    t0 = time.monotonic()
+    x = 0
+    for i in range(30_000_000):
+        x += i
+    return time.monotonic() - t0
+
+
+def _burn_control(procs: int = 32) -> float:
+    """Median wall of `procs` concurrent 30M-iteration python loops —
+    the host-quietness probe (CLAUDE.md 'Host behavior': this sandbox
+    has minutes-long ~2x co-tenant noise waves; ~1.2-2.6 s median =
+    quiet, higher = a wave is in progress).  Run before and after the
+    suite so every bench line is SELF-ANNOTATING: a reader can tell a
+    code regression from a noise wave without re-running anything."""
+    import multiprocessing as mp
+    import statistics
+
+    with mp.Pool(procs) as pool:
+        walls = pool.map(_burn_loop, range(procs))
+    return round(statistics.median(walls), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    burn_pre = _burn_control()
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -212,6 +236,7 @@ def main() -> None:
     docs_per_sec = round(n_docs / wall, 1)
 
     total = round(sum(timings.values()), 3)
+    burn_post = _burn_control()
     print(
         json.dumps(
             {
@@ -225,6 +250,11 @@ def main() -> None:
                 "html_docs_per_sec": round(n_html / html_wall, 1),
                 "html_extract_docs": n_html,
                 "cpus": cpus,
+                # host-quietness brackets (see _burn_control): ~1.2-2.6s
+                # median = quiet window; larger = co-tenant noise wave —
+                # read per-query highs against these, not as regressions
+                "burn_pre_s": burn_pre,
+                "burn_post_s": burn_post,
             }
         )
     )
