@@ -2763,6 +2763,159 @@ FROM range(0, {_SYNTH_N}) t(r)
 
 
 # --------------------------------------------------------------------------
+# q_python_udtf — Spark's PYTHON USER-DEFINED TABLE FUNCTION (the
+# fourth and last python UDF surface beside Q19's scalar / grouped-map
+# / grouped-agg trio): a class-based UDTF registered into SQL and
+# invoked through a correlated LATERAL join, yielding one (pos, token)
+# row per input token.  Like q_python_datasource, the python here is
+# the API's PURPOSE (row-generating table functions whose logic lives
+# outside the JVM) — a declared python surface, not a hot-path escape;
+# the oracle mirrors the expansion in closed form (unnest +
+# generate_subscripts), so what gets value-checked is the UDTF
+# CONTRACT: schema declaration, lateral correlation, per-row fan-out,
+# and row ownership.  The doc_id < UDTF_DOC_CAP predicate must reach
+# the parquet scan (pushdown audited) — the UDTF only ever sees the
+# bounded slice.
+# --------------------------------------------------------------------------
+
+UDTF_DOC_CAP = 50  # bounded demo slice — the surface, not a bulk path
+
+
+class _TokenizeUDTF:
+    """One row per whitespace token with its 0-based position —
+    mirrors string_split semantics exactly ('' yields one '' token),
+    so the DuckDB unnest oracle can be closed-form."""
+
+    def eval(self, doc_id, text):
+        for i, t in enumerate((text or "").split(" ")):
+            yield doc_id, i, t
+
+
+def q_python_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "freki_tokenize_udtf",
+        udtf(_TokenizeUDTF, returnType="doc_id bigint, pos int, token string"),
+    )
+    # the cap is applied BEFORE the lateral: Catalyst does not push a
+    # post-lateral WHERE below a python UDTF (measured — the UDTF would
+    # process every doc and filter after), so the bounded slice must be
+    # the UDTF's *input* relation for the cap to bound python work; the
+    # pre-filter also reaches the parquet scan as a pushed filter
+    # (audited)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < UDTF_DOC_CAP
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+SELECT t.doc_id, t.pos, t.token
+FROM udtf_docs d, LATERAL freki_tokenize_udtf(d.doc_id, d.text) t
+""")
+
+
+SQL_PYTHON_UDTF = f"""
+SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+       unnest(l) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id < {UDTF_DOC_CAP})
+"""
+
+
+# --------------------------------------------------------------------------
+# q_collation — collation-aware grouping (SQL:2023-era collated
+# strings; Spark ≥4.0 `collate(col, 'UTF8_LCASE')`): case-insensitive
+# token frequencies computed by grouping on a COLLATED key, not on a
+# lower() projection — the engine's comparator and partial aggregation
+# operate under the collation (collated keys group via SortAggregate,
+# a real cost of the surface worth knowing: ~n·log n per partition vs
+# hash agg), which is the surface being exercised (a lower() rewrite
+# would bypass it).  Case variants
+# are synthesized deterministically per (doc_id, pos) via the shared
+# md5 (UPPER / Initcap / as-is, so every class of variant exists);
+# the emitted key is lower()-projected AFTER the collated group so
+# the row VALUES are deterministic (the group's representative member
+# is not).  ASCII contract: for the corpus's ASCII tokens,
+# UTF8_LCASE equivalence == lower() equality, which is exactly what
+# lets the DuckDB oracle mirror the grouping closed-form; n_forms
+# (binary-distinct case variants per class) proves the collation
+# actually merged distinct binary strings.
+#
+# Scale shape: token explode → ONE partial-agg'd groupBy on the
+# collated key (map-side combine under the collation), then a
+# distributed top-K (TakeOrderedAndProject) — never a global sort.
+# --------------------------------------------------------------------------
+
+COLLATION_TOPK = 30
+
+
+def q_collation(spark, sf_dir):
+    from .functions.common import md5i32, toks
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.posexplode(toks(F.col("text"))).alias("pos", "tok0")
+    )
+    h = md5i32(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string"))
+    ) % 3
+    mangled = tk.select(
+        F.when(h == 0, F.upper("tok0"))
+        .when(h == 1, F.initcap("tok0"))
+        .otherwise(F.col("tok0"))
+        .alias("tok")
+    )
+    g = mangled.groupBy(
+        F.collate("tok", "UTF8_LCASE").alias("ci")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("tok").cast("int").alias("n_forms"),
+    )
+    return (
+        g.select(
+            F.lower(F.col("ci")).cast("string").alias("token_lc"),
+            "n",
+            "n_forms",
+        )
+        .orderBy(F.col("n").desc(), "token_lc")
+        .limit(COLLATION_TOPK)
+    )
+
+
+def _sql_collation() -> str:
+    from .functions.common import DUCK_MD5I32
+
+    h = DUCK_MD5I32.format(
+        x="CAST(doc_id AS VARCHAR) || ':' || CAST(pos - 1 AS VARCHAR)"
+    )
+    # DuckDB has no initcap: upper(head)||lower(tail) mirrors Spark's
+    # initcap on space-free tokens; pos is 1-based from
+    # generate_subscripts, hence the -1 in the hash input
+    return f"""
+WITH tk AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok0
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+m AS (
+  SELECT CASE {h} % 3
+           WHEN 0 THEN upper(tok0)
+           WHEN 1 THEN upper(tok0[1:1]) || lower(tok0[2:])
+           ELSE tok0 END AS tok
+  FROM tk
+),
+g AS (
+  SELECT lower(tok) AS token_lc, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT tok) AS INT) AS n_forms
+  FROM m GROUP BY 1
+)
+SELECT token_lc, n, n_forms FROM g
+ORDER BY n DESC, token_lc LIMIT {COLLATION_TOPK}
+"""
+
+
+SQL_COLLATION = _sql_collation()
+
+
+# --------------------------------------------------------------------------
 # feature_label_pit — POINT-IN-TIME feature/label assembly (the
 # feature-store discipline; Kleppmann's "training-serving skew" and
 # every churn-model pipeline): a deterministic cutoff T splits the
@@ -3670,6 +3823,8 @@ QUERIES = {
     "pack_lpt": pack_lpt,
     "feature_label_pit": feature_label_pit,
     "q_python_datasource": q_python_datasource,
+    "q_python_udtf": q_python_udtf,
+    "q_collation": q_collation,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
     "funnel_conversion": funnel_conversion,
@@ -3759,6 +3914,8 @@ ORACLE_SQL = {
     "pack_lpt": SQL_PACK_LPT,
     "feature_label_pit": SQL_FEATURE_LABEL_PIT,
     "q_python_datasource": SQL_PYTHON_DATASOURCE,
+    "q_python_udtf": SQL_PYTHON_UDTF,
+    "q_collation": SQL_COLLATION,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
@@ -3865,7 +4022,7 @@ _PRIORITY = [
     "q_percentile_agg", "q_salted_join",
     # round-3 additions (never driver-checked; oracle-backed from birth)
     "readability_fk", "pack_stats", "join_skew_diag", "dedup_eval",
-    "langid_confusion",
+    "langid_confusion", "q_python_udtf", "q_collation",
     # ---- TAIL: green driver rows in r1/r2, code unchanged ----------------
     # Covered every round by tools/verify_queries.py (local gate).
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",

@@ -7251,6 +7251,70 @@ def test_langid_confusion_matches_classifier_twin(spark):
     assert any(lang != p for (lang, p) in got)  # real off-diagonal mass
 
 
+def test_python_udtf_matches_split(spark):
+    """The UDTF expansion must equal python's split with positions
+    over exactly the capped doc slice — schema contract, lateral
+    correlation, and row ownership in one check."""
+    import duckdb
+
+    from freki_spark.queries import UDTF_DOC_CAP, q_python_udtf
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+            f" WHERE doc_id < {UDTF_DOC_CAP}"
+        ).fetchall()
+    )
+    want = {
+        (d, i, t)
+        for d, text in docs.items()
+        for i, t in enumerate(text.split(" "))
+    }
+    got = {
+        (r.doc_id, r.pos, r.token)
+        for r in q_python_udtf(spark, SF).collect()
+    }
+    assert got == want
+    assert {d for d, _, _ in got} == set(docs)
+
+
+def test_collation_merges_case_variants(spark):
+    """Collated grouping must equal a python recount of the md5 case
+    mangle under lower()-equivalence, and the collation must have
+    merged real multi-form classes (n_forms >= 2 somewhere) — i.e.
+    distinct binary strings landed in one collated group."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import COLLATION_TOPK, q_collation
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    cnt = Counter()
+    forms = defaultdict(set)
+    for d, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for i, t in enumerate(text.split(" ")):
+            m = h32(f"{d}:{i}") % 3
+            tok = t.upper() if m == 0 else (t.capitalize() if m == 1 else t)
+            cnt[tok.lower()] += 1
+            forms[tok.lower()].add(tok)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :COLLATION_TOPK
+    ]
+    want = {t: (n, len(forms[t])) for t, n in ranked}
+    got = {
+        r.token_lc: (r.n, r.n_forms)
+        for r in q_collation(spark, SF).collect()
+    }
+    assert got == want
+    assert any(nf >= 2 for (_, nf) in got.values())
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics

@@ -2112,6 +2112,46 @@ def main() -> int:
         " grain), no join/python",
     )
 
+    # 89. q_python_udtf: the UDTF is the declared python surface —
+    #     exactly ONE python eval node, fed by a scan whose doc_id cap
+    #     reaches the parquet reader as a pushed filter (Catalyst does
+    #     not push a post-lateral WHERE below a python UDTF, so the op
+    #     pre-filters its input relation; a regression that moves the
+    #     Filter back above BatchEvalPythonUDTF fails here)
+    p = plan_of(QUERIES["q_python_udtf"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", p)
+    # count from the details node list — the tree header repeats the
+    # node name, so a bare substring count double-counts
+    nodes = re.findall(r"\n\(\d+\) (\w+)", p)
+    n_py = nodes.count("BatchEvalPythonUDTF")
+    filt_below_udtf = (
+        "Filter" in nodes
+        and "BatchEvalPythonUDTF" in nodes
+        and nodes.index("Filter") < nodes.index("BatchEvalPythonUDTF")
+    )
+    check(
+        "python_udtf_bounded_input",
+        bool(pushed) and n_py == 1 and filt_below_udtf,
+        f"pushed doc_id cap={bool(pushed)}, python nodes={n_py}, "
+        f"filter below UDTF={filt_below_udtf}",
+    )
+
+    # 90. q_collation: grouping runs ON the collated key (collate in
+    #     the plan; SortAggregate is the engine's collated-agg shape),
+    #     with a partial aggregate before the Exchange and a
+    #     distributed TakeOrderedAndProject top-K — one scan, no python
+    p = plan_of(QUERIES["q_collation"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "collation_agg_shape",
+        "collate" in p.lower()
+        and "partial" in p.lower()
+        and "TakeOrderedAndProject" in p
+        and n_scans == 1
+        and "Python" not in p,
+        f"collated partial agg, top-K, scans={n_scans}",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
