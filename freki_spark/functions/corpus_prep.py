@@ -3523,6 +3523,111 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# dq_checks — the data-quality gate every nightly ingest runs before
+# anything downstream trusts a landing batch (Great-Expectations /
+# dbt-test style): a fixed rule set evaluated in ONE pass, reported at
+# RULE grain (rule, rows checked, violations, exact-ppm rate) so a
+# single relation answers "which contract broke and how badly".
+# Rules: null text, empty text, n_chars != length(text) (the
+# metadata/payload consistency contract), lang outside the declared
+# set, negative doc_id.  The driver corpus is clean by construction,
+# so the landing batch under test is base ∪ PLANTED corrupt variants
+# (the ocr_garble/mojibake synthesis convention: every doc_id %
+# DQ_CORRUPT_MOD == 0 doc re-keyed at +DQ_OFFSET with lang='xx' and
+# n_chars skewed +7) — both firing and non-firing rules are exercised,
+# which is what makes the report's zeros trustworthy.
+#
+# Scale shape: ONE scan of the landing batch; every rule is a
+# conditional partial-aggregable sum into a 1-row aggregate; the
+# rule-grain unpivot (stack) runs over that single row.  viol_ppm via
+# _ppm_exact (den = batch rows, far under the ~9.2e15 bound).
+# +400000 clears the largest sf's id space and every other op's
+# synthesized-variant slot (the pass-12 rule).
+# --------------------------------------------------------------------------
+
+DQ_OFFSET = 400000
+DQ_CORRUPT_MOD = 83
+DQ_VALID_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def dq_checks(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    corrupt = d.filter(F.col("doc_id") % DQ_CORRUPT_MOD == 0).select(
+        (F.col("doc_id") + DQ_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    batch = d.unionByName(corrupt)
+    a = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.sum(
+            F.when(F.col("text").isNotNull() & (F.length("text") == 0), 1)
+            .otherwise(0)
+        ).alias("v_empty"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("v_nchars"),
+        F.sum(
+            F.when(~F.col("lang").isin(*DQ_VALID_LANGS), 1).otherwise(0)
+        ).alias("v_lang"),
+        F.sum(F.when(F.col("doc_id") < 0, 1).otherwise(0)).alias("v_neg"),
+    )
+    rules = a.selectExpr(
+        "n_rows",
+        "stack(5, 'null_text', v_null, 'empty_text', v_empty,"
+        " 'nchars_mismatch', v_nchars, 'invalid_lang', v_lang,"
+        " 'negative_doc_id', v_neg) AS (rule, n_viol)",
+    )
+    return rules.select(
+        "rule",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_viol").cast("bigint").alias("n_viol"),
+        F.expr(_ppm_exact("n_viol", "n_rows", "div"))
+        .cast("bigint")
+        .alias("viol_ppm"),
+    )
+
+
+def _sql_dq_checks() -> str:
+    langs = ", ".join(f"'{x}'" for x in DQ_VALID_LANGS)
+    return f"""
+WITH batch AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {DQ_OFFSET}, text, 'xx', n_chars + 7
+  FROM documents WHERE doc_id % {DQ_CORRUPT_MOD} = 0
+),
+a AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_null,
+         sum(CASE WHEN text IS NOT NULL AND length(text) = 0
+                  THEN 1 ELSE 0 END) AS v_empty,
+         sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+           AS v_nchars,
+         sum(CASE WHEN lang NOT IN ({langs}) THEN 1 ELSE 0 END) AS v_lang,
+         sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS v_neg
+  FROM batch
+),
+r AS (
+  SELECT 'null_text' AS rule, n_rows, v_null AS n_viol FROM a
+  UNION ALL SELECT 'empty_text', n_rows, v_empty FROM a
+  UNION ALL SELECT 'nchars_mismatch', n_rows, v_nchars FROM a
+  UNION ALL SELECT 'invalid_lang', n_rows, v_lang FROM a
+  UNION ALL SELECT 'negative_doc_id', n_rows, v_neg FROM a
+)
+SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_viol AS BIGINT) AS n_viol,
+       CAST({_ppm_exact('n_viol', 'n_rows', '//')} AS BIGINT) AS viol_ppm
+FROM r
+"""
+
+
+SQL_DQ_CHECKS = _sql_dq_checks()
+
+
+# --------------------------------------------------------------------------
 # skyline_pareto — the Pareto frontier (skyline) over two integer doc
 # metrics (Börzsönyi et al. 2001, "The Skyline Operator"): the multi-
 # objective data-selection primitive — "the docs no other doc beats on
@@ -3979,6 +4084,7 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "site_boilerplate": site_boilerplate,
     "k_anonymity": k_anonymity,
+    "dq_checks": dq_checks,
     "license_detect": license_detect,
     "token_budget_cap": token_budget_cap,
     "path_rollup": path_rollup,
@@ -4026,6 +4132,7 @@ ORACLE_SQL = {
     "zorder_plan": SQL_ZORDER_PLAN,
     "site_boilerplate": SQL_SITE_BOILERPLATE,
     "k_anonymity": SQL_K_ANONYMITY,
+    "dq_checks": SQL_DQ_CHECKS,
     "license_detect": SQL_LICENSE_DETECT,
     "token_budget_cap": SQL_TOKEN_BUDGET_CAP,
     "path_rollup": SQL_PATH_ROLLUP,

@@ -733,10 +733,18 @@ t AS (
 )
 SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
        list_transform(
-           list_resize(list_slice(tk, 1, {BPE_IDS_LEN}), {BPE_IDS_LEN}, ''),
+           list_slice(list_concat(tk,
+               [{", ".join("''" for _ in range(BPE_IDS_LEN))}]),
+               1, {BPE_IDS_LEN}),
            x -> CAST({_bpe_id_case('x')} AS INT)) AS ids
 FROM t
 """
+# pad-then-slice (concat + slice) mirrors the Spark side's
+# concat/array_repeat/slice formula exactly AND avoids DuckDB 1.0.0's
+# list_resize, whose vectorized path raises std::bad_array_new_length
+# on large row batches (reproduced at sf0.1: full-table query crashes,
+# any single row succeeds, sf0.01 succeeds — batch-size-dependent
+# allocator bug, not a data issue)
 
 
 # --------------------------------------------------------------------------

@@ -2916,6 +2916,140 @@ SQL_COLLATION = _sql_collation()
 
 
 # --------------------------------------------------------------------------
+# ref_integrity — referential-integrity audit across the warehouse's
+# foreign keys (the dbt `relationships` test at engine level): per FK
+# edge, how many child rows point at a parent that does not exist.
+# Four real edges over the TPC-H-ish tables plus one PLANTED edge
+# (every event_id % REF_ORPHAN_MOD event's user_id re-keyed at
+# +REF_ORPHAN_OFFSET against the real user universe) so the report
+# provably catches orphans — the same both-firing-and-clean discipline
+# as dq_checks.
+#
+# Scale shape: each leg reduces the parent to a DISTINCT KEY
+# projection before the join (only keys ever move; at corpus scale
+# child and parent are co-bucketed on the key per the io.py
+# convention, so the join is co-located), the orphan test is a left
+# join + conditional partial-aggregable sum into a 1-row aggregate
+# per leg, and nation-parent legs broadcast.  +200000 clears every
+# id space and synthesized-variant slot in the repo (pass-12 rule).
+# --------------------------------------------------------------------------
+
+REF_ORPHAN_OFFSET = 200000
+REF_ORPHAN_MOD = 97
+
+
+def ref_integrity(spark, sf_dir):
+    def leg(name, child, parent, bcast=False):
+        p = parent.distinct().withColumn("_hit", F.lit(1))
+        if bcast:
+            p = F.broadcast(p)
+        j = child.join(p, "k", "left")
+        return j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_orphans",
+            F.expr(_ppm_exact("n_orphans", "greatest(n_child, 1)", "div"))
+            .cast("bigint")
+            .alias("orphan_ppm"),
+        )
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    ev = t("events")
+    legs = [
+        leg(
+            "lineitem->orders",
+            t("lineitem").select(F.col("l_orderkey").alias("k")),
+            t("orders").select(F.col("o_orderkey").alias("k")),
+        ),
+        leg(
+            "orders->customer",
+            t("orders").select(F.col("o_custkey").alias("k")),
+            t("customer").select(F.col("c_custkey").alias("k")),
+        ),
+        leg(
+            "customer->nation",
+            t("customer").select(F.col("c_nationkey").alias("k")),
+            t("nation").select(F.col("n_nationkey").alias("k")),
+            bcast=True,
+        ),
+        leg(
+            "supplier->nation",
+            t("supplier").select(F.col("s_nationkey").alias("k")),
+            t("nation").select(F.col("n_nationkey").alias("k")),
+            bcast=True,
+        ),
+        leg(
+            "events->users (planted)",
+            ev.select(
+                (
+                    F.col("user_id")
+                    + F.when(
+                        F.col("event_id") % REF_ORPHAN_MOD == 0,
+                        REF_ORPHAN_OFFSET,
+                    ).otherwise(0)
+                ).alias("k")
+            ),
+            ev.select(F.col("user_id").alias("k")),
+        ),
+    ]
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _ref_leg_sql(name, child_sql, parent_sql) -> str:
+    return f"""
+SELECT '{name}' AS relation, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST({_ppm_exact('n_orphans', 'greatest(n_child, 1)', '//')} AS BIGINT)
+         AS orphan_ppm
+FROM (
+  SELECT count(*) AS n_child,
+         sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM ({child_sql}) c LEFT JOIN (SELECT DISTINCT k FROM ({parent_sql}) q) p
+    ON c.k = p.k
+)"""
+
+
+SQL_REF_INTEGRITY = " UNION ALL ".join(
+    [
+        _ref_leg_sql(
+            "lineitem->orders",
+            "SELECT l_orderkey AS k FROM lineitem",
+            "SELECT o_orderkey AS k FROM orders",
+        ),
+        _ref_leg_sql(
+            "orders->customer",
+            "SELECT o_custkey AS k FROM orders",
+            "SELECT c_custkey AS k FROM customer",
+        ),
+        _ref_leg_sql(
+            "customer->nation",
+            "SELECT c_nationkey AS k FROM customer",
+            "SELECT n_nationkey AS k FROM nation",
+        ),
+        _ref_leg_sql(
+            "supplier->nation",
+            "SELECT s_nationkey AS k FROM supplier",
+            "SELECT n_nationkey AS k FROM nation",
+        ),
+        _ref_leg_sql(
+            "events->users (planted)",
+            f"SELECT user_id + CASE WHEN event_id % {REF_ORPHAN_MOD} = 0"
+            f" THEN {REF_ORPHAN_OFFSET} ELSE 0 END AS k FROM events",
+            "SELECT user_id AS k FROM events",
+        ),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
 # feature_label_pit — POINT-IN-TIME feature/label assembly (the
 # feature-store discipline; Kleppmann's "training-serving skew" and
 # every churn-model pipeline): a deterministic cutoff T splits the
@@ -3825,6 +3959,7 @@ QUERIES = {
     "q_python_datasource": q_python_datasource,
     "q_python_udtf": q_python_udtf,
     "q_collation": q_collation,
+    "ref_integrity": ref_integrity,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
     "funnel_conversion": funnel_conversion,
@@ -3916,6 +4051,7 @@ ORACLE_SQL = {
     "q_python_datasource": SQL_PYTHON_DATASOURCE,
     "q_python_udtf": SQL_PYTHON_UDTF,
     "q_collation": SQL_COLLATION,
+    "ref_integrity": SQL_REF_INTEGRITY,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
@@ -4022,7 +4158,8 @@ _PRIORITY = [
     "q_percentile_agg", "q_salted_join",
     # round-3 additions (never driver-checked; oracle-backed from birth)
     "readability_fk", "pack_stats", "join_skew_diag", "dedup_eval",
-    "langid_confusion", "q_python_udtf", "q_collation",
+    "langid_confusion", "q_python_udtf", "q_collation", "dq_checks",
+    "ref_integrity",
     # ---- TAIL: green driver rows in r1/r2, code unchanged ----------------
     # Covered every round by tools/verify_queries.py (local gate).
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",

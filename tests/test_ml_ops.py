@@ -7315,6 +7315,62 @@ def test_collation_merges_case_variants(spark):
     assert any(nf >= 2 for (_, nf) in got.values())
 
 
+def test_dq_checks_fires_planted_rules_only(spark):
+    """The DQ report must show exactly the planted violations
+    (nchars_mismatch + invalid_lang on the +DQ_OFFSET variants) and
+    hard zeros on every other rule — both firing and non-firing rules
+    verified against a python recount."""
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import (
+        DQ_CORRUPT_MOD,
+        dq_checks,
+    )
+
+    n_docs, n_corrupt = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN doc_id % {DQ_CORRUPT_MOD} = 0"
+        f" THEN 1 ELSE 0 END) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    n_rows = n_docs + n_corrupt
+    got = {r.rule: (r.n_rows, r.n_viol) for r in dq_checks(spark, SF).collect()}
+    assert got == {
+        "null_text": (n_rows, 0),
+        "empty_text": (n_rows, 0),
+        "nchars_mismatch": (n_rows, n_corrupt),
+        "invalid_lang": (n_rows, n_corrupt),
+        "negative_doc_id": (n_rows, 0),
+    }
+    assert n_corrupt > 0  # the planted rules actually fired
+
+
+def test_ref_integrity_clean_edges_and_planted_orphans(spark):
+    """All four real FK edges must audit clean (the fixture generator's
+    contract), and the planted edge must report exactly the
+    event_id-mod orphans."""
+    import duckdb
+
+    from freki_spark.queries import REF_ORPHAN_MOD, ref_integrity
+
+    n_events, n_planted = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN event_id % {REF_ORPHAN_MOD} = 0"
+        f" THEN 1 ELSE 0 END) FROM '{SF}/events.parquet'"
+    ).fetchone()
+    got = {
+        r.relation: (r.n_child, r.n_orphans)
+        for r in ref_integrity(spark, SF).collect()
+    }
+    assert len(got) == 5
+    for rel in (
+        "lineitem->orders",
+        "orders->customer",
+        "customer->nation",
+        "supplier->nation",
+    ):
+        assert got[rel][1] == 0, rel
+    assert got["events->users (planted)"] == (n_events, n_planted)
+    assert n_planted > 0
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics

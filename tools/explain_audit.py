@@ -2152,6 +2152,38 @@ def main() -> int:
         f"collated partial agg, top-K, scans={n_scans}",
     )
 
+    # 91. dq_checks: every rule is a conditional sum in ONE pass over
+    #     the landing batch — two scans total (base + the planted
+    #     variant branch of the union), partial agg feeds the single
+    #     1-row Exchange, the rule unpivot (Generate) runs above the
+    #     aggregate, no join/python
+    p = plan_of(QUERIES["dq_checks"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "dq_checks_single_pass",
+        n_scans == 2
+        and "partial" in p.lower()
+        and "Generate" in p
+        and "Join" not in p
+        and "Python" not in p,
+        f"scans={n_scans} (base+variant union), partial-agg'd rule sums",
+    )
+
+    # 92. ref_integrity: each leg's orphan test is a left equi-join
+    #     against a DISTINCT-key parent projection + a conditional
+    #     1-row aggregate — no CartesianProduct anywhere, the
+    #     nation-parent legs broadcast (BroadcastHashJoin present),
+    #     and no Python
+    p = plan_of(QUERIES["ref_integrity"](spark, sf_dir))
+    check(
+        "ref_integrity_key_joins",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "BroadcastHashJoin" in p
+        and "Python" not in p,
+        "distinct-key left joins (nation legs broadcast), no product",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
