@@ -2934,6 +2934,151 @@ SQL_COLLATION = _sql_collation()
 # id space and synthesized-variant slot in the repo (pass-12 rule).
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# ewma_dyadic — exponentially-weighted smoothing with DYADIC weights
+# (8/4/2/1 over the current event and its three predecessors): the
+# integer-exact stand-in for float EWMA in monitoring/trend pipelines
+# — α(1−α)^k weights are float-reassociation bait cross-engine (the
+# BM25 lesson), while power-of-two weights + one integer quotient are
+# bit-exact in both engines.  Events with fewer than 3 predecessors
+# renormalize over the weights actually present (the standard
+# adjusted-EWMA convention), so the first event's smooth equals its
+# own value.  Values in exact cents (the rfm_segments convention);
+# window order (ts, event_id) — event_id breaks timestamp ties
+# deterministically.
+#
+# Scale shape: ONE scan, one hash(user_id) window Exchange (user
+# cardinality grows with the corpus — never a constant key), all lag
+# math narrow above it.  num ≤ 15·max_cents — no headroom concern.
+# --------------------------------------------------------------------------
+
+
+def ewma_dyadic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    l1, l2, l3 = (F.lag("v_cents", k).over(w) for k in (1, 2, 3))
+    num = (
+        8 * F.col("v_cents")
+        + 4 * F.coalesce(l1, F.lit(0))
+        + 2 * F.coalesce(l2, F.lit(0))
+        + F.coalesce(l3, F.lit(0))
+    )
+    den = (
+        F.lit(8)
+        + F.when(l1.isNotNull(), 4).otherwise(0)
+        + F.when(l2.isNotNull(), 2).otherwise(0)
+        + F.when(l3.isNotNull(), 1).otherwise(0)
+    )
+    s = e.select(
+        "event_id", "user_id", "v_cents", num.alias("num"), den.alias("den")
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "v_cents",
+        F.expr("num div den").cast("bigint").alias("ewma_cents"),
+    )
+
+
+SQL_EWMA_DYADIC = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+l AS (
+  SELECT *, lag(v_cents, 1) OVER w AS l1, lag(v_cents, 2) OVER w AS l2,
+         lag(v_cents, 3) OVER w AS l3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+n AS (
+  SELECT event_id, user_id, v_cents,
+         8 * v_cents + 4 * coalesce(l1, 0) + 2 * coalesce(l2, 0)
+           + coalesce(l3, 0) AS num,
+         8 + CASE WHEN l1 IS NOT NULL THEN 4 ELSE 0 END
+           + CASE WHEN l2 IS NOT NULL THEN 2 ELSE 0 END
+           + CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END AS den
+  FROM l
+)
+SELECT event_id, user_id, v_cents,
+       CAST(num // den AS BIGINT) AS ewma_cents
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# value_histogram — EQUI-WIDTH value profiling over events (fixed
+# $50-wide cent bins), the complement of decile_bins' equi-depth cut:
+# equi-width is what dashboards and anomaly baselines consume (stable
+# bin boundaries across runs), equi-depth is what samplers consume.
+# Per bin: boundaries, count, exact-ppm share of the table.
+#
+# Scale shape: ONE scan into a bin-grain partial agg (bin cardinality
+# = value-range/width — bounded by the domain, not the corpus); the
+# share window runs over that bounded bin table.  share_ppm via
+# _ppm_exact (den = table rows; ≤ ~9.2e15 staging bound, documented
+# like doremi_weights).
+# --------------------------------------------------------------------------
+
+HIST_BIN_CENTS = 5000  # $50-wide bins
+
+
+def value_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents")
+    )
+    # localCheckpoint before the two-consumer fan-out (bin rows + the
+    # 1-row total) — the dist_drift rule; a constant-key window would
+    # also work on the bounded bin table but breaks the repo-wide
+    # "windows partition on growing keys" audit convention
+    g = (
+        e.select(F.expr(f"v_cents div {HIST_BIN_CENTS}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    tot = g.agg(F.sum("n").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            (F.col("bin") * HIST_BIN_CENTS).cast("bigint").alias("lo_cents"),
+            ((F.col("bin") + 1) * HIST_BIN_CENTS - 1)
+            .cast("bigint")
+            .alias("hi_cents"),
+            "n",
+            F.expr(_ppm_exact("n", "tot", "div"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
+),
+g AS (
+  SELECT v_cents // {HIST_BIN_CENTS} AS bin, count(*) AS n
+  FROM e GROUP BY 1
+),
+t AS (SELECT sum(n) AS tot FROM g)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(bin * {HIST_BIN_CENTS} AS BIGINT) AS lo_cents,
+       CAST((bin + 1) * {HIST_BIN_CENTS} - 1 AS BIGINT) AS hi_cents,
+       CAST(n AS BIGINT) AS n,
+       CAST({_ppm_exact('n', 'tot', '//')} AS BIGINT) AS share_ppm
+FROM g, t
+"""
+
+
 REF_ORPHAN_OFFSET = 200000
 REF_ORPHAN_MOD = 97
 
@@ -3960,6 +4105,8 @@ QUERIES = {
     "q_python_udtf": q_python_udtf,
     "q_collation": q_collation,
     "ref_integrity": ref_integrity,
+    "ewma_dyadic": ewma_dyadic,
+    "value_histogram": value_histogram,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
     "funnel_conversion": funnel_conversion,
@@ -4052,6 +4199,8 @@ ORACLE_SQL = {
     "q_python_udtf": SQL_PYTHON_UDTF,
     "q_collation": SQL_COLLATION,
     "ref_integrity": SQL_REF_INTEGRITY,
+    "ewma_dyadic": SQL_EWMA_DYADIC,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
@@ -4159,7 +4308,7 @@ _PRIORITY = [
     # round-3 additions (never driver-checked; oracle-backed from birth)
     "readability_fk", "pack_stats", "join_skew_diag", "dedup_eval",
     "langid_confusion", "q_python_udtf", "q_collation", "dq_checks",
-    "ref_integrity",
+    "ref_integrity", "ewma_dyadic", "value_histogram",
     # ---- TAIL: green driver rows in r1/r2, code unchanged ----------------
     # Covered every round by tools/verify_queries.py (local gate).
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",

@@ -7371,6 +7371,81 @@ def test_ref_integrity_clean_edges_and_planted_orphans(spark):
     assert n_planted > 0
 
 
+def test_ewma_dyadic_matches_python(spark):
+    """Dyadic-EWMA must equal a python recompute over (ts, event_id)-
+    ordered per-user histories, with renormalized weights on short
+    prefixes (first event smooths to itself)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import ewma_dyadic
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    hist = defaultdict(list)
+    want = {}
+    for u, ts, eid, v in rows:
+        h = hist[u]
+        lags = h[::-1][:3]
+        num = 8 * v + sum(w * x for w, x in zip((4, 2, 1), lags))
+        den = 8 + sum(w for w, _ in zip((4, 2, 1), lags))
+        want[eid] = (u, v, num // den)
+        h.append(v)
+    got = {
+        r.event_id: (r.user_id, r.v_cents, r.ewma_cents)
+        for r in ewma_dyadic(spark, SF).collect()
+    }
+    assert got == want
+    # first event per user smooths to itself
+    firsts = {}
+    for u, ts, eid, v in rows:
+        firsts.setdefault(u, (eid, v))
+    assert all(got[eid][2] == v for (eid, v) in firsts.values())
+
+
+def test_value_histogram_matches_python(spark):
+    """Equi-width bins must equal a python recount: boundaries,
+    counts summing to the table, exact-ppm shares."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.queries import HIST_BIN_CENTS, value_histogram
+
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT CAST(round(value*100) AS BIGINT)"
+            f" FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    c = Counter(v // HIST_BIN_CENTS for v in vals)
+    tot = len(vals)
+
+    def ppm(n, d):
+        q, r = divmod(n, d)
+        return q * 10**6 + (r * 1000 // d) * 1000 + ((r * 1000 % d) * 1000 // d)
+
+    got = {
+        r.bin: (r.lo_cents, r.hi_cents, r.n, r.share_ppm)
+        for r in value_histogram(spark, SF).collect()
+    }
+    assert got == {
+        b: (
+            b * HIST_BIN_CENTS,
+            (b + 1) * HIST_BIN_CENTS - 1,
+            n,
+            ppm(n, tot),
+        )
+        for b, n in c.items()
+    }
+    assert sum(n for (_, _, n, _) in got.values()) == tot
+    assert len(got) >= 3  # real spread across bins
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics

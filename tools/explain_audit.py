@@ -2184,6 +2184,41 @@ def main() -> int:
         "distinct-key left joins (nation legs broadcast), no product",
     )
 
+    # 93. ewma_dyadic: ONE scan, one hash(user_id) window Exchange
+    #     (growing key), all lag math narrow above it — no join, no
+    #     python
+    p = plan_of(QUERIES["ewma_dyadic"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "ewma_single_window",
+        n_scans == 1
+        and n_ex == 1
+        and wins == {"user_id"}
+        and "Join" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, Exchanges={n_ex}, window keys={sorted(wins)}",
+    )
+
+    # 94. value_histogram: the bin table is localCheckpointed before
+    #     its two-consumer fan-out (rows + 1-row total), so the final
+    #     plan holds ZERO raw scans; the total joins back as a
+    #     condition-free 1-row broadcast cross; no Window (the
+    #     growing-keys convention — no constant-key window), no python
+    p = plan_of(QUERIES["value_histogram"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    conditioned = re.search(r"Join condition: (?!None)", p) is not None
+    check(
+        "value_histogram_checkpointed",
+        n_scans == 0
+        and "Window" not in p
+        and not conditioned
+        and "Python" not in p,
+        f"raw scans={n_scans} (bins checkpointed), no window/python,"
+        " condition-free 1-row cross only",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
