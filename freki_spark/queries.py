@@ -3079,6 +3079,114 @@ FROM g, t
 """
 
 
+# --------------------------------------------------------------------------
+# trend_ols — integer-EXACT least-squares trend per event type over
+# daily counts (the volume-drift monitor every ingest dashboard runs):
+# slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = 0-based day
+# index, y = daily event count.  The slope is emitted as the exact
+# rational (num, den) PLUS a micro-slope integer — float OLS is
+# reassociation bait cross-engine, while the normal-equation sums are
+# integers and the single quotient is exact.  num is SIGNED, and
+# truncating div (Spark) vs floor div (DuckDB) diverge on negatives,
+# so the micro-slope is computed as sign · (|num|·1e6 div den) — the
+# quotient runs on non-negatives where the two engines agree.
+#
+# Bigint headroom (the doremi rule): |num| ≤ n²·max_daily ≈
+# 900·max_daily over a 30-day window; ·1e6 stays under 2^63 for
+# max_daily up to ~1e10 events/day/type — beyond that, clamp |num| at
+# TREND_NUM_CLAMP (9e12) before the ·1e6 staging, saturating the
+# micro-slope instead of wrapping (both engines, same clamp).
+#
+# Scale shape: events → (type, day) partial-agg'd counts → per-type
+# partial-agg'd normal-equation sums (day-grain input, bounded by the
+# calendar not the corpus) → closed-form row math.  Two Exchanges,
+# both fed by partial aggregates.
+# --------------------------------------------------------------------------
+
+TREND_NUM_CLAMP = 9_000_000_000_000  # |num| cap before the 1e6 staging
+
+
+def trend_ols(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("d"),
+    )
+    # localCheckpoint before the two-consumer fan-out (the day-zero
+    # base + the xy projection — the dist_drift rule; without it each
+    # consumer replans the raw events scan, and the audit's scan-count
+    # assertion catches exactly that)
+    daily = (
+        e.groupBy("event_type", "d")
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .localCheckpoint()
+    )
+    base = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
+    xy = daily.join(F.broadcast(base), "event_type").select(
+        "event_type", (F.col("d") - F.col("d0")).cast("bigint").alias("x"), "y"
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    s = s.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.col("num").cast("bigint").alias("num"),
+        F.col("den").cast("bigint").alias("den"),
+        F.expr(
+            f"CASE WHEN den = 0 THEN 0 ELSE"
+            f" (CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            f" * (least(abs(num), {TREND_NUM_CLAMP}) * 1000000 div den)"
+            f" END"
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+
+
+SQL_TREND_OLS = f"""
+WITH e AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           AS d
+  FROM events
+),
+daily AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS y
+  FROM e GROUP BY 1, 2
+),
+base AS (SELECT event_type, min(d) AS d0 FROM daily GROUP BY 1),
+xy AS (
+  SELECT daily.event_type, CAST(daily.d - base.d0 AS BIGINT) AS x, y
+  FROM daily JOIN base ON daily.event_type = base.event_type
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1
+),
+r AS (
+  SELECT event_type, n, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM s
+)
+SELECT event_type, n, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       CAST(CASE WHEN den = 0 THEN 0 ELSE
+         (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+         * (least(abs(num), {TREND_NUM_CLAMP}) * 1000000 // den)
+         END AS BIGINT) AS slope_micro
+FROM r
+"""
+
+
 REF_ORPHAN_OFFSET = 200000
 REF_ORPHAN_MOD = 97
 
@@ -4107,6 +4215,7 @@ QUERIES = {
     "ref_integrity": ref_integrity,
     "ewma_dyadic": ewma_dyadic,
     "value_histogram": value_histogram,
+    "trend_ols": trend_ols,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
     "funnel_conversion": funnel_conversion,
@@ -4201,6 +4310,7 @@ ORACLE_SQL = {
     "ref_integrity": SQL_REF_INTEGRITY,
     "ewma_dyadic": SQL_EWMA_DYADIC,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "trend_ols": SQL_TREND_OLS,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
@@ -4308,7 +4418,7 @@ _PRIORITY = [
     # round-3 additions (never driver-checked; oracle-backed from birth)
     "readability_fk", "pack_stats", "join_skew_diag", "dedup_eval",
     "langid_confusion", "q_python_udtf", "q_collation", "dq_checks",
-    "ref_integrity", "ewma_dyadic", "value_histogram",
+    "ref_integrity", "ewma_dyadic", "value_histogram", "trend_ols",
     # ---- TAIL: green driver rows in r1/r2, code unchanged ----------------
     # Covered every round by tools/verify_queries.py (local gate).
     "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",

@@ -7446,6 +7446,51 @@ def test_value_histogram_matches_python(spark):
     assert len(got) >= 3  # real spread across bins
 
 
+def test_trend_ols_matches_python(spark):
+    """The normal-equation rational and the signed micro-slope must
+    equal a python recompute over per-day counts, and both slope signs
+    must occur on the fixture (rising and falling event types)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.queries import TREND_NUM_CLAMP, trend_ols
+
+    rows = duckdb.sql(
+        f"SELECT event_type,"
+        f" date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    daily = Counter(rows)
+    by_type = defaultdict(list)
+    for (et, d), y in daily.items():
+        by_type[et].append((d, y))
+    want = {}
+    for et, pts in by_type.items():
+        d0 = min(d for d, _ in pts)
+        xs = [(d - d0, y) for d, y in pts]
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            micro = 0
+        else:
+            sgn = -1 if num < 0 else 1
+            micro = sgn * (min(abs(num), TREND_NUM_CLAMP) * 10**6 // den)
+        want[et] = (n, num, den, micro)
+    got = {
+        r.event_type: (r.n, r.num, r.den, r.slope_micro)
+        for r in trend_ols(spark, SF).collect()
+    }
+    assert got == want
+    signs = {m > 0 for (_, _, _, m) in got.values() if m != 0}
+    assert signs == {True, False}  # both rising and falling types
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics

@@ -2219,6 +2219,26 @@ def main() -> int:
         " condition-free 1-row cross only",
     )
 
+    # 95. trend_ols: the (type, day) count table is localCheckpointed
+    #     before its two-consumer fan-out (day-zero base + xy), so the
+    #     final plan holds ZERO raw scans (this assertion caught the
+    #     un-checkpointed first draft at scans=2); the per-type
+    #     normal-equation sums partial-aggregate, the base joins back
+    #     as a broadcast — no product, no window, no python
+    p = plan_of(QUERIES["trend_ols"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "trend_ols_partial_sums",
+        n_scans == 0
+        and "partial" in p.lower()
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (daily counts checkpointed), partial-agg'd"
+        " normal equations, broadcast base",
+    )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
