@@ -3550,16 +3550,24 @@ DQ_CORRUPT_MOD = 83
 DQ_VALID_LANGS = ("de", "en", "es", "fr", "zh")
 
 
-def dq_checks(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+def dq_landing(d):
+    """base ∪ planted corrupt variants — the landing batch under test.
+    Shared by the batch op and the streaming twin (q_stream_dq), so
+    the two surfaces can never test different batches."""
     corrupt = d.filter(F.col("doc_id") % DQ_CORRUPT_MOD == 0).select(
         (F.col("doc_id") + DQ_OFFSET).alias("doc_id"),
         "text",
         F.lit("xx").alias("lang"),
         (F.col("n_chars") + 7).alias("n_chars"),
     )
-    batch = d.unionByName(corrupt)
-    a = batch.agg(
+    return d.unionByName(corrupt)
+
+
+def dq_rule_aggs():
+    """The five rule sums + row count as agg expressions — the ONE
+    definition of the rule set (batch .agg() and the streaming global
+    aggregate both consume it; SQL_DQ_CHECKS is the oracle mirror)."""
+    return [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("v_null"),
         F.sum(
@@ -3573,7 +3581,12 @@ def dq_checks(spark, sf_dir):
             F.when(~F.col("lang").isin(*DQ_VALID_LANGS), 1).otherwise(0)
         ).alias("v_lang"),
         F.sum(F.when(F.col("doc_id") < 0, 1).otherwise(0)).alias("v_neg"),
-    )
+    ]
+
+
+def dq_report(a):
+    """Rule-grain unpivot + exact-ppm rates over the 1-row rule-sums
+    aggregate (shared batch/stream — same output schema, same oracle)."""
     rules = a.selectExpr(
         "n_rows",
         "stack(5, 'null_text', v_null, 'empty_text', v_empty,"
@@ -3588,6 +3601,11 @@ def dq_checks(spark, sf_dir):
         .cast("bigint")
         .alias("viol_ppm"),
     )
+
+
+def dq_checks(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    return dq_report(dq_landing(d).agg(*dq_rule_aggs()))
 
 
 def _sql_dq_checks() -> str:

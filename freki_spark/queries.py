@@ -4385,11 +4385,12 @@ _PRIORITY = [
     "decontaminate_ngram", "decontaminate_bloom", "shuffle_deterministic",
     "q_recursive_bfs", "q_lateral_topk", "audio_vad_windows",
     "q_observe_metrics",
-    # ---- ROUND-4 WINDOW PLAN (next 89) ----------------------------------
+    # ---- ROUND-4 WINDOW PLAN ---------------------------------------------
     # Still never driver-checked after round 3.  Round 4: move the 50
     # slugs above into the tail and this block's first 50 become the
     # window; the ~39 after them complete in round 5.  Ordered so any
     # prefix lands on maximum marginal evidence.
+    "q_stream_dq",
     "media_resize", "media_frame_sample", "caption_mine", "text_normalize",
     "dehyphenate", "lexical_diversity", "kmeans_update", "dsir_select",
     "bpe_train", "domain_stats", "crawl_frontier", "recrawl_schedule",

@@ -605,7 +605,63 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_dq(spark: SparkSession, sf_dir: str, sink: str) -> DataFrame:
+    """Streaming data-quality gate: the dq_checks rule set evaluated
+    as a STREAMING global aggregate over the landing batch — the
+    data-contract monitor a continuous ingest runs on every
+    micro-batch before anything downstream trusts the stream.  Rule
+    sums, landing-batch construction, and the rule-grain report are
+    all single-sourced from functions.corpus_prep (dq_landing /
+    dq_rule_aggs / dq_report), and the oracle IS the batch operator's
+    SQL_DQ_CHECKS: stream == batch == DuckDB on one contract, the
+    q_stream_curate convention.
+
+    Streaming shape: conditional sums are fully mergeable, so the
+    global aggregate partial-aggregates inside each micro-batch and
+    merges constant-size state (6 numbers) across batches — the state
+    store never grows with the corpus; complete output mode + memory
+    sink is the test harness (the q_stream_hourly convention)."""
+    from ..functions.corpus_prep import dq_landing, dq_report, dq_rule_aggs
+
+    base = os.path.join(tempfile.mkdtemp(prefix="freki_sdq_"), "docs")
+    dq_landing(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).parquet(base).agg(*dq_rule_aggs())
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dq_report(spark.table(sink))
+
+
+def q_stream_dq(spark, sf_dir):
+    _SINK_N[0] += 1
+    return stream_dq(spark, sf_dir, f"stream_dq_{_SINK_N[0]}")
+
+
+from ..functions.corpus_prep import SQL_DQ_CHECKS  # noqa: E402
+
 QUERIES = {
+    "q_stream_dq": q_stream_dq,
     "q_stream_ss_join": q_stream_ss_join,
     "q_stream_join": q_stream_join,
     "q_stream_cms": q_stream_cms,
@@ -618,6 +674,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # the batch operator's own oracle: stream == batch == DuckDB
+    "q_stream_dq": SQL_DQ_CHECKS,
     "q_stream_ss_join": SQL_STREAM_SS_JOIN,
     "q_stream_join": SQL_STREAM_JOIN,
     "q_stream_cms": SQL_STREAM_CMS,

@@ -7491,6 +7491,26 @@ def test_trend_ols_matches_python(spark):
     assert signs == {True, False}  # both rising and falling types
 
 
+def test_stream_dq_equals_batch(spark):
+    """The streaming DQ gate must equal the batch dq_checks relation
+    exactly — same landing batch, same rule sums, same report (all
+    three single-sourced), evaluated through the streaming global
+    aggregate instead of a batch .agg()."""
+    from freki_spark.functions.corpus_prep import dq_checks
+    from freki_spark.streaming.jobs import q_stream_dq
+
+    batch = {
+        r.rule: (r.n_rows, r.n_viol, r.viol_ppm)
+        for r in dq_checks(spark, SF).collect()
+    }
+    stream = {
+        r.rule: (r.n_rows, r.n_viol, r.viol_ppm)
+        for r in q_stream_dq(spark, SF).collect()
+    }
+    assert stream == batch
+    assert stream["nchars_mismatch"][1] > 0  # planted rules fired
+
+
 def test_observe_metrics_equal_ground_truth(spark):
     """In-flight observed metrics must equal a direct relational
     recompute over the same table — the no-second-pass metrics
