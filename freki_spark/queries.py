@@ -567,16 +567,33 @@ SQL_WRITE_OUTPUT = f"SELECT doc_id, count(*) AS n_spans FROM {_G} GROUP BY doc_i
 
 
 def q_resume_antijoin(spark, sf_dir):
+    """Resume-path shape: anti-join the work list (customer) against the
+    already-done set to get the remaining work.  The done set is a
+    deterministic SPLIT of orders (o_custkey % 3 = 0), not all orders —
+    at every sf each customer with any orders has orders, so an
+    anti-join against the full table is empty and the driver's hash
+    check proves only that both engines agree on "empty" (round-3
+    verdict).  With the split, survivors = customers whose custkey % 3
+    != 0 plus order-less customers — a non-empty, value-checked
+    relation, which is exactly what the production resume path
+    (checkpoint.py remaining_batches) computes against the lineage
+    table."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    done = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 3 == 0)
+        .select("o_custkey")
+    )
+    return c.join(done, c.c_custkey == done.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
 
 SQL_RESUME_ANTIJOIN = (
     "SELECT c_custkey, c_name FROM customer c "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "                  WHERE o.o_custkey = c.c_custkey "
+    "                    AND o.o_custkey % 3 = 0)"
 )
 
 
@@ -2979,11 +2996,22 @@ def ewma_dyadic(spark, sf_dir):
     s = e.select(
         "event_id", "user_id", "v_cents", num.alias("num"), den.alias("den")
     )
+    # pass-21 signed-division rule: num is SIGNED (negative values =
+    # refunds/chargebacks are legal event semantics).  MEASURED (round
+    # 4): DuckDB 1.0.0's integer // truncates toward zero like Spark's
+    # div, so bare num div den happens to agree today — but the
+    # convention is engine- and version-dependent (python floors;
+    # DuckDB's own float // differs), so the explicit sign·(|num| div
+    # den) form stays: it computes truncation-toward-zero identically
+    # under EITHER native convention.  Pinned on negatives by
+    # test_signed_division_forms....
     return s.select(
         "event_id",
         "user_id",
         "v_cents",
-        F.expr("num div den").cast("bigint").alias("ewma_cents"),
+        F.expr("CASE WHEN num < 0 THEN -((-num) div den) ELSE num div den END")
+        .cast("bigint")
+        .alias("ewma_cents"),
     )
 
 
@@ -3008,7 +3036,8 @@ n AS (
   FROM l
 )
 SELECT event_id, user_id, v_cents,
-       CAST(num // den AS BIGINT) AS ewma_cents
+       CAST(CASE WHEN num < 0 THEN -((-num) // den)
+                 ELSE num // den END AS BIGINT) AS ewma_cents
 FROM n
 """
 
@@ -3038,8 +3067,25 @@ def value_histogram(spark, sf_dir):
     # 1-row total) — the dist_drift rule; a constant-key window would
     # also work on the bounded bin table but breaks the repo-wide
     # "windows partition on growing keys" audit convention
+    # FLOOR-division bin assignment (negative cents — refunds — land in
+    # negative bins with correct [lo, hi] boundaries).  Bare truncating
+    # division would put [-4999..4999] all in bin 0 (a double-width
+    # bin).  MEASURED (round 4): DuckDB 1.0.0's integer `//` TRUNCATES
+    # toward zero exactly like Spark's `div` — the "DuckDB floors"
+    # premise of the pass-21 note is wrong for integers — so neither
+    # engine floors natively and BOTH sides carry the explicit
+    # remainder correction below (% carries the dividend's sign in
+    # both engines; subtracting 1 exactly when the remainder is
+    # negative is integer-exact floor division).  Parity + python
+    # floor oracle pinned by test_signed_division_forms....
     g = (
-        e.select(F.expr(f"v_cents div {HIST_BIN_CENTS}").alias("bin"))
+        e.select(
+            F.expr(
+                f"(v_cents div {HIST_BIN_CENTS})"
+                f" - (CASE WHEN v_cents % {HIST_BIN_CENTS} < 0"
+                f"     THEN 1 ELSE 0 END)"
+            ).alias("bin")
+        )
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias("n"))
         .localCheckpoint()
@@ -3066,7 +3112,10 @@ WITH e AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS v_cents FROM events
 ),
 g AS (
-  SELECT v_cents // {HIST_BIN_CENTS} AS bin, count(*) AS n
+  SELECT (v_cents // {HIST_BIN_CENTS})
+           - (CASE WHEN v_cents % {HIST_BIN_CENTS} < 0
+              THEN 1 ELSE 0 END) AS bin,
+         count(*) AS n
   FROM e GROUP BY 1
 ),
 t AS (SELECT sum(n) AS tot FROM g)

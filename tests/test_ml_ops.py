@@ -7528,3 +7528,90 @@ def test_observe_metrics_equal_ground_truth(spark):
     r = q_observe_metrics(spark, SF).collect()[0]
     assert (r.n_docs, r.chars_total, r.chars_max, r.null_texts) == want
     assert r.n_docs == 500 and r.null_texts == 0
+
+
+def test_dedup_exact_finds_planted_exact_copies(spark):
+    """dedup_exact must return a NON-EMPTY relation on the fixture sf
+    (the round-3 verdict found its driver pass vacuous at 0 rows: the
+    _mutated variants are truncated, never identical).  Every planted
+    +1100000 exact copy must land in a dup group whose keeper is the
+    original doc and whose size is exactly 2 for docs that are unique
+    among the originals."""
+    from freki_spark.functions.dedup import dedup_exact
+
+    rows = dedup_exact(spark, SF).collect()
+    assert rows, "dedup_exact returned no dup groups — vacuous again"
+    by_keeper = {r.keeper: r for r in rows}
+    # the 30 planted copies: originals 0..29 are each a keeper
+    planted = [r for k, r in by_keeper.items() if k < 30]
+    assert len(planted) == 30
+    assert all(r.n_copies >= 2 for r in rows)
+
+
+def test_resume_antijoin_is_nonempty_and_correct(spark):
+    """resume_antijoin must return a NON-EMPTY survivor set (round-3
+    verdict: anti-joining against ALL orders is empty at every sf,
+    making the driver hash check prove only 'both engines agree on
+    empty').  Survivors = customers with no order in the done split
+    (o_custkey % 3 = 0) — recomputed here independently via DuckDB."""
+    import duckdb
+
+    from freki_spark.queries import q_resume_antijoin
+
+    got = sorted(r.c_custkey for r in q_resume_antijoin(spark, SF).collect())
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM '{SF}/customer.parquet' c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM '{SF}/orders.parquet' o "
+            f"  WHERE o.o_custkey = c.c_custkey AND o.o_custkey % 3 = 0) "
+            f"ORDER BY c_custkey"
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) > 0, "survivor set empty — the check is vacuous"
+
+
+def test_signed_division_forms_match_duckdb_on_negatives(spark):
+    """The pass-21 signed-division rule, mechanism-tested on NEGATIVE
+    inputs (fixture events are all >= 0, so this is the only place the
+    negative branch runs).  Measured round-4 fact: DuckDB 1.0.0's
+    integer // TRUNCATES toward zero exactly like Spark's div — so
+    parity needs both engines to carry the SAME explicit form, not to
+    rely on either native convention.  Pins (a) value_histogram's
+    remainder-corrected bin == DuckDB's mirror == python floor-div,
+    and (b) ewma's sign-carrying quotient == DuckDB's mirror."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from freki_spark.queries import HIST_BIN_CENTS
+
+    vals = [-10001, -5000, -4999, -1, 0, 1, 4999, 5000, 10001]
+    df = spark.createDataFrame([(v,) for v in vals], "v_cents bigint")
+    got = {
+        r.v_cents: (r.bin, r.q)
+        for r in df.select(
+            "v_cents",
+            F.expr(
+                f"(v_cents div {HIST_BIN_CENTS})"
+                f" - (CASE WHEN v_cents % {HIST_BIN_CENTS} < 0"
+                f"     THEN 1 ELSE 0 END)"
+            ).alias("bin"),
+            F.expr(
+                "CASE WHEN v_cents < 0 THEN -((-v_cents) div 7)"
+                "     ELSE v_cents div 7 END"
+            ).alias("q"),
+        ).collect()
+    }
+    for v in vals:
+        want_bin = duckdb.sql(
+            f"SELECT (({v}) // {HIST_BIN_CENTS})"
+            f" - (CASE WHEN ({v}) % {HIST_BIN_CENTS} < 0 THEN 1 ELSE 0 END)"
+        ).fetchone()[0]
+        want_q = duckdb.sql(
+            f"SELECT CASE WHEN {v} < 0 THEN -((-({v})) // 7)"
+            f"            ELSE {v} // 7 END"
+        ).fetchone()[0]
+        assert got[v] == (want_bin, want_q), (v, got[v], (want_bin, want_q))
+        assert got[v][0] == v // HIST_BIN_CENTS  # python floor-div oracle
