@@ -7,7 +7,7 @@ dataflow rather than a single shared JVM feed.
 
 Run via spark-submit:
   spark-submit --master spark://127.0.0.1:7077 \
-    --total-executor-cores <N> --executor-cores 1 \
+    --total-executor-cores <N> --executor-cores 2 \
     --executor-memory 6g --py-files freki_spark.zip \
     BENCH/_extract_run_cluster.py <N> <corpus_path> <n_timed_runs>
 

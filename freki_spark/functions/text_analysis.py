@@ -273,14 +273,17 @@ def readability_fk(spark, sf_dir):
             "n_syll"
         ),
     )
+    # n_sent derives from the CLAMPED wc, not raw n_words: the stated
+    # headroom proof (S <= ~8.4e6, every term <= ~1.3e18) assumes it,
+    # and an unclamped ~1e9-token doc would push 1180*yc*n_sent past
+    # 2^63 with divergent engine behavior (round-3 ADVICE).
     s = t.select(
         "doc_id",
         "n_words",
         "n_syll",
-        F.expr(f"1 + (n_words - 1) div {SENT_WINDOW}").alias("n_sent"),
         F.expr(f"least(cast(n_words as bigint), {FK_CLAMP})").alias("wc"),
         F.expr(f"least(cast(n_syll as bigint), {FK_CLAMP})").alias("yc"),
-    )
+    ).withColumn("n_sent", F.expr(f"1 + (wc - 1) div {SENT_WINDOW}"))
     n = s.withColumn(
         "num",
         F.expr("39 * wc * wc + 1180 * yc * n_sent - 1559 * n_sent * wc"),
@@ -305,10 +308,11 @@ WITH t AS (
 ),
 s AS (
   SELECT doc_id, n_words, n_syll,
-         1 + (n_words - 1) // {SENT_WINDOW} AS n_sent,
-         least(n_words, {FK_CLAMP}) AS wc,
-         least(n_syll, {FK_CLAMP}) AS yc
-  FROM t
+         1 + (wc - 1) // {SENT_WINDOW} AS n_sent, wc, yc
+  FROM (SELECT doc_id, n_words, n_syll,
+               least(n_words, {FK_CLAMP}) AS wc,
+               least(n_syll, {FK_CLAMP}) AS yc
+        FROM t)
 ),
 n AS (
   SELECT *, 39 * wc * wc + 1180 * yc * n_sent - 1559 * n_sent * wc AS num
