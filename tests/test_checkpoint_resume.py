@@ -167,3 +167,123 @@ def test_resume_rejects_changed_n_batches(spark, docs, tmp_path):
     run_extraction(spark, df, str(out), run_id="n1", n_batches=4, max_batches=1)
     with pytest.raises(ValueError, match="n_batches"):
         run_extraction(spark, df, str(out), run_id="n2", n_batches=8)
+
+
+# ---------------------------------------------------------------------------
+# Value pin for the rows-only checkpoint_lineage driver entry (round-3
+# verdict item 5): the lineage table's xxhash64 batch ids have no SQL
+# oracle, so pin exact batch membership and per-batch counts against a
+# PURE-PYTHON xxhash64 recompute (validated against Spark's xxhash64 on
+# empty/short/31B/32B/long vectors) plus the independent span oracle.
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_XP1, _XP2, _XP3, _XP4, _XP5 = (
+    11400714785074694791,
+    14029467366897019727,
+    1609587929392839161,
+    9650029242287828579,
+    2870177450012600261,
+)
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xround(acc, inp):
+    acc = (acc + inp * _XP2) & _M64
+    return (_rotl64(acc, 31) * _XP1) & _M64
+
+
+def _xmerge(acc, val):
+    acc ^= _xround(0, val)
+    return (acc * _XP1 + _XP4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 (spec-faithful), the hash behind Spark's xxhash64(seed=42)."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = _xround(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xround(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xround(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xround(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xmerge(h, v)
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xround(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _spark_xxhash64_signed(s: str) -> int:
+    h = xxh64(s.encode("utf-8"), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_xxh64_recompute_matches_spark(spark):
+    """The python XXH64 must equal Spark's xxhash64 across the length
+    regimes (empty, <4, <8, 4-byte tail, 8-byte lanes, 31/32 stripe
+    boundary, long) — otherwise the lineage pin below proves nothing."""
+    from pyspark.sql import functions as F
+
+    vals = ["", "a", "abc", "hell", "hello123", "x" * 31, "y" * 32, "z" * 100,
+            "lin-0000007"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for v in vals:
+        assert _spark_xxhash64_signed(v) == got[v], v
+
+
+def test_checkpoint_lineage_values_match_python_recompute(spark, tmp_path):
+    """Exact batch membership + per-batch (n_docs, n_spans, n_errors)
+    against the python xxhash64 batch assignment and the independent
+    span ORACLE — the value check the rows-only driver entry lacks."""
+    from collections import defaultdict
+
+    from freki_spark import oracle
+    from freki_spark.queries import q_checkpoint_lineage
+
+    docs = fixtures.random_docs(24, seed=5, prefix="lin")
+    lin = {
+        r.batch_id: (r.n_docs, r.n_spans, r.n_errors)
+        for r in q_checkpoint_lineage(spark, None).collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        b = _spark_xxhash64_signed(d["doc_id"]) % 4  # python % == pmod
+        spans, err = oracle.extract_document(d["doc_id"], d["spans"])
+        if err is None:
+            want[b][0] += 1
+            want[b][1] += len(spans)
+        else:
+            want[b][2] += 1
+    assert lin == {b: tuple(v) for b, v in want.items()}
+    assert sum(v[0] for v in lin.values()) == 24  # nothing lost
