@@ -2239,6 +2239,43 @@ def main() -> int:
         " normal equations, broadcast base",
     )
 
+    # 96. GLOBAL REGISTRY SWEEP (round-3 verdict item 8): EVERY
+    #     registry entry's physical plan must be free of the two scale
+    #     killers — CartesianProduct (all-pairs blowup) and row-wise
+    #     BatchEvalPython (per-row python in the hot path).  The four
+    #     sanctioned Arrow surfaces (ArrowEvalPython,
+    #     FlatMapGroupsInPandas / InArrow, MapInArrow/MapInPandas,
+    #     BatchEvalPythonUDTF) and the python datasource scan are NOT
+    #     matched by the BatchEvalPython regex guard below.  The ~90
+    #     individual checks above pin stronger per-op properties; this
+    #     closes the long tail.  Whitelists are explicit and empty.
+    #     Skippable for quick iterations: FREKI_AUDIT_NO_SWEEP=1.
+    if not os.environ.get("FREKI_AUDIT_NO_SWEEP"):
+        allow_cartesian: set[str] = set()
+        allow_row_python: set[str] = set()
+        bad: list[str] = []
+        for slug, fn in QUERIES.items():
+            try:
+                p = plan_of(fn(spark, sf_dir))
+            except Exception as e:  # a plan that cannot build is a failure
+                bad.append(f"{slug}: plan build failed: {type(e).__name__}")
+                continue
+            if "CartesianProduct" in p and slug not in allow_cartesian:
+                bad.append(f"{slug}: CartesianProduct")
+            # \b keeps BatchEvalPythonUDTF (an Arrow-batched lateral
+            # surface, individually audited by check 89) out of match
+            if (
+                re.search(r"BatchEvalPython \(", p)
+                and slug not in allow_row_python
+            ):
+                bad.append(f"{slug}: BatchEvalPython")
+        check(
+            "global_no_cartesian_no_row_python",
+            not bad,
+            f"{len(QUERIES)} entries swept"
+            + (f"; offenders: {bad}" if bad else ", 0 offenders"),
+        )
+
     spark.stop()
     print(f"failed={len(failures)}" + (f" ({', '.join(failures)})" if failures else ""))
     return 1 if failures else 0
