@@ -105,3 +105,44 @@ def _ppm_exact(num: str, den: str, div: str) -> str:
         f"{q} * 1000000 + ({r} * 1000 {div} {den}) * 1000"
         f" + (({r} * 1000 % {den}) * 1000 {div} {den})"
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup variant builder — lives in common (no intra-package imports)
+# because THREE modules consume it: dedup (its corpus + DUCK_CORPUS),
+# text_analysis (rouge_ngram_stats' ref/cand pairing), and search
+# (sparse_cosine_topk via dedup's corpus).  Moving it here broke the
+# text_analysis→dedup→similarity→text_analysis import cycle that a
+# top-level dedup import would otherwise re-create (the pass-14
+# common.py precedent).
+# --------------------------------------------------------------------------
+
+
+def _mutated(d):
+    """Near-dup mutations of the first 50 docs (last 3 tokens cut),
+    re-keyed at +100000."""
+    from pyspark.sql import functions as F
+
+    tk = toks(F.col("text"))
+    return d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        # greatest(.., 0): slice() raises on negative length; a
+        # <=3-token doc degrades to '' — DUCK_MUTATED mirrors both the
+        # greatest() clamp and the ''-for-empty-list rendering
+        F.concat_ws(
+            " ", F.slice(tk, 1, F.greatest(F.size(tk) - 3, F.lit(0)))
+        ).alias("text"),
+    )
+
+
+# the ONE SQL mirror of _mutated (used by dedup's DUCK_CORPUS, the
+# incremental op's inc CTE, and rouge_ngram_stats' pair spine).
+# greatest(len-3, 0) matches Spark's clamped slice on <4-token docs
+# (a bare l[1:len-3] returns the FULL list at len=2 — negative ends
+# count from the back — and NULL at len 1/3), and coalesce(...,'')
+# matches concat_ws's '' on the empty slice (array_to_string([]) is
+# NULL in DuckDB).
+DUCK_MUTATED = """SELECT doc_id + 100000 AS doc_id,
+         coalesce(array_to_string(l[1:greatest(len(l) - 3, 0)], ' '), '') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  WHERE doc_id < 50"""

@@ -4061,7 +4061,112 @@ FROM agg, tot
 SQL_PREFIX_CACHE_STATS = _sql_prefix_cache()
 
 
+# --------------------------------------------------------------------------
+# sitemap_parse — XML sitemap render→parse round trip (the crawl-
+# discovery primitive next to robots_filter / crawl_frontier): each
+# (source, chunk) renders its pages as a <urlset> sitemap document —
+# capped at SITEMAP_CAP urls per file, the real-protocol 50k-url
+# sharding rule scaled to the fixture — and the op then PARSES the
+# rendered XML back with xpath() and re-explodes.  What the oracle
+# checks is losslessness: the DuckDB side computes the url/lastmod
+# relation DIRECTLY (no XML at all), so any escaping, ordering, or
+# chunk-assignment loss in the render→xpath loop hash-fails.  URL
+# formula single-sourced from _domain_url (the domain_stats /
+# crawl_frontier convention); lastmod is pure calendar math
+# (date 2025-01-01 + doc_id % 365 days, identical in both engines).
+#
+# Scale shape (100 TB): ONE groupBy((source, chunk)) — chunk count
+# grows with corpus size, so the key is growing (never
+# one-mega-string-per-domain: the cap bounds every rendered file);
+# the per-chunk rank window partitions on source (the per-domain
+# page enumeration a sitemap inherently needs); xpath + explode are
+# narrow above the rollup.
+# --------------------------------------------------------------------------
+
+SITEMAP_CAP = 100  # urls per sitemap file (the 50k protocol rule, scaled)
+
+
+def sitemap_parse(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lastmod = F.date_format(
+        F.date_add(
+            F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")
+        ),
+        "yyyy-MM-dd",
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    rows = (
+        d.select(
+            "source",
+            "doc_id",
+            _domain_url().alias("url"),
+            lastmod.alias("lastmod"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("chunk", F.expr(f"CAST((rk - 1) div {SITEMAP_CAP} AS INT)"))
+    )
+    xml = rows.groupBy("source", "chunk").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "url", "lastmod"))
+                    ),
+                    lambda s: F.concat(
+                        F.lit("<url><loc>"),
+                        s["url"],
+                        F.lit("</loc><lastmod>"),
+                        s["lastmod"],
+                        F.lit("</lastmod></url>"),
+                    ),
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = xml.select(
+        "source",
+        "chunk",
+        F.expr("xpath(xml, '/urlset/url/loc/text()')").alias("locs"),
+        F.expr("xpath(xml, '/urlset/url/lastmod/text()')").alias("mods"),
+    )
+    return parsed.select(
+        "source",
+        "chunk",
+        F.posexplode(F.arrays_zip("locs", "mods")).alias("pos", "z"),
+    ).select(
+        "source",
+        "chunk",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("z.locs").alias("url"),
+        F.col("z.mods").alias("lastmod"),
+    )
+
+
+SQL_SITEMAP_PARSE = f"""
+WITH r AS (
+  SELECT source,
+         'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END
+           || source || '-site.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 + 1 AS INT)]
+           || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+         strftime(DATE '2025-01-01' + INTERVAL (doc_id % 365) DAY,
+                  '%Y-%m-%d') AS lastmod,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST((rk - 1) // {SITEMAP_CAP} AS INT) AS chunk,
+       CAST((rk - 1) % {SITEMAP_CAP} AS INT) AS pos,
+       url, lastmod
+FROM r
+"""
+
+
 QUERIES = {
+    "sitemap_parse": sitemap_parse,
     "prefix_cache_stats": prefix_cache_stats,
     "skipgram_pairs": skipgram_pairs,
     "skyline_pareto": skyline_pareto,
@@ -4140,6 +4245,7 @@ ORACLE_SQL = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "dsir_select": SQL_DSIR_SELECT,
     "domain_stats": SQL_DOMAIN_STATS,
+    "sitemap_parse": SQL_SITEMAP_PARSE,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "split_leakage": SQL_SPLIT_LEAKAGE,

@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .common import (
     DUCK_MD5I32,
     DUCK_MD5I60,
+    DUCK_MUTATED,
     DUCK_SHINGLES,
+    _mutated,
     _ppm_exact,
     md5i32,
     md5i60,
@@ -40,21 +42,6 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _mutated(d: DataFrame) -> DataFrame:
-    """Near-dup mutations of the first 50 docs (last 3 tokens cut),
-    re-keyed at +100000."""
-    tk = toks(F.col("text"))
-    return d.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        # greatest(.., 0): slice() raises on negative length; a
-        # <=3-token doc degrades to '' — DUCK_MUTATED mirrors both the
-        # greatest() clamp and the ''-for-empty-list rendering
-        F.concat_ws(
-            " ", F.slice(tk, 1, F.greatest(F.size(tk) - 3, F.lit(0)))
-        ).alias("text"),
-    )
-
-
 def _near_dup_corpus(spark, sf_dir) -> DataFrame:
     """documents ∪ mutated copies (first 50 docs, last 3 tokens cut):
     guarantees real near-duplicate pairs in the small testdata."""
@@ -62,17 +49,8 @@ def _near_dup_corpus(spark, sf_dir) -> DataFrame:
     return d.unionByName(_mutated(d))
 
 
-# the ONE SQL mirror of _mutated (used by DUCK_CORPUS and the
-# incremental op's inc CTE).  greatest(len-3, 0) matches Spark's
-# clamped slice on <4-token docs (a bare l[1:len-3] returns the FULL
-# list at len=2 — negative ends count from the back — and NULL at
-# len 1/3), and coalesce(...,'') matches concat_ws's '' on the empty
-# slice (array_to_string([]) is NULL in DuckDB).
-DUCK_MUTATED = """SELECT doc_id + 100000 AS doc_id,
-         coalesce(array_to_string(l[1:greatest(len(l) - 3, 0)], ' '), '') AS text
-  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-  WHERE doc_id < 50"""
-
+# _mutated / DUCK_MUTATED live in common.py (three consumer modules —
+# see the note there); DUCK_CORPUS composes the corpus union from it.
 DUCK_CORPUS = f"""
 corpus AS (
   SELECT doc_id, text FROM documents

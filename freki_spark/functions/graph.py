@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import DUCK_MD5I32, md5i32
+from .common import DUCK_MD5I32, _ppm_exact, md5i32
 
 PR_FANOUT = 3  # candidate out-links per page before self-loop removal
 PR_ITERS = 3
@@ -660,7 +660,11 @@ BFS_N_SEEDS = 4  # landmarks = doc_ids 0..3
 BFS_ROUNDS = 3
 
 
-def bfs_landmarks(spark, sf_dir):
+def _sym_edges(spark, sf_dir):
+    """The checkpointed symmetric (v, nbr) edge relation of the
+    deterministic doc-id link graph — shared by bfs_landmarks and
+    harmonic_centrality (and mirrored once as DUCK_SYM_CTES) so every
+    traversal op walks the SAME graph."""
     d = _docs(spark, sf_dir).select("doc_id")
     n = d.agg(F.count("*").alias("n_nodes"))
     withn = d.crossJoin(F.broadcast(n))
@@ -671,17 +675,40 @@ def bfs_landmarks(spark, sf_dir):
     und = edges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
-    sym = (
+    return (
         und.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
         .unionByName(
             und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
         )
         .localCheckpoint()
     )
+
+
+DUCK_SYM_CTES = f"""n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst FROM t
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+sym AS (
+  SELECT a AS v, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM und
+)"""
+
+
+def bfs_landmarks(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    sym = _sym_edges(spark, sf_dir)
     dist = d.filter(F.col("doc_id") < BFS_N_SEEDS).select(
         "doc_id", F.lit(0).cast("int").alias("dist")
     )
-    for _ in range(BFS_ROUNDS):
+    for i in range(BFS_ROUNDS):
         cand = (
             sym.join(dist, sym.nbr == dist.doc_id)
             .select("v", (F.col("dist") + 1).alias("nd"))
@@ -699,6 +726,13 @@ def bfs_landmarks(spark, sf_dir):
                 ).cast("int").alias("dist"),
             )
         )
+        # between-round materialization: the state feeds cand AND the
+        # outer join, so an unmaterialized chain doubles the plan per
+        # round (the harmonic_centrality lesson, round 4).  The LAST
+        # round stays un-checkpointed so the returned plan still shows
+        # the min-plus shape the audit pins (check 81).
+        if i < BFS_ROUNDS - 1:
+            dist = dist.localCheckpoint()
     return (
         d.join(dist, "doc_id", "left")
         .select(
@@ -724,22 +758,7 @@ c{out} AS (
 
 
 SQL_BFS_LANDMARKS = f"""
-WITH n AS (SELECT count(*) AS nn FROM documents),
-t AS (
-  SELECT doc_id, {_sql_targets()} AS ts
-  FROM documents, n
-),
-e AS (
-  SELECT doc_id AS src, unnest(ts) AS dst FROM t
-),
-und AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
-),
-sym AS (
-  SELECT a AS v, b AS nbr FROM und
-  UNION ALL
-  SELECT b AS v, a AS nbr FROM und
-),
+WITH {DUCK_SYM_CTES},
 d0 AS (
   SELECT doc_id, 0 AS dist FROM documents WHERE doc_id < {BFS_N_SEEDS}
 ),{",".join(_sql_bfs_round(f"d{i}", f"d{i + 1}") for i in range(BFS_ROUNDS))}
@@ -832,6 +851,435 @@ LEFT JOIN best ON d.doc_id = best.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# redirect_resolve — bounded redirect-chain resolution by POINTER
+# DOUBLING (path halving): the crawl-infrastructure primitive that
+# turns a redirect log into (url, final_url, hops) — 3 doubling
+# rounds follow chains up to 2^3 = 8 hops, so round count is
+# O(log max_chain), never O(chain) (the cc_bigstar round-bound
+# posture).  The synthetic pointer table is deterministic: doc_id %
+# 4 != 0 redirects one step down (chains of length <= 3 ending at
+# multiples of 4), and each doc_id % 101 == 55/56 pair forms a
+# 2-CYCLE (55→56→55) that can never resolve — docs chaining INTO a
+# cycle (57, 58, 59 mod 101·k neighborhoods) stay unresolved too,
+# exercising the cycle-detection contract: after the rounds, a row
+# still pointing at a redirect is flagged resolved=0 with final_id/
+# hops = -1 (both engines walk exactly 8 hops on such rows, so the
+# relation is value-identical, not just flag-identical).
+#
+# Scale shape (100 TB): the pointer table localCheckpoints once; each
+# round is ONE self-equi-join on cur (hash-partitioned, AQE-split on
+# hub targets); no window, no python.  hops <= 8 — no headroom math.
+# --------------------------------------------------------------------------
+
+RD_ROUNDS = 3  # resolves chains up to 2^3 = 8 hops
+
+
+def redirect_resolve(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.max("doc_id").alias("max_id"))
+    p = d.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 101 = 55 AND doc_id + 1 <= max_id"
+            "       THEN doc_id + 1"
+            "     WHEN doc_id % 101 = 56 THEN doc_id - 1"
+            "     WHEN doc_id % 4 != 0 THEN doc_id - 1"
+            "     ELSE NULL END"
+        ).alias("ptr"),
+    )
+    res = p.select(
+        "doc_id",
+        F.coalesce("ptr", F.col("doc_id")).alias("cur"),
+        F.when(F.col("ptr").isNull(), 0).otherwise(1).cast("bigint").alias(
+            "hops"
+        ),
+        F.col("ptr").isNull().alias("done"),
+    ).localCheckpoint()
+    for _ in range(RD_ROUNDS):
+        a, b = res.alias("a"), res.alias("b")
+        res = (
+            a.join(b, F.col("a.cur") == F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.when(F.col("a.done"), F.col("a.cur"))
+                .otherwise(F.col("b.cur"))
+                .alias("cur"),
+                F.when(F.col("a.done"), F.col("a.hops"))
+                .otherwise(F.col("a.hops") + F.col("b.hops"))
+                .cast("bigint")
+                .alias("hops"),
+                (F.col("a.done") | F.col("b.done")).alias("done"),
+            )
+            # per-round materialization: the state feeds BOTH legs of
+            # the doubling self-join, so an unmaterialized chain
+            # recomputes 2^k subtrees (the harmonic_centrality lesson,
+            # audit check 101)
+            .localCheckpoint()
+        )
+    return res.select(
+        "doc_id",
+        F.when(F.col("done"), F.col("cur"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("final_id"),
+        F.when(F.col("done"), F.col("hops"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("hops"),
+        F.col("done").cast("int").alias("resolved"),
+    )
+
+
+SQL_REDIRECT_RESOLVE = f"""
+WITH RECURSIVE n AS (SELECT max(doc_id) AS max_id FROM documents),
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 55 AND doc_id + 1 <= max_id
+                THEN doc_id + 1
+              WHEN doc_id % 101 = 56 THEN doc_id - 1
+              WHEN doc_id % 4 != 0 THEN doc_id - 1
+              ELSE NULL END AS ptr
+  FROM documents, n
+),
+walk(doc_id, cur, hops) AS (
+  SELECT doc_id, doc_id, 0 FROM p
+  UNION ALL
+  SELECT w.doc_id, p2.ptr, w.hops + 1
+  FROM walk w JOIN p p2 ON w.cur = p2.doc_id
+  WHERE p2.ptr IS NOT NULL AND w.hops < {2 ** RD_ROUNDS}
+),
+last AS (
+  SELECT doc_id, cur, hops,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hops DESC) AS rn
+  FROM walk
+),
+fin AS (
+  SELECT l.doc_id, l.cur, l.hops, (p.ptr IS NULL) AS done
+  FROM last l JOIN p ON l.cur = p.doc_id
+  WHERE l.rn = 1
+)
+SELECT doc_id,
+       CAST(CASE WHEN done THEN cur ELSE -1 END AS BIGINT) AS final_id,
+       CAST(CASE WHEN done THEN hops ELSE -1 END AS BIGINT) AS hops,
+       CAST(done AS INT) AS resolved
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# cocitation_sim — co-citation page similarity (Small 1973; the
+# link-structure twin of sparse_cosine's term-structure view): two
+# pages are similar when the same sources link to both.  Pairs come
+# from the out-link self-join on src — bounded BY CONSTRUCTION at
+# C(out_deg, 2) <= 3 pairs per source page (out-degree is capped by
+# the link-graph fanout, the triangle_count orientation posture), so
+# no all-pairs blowup exists at any corpus size.  jaccard_ppm =
+# |in(a) ∩ in(b)| / |in(a) ∪ in(b)| in exact integer ppm.
+#
+# Scale shape: edges localCheckpoint once (in-degree + both pair
+# legs); pair generation is one src-grain self-equi-join; in-degrees
+# partial-aggregate; no window, no python, no product.
+# --------------------------------------------------------------------------
+
+
+def cocitation_sim(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    ).localCheckpoint()  # in-degree + both pair legs
+    indeg = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("din"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    ia, ib = indeg.alias("ia"), indeg.alias("ib")
+    j = (
+        pairs.join(ia, F.col("a") == F.col("ia.dst"))
+        .join(ib, F.col("b") == F.col("ib.dst"))
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.col("ia.din").alias("din_a"),
+            F.col("ib.din").alias("din_b"),
+        )
+    )
+    return j.withColumn(
+        "jaccard_ppm",
+        F.expr(_ppm_exact("shared", "(din_a + din_b - shared)", "div"))
+        .cast("bigint"),
+    )
+
+
+SQL_COCITATION_SIM = f"""
+WITH {DUCK_SYM_CTES},
+indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS din FROM e GROUP BY dst),
+pairs AS (
+  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.shared,
+       ia.din AS din_a, ib.din AS din_b,
+       CAST({_ppm_exact('p.shared', '(ia.din + ib.din - p.shared)', '//')}
+         AS BIGINT) AS jaccard_ppm
+FROM pairs p
+JOIN indeg ia ON p.a = ia.dst
+JOIN indeg ib ON p.b = ib.dst
+"""
+
+
+# --------------------------------------------------------------------------
+# harmonic_centrality — landmark-approximated harmonic centrality
+# (Boldi & Vigna 2014's axioms pick harmonic over closeness exactly
+# because disconnected nodes contribute 0, not ∞): per-(node, seed)
+# BFS distances over the SAME symmetric edge relation bfs_landmarks
+# walks (single-sourced via _sym_edges / DUCK_SYM_CTES), then
+# harmonic_micro = Σ_seeds ⌊1e6 / dist⌋ — the 1/d discounts are
+# integer literals (1000000/500000/333333 for d = 1..3), so the score
+# is an exact integer sum, bit-identical cross-engine.
+#
+# Scale shape: the BFS state is (node, seed) grain — seeds are a
+# constant landmark set, so state is O(N·seeds); each round is one
+# edge⋈state join + a partial-aggregated min, the bfs_landmarks
+# shape; final rollup is node-grain.
+# --------------------------------------------------------------------------
+
+# ⌊1e6 / d⌋ for d = 1..BFS_ROUNDS — the one discount table, used by
+# both engines
+HARM_CASE = "CASE {d} WHEN 1 THEN 1000000 WHEN 2 THEN 500000 WHEN 3 THEN 333333 END"
+
+
+def harmonic_centrality(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    sym = _sym_edges(spark, sf_dir)
+    dist = d.filter(F.col("doc_id") < BFS_N_SEEDS).select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    for _ in range(BFS_ROUNDS):
+        cand = (
+            sym.join(dist, sym.nbr == dist.node)
+            .select(
+                F.col("v").alias("node"),
+                "seed",
+                (F.col("dist") + 1).alias("nd"),
+            )
+            .groupBy("node", "seed")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(cand, ["node", "seed"], "full_outer")
+            .select(
+                "node",
+                "seed",
+                F.least(
+                    F.coalesce("dist", F.lit(BFS_ROUNDS + 1)),
+                    F.coalesce("nd", F.lit(BFS_ROUNDS + 1)),
+                ).cast("int").alias("dist"),
+            )
+            # per-round materialization (the Pregel convention): the
+            # state subtree appears TWICE in each merge (cand + the
+            # outer join), so an unmaterialized chain doubles the plan
+            # per round — measured 9 raw scans at 3 rounds before this
+            # checkpoint, 0 after (audit check 103)
+            .localCheckpoint()
+        )
+    h = (
+        dist.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("int").alias("n_seeds_reached"),
+            F.sum(F.expr(HARM_CASE.format(d="dist")))
+            .cast("bigint")
+            .alias("harmonic_micro"),
+        )
+    )
+    return d.join(h, d.doc_id == h.node, "left").select(
+        "doc_id",
+        F.coalesce("n_seeds_reached", F.lit(0)).cast("int").alias(
+            "n_seeds_reached"
+        ),
+        F.coalesce("harmonic_micro", F.lit(0)).cast("bigint").alias(
+            "harmonic_micro"
+        ),
+    )
+
+
+def _sql_harm_round(prev: str, out: str) -> str:
+    return f"""
+hc{out} AS (
+  SELECT s.v AS node, {prev}.seed, min({prev}.dist + 1) AS nd
+  FROM sym s JOIN {prev} ON s.nbr = {prev}.node
+  GROUP BY 1, 2
+),
+h{out} AS (
+  SELECT coalesce(p.node, c.node) AS node,
+         coalesce(p.seed, c.seed) AS seed,
+         least(coalesce(p.dist, {BFS_ROUNDS + 1}),
+               coalesce(c.nd, {BFS_ROUNDS + 1})) AS dist
+  FROM {prev} p FULL OUTER JOIN hc{out} c
+    ON p.node = c.node AND p.seed = c.seed
+)"""
+
+
+SQL_HARMONIC_CENTRALITY = f"""
+WITH {DUCK_SYM_CTES},
+h0 AS (
+  SELECT doc_id AS node, doc_id AS seed, 0 AS dist
+  FROM documents WHERE doc_id < {BFS_N_SEEDS}
+),{",".join(_sql_harm_round(f"h{i}", str(i + 1)) for i in range(BFS_ROUNDS))},
+hh AS (
+  SELECT node, CAST(count(*) AS INT) AS n_seeds_reached,
+         CAST(sum({HARM_CASE.format(d="dist")}) AS BIGINT) AS harmonic_micro
+  FROM h{BFS_ROUNDS} WHERE dist >= 1 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(hh.n_seeds_reached, 0) AS INT) AS n_seeds_reached,
+       CAST(coalesce(hh.harmonic_micro, 0) AS BIGINT) AS harmonic_micro
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN hh ON d.doc_id = hh.node
+"""
+
+
+# --------------------------------------------------------------------------
+# textrank_keywords — corpus-level keyword extraction via TextRank
+# (Mihalcea & Tarau 2004): build the word co-occurrence graph
+# (consecutive-token pairs, undirected, deduped), run the same integer
+# fixed-point damped power iteration pagerank_iter uses, and emit the
+# top-K terms.  The keyword layer every corpus-curation report wants
+# next to tfidf_topk: tfidf ranks terms per document, TextRank ranks
+# them by global graph centrality.
+#
+# Determinism: identical to pagerank_iter — rank_0 = SCALE, rank_{t+1}
+# = BASE + (85 · Σ_{u~v} rank_t(u) DIV deg(u)) DIV 100, all integer,
+# bit-exact cross-engine.  Headroom: a total-mass bound gives
+# rank(v) ≤ Σ ranks ≤ N_vocab · SCALE / 0.15, so 85·s stays under 2^63
+# while N_vocab · SCALE ≤ ~1e17; at web-scale vocabularies SCALE is
+# the documented dial (drop 1e12 → 1e9), the pagerank_iter convention.
+#
+# Scale shape (100 TB): pair generation is a zero-Exchange flat map;
+# the symmetric edge set is localCheckpointed ONCE (the corpus
+# tokenization must not re-run per iteration — the dist_drift rule),
+# degrees derive from it, and each iteration is one edge⋈rank join +
+# one partial-aggregated groupBy(dst), the irreducible Pregel shape.
+# Top-K is orderBy+limit (TakeOrderedAndProject) with the rank window
+# applied only to the ≤K-row result (the _bm25_scores convention — no
+# constant-key window over a growing relation).
+# --------------------------------------------------------------------------
+
+TR_ITERS = 3
+TR_TOPK = 20
+TR_SCALE = PR_SCALE  # shared fixed-point scale; same headroom math
+TR_BASE = PR_BASE
+
+
+def textrank_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        F.split(F.col("text"), " ").alias("_tk")
+    ).filter(F.size("_tk") >= 2)
+    pairs_arr = F.transform(
+        # size >= 2 is filtered above, so sequence(1, size-1) is an
+        # ascending range — Spark's sequence DESCENDS when start >
+        # stop, which would fabricate reversed pairs on 1-token docs
+        F.sequence(F.lit(1), F.size("_tk") - 1),
+        lambda i: F.struct(
+            F.element_at("_tk", i).alias("a"),
+            F.element_at("_tk", i + 1).alias("b"),
+        ),
+    )
+    cp = (
+        d.select(F.explode(pairs_arr).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = (
+        cp.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(cp.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # feeds deg + the edge join; tokenize ONCE
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    e = sym.join(deg, "src").localCheckpoint()  # scanned once per iteration
+    ranks = e.select("src", "deg").distinct().select(
+        F.col("src").alias("term"), F.lit(TR_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(TR_ITERS):
+        contrib = e.join(ranks, e.src == ranks.term).select(
+            "dst", F.expr("rank DIV deg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        nodes = e.select("src").distinct()
+        ranks = nodes.join(insum, nodes.src == insum.dst, "left").select(
+            F.col("src").alias("term"),
+            (F.lit(TR_BASE) + F.expr("85 * coalesce(s, 0L) DIV 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    degt = e.select("src", "deg").distinct()
+    top = (
+        ranks.join(degt, ranks.term == degt.src)
+        .select("term", "deg", "rank")
+        .orderBy(F.desc("rank"), F.asc("term"))
+        .limit(TR_TOPK)
+    )
+    w = Window.orderBy(F.desc("rank"), F.asc("term"))  # <= TR_TOPK rows
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def _sql_textrank_iter(prev: str, out: str) -> str:
+    return f"""
+c{out} AS (
+  SELECT e.dst, sum({prev}.rank // e.deg) AS s
+  FROM e JOIN {prev} ON e.src = {prev}.term GROUP BY e.dst
+),
+r{out} AS (
+  SELECT deg.src AS term,
+         CAST({TR_BASE} + (85 * coalesce(c{out}.s, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM deg LEFT JOIN c{out} ON deg.src = c{out}.dst
+)"""
+
+
+SQL_TEXTRANK = f"""
+WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+cp AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)
+  WHERE tk[i] <> tk[i + 1]
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM cp
+    UNION ALL
+    SELECT b AS src, a AS dst FROM cp)
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+e AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+r0 AS (SELECT src AS term, CAST({TR_SCALE} AS BIGINT) AS rank FROM deg),
+{",".join(_sql_textrank_iter(f"r{i}", str(i + 1)) for i in range(TR_ITERS))}
+SELECT term, deg, rank, CAST(rk AS INT) AS rk FROM (
+  SELECT r.term, deg.deg, r.rank,
+         row_number() OVER (ORDER BY r.rank DESC, r.term) AS rk
+  FROM r{TR_ITERS} r JOIN deg ON r.term = deg.src)
+WHERE rk <= {TR_TOPK}
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "hits_scores": hits_scores,
@@ -840,6 +1288,10 @@ QUERIES = {
     "community_lpa": community_lpa,
     "bfs_landmarks": bfs_landmarks,
     "q_recursive_bfs": q_recursive_bfs,
+    "textrank_keywords": textrank_keywords,
+    "redirect_resolve": redirect_resolve,
+    "cocitation_sim": cocitation_sim,
+    "harmonic_centrality": harmonic_centrality,
 }
 
 ORACLE_SQL = {
@@ -850,4 +1302,8 @@ ORACLE_SQL = {
     "community_lpa": SQL_COMMUNITY_LPA,
     "bfs_landmarks": SQL_BFS_LANDMARKS,
     "q_recursive_bfs": SQL_RECURSIVE_BFS,
+    "textrank_keywords": SQL_TEXTRANK,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
+    "cocitation_sim": SQL_COCITATION_SIM,
+    "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
 }

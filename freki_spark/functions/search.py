@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .corpus_prep import _docs
 from .common import DUCK_MD5I32, _ppm_exact, md5i32, toks
+from .dedup import DUCK_CORPUS, _near_dup_corpus
 
 # inverted index: drop df-1 singleton terms (retrieval-useless index
 # bloat), keep the top-POSTINGS_CAP highest-tf postings per term
@@ -159,7 +160,14 @@ def bm25_topk(spark, sf_dir):
     (workload-grain, tiny).  Per-term scores are floored to integer
     micros before the per-(query, doc) sum, so cross-engine float
     reassociation cannot flip a rank."""
-    agg = _bm25_scores(spark, sf_dir)
+    return _bm25_rank(_bm25_scores(spark, sf_dir))
+
+
+def _bm25_rank(agg):
+    """Top-{BM25_TOPK} ranking of a _bm25_scores relation — shared by
+    bm25_topk and ndcg_eval (the _bm25_scores single-sourcing rule,
+    one level up: the eval op must rank with the retriever's exact
+    window or its DCG measures a different system)."""
     rw = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
@@ -709,8 +717,311 @@ FROM per
 SQL_RANK_AGREEMENT = _sql_rank_agreement()
 
 
+# --------------------------------------------------------------------------
+# sparse_cosine_topk — TF-IDF sparse-vector cosine top-k document
+# similarity as two-phase all-pairs similarity search (Bayardo et al.
+# WWW'07): PREFIX-INDEX candidate generation (each doc indexes only
+# its {prefix} strongest terms; docs sharing an indexed term become a
+# candidate pair) followed by EXACT full-vector verification of every
+# candidate.  The LEXICAL near-dup/similarity signal next to the
+# dense ANN family — no embeddings needed.  Runs over the near-dup
+# corpus (documents ∪ truncated mutants) so real similar pairs exist.
+#
+# Why doc-side prefixes and not per-term champion lists: the integer
+# weights quantize heavily (capped tf × deci-idf), so a term-side
+# top-C cut ties on w and degenerates to a doc_id lottery (measured:
+# 6/50 planted mutant pairs survived a C=8 champion cut on the
+# fixture), and — the structural guarantee the pytest pins — two
+# IDENTICAL documents always index identical prefix terms, so an
+# exact copy can never be missed, whereas a champion list can evict
+# one copy of a tied pair.
+#
+# Determinism: integer weights w = min(tf, {tf_cap}) · ⌊ln(N/df)·10⌋
+# (the BM25 floor-before-combine lesson one level earlier: weights
+# are bigints, so verified dot products and norms² are EXACT integer
+# sums — no float reassociation).  The only float math is the final
+# cos_ppm = ⌊(dot·1e6) / (√n2_a · √n2_b)⌋ where every operand is a
+# correctly-rounded function of exact integers and the expression
+# tree is token-identical in both engines (the BM25 association
+# rule).  df=N terms get idf 0 and drop out — natural stopword
+# removal.
+#
+# Scale shape (100 TB): the ONLY corpus-grain work is tokenize → tf →
+# weights, localCheckpointed once (four consumers: norms, the prefix
+# index, and both verification legs — checkpoint-before-fan-out).
+# Candidate buckets are per-term sets of docs that chose the term as
+# a top-{prefix} weight: idf weighting keeps common terms out of
+# every prefix, so buckets track term rarity, not corpus size; a
+# pathologically shared rare term is an AQE-skew-split equi-join
+# bucket, the LSH-band posture.  Verification is two equi-joins at
+# candidate×doc-length grain — bounded by the candidate set the index
+# admits.  Windows partition on doc_id / a — growing keys only.
+# --------------------------------------------------------------------------
+
+SC_TF_CAP = 30
+SC_PREFIX = 8
+SC_TOPK = 5
+
+
+def sparse_cosine_topk(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    d = c.select("doc_id", toks(F.col("text")).alias("_tk"))
+    tf = (
+        d.select("doc_id", F.explode("_tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = d.agg(F.count("*").alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= DF_MIN
+    )
+    wts = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.least(F.col("tf"), F.lit(SC_TF_CAP))
+                * F.floor(
+                    F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * F.lit(10.0)
+                ).cast("bigint")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint()  # norms + prefix index + both verify legs
+    )
+    n2 = wts.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    pw = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    px = (
+        wts.withColumn("prk", F.row_number().over(pw))
+        .filter(F.col("prk") <= SC_PREFIX)
+        .select("doc_id", "term")
+    )
+    p1, p2 = px.alias("p1"), px.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.term") == F.col("p2.term"))
+            & (F.col("p1.doc_id") < F.col("p2.doc_id")),
+        )
+        .select(
+            F.col("p1.doc_id").alias("a"), F.col("p2.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    wa = wts.select(
+        F.col("doc_id").alias("a"), "term", F.col("w").alias("w_a")
+    )
+    wb = wts.select(
+        F.col("doc_id").alias("b"), "term", F.col("w").alias("w_b")
+    )
+    dots = (
+        cand.join(wa, "a")
+        .join(wb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("int").alias("n_shared"),
+            F.sum(F.col("w_a") * F.col("w_b")).cast("bigint").alias("dot_w"),
+        )
+    )
+    na, nb = n2.alias("na"), n2.alias("nb")
+    sc = (
+        dots.join(na, F.col("a") == F.col("na.doc_id"))
+        .join(nb, F.col("b") == F.col("nb.doc_id"))
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            "dot_w",
+            # dot enters the float world BEFORE the ·1e6 (a bigint
+            # dot·1000000 could overflow on pathological mega-doc
+            # pairs; double·double is correctly rounded and identical
+            # cross-engine) — the quotient is parenthesized as ONE
+            # operand per the BM25 association rule
+            F.floor(
+                (F.col("dot_w").cast("double") * F.lit(1000000.0))
+                / (
+                    F.sqrt(F.col("na.n2").cast("double"))
+                    * F.sqrt(F.col("nb.n2").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    rw = Window.partitionBy("a").orderBy(F.desc("cos_ppm"), F.asc("b"))
+    return (
+        sc.withColumn("rk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rk") <= SC_TOPK)
+    )
+
+
+sparse_cosine_topk.__doc__ = (
+    "Two-phase prefix-indexed TF-IDF cosine top-k over the near-dup "
+    "corpus; see the block comment above for the determinism and "
+    "scale contracts."
+)
+
+
+def _sql_sparse_cosine() -> str:
+    return f"""
+WITH {DUCK_CORPUS.strip()},
+tkn AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+e AS (SELECT doc_id, unnest(tk) AS term FROM tkn),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM e GROUP BY 1, 2),
+stats AS (SELECT count(*) AS n_docs FROM corpus),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term HAVING count(*) >= {DF_MIN}),
+wts AS (
+  SELECT doc_id, term,
+         least(tf, {SC_TF_CAP})
+           * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 10.0) AS BIGINT)
+           AS w
+  FROM tf JOIN dfx USING (term), stats),
+wp AS (SELECT * FROM wts WHERE w > 0),
+n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+       FROM wp GROUP BY doc_id),
+px AS (SELECT doc_id, term FROM (
+         SELECT doc_id, term,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY w DESC, term) AS prk
+         FROM wp)
+       WHERE prk <= {SC_PREFIX}),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM px p1 JOIN px p2
+    ON p1.term = p2.term AND p1.doc_id < p2.doc_id),
+dots AS (
+  SELECT c.a, c.b,
+         CAST(count(*) AS INT) AS n_shared,
+         CAST(sum(wa.w * wb.w) AS BIGINT) AS dot_w
+  FROM cand c
+  JOIN wp wa ON wa.doc_id = c.a
+  JOIN wp wb ON wb.doc_id = c.b AND wb.term = wa.term
+  GROUP BY 1, 2),
+sc AS (
+  SELECT p.a, p.b, p.n_shared, p.dot_w,
+         CAST(floor((CAST(p.dot_w AS DOUBLE) * 1000000.0)
+                    / (sqrt(CAST(na.n2 AS DOUBLE))
+                       * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT) AS cos_ppm
+  FROM dots p
+  JOIN n2 na ON p.a = na.doc_id
+  JOIN n2 nb ON p.b = nb.doc_id)
+SELECT a, b, n_shared, dot_w, cos_ppm, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY a
+                                   ORDER BY cos_ppm DESC, b) AS rk
+      FROM sc)
+WHERE rk <= {SC_TOPK}
+"""
+
+
+SQL_SPARSE_COSINE_TOPK = _sql_sparse_cosine()
+
+
+# --------------------------------------------------------------------------
+# ndcg_eval — NDCG@{k} of the BM25 retriever against the workload's
+# graded relevance (gain = n_terms matched: 2 = fully relevant, 1 =
+# partial), the standard ranking-quality report next to
+# rank_agreement's system-agreement view.  Single-sourced: candidates
+# and the ranked list come from the SAME _bm25_scores relation and the
+# SAME _bm25_rank window as bm25_topk (oracle reuses the exact CTE
+# texts), so the eval can never measure a different retriever.
+#
+# Determinism: the 1/log2(r+1) position discounts are PRECOMPUTED
+# integer-micro literals (the same table in both engines — no runtime
+# log2), so DCG/IDCG are exact integer sums and ndcg_ppm is _ppm_exact
+# integer staging.  IDCG ties need no cross-engine tie-break: equal
+# gains contribute equally wherever they land among tied ranks.
+#
+# Scale shape: ONE scoring job (the candidate relation is
+# localCheckpointed before its two-consumer fan-out — ranked list +
+# ideal ranking; the dist_drift rule), both windows partition on
+# query_id, rollups are query-grain.
+# --------------------------------------------------------------------------
+
+# floor(1e6 / log2(r + 1)) for r = 1..BM25_TOPK
+NDCG_DISC = [1000000, 630929, 500000, 430676, 386852]
+assert len(NDCG_DISC) == BM25_TOPK
+
+_DISC_CASE = (
+    "CASE {rk} "
+    + " ".join(f"WHEN {r + 1} THEN {d}" for r, d in enumerate(NDCG_DISC))
+    + " END"
+)
+
+
+def ndcg_eval(spark, sf_dir):
+    agg = _bm25_scores(spark, sf_dir).localCheckpoint()
+    ranked = _bm25_rank(agg)
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.col("n_terms") * F.expr(_DISC_CASE.format(rk="rk"))
+        ).cast("bigint").alias("dcg_micro")
+    )
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_terms"), F.desc("score_micro"), F.asc("doc_id")
+    )
+    idcg = (
+        agg.withColumn("irk", F.row_number().over(iw))
+        .filter(F.col("irk") <= BM25_TOPK)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("n_terms") * F.expr(_DISC_CASE.format(rk="irk"))
+            ).cast("bigint").alias("idcg_micro")
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(_ppm_exact("dcg_micro", "idcg_micro", "div"))
+        .cast("bigint")
+        .alias("ndcg_ppm"),
+    )
+
+
+ndcg_eval.__doc__ = f"NDCG@{BM25_TOPK}; see the block comment above."
+
+SQL_NDCG_EVAL = f"""
+WITH {DUCK_BM25_AGG_CTES},
+ranked AS (
+  SELECT query_id, n_terms, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micro DESC, doc_id) AS rk
+    FROM agg)
+  WHERE rk <= {BM25_TOPK}),
+dcg AS (
+  SELECT query_id,
+         CAST(sum(n_terms * {_DISC_CASE.format(rk="rk")}) AS BIGINT)
+           AS dcg_micro
+  FROM ranked GROUP BY 1),
+ideal AS (
+  SELECT query_id, n_terms, row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY n_terms DESC, score_micro DESC, doc_id) AS irk
+  FROM agg),
+idcg AS (
+  SELECT query_id,
+         CAST(sum(n_terms * {_DISC_CASE.format(rk="irk")}) AS BIGINT)
+           AS idcg_micro
+  FROM ideal WHERE irk <= {BM25_TOPK} GROUP BY 1)
+SELECT query_id, dcg_micro, idcg_micro,
+       CAST({_ppm_exact('dcg_micro', 'idcg_micro', '//')} AS BIGINT)
+         AS ndcg_ppm
+FROM dcg JOIN idcg USING (query_id)
+"""
+
+
 QUERIES = {
     "rank_agreement": rank_agreement,
+    "sparse_cosine_topk": sparse_cosine_topk,
+    "ndcg_eval": ndcg_eval,
     "inverted_postings": inverted_postings,
     "bm25_topk": bm25_topk,
     "hard_negatives": hard_negatives,
@@ -721,6 +1032,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rank_agreement": SQL_RANK_AGREEMENT,
+    "sparse_cosine_topk": SQL_SPARSE_COSINE_TOPK,
+    "ndcg_eval": SQL_NDCG_EVAL,
     "inverted_postings": SQL_INVERTED_POSTINGS,
     "bm25_topk": SQL_BM25_TOPK,
     "hard_negatives": SQL_HARD_NEGATIVES,

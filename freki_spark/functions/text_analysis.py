@@ -24,6 +24,7 @@ from .common import (
     md5i60,
     toks,
 )
+from .common import DUCK_MUTATED, _mutated
 
 # fixed marker-token lists (the corpus is synthetic; the *mechanism* —
 # n-gram/markers scoring with deterministic tie-break — is what scales)
@@ -2927,7 +2928,161 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# rouge_ngram_stats — ROUGE-1/2 precision/recall/F1 between each
+# original document (reference) and its truncated mutant (candidate),
+# the recall-oriented complement to bleu_stats' precision view: the
+# summary/extraction-quality measure a data pipeline reports when
+# comparing an extracted/compressed text against its source.  The
+# (ref, cand) pairing is SINGLE-SOURCED from the dedup corpus's
+# _mutated builder (oracle mirrors DUCK_MUTATED), so the pairs are the
+# same ones the near-dup family ranks.
+#
+# Determinism: clipped n-gram overlap counts are exact integers (the
+# bleu_stats clipping rule); precision/recall are _ppm_exact with a
+# greatest(·,1) zero-denominator guard (a fully-truncated <=3-token
+# mutant has an EMPTY candidate side — cand_total 0 for n=2, [''] for
+# n=1); F1 = (2·p·r) div (p+r) with the 0/0 branch pinned to 0.
+#
+# Scale shape: the pair spine is the 50-row mutant set (a broadcast
+# join against documents), per-pair work is the O(L·distinct) clip
+# lambda over bound columns (the HOF rule) — corpus-wide ROUGE would
+# ride the BLEU_WIN window cap convention instead.
+# --------------------------------------------------------------------------
+
+ROUGE_NS = (1, 2)
+
+
+def rouge_ngram_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    cand = _mutated(d).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        F.col("text").alias("ctext"),
+    )
+    p = (
+        d.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(cand), "doc_id")
+        .select(
+            "doc_id",
+            toks(F.col("text")).alias("_ref"),
+            toks(F.col("ctext")).alias("_cand"),
+        )
+    )
+    g = p.select(
+        "doc_id",
+        *[_ngrams_mult(F.col("_cand"), n).alias(f"_c{n}") for n in ROUGE_NS],
+        *[_ngrams_mult(F.col("_ref"), n).alias(f"_r{n}") for n in ROUGE_NS],
+    )
+
+    def _stat(n):
+        # bound-column closure per the bleu_stats / HOF rule
+        c, r = F.col(f"_c{n}"), F.col(f"_r{n}")
+        clip = F.aggregate(
+            F.array_distinct(c),
+            F.lit(0).cast("bigint"),
+            lambda acc, gr: acc
+            + F.least(
+                F.size(F.filter(c, lambda x: x == gr)),
+                F.size(F.filter(r, lambda x: x == gr)),
+            ).cast("bigint"),
+        )
+        return F.struct(
+            F.lit(n).cast("int").alias("n"),
+            clip.alias("clip_matches"),
+            F.size(r).cast("bigint").alias("ref_total"),
+            F.size(c).cast("bigint").alias("cand_total"),
+        )
+
+    s = g.select(
+        "doc_id", F.explode(F.array(*[_stat(n) for n in ROUGE_NS])).alias("s")
+    ).select("doc_id", "s.n", "s.clip_matches", "s.ref_total", "s.cand_total")
+    pr = s.select(
+        "doc_id",
+        "n",
+        "clip_matches",
+        "ref_total",
+        "cand_total",
+        F.expr(_ppm_exact("clip_matches", "greatest(cand_total, 1L)", "div"))
+        .cast("bigint")
+        .alias("prec_ppm"),
+        F.expr(_ppm_exact("clip_matches", "greatest(ref_total, 1L)", "div"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+    return pr.withColumn(
+        "f1_ppm",
+        F.expr(
+            "CASE WHEN prec_ppm + recall_ppm = 0 THEN 0"
+            " ELSE (2 * prec_ppm * recall_ppm) div (prec_ppm + recall_ppm)"
+            " END"
+        ).cast("bigint"),
+    )
+
+
+def _sql_rouge_stats() -> str:
+    # deliberately RELATIONAL (unnest + group + left join) where Spark
+    # clips inside per-row lambdas — the bleu_stats two-independent-
+    # computations convention
+    blocks, unions = [], []
+    for n in ROUGE_NS:
+        blocks.append(
+            f"""cc{n} AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_duck_ngrams_mult('cand', n)}) AS g FROM p)
+  GROUP BY 1, 2),
+rc{n} AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_duck_ngrams_mult('ref', n)}) AS g FROM p)
+  GROUP BY 1, 2),
+cl{n} AS (
+  SELECT doc_id,
+         CAST(sum(least(cc.c, coalesce(rc.c, 0))) AS BIGINT) AS clip,
+         CAST(sum(cc.c) AS BIGINT) AS ct
+  FROM cc{n} cc LEFT JOIN rc{n} rc USING (doc_id, g)
+  GROUP BY 1),
+rt{n} AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rt
+          FROM rc{n} GROUP BY 1),
+m{n} AS (
+  SELECT p.doc_id, CAST({n} AS INT) AS n,
+         CAST(coalesce(cl.clip, 0) AS BIGINT) AS clip_matches,
+         CAST(coalesce(rt.rt, 0) AS BIGINT) AS ref_total,
+         CAST(coalesce(cl.ct, 0) AS BIGINT) AS cand_total
+  FROM p LEFT JOIN cl{n} cl USING (doc_id)
+         LEFT JOIN rt{n} rt USING (doc_id))"""
+        )
+        unions.append(f"SELECT * FROM m{n}")
+    u = "\nUNION ALL\n".join(unions)
+    return (
+        f"""
+WITH m AS ({DUCK_MUTATED}),
+p AS (SELECT o.doc_id, string_split(o.text, ' ') AS ref,
+             string_split(m.text, ' ') AS cand
+      FROM documents o JOIN m ON m.doc_id = o.doc_id + 100000),
+"""
+        + ",\n".join(blocks)
+        + f""",
+u AS ({u}),
+pr AS (
+  SELECT doc_id, n, clip_matches, ref_total, cand_total,
+         CAST({_ppm_exact('clip_matches', 'greatest(cand_total, 1)', '//')}
+           AS BIGINT) AS prec_ppm,
+         CAST({_ppm_exact('clip_matches', 'greatest(ref_total, 1)', '//')}
+           AS BIGINT) AS recall_ppm
+  FROM u)
+SELECT doc_id, n, clip_matches, ref_total, cand_total, prec_ppm, recall_ppm,
+       CAST(CASE WHEN prec_ppm + recall_ppm = 0 THEN 0
+                 ELSE (2 * prec_ppm * recall_ppm) // (prec_ppm + recall_ppm)
+            END AS BIGINT) AS f1_ppm
+FROM pr
+"""
+    )
+
+
+SQL_ROUGE_NGRAM_STATS = _sql_rouge_stats()
+
+
 QUERIES = {
+    "rouge_ngram_stats": rouge_ngram_stats,
     "entropy_filter": entropy_filter,
     "slop_filter": slop_filter,
     "lang_id_ngram": lang_id_ngram,
@@ -2964,6 +3119,7 @@ ORACLE_SQL = {
     "entropy_filter": SQL_ENTROPY_FILTER,
     "slop_filter": SQL_SLOP_FILTER,
     "bleu_stats": SQL_BLEU_STATS,
+    "rouge_ngram_stats": SQL_ROUGE_NGRAM_STATS,
     "doremi_weights": SQL_DOREMI_WEIGHTS,
     "filter_funnel": SQL_FILTER_FUNNEL,
     "vocab_coverage": SQL_VOCAB_COVERAGE,

@@ -4438,6 +4438,10 @@ _PRIORITY = [
     # round-3 judge spot-check pass).  Round 5: rotate this block into
     # the window, which completes full-registry driver coverage.
     "resume_antijoin", "dedup_exact",
+    # round-4 additions (never driver-checked; oracle-backed from birth)
+    "textrank_keywords", "sparse_cosine_topk", "ndcg_eval",
+    "rouge_ngram_stats", "redirect_resolve", "cocitation_sim",
+    "harmonic_centrality", "sitemap_parse",
     "stickiness_wau", "site_boilerplate", "k_anonymity", "dialog_assemble",
     "license_detect", "cdc_chunks", "slop_filter", "mrl_recall",
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",

@@ -7630,3 +7630,343 @@ def test_distinct_approx_estimate_within_rsd_envelope(spark):
     assert r.exact_users > 0
     rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
     assert rel_err <= 4 * 0.05, (r.approx_users, r.exact_users, rel_err)
+
+
+def test_textrank_matches_python_power_iteration(spark):
+    """textrank_keywords must equal an independent python recompute of
+    the integer fixed-point damped power iteration (same SCALE/BASE/
+    iteration count), bit-for-bit — the pagerank determinism contract
+    applied to the word co-occurrence graph."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.graph import (
+        TR_BASE,
+        TR_ITERS,
+        TR_SCALE,
+        TR_TOPK,
+        textrank_keywords,
+    )
+
+    rows = textrank_keywords(spark, SF).collect()
+    docs = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    sym = set()
+    for t in docs:
+        tk = t.split(" ")
+        for a, b in zip(tk, tk[1:]):
+            if a != b:
+                sym.add((a, b))
+                sym.add((b, a))
+    deg = Counter(src for src, _ in sym)
+    rank = {u: TR_SCALE for u in deg}
+    for _ in range(TR_ITERS):
+        s = defaultdict(int)
+        for u, v in sym:
+            s[v] += rank[u] // deg[u]
+        rank = {u: TR_BASE + 85 * s[u] // 100 for u in deg}
+    want = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOPK]
+    got = [
+        (r.term, r.rank, r.deg) for r in sorted(rows, key=lambda r: r.rk)
+    ]
+    assert got == [(t, rv, deg[t]) for t, rv in want]
+    assert len(rows) == TR_TOPK
+
+
+def test_sparse_cosine_finds_mutated_pairs(spark):
+    """Every ranked pair obeys a < b and the Cauchy-Schwarz ppm bound;
+    the planted truncated mutants must surface as high-cosine
+    neighbors of their originals (champion pruning costs some recall
+    — the documented contract — but never precision)."""
+    from freki_spark.functions.search import sparse_cosine_topk
+
+    rows = sparse_cosine_topk(spark, SF).collect()
+    assert rows and all(r.a < r.b for r in rows)
+    assert all(0 <= r.cos_ppm <= 1_000_000 for r in rows)
+    hits = {
+        (r.a, r.b): r for r in rows if r.b == r.a + 100000
+    }
+    # measured on the fixture: 43/50 mutants surface (the rest are
+    # short docs whose 3-token truncation removes most idf mass),
+    # every one as its original's TOP neighbor
+    assert len(hits) >= 40
+    assert all(r.rk == 1 for r in hits.values())
+    assert all(r.cos_ppm >= 850_000 for r in hits.values())
+
+
+def test_ndcg_matches_python_recompute(spark):
+    """ndcg_eval must equal a python recompute of DCG/IDCG from the
+    SAME candidate relation (exact integer discounts), and the
+    discount literals must equal floor(1e6 / log2(r+1))."""
+    import math
+    from collections import defaultdict
+
+    from freki_spark.functions.search import (
+        BM25_TOPK,
+        NDCG_DISC,
+        _bm25_scores,
+        ndcg_eval,
+    )
+
+    for r, d in enumerate(NDCG_DISC, 1):
+        assert d == math.floor(1_000_000 / math.log2(r + 1))
+
+    by_q = defaultdict(list)
+    for r in _bm25_scores(spark, SF).collect():
+        by_q[r.query_id].append(r)
+    want = {}
+    for q, rs in by_q.items():
+        ranked = sorted(rs, key=lambda r: (-r.score_micro, r.doc_id))
+        dcg = sum(
+            r.n_terms * NDCG_DISC[i] for i, r in enumerate(ranked[:BM25_TOPK])
+        )
+        ideal = sorted(
+            rs, key=lambda r: (-r.n_terms, -r.score_micro, r.doc_id)
+        )
+        idcg = sum(
+            r.n_terms * NDCG_DISC[i] for i, r in enumerate(ideal[:BM25_TOPK])
+        )
+        want[q] = (dcg, idcg, dcg * 1_000_000 // idcg)
+    got = {
+        r.query_id: (r.dcg_micro, r.idcg_micro, r.ndcg_ppm)
+        for r in ndcg_eval(spark, SF).collect()
+    }
+    assert got == want
+    assert all(v[2] <= 1_000_000 for v in got.values())  # dcg <= idcg
+
+
+def test_rouge_matches_python_recompute(spark):
+    """rouge_ngram_stats must equal an independent python clipped-
+    overlap recompute on every (original, mutant) pair, including the
+    empty-candidate degenerate (<=3-token docs truncate to '')."""
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.text_analysis import rouge_ngram_stats
+
+    rows = rouge_ngram_stats(spark, SF).collect()
+    assert len(rows) == 100  # 50 pairs x n in (1, 2)
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+            f" WHERE doc_id < 50"
+        ).fetchall()
+    )
+    for r in rows:
+        ref = docs[r.doc_id].split(" ")
+        # mirror the concat_ws+split round trip exactly ([] -> [''])
+        cand = " ".join(ref[: max(len(ref) - 3, 0)]).split(" ")
+        n = r.n
+        cg = [" ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)]
+        rg = [" ".join(ref[i : i + n]) for i in range(len(ref) - n + 1)]
+        cc, rc = Counter(cg), Counter(rg)
+        clip = sum(min(c, rc.get(g, 0)) for g, c in cc.items())
+        assert (r.clip_matches, r.ref_total, r.cand_total) == (
+            clip,
+            len(rg),
+            len(cg),
+        ), r
+        p = clip * 1_000_000 // max(len(cg), 1)
+        rr = clip * 1_000_000 // max(len(rg), 1)
+        f1 = 0 if p + rr == 0 else (2 * p * rr) // (p + rr)
+        assert (r.prec_ppm, r.recall_ppm, r.f1_ppm) == (p, rr, f1), r
+    assert any(r.f1_ppm > 900_000 for r in rows)  # near-identical pairs
+
+
+def test_redirect_resolve_matches_python_walk(spark):
+    """Pointer doubling (3 rounds) must equal a python single-step
+    walk capped at 8 hops on every doc — including the planted
+    %101∈{55,56} 2-cycles and the chains that feed INTO them (57..59
+    neighborhoods), which must come back resolved=0 / -1 / -1."""
+    from freki_spark.functions.graph import RD_ROUNDS, redirect_resolve
+
+    rows = {r.doc_id: r for r in redirect_resolve(spark, SF).collect()}
+    n = max(rows) + 1
+    cap = 2 ** RD_ROUNDS
+
+    def ptr(d):
+        if d % 101 == 55 and d + 1 <= n - 1:
+            return d + 1
+        if d % 101 == 56:
+            return d - 1
+        if d % 4 != 0:
+            return d - 1
+        return None
+
+    unresolved = 0
+    for d in range(n):
+        cur, hops = d, 0
+        while ptr(cur) is not None and hops < cap:
+            cur = ptr(cur)
+            hops += 1
+        done = ptr(cur) is None
+        want = (cur, hops, 1) if done else (-1, -1, 0)
+        got = (rows[d].final_id, rows[d].hops, rows[d].resolved)
+        assert got == want, (d, got, want)
+        unresolved += 0 if done else 1
+    assert unresolved >= 6  # the 55/56 cycle + its feeder chains exist
+    assert any(r.resolved == 1 and r.hops == 3 for r in rows.values())
+
+
+def test_cocitation_matches_python_recompute(spark):
+    """Co-citation jaccard recomputed in pure python from the same
+    md5 edge rule — exact integer equality, and the pair set must be
+    bounded by the out-degree cap (C(3,2) pairs per source page)."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.graph import PR_FANOUT, cocitation_sim
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    targets = {
+        d: [
+            t
+            for t in dict.fromkeys(
+                h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+            )
+            if t != d
+        ]
+        for d in docs
+    }
+    indeg = defaultdict(int)
+    shared = defaultdict(int)
+    for d, ts in targets.items():
+        for t in ts:
+            indeg[t] += 1
+        ts_sorted = sorted(ts)
+        for i in range(len(ts_sorted)):
+            for j in range(i + 1, len(ts_sorted)):
+                shared[(ts_sorted[i], ts_sorted[j])] += 1
+    want = {
+        (a, b): (
+            s,
+            indeg[a],
+            indeg[b],
+            s * 1_000_000 // (indeg[a] + indeg[b] - s),
+        )
+        for (a, b), s in shared.items()
+    }
+    got = {
+        (r.a, r.b): (r.shared, r.din_a, r.din_b, r.jaccard_ppm)
+        for r in cocitation_sim(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) <= 3 * n  # C(fanout, 2) pairs per source page
+
+
+def test_harmonic_matches_python_bfs(spark):
+    """Landmark harmonic centrality recomputed with a python BFS over
+    the same symmetric md5 graph — exact integer equality (discount
+    literals 1e6/d for d = 1..3)."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    from freki_spark.functions.graph import (
+        BFS_N_SEEDS,
+        BFS_ROUNDS,
+        PR_FANOUT,
+        harmonic_centrality,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    nbrs = defaultdict(set)
+    for d in docs:
+        for t in dict.fromkeys(
+            h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+        ):
+            if t != d:
+                nbrs[d].add(t)
+                nbrs[t].add(d)
+    disc = {1: 1_000_000, 2: 500_000, 3: 333_333}
+    want = defaultdict(lambda: [0, 0])
+    for seed in range(BFS_N_SEEDS):
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            if dist[u] == BFS_ROUNDS:
+                continue
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, dd in dist.items():
+            if dd >= 1:
+                want[v][0] += 1
+                want[v][1] += disc[dd]
+    got = {
+        r.doc_id: (r.n_seeds_reached, r.harmonic_micro)
+        for r in harmonic_centrality(spark, SF).collect()
+    }
+    assert got == {d: tuple(want.get(d, (0, 0))) for d in docs}
+    assert any(v != (0, 0) for v in got.values())
+
+
+def test_sitemap_round_trip_is_lossless(spark):
+    """The render→xpath round trip must preserve every page exactly:
+    one output row per document, chunk sizes <= SITEMAP_CAP, pos
+    dense per chunk, and the url/lastmod of a sampled source equal to
+    a direct python recompute (no XML involved)."""
+    import datetime
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import SITEMAP_CAP, sitemap_parse
+
+    rows = sitemap_parse(spark, SF).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    per_chunk = defaultdict(list)
+    for r in rows:
+        per_chunk[(r.source, r.chunk)].append(r.pos)
+    for (src, ch), ps in per_chunk.items():
+        assert len(ps) <= SITEMAP_CAP
+        assert sorted(ps) == list(range(len(ps)))  # dense positions
+    src0 = dict(
+        duckdb.sql(
+            f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+            f" WHERE source = 'src0' ORDER BY doc_id"
+        ).fetchall()
+    )
+    got0 = sorted(
+        (r.url, r.lastmod) for r in rows if r.source == "src0"
+    )
+    want0 = sorted(
+        (
+            "http://"
+            + ("www." if d % 2 == 0 else "cdn.")
+            + f"src0-site.{['com', 'org', 'net'][d % 3]}/page/{d}",
+            (
+                datetime.date(2025, 1, 1) + datetime.timedelta(days=d % 365)
+            ).isoformat(),
+        )
+        for d in src0
+    )
+    assert got0 == want0

@@ -2239,6 +2239,136 @@ def main() -> int:
         " normal equations, broadcast base",
     )
 
+    # 97. textrank_keywords: everything downstream of the two
+    #     localCheckpoints (symmetric edge set + degree-joined edges)
+    #     — the final plan holds ZERO raw scans (the corpus tokenizes
+    #     exactly once, at checkpoint build); top-K is a distributed
+    #     TakeOrderedAndProject, no product, no python
+    p = plan_of(QUERIES["textrank_keywords"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "textrank_checkpointed_iterations",
+        n_scans == 0
+        and "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (edges checkpointed), distributed top-K",
+    )
+
+    # 98. sparse_cosine_topk: the weight table is localCheckpointed
+    #     before its four-consumer fan-out (norms, prefix index, both
+    #     verification legs) — ZERO raw scans in the final plan; the
+    #     windows partition on doc_id (prefix cut) and a (top-k), both
+    #     growing keys; candidate/verify joins are equi-joins (no
+    #     product), no python
+    p = plan_of(QUERIES["sparse_cosine_topk"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "sparse_cosine_checkpointed_two_phase",
+        n_scans == 0
+        and wins <= {"doc_id", "a"}
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (weights checkpointed), window keys="
+        f"{sorted(wins)}",
+    )
+
+    # 99. ndcg_eval: the BM25 candidate relation is localCheckpointed
+    #     before its two-consumer fan-out (ranked list + ideal
+    #     ranking) — ZERO raw scans; both windows partition on
+    #     query_id; query-grain join, no product, no python
+    p = plan_of(QUERIES["ndcg_eval"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "ndcg_checkpointed_dual_window",
+        n_scans == 0
+        and wins == {"query_id"}
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (candidates checkpointed), window keys="
+        f"{sorted(wins)}",
+    )
+
+    # 100. rouge_ngram_stats: the 50-row mutant side broadcast-joins
+    #      the pushed-filter documents scan (2 scans total, both with
+    #      the doc_id<50 filter pushed), clip lambdas are narrow above
+    #      it — no shuffle Exchange at all, no window, no python
+    p = plan_of(QUERIES["rouge_ngram_stats"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    check(
+        "rouge_broadcast_narrow",
+        n_scans == 2
+        and n_ex == 0
+        and "BroadcastHashJoin" in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"scans={n_scans} (both pushed), shuffle Exchanges={n_ex},"
+        " broadcast pair spine",
+    )
+
+    # 101. redirect_resolve: the pointer table localCheckpoints before
+    #      the doubling rounds — ZERO raw scans in the final plan;
+    #      each round is an equi-self-join (no product), no window,
+    #      no python
+    p = plan_of(QUERIES["redirect_resolve"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "redirect_doubling_checkpointed",
+        n_scans == 0
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (pointers checkpointed), equi-join rounds",
+    )
+
+    # 102. cocitation_sim: edges localCheckpoint before the
+    #      three-consumer fan-out (in-degree + both pair legs) — ZERO
+    #      raw scans; pair join + degree joins are equi-joins, partial
+    #      agg on the degree rollup, no window/python
+    p = plan_of(QUERIES["cocitation_sim"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "cocitation_checkpointed_bounded_pairs",
+        n_scans == 0
+        and "partial" in p.lower()
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (edges checkpointed), partial-agg'd degrees",
+    )
+
+    # 103. harmonic_centrality: the symmetric edge set localCheckpoints
+    #      once; the ONLY raw scan left is the node spine of the final
+    #      left join (doc_id-pruned); per-round mins partial-aggregate
+    p = plan_of(QUERIES["harmonic_centrality"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "harmonic_checkpointed_bfs",
+        n_scans == 1
+        and "partial" in p.lower()
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (node spine only; edges checkpointed)",
+    )
+
+    # 104. sitemap_parse: ONE corpus scan; the rank window partitions
+    #      on source (the per-domain enumeration a sitemap needs);
+    #      xpath + explode are JVM-side (no python)
+    p = plan_of(QUERIES["sitemap_parse"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "sitemap_single_scan_jvm_xpath",
+        n_scans == 1
+        and wins == {"source"}
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, window keys={sorted(wins)}, JVM xpath",
+    )
+
     # 96. GLOBAL REGISTRY SWEEP (round-3 verdict item 8): EVERY
     #     registry entry's physical plan must be free of the two scale
     #     killers — CartesianProduct (all-pairs blowup) and row-wise
