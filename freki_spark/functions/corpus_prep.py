@@ -4062,6 +4062,102 @@ SQL_PREFIX_CACHE_STATS = _sql_prefix_cache()
 
 
 # --------------------------------------------------------------------------
+# zipf_fit — Zipf's-law slope of the corpus frequency distribution
+# (the one-number corpus-health diagnostic every scaling-laws paper
+# plots: natural text sits near slope −1; a slope collapsing toward 0
+# means boilerplate/dedup failure, a steep slope means a degenerate
+# vocabulary): OLS fit of ln(freq) against ln(rank) over the top
+# {V} terms.  The trend_ols integer discipline: x = ⌊ln(rank)·1e3⌋
+# (milli), y = ⌊ln(cf)·1e6⌋ (micro) — floored to integers BEFORE the
+# normal-equation sums, so num/den are exact bigints and the slope is
+# sign·(|num|·1000 div den) (the pass-21 signed form; slope is
+# negative by nature).  Headroom: rank ≤ {V} ⇒ x ≤ 4606; cf ≤ 1e12 ⇒
+# y ≤ 2.8e7; den = n·Σx² − (Σx)² ≤ 2.2e11 and |num|·1000 ≤ ~2.5e18 —
+# under 2^63 with the x-in-milli choice (micro x would overflow the
+# _ppm staging bound, which is WHY x and y carry different scales).
+#
+# Scale shape: term counts partial-aggregate to vocab grain; top-V is
+# a distributed TakeOrderedAndProject; the rank window runs over the
+# ≤{V}-row result (the _bm25_scores convention); the fit is a 1-row
+# aggregate.
+# --------------------------------------------------------------------------
+
+ZIPF_TOPV = 100
+
+
+def zipf_fit(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    cf = (
+        d.select(F.explode(toks(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cf"))
+    )
+    top = cf.orderBy(F.desc("cf"), F.asc("term")).limit(ZIPF_TOPV)
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))  # <= ZIPF_TOPV rows
+    xy = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("rnk").cast("double")) * F.lit(1000.0))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("cf").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return n.select(
+        F.col("n").alias("n_terms"),
+        "num",
+        "den",
+        F.expr(
+            "CASE WHEN num < 0 THEN -((-num) * 1000 div den)"
+            "     ELSE (num * 1000) div den END"
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+
+
+SQL_ZIPF_FIT = f"""
+WITH cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+top AS (SELECT term, cf FROM cf ORDER BY cf DESC, term LIMIT {ZIPF_TOPV}),
+xy AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cf AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM (SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+        FROM top)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+),
+f AS (
+  SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den
+  FROM s
+)
+SELECT n AS n_terms, num, den,
+       CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // den)
+                 ELSE (num * 1000) // den END AS BIGINT) AS slope_micro
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # sitemap_parse — XML sitemap render→parse round trip (the crawl-
 # discovery primitive next to robots_filter / crawl_frontier): each
 # (source, chunk) renders its pages as a <urlset> sitemap document —
@@ -4167,6 +4263,7 @@ FROM r
 
 QUERIES = {
     "sitemap_parse": sitemap_parse,
+    "zipf_fit": zipf_fit,
     "prefix_cache_stats": prefix_cache_stats,
     "skipgram_pairs": skipgram_pairs,
     "skyline_pareto": skyline_pareto,
@@ -4246,6 +4343,7 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR_SELECT,
     "domain_stats": SQL_DOMAIN_STATS,
     "sitemap_parse": SQL_SITEMAP_PARSE,
+    "zipf_fit": SQL_ZIPF_FIT,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "split_leakage": SQL_SPLIT_LEAKAGE,

@@ -1107,6 +1107,97 @@ FROM edges JOIN sizes s1 ON a = s1.doc_id JOIN sizes s2 ON b = s2.doc_id
 
 
 # --------------------------------------------------------------------------
+# dedup_containment — ASYMMETRIC shingle containment (Broder 1997's
+# other resemblance measure): |S(a) ∩ S(b)| / |S(a)| and / |S(b)| —
+# the sub-document duplication signal jaccard cannot express (a short
+# quote fully contained in a long page has tiny jaccard but
+# containment ≈ 1 on the quote side; the planted truncated mutants
+# are exactly this shape and pytest pins their cand-side containment).
+# Candidates come from the SAME rare-shingle edge construction
+# dedup_ngram_jaccard and dedup_components use (DUCK_EDGE_CTES — one
+# definition, three consumers), inheriting its df-band coverage
+# contract.  Unlike jaccard's multiset sizes, containment denominators
+# are DISTINCT shingle-set sizes, so an exact subset scores exactly
+# 1e6 (documented difference).  All integers; _ppm_exact staging.
+#
+# Scale shape: identical to dedup_ngram_jaccard — the shingle explode
+# localCheckpoints once (distinct-sizes + rare + both self-join legs),
+# the rare-band broadcast bounds every join bucket.
+# --------------------------------------------------------------------------
+
+
+def dedup_containment(spark, sf_dir):
+    c = _near_dup_corpus(spark, sf_dir)
+    ds = (
+        c.select("doc_id", toks(F.col("text")).alias("_tk"))
+        .select("doc_id", F.explode(shingles(F.col("_tk"))).alias("sh"))
+        .localCheckpoint()
+    )
+    sizes = ds.groupBy("doc_id").agg(
+        F.countDistinct("sh").cast("bigint").alias("n_sh")
+    )
+    rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df").between(JACCARD_DF_MIN, JACCARD_DF_MAX)
+    )
+    cand = ds.join(F.broadcast(rare.select("sh")), "sh")
+    c1, c2 = cand.alias("c1"), cand.alias("c2")
+    overlap = (
+        c1.join(
+            c2,
+            (F.col("c1.sh") == F.col("c2.sh"))
+            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+        )
+        .groupBy(
+            F.col("c1.doc_id").alias("a"), F.col("c2.doc_id").alias("b")
+        )
+        .agg(F.countDistinct("c1.sh").cast("bigint").alias("common"))
+        .filter(F.col("common") >= 3)
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    j = (
+        overlap.join(s1, F.col("a") == F.col("s1.doc_id"))
+        .join(s2, F.col("b") == F.col("s2.doc_id"))
+        .select(
+            "a",
+            "b",
+            "common",
+            F.col("s1.n_sh").alias("n_sh_a"),
+            F.col("s2.n_sh").alias("n_sh_b"),
+        )
+    )
+    return j.select(
+        "a",
+        "b",
+        "common",
+        "n_sh_a",
+        "n_sh_b",
+        F.expr(_ppm_exact("common", "n_sh_a", "div"))
+        .cast("bigint")
+        .alias("contain_a_ppm"),
+        F.expr(_ppm_exact("common", "n_sh_b", "div"))
+        .cast("bigint")
+        .alias("contain_b_ppm"),
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {DUCK_CORPUS.strip()},
+{DUCK_EDGE_CTES},
+dsizes AS (SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_sh
+           FROM ds GROUP BY doc_id)
+SELECT a, b, CAST(common AS BIGINT) AS common,
+       s1.n_sh AS n_sh_a, s2.n_sh AS n_sh_b,
+       CAST({_ppm_exact('common', 's1.n_sh', '//')} AS BIGINT)
+         AS contain_a_ppm,
+       CAST({_ppm_exact('common', 's2.n_sh', '//')} AS BIGINT)
+         AS contain_b_ppm
+FROM edges
+JOIN dsizes s1 ON a = s1.doc_id
+JOIN dsizes s2 ON b = s2.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
@@ -2421,6 +2512,7 @@ SQL_INBATCH_COLLISIONS = _sql_inbatch()
 
 
 QUERIES = {
+    "dedup_containment": dedup_containment,
     "cdc_chunks": cdc_chunks,
     "merge_upsert": merge_upsert,
     "inbatch_collisions": inbatch_collisions,
@@ -2446,6 +2538,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "merge_upsert": SQL_MERGE_UPSERT,
     "inbatch_collisions": SQL_INBATCH_COLLISIONS,

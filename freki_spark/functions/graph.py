@@ -1280,8 +1280,78 @@ WHERE rk <= {TR_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# h_index_domains — per-source h-index over page in-degrees (the
+# Hirsch measure applied to link authority: a source has h-index h
+# when h of its pages each collect >= h in-links): the robust
+# domain-authority summary next to domain_authority's degree sums —
+# insensitive to one viral page (max) and to long tails of
+# zero-link pages (mean), which is why citation analytics prefers it.
+# Same deterministic directed edge relation as pagerank/cocitation.
+#
+# Scale shape: in-degrees partial-aggregate; the rank window
+# partitions on source (per-domain page enumeration, the sitemap
+# convention); h is a single conditional-max rollup.  Exact integers.
+# --------------------------------------------------------------------------
+
+
+def h_index_domains(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.select("doc_id").crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    indeg = edges.groupBy("dst").agg(
+        F.count("*").cast("bigint").alias("indeg")
+    )
+    pages = d.join(indeg, d.doc_id == indeg.dst, "left").select(
+        "source",
+        "doc_id",
+        F.coalesce("indeg", F.lit(0)).cast("bigint").alias("indeg"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("indeg"), F.asc("doc_id")
+    )
+    r = pages.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.coalesce(
+            F.max(F.when(F.col("indeg") >= F.col("rn"), F.col("rn"))),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("h_index"),
+    )
+
+
+SQL_H_INDEX_DOMAINS = f"""
+WITH {DUCK_SYM_CTES},
+indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg
+          FROM e GROUP BY dst),
+pages AS (
+  SELECT d.source, d.doc_id, coalesce(i.indeg, 0) AS indeg
+  FROM documents d LEFT JOIN indeg i ON d.doc_id = i.dst
+),
+r AS (
+  SELECT source, indeg,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY indeg DESC, doc_id) AS rn
+  FROM pages
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(coalesce(max(CASE WHEN indeg >= rn THEN rn END), 0) AS INT)
+         AS h_index
+FROM r GROUP BY source
+"""
+
+
 QUERIES = {
     "pagerank_iter": pagerank_iter,
+    "h_index_domains": h_index_domains,
     "hits_scores": hits_scores,
     "two_hop_reach": two_hop_reach,
     "triangle_count": triangle_count,
@@ -1306,4 +1376,5 @@ ORACLE_SQL = {
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "cocitation_sim": SQL_COCITATION_SIM,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "h_index_domains": SQL_H_INDEX_DOMAINS,
 }

@@ -3129,6 +3129,87 @@ FROM g, t
 
 
 # --------------------------------------------------------------------------
+# burstiness_fano — Fano factor (index of dispersion, variance/mean)
+# of each event type's hourly arrival counts: the burst-vs-steady
+# diagnostic (Poisson arrivals give Fano ≈ 1; bursty types ≫ 1, and a
+# bot heartbeat ≪ 1) that complements anomaly_mad's point outliers
+# and changepoint_cusum's level shifts with a SHAPE statistic.
+# Defined over the OBSERVED hour buckets (a type's empty hours are
+# not part of its arrival-process sample here; gap_fill_calendar owns
+# the dense-spine view).  Integer-exact: per-bucket counts feed
+# n·Σc² − (Σc)² and fano_ppm = _ppm_exact of that over n·Σc.
+#
+# Headroom (the doremi clamp rule): per-bucket counts clamp at
+# FANO_CAP = 1e5 — with a year of hourly buckets (n ≤ ~8.8e3),
+# n·Σc² ≤ 8.8e3 · 8.8e3·1e10 ≈ 7.7e17 and the _ppm denominator
+# n·Σc ≤ 7.7e12 ≤ the ~9.2e15 staging bound; unclamped corpus-scale
+# counts (1e12 events in one hour) would overflow Σc² silently.
+#
+# Scale shape: ONE scan → (type, hour) partial-agg rollup → type-grain
+# second rollup; no window, no join, no python.
+# --------------------------------------------------------------------------
+
+FANO_CAP = 100_000  # per-bucket count clamp (headroom proof above)
+
+
+def burstiness_fano(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias(
+            "hb"
+        ),
+    )
+    g = e.groupBy("event_type", "hb").agg(
+        F.expr(f"least(CAST(count(*) AS BIGINT), {FANO_CAP}L)").alias("c")
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return s.select(
+        "event_type",
+        "n_buckets",
+        "sum_c",
+        "sum_c2",
+        F.expr(
+            _ppm_exact(
+                "(n_buckets * sum_c2 - sum_c * sum_c)",
+                "(n_buckets * sum_c)",
+                "div",
+            )
+        )
+        .cast("bigint")
+        .alias("fano_ppm"),
+    )
+
+
+SQL_BURSTINESS_FANO = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb
+  FROM events
+),
+g AS (
+  SELECT event_type, hb,
+         least(CAST(count(*) AS BIGINT), {FANO_CAP}) AS c
+  FROM e GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(c) AS BIGINT) AS sum_c,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM g GROUP BY 1
+)
+SELECT event_type, n_buckets, sum_c, sum_c2,
+       CAST({_ppm_exact('(n_buckets * sum_c2 - sum_c * sum_c)',
+                        '(n_buckets * sum_c)', '//')} AS BIGINT) AS fano_ppm
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # trend_ols — integer-EXACT least-squares trend per event type over
 # daily counts (the volume-drift monitor every ingest dashboard runs):
 # slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = 0-based day
@@ -4264,6 +4345,7 @@ QUERIES = {
     "ref_integrity": ref_integrity,
     "ewma_dyadic": ewma_dyadic,
     "value_histogram": value_histogram,
+    "burstiness_fano": burstiness_fano,
     "trend_ols": trend_ols,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
@@ -4359,6 +4441,7 @@ ORACLE_SQL = {
     "ref_integrity": SQL_REF_INTEGRITY,
     "ewma_dyadic": SQL_EWMA_DYADIC,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "burstiness_fano": SQL_BURSTINESS_FANO,
     "trend_ols": SQL_TREND_OLS,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
@@ -4441,7 +4524,8 @@ _PRIORITY = [
     # round-4 additions (never driver-checked; oracle-backed from birth)
     "textrank_keywords", "sparse_cosine_topk", "ndcg_eval",
     "rouge_ngram_stats", "redirect_resolve", "cocitation_sim",
-    "harmonic_centrality", "sitemap_parse",
+    "harmonic_centrality", "sitemap_parse", "dedup_containment",
+    "zipf_fit", "burstiness_fano", "h_index_domains",
     "stickiness_wau", "site_boilerplate", "k_anonymity", "dialog_assemble",
     "license_detect", "cdc_chunks", "slop_filter", "mrl_recall",
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",

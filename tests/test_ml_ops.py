@@ -7970,3 +7970,186 @@ def test_sitemap_round_trip_is_lossless(spark):
         for d in src0
     )
     assert got0 == want0
+
+
+def _py_shingles(tk, n=3):
+    """Python mirror of common.shingles: distinct n-token windows,
+    short docs degrade to one (possibly short) shingle."""
+    out = []
+    for i in range(max(len(tk) - (n - 1), 1)):
+        out.append(" ".join(tk[i : i + n]))
+    return list(dict.fromkeys(out))
+
+
+def test_containment_matches_python_and_flags_subsets(spark):
+    """dedup_containment recomputed in python over the same rare-band
+    candidate edges — exact integers; the planted truncated mutants
+    are shingle-set SUBSETS of their originals, so their mutant-side
+    containment must dominate their jaccard-style symmetric overlap."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.dedup import (
+        JACCARD_DF_MAX,
+        JACCARD_DF_MIN,
+        dedup_containment,
+    )
+
+    rows = {(r.a, r.b): r for r in dedup_containment(spark, SF).collect()}
+    assert rows
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    corpus = dict(docs)
+    for d, t in docs.items():
+        if d < 50:
+            tk = t.split(" ")
+            corpus[d + 100000] = " ".join(tk[: max(len(tk) - 3, 0)])
+    sh = {d: set(_py_shingles(t.split(" "))) for d, t in corpus.items()}
+    df = defaultdict(int)
+    for d, ss in sh.items():
+        for g in ss:
+            df[g] += 1
+    rare = {g for g, c in df.items() if JACCARD_DF_MIN <= c <= JACCARD_DF_MAX}
+    want = {}
+    ids = sorted(sh)
+    by_sh = defaultdict(list)
+    for d in ids:
+        for g in sh[d]:
+            if g in rare:
+                by_sh[g].append(d)
+    commons = defaultdict(set)
+    for g, ds_ in by_sh.items():
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                commons[(ds_[i], ds_[j])].add(g)
+    for (a, b), gs in commons.items():
+        if len(gs) >= 3:
+            na, nb = len(sh[a]), len(sh[b])
+            want[(a, b)] = (
+                len(gs),
+                na,
+                nb,
+                len(gs) * 1_000_000 // na,
+                len(gs) * 1_000_000 // nb,
+            )
+    got = {
+        k: (r.common, r.n_sh_a, r.n_sh_b, r.contain_a_ppm, r.contain_b_ppm)
+        for k, r in rows.items()
+    }
+    assert got == want
+    # subset structure: for mutant pairs the mutant-side containment
+    # is >= the original-side one (|B| <= |A|)
+    mut = [r for (a, b), r in rows.items() if b == a + 100000]
+    assert len(mut) >= 20
+    assert all(r.contain_b_ppm >= r.contain_a_ppm for r in mut)
+
+
+def test_zipf_fit_slope_is_sane_and_near_python_fit(spark):
+    """zipf_fit must produce a single negative-slope row over exactly
+    TOPV terms, and agree with an independent python float OLS on the
+    same top terms to within 0.001 (the op floors ln to integers, so
+    exact float equality is not the contract — cross-engine exactness
+    is the DuckDB oracle's job)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from freki_spark.functions.corpus_prep import ZIPF_TOPV, zipf_fit
+
+    r = zipf_fit(spark, SF).collect()[0]
+    cf = Counter()
+    for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        cf.update(t.split(" "))
+    # the word-soup fixture has a SMALL vocabulary (31 terms at
+    # sf0.001) — n_terms is min(V, vocab) and the near-uniform
+    # frequencies give a shallow (but still negative) slope
+    assert r.n_terms == min(ZIPF_TOPV, len(cf)) and r.den > 0
+    assert -4_000_000 < r.slope_micro < 0
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOPV]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = len(top)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert abs(r.slope_micro / 1e6 - num / den) < 1e-3
+
+
+def test_fano_matches_python_recompute(spark):
+    """burstiness_fano recomputed with python integers from
+    duckdb-derived (type, hour) counts — exact equality, and every
+    fano is non-negative (Cauchy-Schwarz)."""
+    import duckdb
+
+    from freki_spark.queries import FANO_CAP, burstiness_fano
+
+    got = {
+        r.event_type: (r.n_buckets, r.sum_c, r.sum_c2, r.fano_ppm)
+        for r in burstiness_fano(spark, SF).collect()
+    }
+    counts = duckdb.sql(
+        f"SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,"
+        f" count(*) AS c FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for t, _, c in counts:
+        per[t].append(min(c, FANO_CAP))
+    want = {}
+    for t, cs in per.items():
+        n, sc, sc2 = len(cs), sum(cs), sum(c * c for c in cs)
+        want[t] = (n, sc, sc2, (n * sc2 - sc * sc) * 1_000_000 // (n * sc))
+    assert got == want
+    assert all(v[3] >= 0 for v in got.values())
+
+
+def test_h_index_matches_python_recompute(spark):
+    """h_index_domains recomputed in python from the same md5 edge
+    rule and source map — exact, with the h-index property checked
+    directly (h pages with indeg >= h, no h+1 such pages)."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.graph import PR_FANOUT, h_index_domains
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    n = len(src)
+    indeg = defaultdict(int)
+    for d in src:
+        for t in dict.fromkeys(
+            h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+        ):
+            if t != d:
+                indeg[t] += 1
+    per = defaultdict(list)
+    for d, s_ in src.items():
+        per[s_].append(indeg.get(d, 0))
+    want = {}
+    for s_, degs in per.items():
+        degs.sort(reverse=True)
+        h = 0
+        for i, dg in enumerate(degs, 1):
+            if dg >= i:
+                h = i
+        want[s_] = (len(degs), h)
+    got = {
+        r.source: (r.n_pages, r.h_index)
+        for r in h_index_domains(spark, SF).collect()
+    }
+    assert got == want
+    assert any(h > 0 for _, h in got.values())

@@ -2369,6 +2369,66 @@ def main() -> int:
         f"scans={n_scans}, window keys={sorted(wins)}, JVM xpath",
     )
 
+    # 105. dedup_containment: the shingle explode localCheckpoints
+    #      before its four-consumer fan-out (sizes + rare + both
+    #      self-join legs) — ZERO raw scans; the rare-band filter
+    #      broadcasts; no window, no python
+    p = plan_of(QUERIES["dedup_containment"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "containment_checkpointed_rare_band",
+        n_scans == 0
+        and "BroadcastHashJoin" in p
+        and "Window" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (shingles checkpointed), broadcast rare band",
+    )
+
+    # 106. zipf_fit: ONE scan, partial-agg'd term counts, top-V as a
+    #      distributed TakeOrderedAndProject, the rank window only
+    #      over the <=V-row result; 1-row fit aggregate; no python
+    p = plan_of(QUERIES["zipf_fit"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "zipf_single_scan_topv",
+        n_scans == 1
+        and "partial" in p.lower()
+        and "TakeOrderedAndProject" in p
+        and "Python" not in p,
+        f"scans={n_scans}, partial-agg'd counts, distributed top-V",
+    )
+
+    # 107. burstiness_fano: ONE scan -> (type, hour) partial-agg ->
+    #      type-grain rollup; no window, no join, no python
+    p = plan_of(QUERIES["burstiness_fano"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "fano_double_rollup",
+        n_scans == 1
+        and "partial" in p.lower()
+        and "Window" not in p
+        and "Join" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, partial-agg'd hour buckets, no join/window",
+    )
+
+    # 108. h_index_domains: in-degrees partial-aggregate; the rank
+    #      window partitions on source; <=3 pruned scans (node spine,
+    #      edge base, count); no python, no product
+    p = plan_of(QUERIES["h_index_domains"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "h_index_source_window",
+        n_scans <= 3
+        and wins == {"source"}
+        and "partial" in p.lower()
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, window keys={sorted(wins)}",
+    )
+
     # 96. GLOBAL REGISTRY SWEEP (round-3 verdict item 8): EVERY
     #     registry entry's physical plan must be free of the two scale
     #     killers — CartesianProduct (all-pairs blowup) and row-wise
