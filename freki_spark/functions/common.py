@@ -121,8 +121,6 @@ def _ppm_exact(num: str, den: str, div: str) -> str:
 def _mutated(d):
     """Near-dup mutations of the first 50 docs (last 3 tokens cut),
     re-keyed at +100000."""
-    from pyspark.sql import functions as F
-
     tk = toks(F.col("text"))
     return d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 100000).alias("doc_id"),

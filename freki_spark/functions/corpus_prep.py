@@ -4118,9 +4118,13 @@ def zipf_fit(spark, sf_dir):
         F.col("n").alias("n_terms"),
         "num",
         "den",
+        # greatest(den, 1): a single-distinct-term corpus has den = 0
+        # and bare division returns NULL in BOTH engines (measured:
+        # DuckDB 1.0.0 `x // 0` is NULL like Spark non-ANSI div) — the
+        # repo's zero-den-guard convention pins the degenerate to 0
         F.expr(
-            "CASE WHEN num < 0 THEN -((-num) * 1000 div den)"
-            "     ELSE (num * 1000) div den END"
+            "CASE WHEN num < 0 THEN -((-num) * 1000 div greatest(den, 1))"
+            "     ELSE (num * 1000) div greatest(den, 1) END"
         )
         .cast("bigint")
         .alias("slope_micro"),
@@ -4151,8 +4155,9 @@ f AS (
   FROM s
 )
 SELECT n AS n_terms, num, den,
-       CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // den)
-                 ELSE (num * 1000) // den END AS BIGINT) AS slope_micro
+       CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // greatest(den, 1))
+                 ELSE (num * 1000) // greatest(den, 1) END AS BIGINT)
+         AS slope_micro
 FROM f
 """
 

@@ -1021,20 +1021,14 @@ JACCARD_DF_MIN = 2
 JACCARD_DF_MAX = 10
 
 
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Scored Jaccard edges between rare-overlap near-dup pairs.
-
-    CONTRACT (a coverage cap, like POSTINGS_CAP): candidate shingles
-    must have df in [JACCARD_DF_MIN, JACCARD_DF_MAX] — see the constants
-    comment above.  A cluster replicated in more than JACCARD_DF_MAX
-    copies has every shingle above the cap and emits NO edges here;
-    that exact/boilerplate regime is owned by dedup_exact and
-    dedup_minhash_lsh (banded keys never cap df) — run those alongside
-    this operator, never instead of it.  A run that needs the dropped
-    mass quantified should aggregate `df > JACCARD_DF_MAX` counts from
-    the same shingle table; the cap value is a module constant
-    precisely so such an audit can reference it.
-    """
+def _rare_band_edges(spark, sf_dir):
+    """(ds, overlap): the checkpointed shingle explode and the
+    rare-band candidate edge relation (a, b, common) — the ONE
+    Spark-side definition of the df-band candidate construction,
+    shared by dedup_ngram_jaccard and dedup_containment exactly as
+    DUCK_EDGE_CTES is its one SQL mirror (a change to the df band,
+    the checkpoint discipline, or the common >= 3 cut lands on all
+    consumers or none)."""
     c = _near_dup_corpus(spark, sf_dir)
     ds = (
         # tokens bound first — same O(n^2) HOF trap as _with_minhash.
@@ -1047,7 +1041,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_id", F.explode(shingles(F.col("_tk"))).alias("sh"))
         .localCheckpoint()
     )
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(
         F.col("df").between(JACCARD_DF_MIN, JACCARD_DF_MAX)
     )
@@ -1065,6 +1058,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .agg(F.countDistinct("c1.sh").alias("common"))
         .filter(F.col("common") >= 3)
     )
+    return ds, overlap
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Scored Jaccard edges between rare-overlap near-dup pairs.
+
+    CONTRACT (a coverage cap, like POSTINGS_CAP): candidate shingles
+    must have df in [JACCARD_DF_MIN, JACCARD_DF_MAX] — see the constants
+    comment above.  A cluster replicated in more than JACCARD_DF_MAX
+    copies has every shingle above the cap and emits NO edges here;
+    that exact/boilerplate regime is owned by dedup_exact and
+    dedup_minhash_lsh (banded keys never cap df) — run those alongside
+    this operator, never instead of it.  A run that needs the dropped
+    mass quantified should aggregate `df > JACCARD_DF_MAX` counts from
+    the same shingle table; the cap value is a module constant
+    precisely so such an audit can reference it.
+    """
+    ds, overlap = _rare_band_edges(spark, sf_dir)
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     return (
         overlap.join(s1, F.col("a") == F.col("s1.doc_id"))
@@ -1113,45 +1125,32 @@ FROM edges JOIN sizes s1 ON a = s1.doc_id JOIN sizes s2 ON b = s2.doc_id
 # quote fully contained in a long page has tiny jaccard but
 # containment ≈ 1 on the quote side; the planted truncated mutants
 # are exactly this shape and pytest pins their cand-side containment).
-# Candidates come from the SAME rare-shingle edge construction
-# dedup_ngram_jaccard and dedup_components use (DUCK_EDGE_CTES — one
-# definition, three consumers), inheriting its df-band coverage
-# contract.  Unlike jaccard's multiset sizes, containment denominators
-# are DISTINCT shingle-set sizes, so an exact subset scores exactly
-# 1e6 (documented difference).  All integers; _ppm_exact staging.
+# Candidates come from the SAME rare-shingle edge construction as
+# dedup_ngram_jaccard (Spark: _rare_band_edges; SQL: DUCK_EDGE_CTES —
+# one definition per engine, shared consumers), inheriting its
+# df-band coverage contract — which also BOUNDS the score: the
+# numerator counts only rare-band shared shingles while the
+# denominators count the FULL distinct shingle set, so containment is
+# a lower bound that reaches 1e6 only when every subset shingle sits
+# inside the df band (a heavily-replicated subset scores low here and
+# is owned by dedup_exact/minhash, the jaccard contract verbatim).
+# Note shingles() is already array_distinct, so jaccard's count(*)
+# sizes and these countDistinct sizes agree — the cast here is just
+# explicit.  All integers; _ppm_exact staging.
 #
 # Scale shape: identical to dedup_ngram_jaccard — the shingle explode
-# localCheckpoints once (distinct-sizes + rare + both self-join legs),
-# the rare-band broadcast bounds every join bucket.
+# localCheckpoints once (sizes + rare + both self-join legs), the
+# rare-band broadcast bounds every join bucket.
 # --------------------------------------------------------------------------
 
 
 def dedup_containment(spark, sf_dir):
-    c = _near_dup_corpus(spark, sf_dir)
-    ds = (
-        c.select("doc_id", toks(F.col("text")).alias("_tk"))
-        .select("doc_id", F.explode(shingles(F.col("_tk"))).alias("sh"))
-        .localCheckpoint()
+    ds, overlap0 = _rare_band_edges(spark, sf_dir)
+    overlap = overlap0.select(
+        "a", "b", F.col("common").cast("bigint").alias("common")
     )
     sizes = ds.groupBy("doc_id").agg(
         F.countDistinct("sh").cast("bigint").alias("n_sh")
-    )
-    rare = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")).filter(
-        F.col("df").between(JACCARD_DF_MIN, JACCARD_DF_MAX)
-    )
-    cand = ds.join(F.broadcast(rare.select("sh")), "sh")
-    c1, c2 = cand.alias("c1"), cand.alias("c2")
-    overlap = (
-        c1.join(
-            c2,
-            (F.col("c1.sh") == F.col("c2.sh"))
-            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
-        )
-        .groupBy(
-            F.col("c1.doc_id").alias("a"), F.col("c2.doc_id").alias("b")
-        )
-        .agg(F.countDistinct("c1.sh").cast("bigint").alias("common"))
-        .filter(F.col("common") >= 3)
     )
     s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     j = (

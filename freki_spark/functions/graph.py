@@ -1056,8 +1056,20 @@ JOIN indeg ib ON p.b = ib.dst
 # --------------------------------------------------------------------------
 
 # ⌊1e6 / d⌋ for d = 1..BFS_ROUNDS — the one discount table, used by
-# both engines
-HARM_CASE = "CASE {d} WHEN 1 THEN 1000000 WHEN 2 THEN 500000 WHEN 3 THEN 333333 END"
+# both engines.  The assert ties the table to BFS_ROUNDS (the
+# NDCG_DISC precedent): without it, raising BFS_ROUNDS would let
+# dist=4 rows fall through the ELSE-less CASE to NULL, which sum()
+# silently SKIPS in both engines while n_seeds_reached still counts
+# the row — a silent drop of every distance-4 contribution.
+HARM_DISC = {1: 1_000_000, 2: 500_000, 3: 333_333}
+assert set(HARM_DISC) == set(range(1, BFS_ROUNDS + 1)), (
+    "HARM_DISC must cover every reachable distance 1..BFS_ROUNDS"
+)
+HARM_CASE = (
+    "CASE {d} "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(HARM_DISC.items()))
+    + " END"
+)
 
 
 def harmonic_centrality(spark, sf_dir):

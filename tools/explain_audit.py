@@ -2429,16 +2429,21 @@ def main() -> int:
         f"scans={n_scans}, window keys={sorted(wins)}",
     )
 
-    # 96. GLOBAL REGISTRY SWEEP (round-3 verdict item 8): EVERY
-    #     registry entry's physical plan must be free of the two scale
-    #     killers — CartesianProduct (all-pairs blowup) and row-wise
-    #     BatchEvalPython (per-row python in the hot path).  The four
-    #     sanctioned Arrow surfaces (ArrowEvalPython,
-    #     FlatMapGroupsInPandas / InArrow, MapInArrow/MapInPandas,
-    #     BatchEvalPythonUDTF) and the python datasource scan are NOT
-    #     matched by the BatchEvalPython regex guard below.  The ~90
-    #     individual checks above pin stronger per-op properties; this
-    #     closes the long tail.  Whitelists are explicit and empty.
+    # 109. GLOBAL REGISTRY SWEEP (round-3 verdict item 8; runs LAST):
+    #     EVERY registry entry's physical plan must be free of the two
+    #     scale killers — CartesianProduct (all-pairs blowup) and
+    #     row-wise BatchEvalPython (per-row python in the hot path).
+    #     The sanctioned Arrow surfaces (ArrowEvalPython,
+    #     FlatMapGroupsInPandas / InArrow, MapInArrow/MapInPandas) are
+    #     different node names and never match; BatchEvalPythonUDTF
+    #     (Arrow-batched lateral, individually audited by check 89) is
+    #     excluded ONLY because the formatted explain renders it as
+    #     "BatchEvalPythonUDTF (n)" — no " (" straight after
+    #     "BatchEvalPython" — which the literal " \(" in the regex
+    #     requires; there is no \b doing this work, so keep the
+    #     space-paren if you edit the pattern.  The ~100 individual
+    #     checks above pin stronger per-op properties; this closes the
+    #     long tail.  Whitelists are explicit and empty.
     #     Skippable for quick iterations: FREKI_AUDIT_NO_SWEEP=1.
     if not os.environ.get("FREKI_AUDIT_NO_SWEEP"):
         allow_cartesian: set[str] = set()
