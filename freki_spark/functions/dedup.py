@@ -76,8 +76,9 @@ def _exact_copies(d: DataFrame) -> DataFrame:
     agree on "empty" (round-3 verdict).  Scoped to dedup_exact — the
     shared _near_dup_corpus feeds ~15 near-dup operators whose
     semantics want near-duplicates, not exact ones."""
+    extra = [c for c in d.columns if c not in ("doc_id", "text")]
     return d.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 1100000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1100000).alias("doc_id"), "text", *extra
     )
 
 
@@ -100,6 +101,72 @@ corpus_x AS (
 )
 SELECT sha256(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
 FROM corpus_x GROUP BY sha256(text) HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# domain_dup_rate — per-source duplication-rate telemetry (the "which
+# sites are mirror farms" report every dedup rollout publishes next
+# to the global dup-group table): a doc is a dup member iff its exact
+# text hash appears >= 2 times ANYWHERE in the corpus (corpus-wide
+# groups, per-source attribution — a mirror pair split across two
+# sources counts against both, which is the point).  The corpus is
+# documents ∪ the planted +1100000 exact copies (single-sourced via
+# _exact_copies, which carries `source` through so a copy attributes
+# to its original's site), so the relation is non-vacuous at every sf
+# even when the corpus has no natural dup (sf0.01 has exactly zero).
+#
+# Scale shape: ONE scan; the hash table localCheckpoints before its
+# two-consumer fan-out (group sizes + the member join — the
+# dist_drift rule); group sizes partial-aggregate at hash grain; the
+# final rollup is source-grain.  dup_ppm via _ppm_exact.
+# --------------------------------------------------------------------------
+
+
+def domain_dup_rate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    c = d.unionByName(_exact_copies(d))
+    h = c.select("source", F.sha2("text", 256).alias("th")).localCheckpoint()
+    grp = h.groupBy("th").agg(F.count("*").alias("n_copies"))
+    per = (
+        h.join(grp, "th")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_copies") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        F.expr(_ppm_exact("n_dup_docs", "n_docs", "div"))
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+
+
+SQL_DOMAIN_DUP_RATE = f"""
+WITH cx AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id < 30
+),
+h AS (SELECT source, sha256(text) AS th FROM cx),
+grp AS (SELECT th, count(*) AS n_copies FROM h GROUP BY th),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN grp.n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM h JOIN grp USING (th)
+  GROUP BY source
+)
+SELECT source, n_docs, n_dup_docs,
+       CAST({_ppm_exact('n_dup_docs', 'n_docs', '//')} AS BIGINT) AS dup_ppm
+FROM per
 """
 
 
@@ -2512,6 +2579,7 @@ SQL_INBATCH_COLLISIONS = _sql_inbatch()
 
 QUERIES = {
     "dedup_containment": dedup_containment,
+    "domain_dup_rate": domain_dup_rate,
     "cdc_chunks": cdc_chunks,
     "merge_upsert": merge_upsert,
     "inbatch_collisions": inbatch_collisions,
@@ -2538,6 +2606,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "domain_dup_rate": SQL_DOMAIN_DUP_RATE,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "merge_upsert": SQL_MERGE_UPSERT,
     "inbatch_collisions": SQL_INBATCH_COLLISIONS,

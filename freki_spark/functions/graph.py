@@ -1293,6 +1293,214 @@ WHERE rk <= {TR_TOPK}
 
 
 # --------------------------------------------------------------------------
+# ppr_seeds — personalized PageRank from a trusted seed set (the
+# TrustRank recipe, Gyöngyi et al. 2004: teleport mass goes ONLY to
+# seeds, so rank measures reachability-from-trust and spam farms —
+# however interlinked — collect nothing except through real paths
+# from the seed neighborhood).  The crawl-quality twin of
+# pagerank_iter's global authority: deployments run both and flag
+# pages with high global rank but near-zero trust rank.
+#
+# Determinism: identical integer fixed-point discipline — rank_0 =
+# SCALE·(v ∈ S), rank_{t+1} = (v ∈ S)·BASE + (85·Σ rank_t(u) DIV
+# deg(u)) DIV 100, bit-exact cross-engine; same SCALE·N ≤ 1e17
+# headroom dial (total mass here is bounded by |S|·SCALE/0.15, which
+# is STRICTER than pagerank's N·SCALE bound).
+#
+# Scale shape: identical to pagerank_iter (the shared _targets_expr
+# edge rule — one graph for every authority signal); the seed
+# indicator is a narrow doc_id predicate, never a join.
+# --------------------------------------------------------------------------
+
+PPR_N_SEEDS = 4  # trusted seeds = doc_ids 0..3 (the bfs landmark set)
+
+
+def ppr_seeds(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"),
+        F.explode(targets).alias("dst"),
+        F.size(targets).alias("out_deg"),
+    )
+    seed = F.col("doc_id") < PPR_N_SEEDS
+    ranks = d.select(
+        "doc_id",
+        F.when(seed, F.lit(PR_SCALE)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges.join(ranks, edges.src == ranks.doc_id).select(
+            "dst", F.expr("rank DIV out_deg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            d.join(insum, d.doc_id == insum.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.when(seed, F.lit(PR_BASE)).otherwise(F.lit(0))
+                    + F.expr(f"{PR_D_NUM} * coalesce(s, 0L) DIV {PR_D_DEN}")
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks.select(
+        "doc_id", "rank", seed.cast("int").alias("is_seed")
+    )
+
+
+def _sql_ppr_iter(prev: str, out: str) -> str:
+    return f"""
+pc{out} AS (
+  SELECT e.dst, sum({prev}.rank // e.out_deg) AS s
+  FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY e.dst
+),
+pr{out} AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id < {PPR_N_SEEDS} THEN {PR_BASE} ELSE 0 END
+              + ({PR_D_NUM} * coalesce(pc{out}.s, 0)) // {PR_D_DEN}
+              AS BIGINT) AS rank
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN pc{out} ON d.doc_id = pc{out}.dst
+)"""
+
+
+SQL_PPR_SEEDS = f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+t AS (
+  SELECT doc_id, {_sql_targets()} AS ts
+  FROM documents, n
+),
+e AS (
+  SELECT doc_id AS src, unnest(ts) AS dst, len(ts) AS out_deg FROM t
+),
+pr0 AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id < {PPR_N_SEEDS} THEN {PR_SCALE} ELSE 0 END
+              AS BIGINT) AS rank
+  FROM documents
+),{",".join(_sql_ppr_iter(f"pr{i}", str(i + 1)) for i in range(PR_ITERS))}
+SELECT doc_id, rank,
+       CAST(CASE WHEN doc_id < {PPR_N_SEEDS} THEN 1 ELSE 0 END AS INT)
+         AS is_seed
+FROM pr{PR_ITERS}
+"""
+
+
+# --------------------------------------------------------------------------
+# degree_assortativity — Pearson correlation of endpoint degrees over
+# the directed edge list (Newman 2002): the one-number structure
+# diagnostic (social graphs assort positively, the web assorts
+# NEGATIVELY — hubs link to leaves; a crawl whose assortativity
+# drifts toward 0/positive is usually drowning in mirror farms).
+# x = out_deg(src), y = in_deg(dst) per edge.
+#
+# Determinism: all five sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+# bigints; r_micro applies ONE token-identical float expression
+# (num / (sqrt(denx) · sqrt(deny)), the sparse_cosine discipline —
+# every operand a correctly-rounded function of exact integers).
+# Headroom: deg ≤ fanout-bounded (out ≤ 3) and in-degree ≤ N; with
+# E ≤ 3N edges, Σy² ≤ 3N·N² — the documented dial is the in-degree
+# clamp DEG_CLAMP = 1e6 (n·Σy² ≤ 3e6·N·1e12 stays under 2^63 for
+# N ≤ ~3e6 edges per partition-of-concern; a web-scale run clamps
+# exactly like the doremi rule).
+#
+# Scale shape: degrees partial-aggregate; ONE edge-grain join each to
+# attach x and y; the moment rollup is a 1-row aggregate.
+# --------------------------------------------------------------------------
+
+DEG_CLAMP = 1_000_000
+
+
+def degree_assortativity(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.agg(F.count("*").alias("n_nodes"))
+    withn = d.crossJoin(F.broadcast(n))
+    targets = _targets_expr(F.col("n_nodes"))
+    edges = withn.select(
+        F.col("doc_id").alias("src"),
+        F.explode(targets).alias("dst"),
+        F.size(targets).cast("bigint").alias("out_deg"),
+    ).localCheckpoint()  # feeds indeg + the xy join
+    indeg = edges.groupBy("dst").agg(
+        F.least(F.count("*"), F.lit(DEG_CLAMP)).cast("bigint").alias("din")
+    )
+    xy = edges.join(indeg, "dst").select(
+        F.least(F.col("out_deg"), F.lit(DEG_CLAMP)).alias("x"),
+        F.col("din").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m = s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "denx"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "deny"
+        ),
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        "num",
+        "denx",
+        "deny",
+        # one token-identical float quotient (the sparse_cosine rule);
+        # greatest(·,1) guards the degenerate all-equal-degree graph
+        F.floor(
+            (F.col("num").cast("double") * F.lit(1000000.0))
+            / (
+                F.sqrt(F.expr("CAST(greatest(denx, 1) AS DOUBLE)"))
+                * F.sqrt(F.expr("CAST(greatest(deny, 1) AS DOUBLE)"))
+            )
+        )
+        .cast("bigint")
+        .alias("r_micro"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH {DUCK_SYM_CTES},
+ec AS (SELECT src, dst, CAST(len(ts) AS BIGINT) AS out_deg
+       FROM (SELECT doc_id AS src, unnest(ts) AS dst, ts FROM t)),
+indeg AS (SELECT dst,
+                 least(CAST(count(*) AS BIGINT), {DEG_CLAMP}) AS din
+          FROM ec GROUP BY dst),
+xy AS (
+  SELECT least(ec.out_deg, {DEG_CLAMP}) AS x, indeg.din AS y
+  FROM ec JOIN indeg USING (dst)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+),
+m AS (
+  SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+         CAST(n * syy - sy * sy AS BIGINT) AS deny
+  FROM s
+)
+SELECT n AS n_edges, num, denx, deny,
+       CAST(floor((CAST(num AS DOUBLE) * 1000000.0)
+                  / (sqrt(CAST(greatest(denx, 1) AS DOUBLE))
+                     * sqrt(CAST(greatest(deny, 1) AS DOUBLE))))
+         AS BIGINT) AS r_micro
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # h_index_domains — per-source h-index over page in-degrees (the
 # Hirsch measure applied to link authority: a source has h-index h
 # when h of its pages each collect >= h in-links): the robust
@@ -1364,6 +1572,8 @@ FROM r GROUP BY source
 QUERIES = {
     "pagerank_iter": pagerank_iter,
     "h_index_domains": h_index_domains,
+    "ppr_seeds": ppr_seeds,
+    "degree_assortativity": degree_assortativity,
     "hits_scores": hits_scores,
     "two_hop_reach": two_hop_reach,
     "triangle_count": triangle_count,
@@ -1389,4 +1599,6 @@ ORACLE_SQL = {
     "cocitation_sim": SQL_COCITATION_SIM,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "h_index_domains": SQL_H_INDEX_DOMAINS,
+    "ppr_seeds": SQL_PPR_SEEDS,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
 }

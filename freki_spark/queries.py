@@ -3210,6 +3210,61 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# q_window_range_frame — the RANGE-interval analytic frame (trailing
+# 1-hour window per event): the third window surface next to
+# q_window_running's ROWS frame and q_sliding_window's grouped time
+# windows — RANGE frames bound by VALUE distance, so duplicate
+# timestamps are peers and enter the frame together in both engines
+# (the semantics that make this a distinct surface worth pinning).
+# Per event: how many of the user's events, and how many cents,
+# landed in the preceding hour including this one — the rate-limit /
+# velocity-check shape every abuse pipeline runs.
+#
+# Determinism: the frame bound is integer SECONDS over the shared
+# unix_timestamp/epoch rule; sums are exact cents.
+#
+# Scale shape: ONE scan, one hash(user_id) window Exchange (growing
+# key), both frame aggregates share the single window definition.
+# --------------------------------------------------------------------------
+
+
+def q_window_range_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum("v_cents").over(w).cast("bigint").alias("cents_1h"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id, ts_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(v_cents) OVER w AS BIGINT) AS cents_1h
+FROM (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # trend_ols — integer-EXACT least-squares trend per event type over
 # daily counts (the volume-drift monitor every ingest dashboard runs):
 # slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = 0-based day
@@ -4346,6 +4401,7 @@ QUERIES = {
     "ewma_dyadic": ewma_dyadic,
     "value_histogram": value_histogram,
     "burstiness_fano": burstiness_fano,
+    "q_window_range_frame": q_window_range_frame,
     "trend_ols": trend_ols,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
@@ -4442,6 +4498,7 @@ ORACLE_SQL = {
     "ewma_dyadic": SQL_EWMA_DYADIC,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "burstiness_fano": SQL_BURSTINESS_FANO,
+    "q_window_range_frame": SQL_WINDOW_RANGE_FRAME,
     "trend_ols": SQL_TREND_OLS,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
@@ -4525,7 +4582,8 @@ _PRIORITY = [
     "textrank_keywords", "sparse_cosine_topk", "ndcg_eval",
     "rouge_ngram_stats", "redirect_resolve", "cocitation_sim",
     "harmonic_centrality", "sitemap_parse", "dedup_containment",
-    "zipf_fit", "burstiness_fano", "h_index_domains",
+    "zipf_fit", "burstiness_fano", "h_index_domains", "ppr_seeds",
+    "degree_assortativity", "q_window_range_frame", "domain_dup_rate",
     "stickiness_wau", "site_boilerplate", "k_anonymity", "dialog_assemble",
     "license_detect", "cdc_chunks", "slop_filter", "mrl_recall",
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",

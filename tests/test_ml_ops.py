@@ -8153,3 +8153,179 @@ def test_h_index_matches_python_recompute(spark):
     }
     assert got == want
     assert any(h > 0 for _, h in got.values())
+
+
+def test_ppr_matches_python_recompute_and_trust_shape(spark):
+    """Personalized PageRank recomputed in pure python from the same
+    md5 edge rule — bit-for-bit; non-seed mass must be strictly below
+    seed mass (trust decays along paths) and unreached nodes score 0."""
+    import hashlib
+    from collections import defaultdict
+
+    from freki_spark.functions.graph import (
+        PPR_N_SEEDS,
+        PR_BASE,
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_FANOUT,
+        PR_ITERS,
+        PR_SCALE,
+        ppr_seeds,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    targets = {
+        d: [
+            t
+            for t in dict.fromkeys(
+                h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+            )
+            if t != d
+        ]
+        for d in docs
+    }
+    rank = {d: (PR_SCALE if d < PPR_N_SEEDS else 0) for d in docs}
+    for _ in range(PR_ITERS):
+        insum = defaultdict(int)
+        for d, ts in targets.items():
+            if ts and rank[d]:
+                c = rank[d] // len(ts)
+                for t in ts:
+                    insum[t] += c
+        rank = {
+            d: (PR_BASE if d < PPR_N_SEEDS else 0)
+            + PR_D_NUM * insum[d] // PR_D_DEN
+            for d in docs
+        }
+    got = {r.doc_id: (r.rank, r.is_seed) for r in ppr_seeds(spark, SF).collect()}
+    assert got == {d: (rank[d], int(d < PPR_N_SEEDS)) for d in docs}
+    seeds_min = min(v for d, (v, s) in got.items() if s)
+    assert all(v < seeds_min for d, (v, s) in got.items() if not s)
+    assert any(v == 0 for d, (v, s) in got.items() if not s)  # unreached
+
+
+def test_assortativity_matches_python_recompute(spark):
+    """Exact integer moments recomputed in python; r_micro within 1
+    ulp-of-floor of the same float expression (the float quotient is
+    cross-engine-pinned by the DuckDB oracle, not this test)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from freki_spark.functions.graph import (
+        DEG_CLAMP,
+        PR_FANOUT,
+        degree_assortativity,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(docs)
+    edges = []
+    for d in docs:
+        ts = [
+            t
+            for t in dict.fromkeys(
+                h32(f"{d}:{k}") % n for k in range(1, PR_FANOUT + 1)
+            )
+            if t != d
+        ]
+        for t in ts:
+            edges.append((d, t, len(ts)))
+    indeg = defaultdict(int)
+    for _, t, _ in edges:
+        indeg[t] += 1
+    xs = [min(od, DEG_CLAMP) for _, _, od in edges]
+    ys = [min(indeg[t], DEG_CLAMP) for _, t, _ in edges]
+    ne = len(edges)
+    num = ne * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    denx = ne * sum(x * x for x in xs) - sum(xs) ** 2
+    deny = ne * sum(y * y for y in ys) - sum(ys) ** 2
+    r = degree_assortativity(spark, SF).collect()[0]
+    assert (r.n_edges, r.num, r.denx, r.deny) == (ne, num, denx, deny)
+    want = math.floor(
+        (num * 1_000_000.0)
+        / (math.sqrt(max(denx, 1)) * math.sqrt(max(deny, 1)))
+    )
+    assert abs(r.r_micro - want) <= 1
+    assert -1_000_000 <= r.r_micro <= 1_000_000
+
+
+def test_range_frame_matches_python_recompute(spark):
+    """The trailing-hour RANGE frame recomputed naively in python —
+    including the peer rule (duplicate timestamps enter the frame
+    together regardless of row order)."""
+    import duckdb
+    from collections import defaultdict
+
+    from freki_spark.queries import q_window_range_frame
+
+    raw = duckdb.sql(
+        f"SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT),"
+        f" CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    per = defaultdict(list)
+    for eid, uid, ts, vc in raw:
+        per[uid].append((eid, ts, vc))
+    want = {}
+    for uid, evs in per.items():
+        for eid, ts, _ in evs:
+            inwin = [(t, v) for _, t, v in evs if ts - 3600 <= t <= ts]
+            want[eid] = (len(inwin), sum(v for _, v in inwin))
+    got = {
+        r.event_id: (r.n_1h, r.cents_1h)
+        for r in q_window_range_frame(spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[0] > 1 for v in got.values())  # frames actually overlap
+
+
+def test_domain_dup_rate_attributes_planted_copies(spark):
+    """Per-source dup counts recomputed in python — exact; every
+    source holding one of the first 30 docs must show dups (the
+    planted +1100000 copies inherit their original's source)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.dedup import domain_dup_rate
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    corpus = [(t, s) for _, t, s in docs] + [
+        (t, s) for d, t, s in docs if d < 30
+    ]
+    sizes = Counter(t for t, _ in corpus)
+    per = defaultdict(lambda: [0, 0])
+    for t, s in corpus:
+        per[s][0] += 1
+        if sizes[t] >= 2:
+            per[s][1] += 1
+    want = {
+        s: (nd, dd, dd * 1_000_000 // nd) for s, (nd, dd) in per.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_dup_docs, r.dup_ppm)
+        for r in domain_dup_rate(spark, SF).collect()
+    }
+    assert got == want
+    with_planted = {s for d, _, s in docs if d < 30}
+    assert all(got[s][1] >= 2 for s in with_planted)

@@ -2429,6 +2429,64 @@ def main() -> int:
         f"scans={n_scans}, window keys={sorted(wins)}",
     )
 
+    # 110. ppr_seeds: the pagerank shape (narrow md5 edge expansion
+    #      deliberately recomputed per iteration — doc_id-only, no
+    #      text), partial-agg'd contribution sums, seed indicator is a
+    #      predicate not a join against a seed table; no product/python
+    p = plan_of(QUERIES["ppr_seeds"](spark, sf_dir))
+    check(
+        "ppr_pagerank_shape",
+        "partial" in p.lower()
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        "partial-agg'd trust propagation, predicate seeds",
+    )
+
+    # 111. degree_assortativity: edges localCheckpoint before the
+    #      two-consumer fan-out (in-degrees + the xy join) — ZERO raw
+    #      scans; moments are a 1-row partial aggregate; no window
+    p = plan_of(QUERIES["degree_assortativity"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "assortativity_checkpointed_moments",
+        n_scans == 0
+        and "partial" in p.lower()
+        and "Window" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (edges checkpointed), 1-row moment rollup",
+    )
+
+    # 112. q_window_range_frame: ONE scan, ONE hash(user_id) window
+    #      Exchange, both frame aggregates share the window; no join
+    p = plan_of(QUERIES["q_window_range_frame"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "range_frame_single_window",
+        n_scans == 1
+        and n_ex == 1
+        and wins == {"user_id"}
+        and "Join" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, Exchanges={n_ex}, window keys={sorted(wins)}",
+    )
+
+    # 113. domain_dup_rate: the hash projection localCheckpoints
+    #      before its two-consumer fan-out (group sizes + member join)
+    #      — ZERO raw scans; group sizes partial-aggregate; no window
+    p = plan_of(QUERIES["domain_dup_rate"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "domain_dup_checkpointed",
+        n_scans == 0
+        and "partial" in p.lower()
+        and "Window" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (hashes checkpointed), partial-agg'd groups",
+    )
+
     # 109. GLOBAL REGISTRY SWEEP (round-3 verdict item 8; runs LAST):
     #     EVERY registry entry's physical plan must be free of the two
     #     scale killers — CartesianProduct (all-pairs blowup) and
