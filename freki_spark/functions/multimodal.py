@@ -588,16 +588,22 @@ VAD_ENERGY_MAX = 1000  # synthetic per-frame energy in [0, 1000)
 VAD_THRESHOLD = 400  # frames >= threshold are "speech" (~60%)
 
 
-def audio_vad_windows(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from .common import md5i32
-
+def _vad_media(spark, sf_dir):
+    """(doc_id, media_ref, n_frames) media assets — shared spine of
+    audio_vad_windows and transcript_vad_align."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = synth_media_table(docs).select(
+    return synth_media_table(docs).select(
         "doc_id", "media_ref", F.col("meta.n_frames").alias("n_frames")
     )
-    frames = media.select(
+
+
+def _energized_frames(media):
+    """Deterministic per-frame energy stream from a media spine — the
+    ONE Spark-side frame synthesis, shared by audio_vad_windows and
+    transcript_vad_align (mirrored once in _duck_vad_ctes)."""
+    from .common import md5i32
+
+    return media.select(
         "doc_id",
         "media_ref",
         F.explode(
@@ -614,7 +620,10 @@ def audio_vad_windows(spark, sf_dir):
             % VAD_ENERGY_MAX
         ).cast("int"),
     )
-    return _vad_segments(frames)
+
+
+def audio_vad_windows(spark, sf_dir):
+    return _vad_segments(_energized_frames(_vad_media(spark, sf_dir)))
 
 
 def _vad_segments(frames):
@@ -647,14 +656,16 @@ def _vad_segments(frames):
     )
 
 
-def _sql_vad() -> str:
+def _duck_vad_ctes() -> str:
+    """media→frames→energized→speech→islands→vseg — the ONE SQL
+    mirror of the frame synthesis + island merge, shared by
+    SQL_AUDIO_VAD_WINDOWS and SQL_TRANSCRIPT_VAD_ALIGN."""
     from .common import DUCK_MD5I32
 
     h = DUCK_MD5I32.format(
         x="media_ref || ':e' || CAST(f AS VARCHAR)"
     )
-    return f"""
-WITH media AS (
+    return f"""media AS (
   SELECT doc_id,
          'img://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
          1 + doc_id % 16 AS n_frames
@@ -683,20 +694,117 @@ islands AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
             AS seg_no
   FROM marked
-)
-SELECT doc_id, media_ref, seg_no,
-       CAST(min(f) AS INT) AS f_start,
-       CAST(max(f) AS INT) AS f_end,
-       CAST(count(*) AS INT) AS n_frames_seg
-FROM islands GROUP BY 1, 2, 3
+),
+vseg AS (
+  SELECT doc_id, media_ref, seg_no,
+         CAST(min(f) AS INT) AS f_start,
+         CAST(max(f) AS INT) AS f_end,
+         CAST(count(*) AS INT) AS n_frames_seg
+  FROM islands GROUP BY 1, 2, 3
+)"""
+
+
+SQL_AUDIO_VAD_WINDOWS = f"""
+WITH {_duck_vad_ctes()}
+SELECT doc_id, media_ref, seg_no, f_start, f_end, n_frames_seg
+FROM vseg
 """
 
 
-SQL_AUDIO_VAD_WINDOWS = _sql_vad()
+# --------------------------------------------------------------------------
+# transcript_vad_align — transcript-to-speech alignment (the
+# multimodal-prep step that decides which transcript segments carry
+# actual speech before they become training pairs): deterministic
+# per-asset transcript tiling (1 + doc_id % 3 equal-length segments
+# covering the frame range) interval-joined against the VAD speech
+# segments; a pair is emitted per (speech segment, transcript
+# segment) with >= 1 overlapping frame, carrying the exact overlap
+# frame count.  Both relations are SINGLE-SOURCED with
+# audio_vad_windows (_energized_frames/_vad_segments on the Spark
+# side, _duck_vad_ctes on the SQL side), so alignment audits the same
+# segments the VAD op reports.
+#
+# Scale shape: the interval join is an EQUI-join on (doc_id,
+# media_ref) — the asset grain — with the overlap predicate applied
+# inside each asset's ≤16-frame segment sets (bounded per asset, the
+# media_span_join posture); all integer frame arithmetic.
+# --------------------------------------------------------------------------
+
+
+def transcript_vad_align(spark, sf_dir):
+    media = _vad_media(spark, sf_dir)
+    vseg = _vad_segments(_energized_frames(media))
+    ntr = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    length = F.expr("CAST((n_frames + n_tr - 1) div n_tr AS INT)")
+    tr = (
+        media.withColumn("n_tr", ntr)
+        .withColumn("seg_len", length)
+        .select(
+            "doc_id",
+            "media_ref",
+            "n_frames",
+            "seg_len",
+            F.explode(F.sequence(F.lit(0), F.col("n_tr") - 1)).alias(
+                "tr_no"
+            ),
+        )
+        .select(
+            "doc_id",
+            "media_ref",
+            F.col("tr_no").cast("int").alias("tr_no"),
+            (F.col("tr_no") * F.col("seg_len")).cast("int").alias("t_start"),
+            F.least(
+                (F.col("tr_no") + 1) * F.col("seg_len") - 1,
+                F.col("n_frames") - 1,
+            ).cast("int").alias("t_end"),
+        )
+    )
+    j = vseg.join(tr, ["doc_id", "media_ref"])
+    ov = F.least("f_end", "t_end") - F.greatest("f_start", "t_start") + 1
+    return (
+        j.withColumn("overlap_frames", ov.cast("int"))
+        .filter(F.col("overlap_frames") >= 1)
+        .select(
+            "doc_id",
+            "media_ref",
+            "seg_no",
+            "tr_no",
+            "f_start",
+            "f_end",
+            "t_start",
+            "t_end",
+            "overlap_frames",
+        )
+    )
+
+
+SQL_TRANSCRIPT_VAD_ALIGN = f"""
+WITH {_duck_vad_ctes()},
+tr AS (
+  SELECT doc_id, media_ref, CAST(tr_no AS INT) AS tr_no,
+         CAST(tr_no * seg_len AS INT) AS t_start,
+         CAST(least((tr_no + 1) * seg_len - 1, n_frames - 1) AS INT)
+           AS t_end
+  FROM (SELECT doc_id, media_ref, n_frames,
+               (n_frames + n_tr - 1) // n_tr AS seg_len,
+               unnest(range(0, n_tr)) AS tr_no
+        FROM (SELECT doc_id, media_ref, n_frames,
+                     CAST(1 + doc_id % 3 AS INT) AS n_tr
+              FROM media))
+)
+SELECT v.doc_id, v.media_ref, v.seg_no, tr.tr_no,
+       v.f_start, v.f_end, tr.t_start, tr.t_end,
+       CAST(least(v.f_end, tr.t_end) - greatest(v.f_start, tr.t_start) + 1
+            AS INT) AS overlap_frames
+FROM vseg v
+JOIN tr ON v.doc_id = tr.doc_id AND v.media_ref = tr.media_ref
+WHERE least(v.f_end, tr.t_end) - greatest(v.f_start, tr.t_start) + 1 >= 1
+"""
 
 
 QUERIES = {
     "audio_vad_windows": audio_vad_windows,
+    "transcript_vad_align": transcript_vad_align,
     "media_features": q_media_features,
     "media_phash_dedup": media_phash_dedup,
     "clip_filter": clip_filter,
@@ -707,6 +815,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "audio_vad_windows": SQL_AUDIO_VAD_WINDOWS,
+    "transcript_vad_align": SQL_TRANSCRIPT_VAD_ALIGN,
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
     "clip_filter": SQL_CLIP_FILTER,

@@ -88,6 +88,31 @@ WHERE rk <= {POSTINGS_CAP}
 """
 
 
+def _query_terms(df_):
+    """The deterministic query-workload selection (global-frequency
+    ranks QSTART..QSTART+7, two terms per query) from a (term, df, cf)
+    table — the ONE Spark-side definition, shared by _bm25_scores and
+    kwic_concordance exactly as DUCK_BM25_AGG_CTES' `q` CTE is its one
+    SQL mirror (the retrievers and the concordance must query the
+    same terms or the tooling lies)."""
+    qw = Window.orderBy(F.desc("cf"), F.asc("term"))  # <= QSTART+7 rows
+    return (
+        df_.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(QSTART + N_QTERMS - 1)
+        .withColumn("gr", F.row_number().over(qw))
+        .filter(F.col("gr") >= QSTART)
+        .select(
+            # explicit floor-div: `/` then cast would TRUNCATE in
+            # Spark but ROUND in DuckDB — a silent query regrouping
+            (F.floor((F.col("gr") - QSTART) / 2) + 1)
+            .cast("int")
+            .alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+
+
 def _bm25_scores(spark, sf_dir):
     """The shared BM25 scoring relation (query_id, doc_id, score_micro,
     n_terms) over every candidate doc matching >= 1 query term —
@@ -105,22 +130,7 @@ def _bm25_scores(spark, sf_dir):
     df_ = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
-    qw = Window.orderBy(F.desc("cf"), F.asc("term"))  # <= QSTART+7 rows
-    qterms = (
-        df_.orderBy(F.desc("cf"), F.asc("term"))
-        .limit(QSTART + N_QTERMS - 1)
-        .withColumn("gr", F.row_number().over(qw))
-        .filter(F.col("gr") >= QSTART)
-        .select(
-            # explicit floor-div: `/` then cast would TRUNCATE in
-            # Spark but ROUND in DuckDB — a silent query regrouping
-            (F.floor((F.col("gr") - QSTART) / 2) + 1)
-            .cast("int")
-            .alias("query_id"),
-            "term",
-            "df",
-        )
-    )
+    qterms = _query_terms(df_)
     hits = tf.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -1018,8 +1028,96 @@ FROM dcg JOIN idcg USING (query_id)
 """
 
 
+# --------------------------------------------------------------------------
+# kwic_concordance — keyword-in-context concordance lines for the
+# BM25 query workload (the corpus-audit view behind every "show me
+# how this term is actually used" request: decontamination forensics,
+# blocklist tuning, and query debugging all read KWIC lines, not bare
+# postings): for each workload term, up to {cap} occurrences with
+# {ctx} tokens of left/right context.  The term set is SINGLE-SOURCED
+# with the retrievers (_query_terms / the `q` CTE), so the
+# concordance audits exactly what BM25 queries.
+#
+# Determinism: context strings are pure slices of the bound token
+# array (empty-edge slices render '' — DuckDB needs the documented
+# coalesce since array_to_string([]) is NULL); occurrence ranking is
+# (doc_id, pos) per term.
+#
+# Scale shape: ONE corpus tokenization feeding both the workload
+# selection and the position explode (localCheckpointed d); the
+# workload broadcast-joins into the occurrence stream so only
+# matching positions survive; per-term cap via a term-grain window.
+# --------------------------------------------------------------------------
+
+KWIC_CAP = 10
+KWIC_CTX = 2
+
+
+def kwic_concordance(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks(F.col("text")).alias("_tk")
+    ).localCheckpoint()  # feeds the workload stats + the pos explode
+    tf = (
+        d.select("doc_id", F.explode("_tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    qterms = _query_terms(df_).select("query_id", "term")
+    occ = d.select(
+        "doc_id", "_tk", F.posexplode("_tk").alias("pos0", "w")
+    )
+    hits = occ.join(F.broadcast(qterms), occ.w == qterms.term).select(
+        "query_id",
+        "term",
+        "doc_id",
+        F.col("pos0").cast("int").alias("pos"),
+        F.expr(
+            f"concat_ws(' ', slice(_tk, greatest(pos0 + 1 - {KWIC_CTX}, 1),"
+            f" least({KWIC_CTX}, pos0)))"
+        ).alias("left_ctx"),
+        F.expr(
+            f"concat_ws(' ', slice(_tk, pos0 + 2,"
+            f" least({KWIC_CTX}, size(_tk) - pos0 - 1)))"
+        ).alias("right_ctx"),
+    )
+    rw = Window.partitionBy("term").orderBy("doc_id", "pos")
+    return (
+        hits.withColumn("rk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rk") <= KWIC_CAP)
+    )
+
+
+SQL_KWIC_CONCORDANCE = f"""
+WITH {DUCK_BM25_AGG_CTES},
+occ AS (
+  SELECT doc_id, tk, i - 1 AS pos0
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM d)
+),
+hits AS (
+  SELECT q.query_id, q.term, o.doc_id, CAST(o.pos0 AS INT) AS pos,
+         coalesce(array_to_string(
+           o.tk[greatest(o.pos0 + 1 - {KWIC_CTX}, 1):o.pos0], ' '), '')
+           AS left_ctx,
+         coalesce(array_to_string(
+           o.tk[o.pos0 + 2:least(o.pos0 + 1 + {KWIC_CTX}, len(o.tk))], ' '),
+           '') AS right_ctx
+  FROM occ o JOIN q ON o.tk[o.pos0 + 1] = q.term
+)
+SELECT query_id, term, doc_id, pos, left_ctx, right_ctx,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY doc_id, pos) AS rk
+      FROM hits)
+WHERE rk <= {KWIC_CAP}
+"""
+
+
 QUERIES = {
     "rank_agreement": rank_agreement,
+    "kwic_concordance": kwic_concordance,
     "sparse_cosine_topk": sparse_cosine_topk,
     "ndcg_eval": ndcg_eval,
     "inverted_postings": inverted_postings,
@@ -1032,6 +1130,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rank_agreement": SQL_RANK_AGREEMENT,
+    "kwic_concordance": SQL_KWIC_CONCORDANCE,
     "sparse_cosine_topk": SQL_SPARSE_COSINE_TOPK,
     "ndcg_eval": SQL_NDCG_EVAL,
     "inverted_postings": SQL_INVERTED_POSTINGS,

@@ -1710,7 +1710,94 @@ WHERE rnk <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension embedding-health telemetry (the
+# "dead dims / scale drift" report every embedding-pipeline rollout
+# watches: a dimension whose mean-square collapses to ~0 is dead
+# weight in the index; a mean drifting off 0 signals a normalization
+# bug upstream): per dim — count, Σq, Σq² over milli-quantized
+# components, mean_micro and rms_micro.
+#
+# Determinism + headroom: components quantize to q = ⌊x·1e3⌋ (milli;
+# float32 → double conversion is exact and the one multiply+floor is
+# correctly rounded identically in both engines), so Σq / Σq² are
+# exact bigints.  Milli (not micro) is deliberate: |q| ≤ 1e3 for
+# unit-normalized inputs keeps Σq² ≤ n·1e6 — under 2^63 to n ≈ 9e12
+# vectors with NO clamp and NO n·Σq² product (the zipf_fit x-in-milli
+# lesson); mean_micro is the pass-21 sign form (Σq is SIGNED), and
+# rms_micro applies one token-identical float expression
+# (⌊√(Σq²/n)·1000⌋ — the sparse_cosine rule).
+#
+# Scale shape: ONE scan → posexplode (dim is a constant-cardinality
+# key) → dim-grain partial agg; no window, no join, no python.
+# --------------------------------------------------------------------------
+
+
+def embedding_dim_stats(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.posexplode("embedding").alias("dim", "x")
+    )
+    q = e.select(
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1000.0))
+        .cast("bigint")
+        .alias("q"),
+    )
+    s = q.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q_milli"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sum_sq_milli"),
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        "sum_q_milli",
+        "sum_sq_milli",
+        F.expr(
+            "CASE WHEN sum_q_milli < 0"
+            "     THEN -((-sum_q_milli) * 1000 div n)"
+            "     ELSE (sum_q_milli * 1000) div n END"
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.floor(
+            F.sqrt(
+                F.col("sum_sq_milli").cast("double")
+                / F.col("n").cast("double")
+            )
+            * F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("rms_micro"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH e AS (
+  -- DuckDB 1.0.0 has no WITH ORDINALITY; index via an unnested range
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+s AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sum_q_milli,
+         CAST(sum(q * q) AS BIGINT) AS sum_sq_milli
+  FROM e GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n, sum_q_milli, sum_sq_milli,
+       CAST(CASE WHEN sum_q_milli < 0
+                 THEN -((-sum_q_milli) * 1000 // n)
+                 ELSE (sum_q_milli * 1000) // n END AS BIGINT) AS mean_micro,
+       CAST(floor(sqrt(CAST(sum_sq_milli AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000.0) AS BIGINT) AS rms_micro
+FROM s
+"""
+
+
 QUERIES = {
+    "embedding_dim_stats": embedding_dim_stats,
     "kcenter_coreset": kcenter_coreset,
     "colbert_maxsim": colbert_maxsim,
     "cluster_labels": cluster_labels,
@@ -1732,6 +1819,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "kcenter_coreset": SQL_KCENTER_CORESET,
     "colbert_maxsim": SQL_COLBERT_MAXSIM,
     "cluster_labels": SQL_CLUSTER_LABELS,

@@ -3265,6 +3265,56 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
 
 
 # --------------------------------------------------------------------------
+# q_explode_outer — the OUTER generator surface: explode_outer
+# preserves rows whose array is empty (emitting one NULL element)
+# where a plain explode silently DROPS the document.  The distinction
+# matters every time an exploded relation feeds a per-doc rollup —
+# plain explode undercounts the corpus by exactly the empty-array
+# docs (the classic silent-loss bug this entry exists to pin
+# cross-engine).  The array here is the >=8-char token subset, which
+# is EMPTY for ~20% of fixture docs (max token length is 8), so both
+# branches are exercised at every sf.
+#
+# Scale shape: narrow scan→filter→generate; zero Exchange.
+# --------------------------------------------------------------------------
+
+EXPLODE_OUTER_MINLEN = 8
+
+
+def q_explode_outer(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.col("text"), " "),
+        lambda t: F.length(t) >= EXPLODE_OUTER_MINLEN,
+    )
+    return (
+        d.select("doc_id", arr.alias("_arr"))
+        .select("doc_id", F.explode_outer("_arr").alias("tok"))
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tok").isNull().cast("int").alias("is_empty_doc"),
+        )
+    )
+
+
+SQL_EXPLODE_OUTER = f"""
+WITH a AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     t -> len(t) >= {EXPLODE_OUTER_MINLEN}) AS arr
+  FROM documents
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
+                   ELSE arr END) AS tok,
+       CAST(CASE WHEN len(arr) = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_empty_doc
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # trend_ols — integer-EXACT least-squares trend per event type over
 # daily counts (the volume-drift monitor every ingest dashboard runs):
 # slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = 0-based day
@@ -4402,6 +4452,7 @@ QUERIES = {
     "value_histogram": value_histogram,
     "burstiness_fano": burstiness_fano,
     "q_window_range_frame": q_window_range_frame,
+    "q_explode_outer": q_explode_outer,
     "trend_ols": trend_ols,
     "q_lateral_topk": q_lateral_topk,
     "q_observe_metrics": q_observe_metrics,
@@ -4499,6 +4550,7 @@ ORACLE_SQL = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "burstiness_fano": SQL_BURSTINESS_FANO,
     "q_window_range_frame": SQL_WINDOW_RANGE_FRAME,
+    "q_explode_outer": SQL_EXPLODE_OUTER,
     "trend_ols": SQL_TREND_OLS,
     "q_lateral_topk": SQL_LATERAL_TOPK,
     "q_observe_metrics": SQL_OBSERVE_METRICS,
@@ -4584,6 +4636,8 @@ _PRIORITY = [
     "harmonic_centrality", "sitemap_parse", "dedup_containment",
     "zipf_fit", "burstiness_fano", "h_index_domains", "ppr_seeds",
     "degree_assortativity", "q_window_range_frame", "domain_dup_rate",
+    "embedding_dim_stats", "kwic_concordance", "transcript_vad_align",
+    "q_explode_outer",
     "stickiness_wau", "site_boilerplate", "k_anonymity", "dialog_assemble",
     "license_detect", "cdc_chunks", "slop_filter", "mrl_recall",
     "token_budget_cap", "inbatch_collisions", "attribution_last_touch",

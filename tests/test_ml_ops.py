@@ -8329,3 +8329,137 @@ def test_domain_dup_rate_attributes_planted_copies(spark):
     assert got == want
     with_planted = {s for d, _, s in docs if d < 30}
     assert all(got[s][1] >= 2 for s in with_planted)
+
+
+def test_embedding_dim_stats_matches_python_recompute(spark):
+    """Per-dim milli-quantized sums recomputed with python integers —
+    exact; rms within 1 of the python float expression; every dim of
+    the unit-normalized fixture is alive (rms > 0)."""
+    import math
+
+    import duckdb
+
+    from freki_spark.functions.similarity import embedding_dim_stats
+
+    vecs = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    dims = len(vecs[0])
+    want = {}
+    for dim in range(dims):
+        qs = [math.floor(float(v[dim]) * 1000.0) for v in vecs]
+        n, sq, sq2 = len(qs), sum(qs), sum(q * q for q in qs)
+        mean = -((-sq) * 1000 // n) if sq < 0 else (sq * 1000) // n
+        rms = math.floor(math.sqrt(sq2 / n) * 1000.0)
+        want[dim] = (n, sq, sq2, mean, rms)
+    got = {
+        r.dim: (r.n, r.sum_q_milli, r.sum_sq_milli, r.mean_micro, r.rms_micro)
+        for r in embedding_dim_stats(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for dim in want:
+        assert got[dim][:4] == want[dim][:4], dim
+        assert abs(got[dim][4] - want[dim][4]) <= 1, dim
+    assert all(v[4] > 0 for v in got.values())  # no dead dims in fixture
+
+
+def test_kwic_matches_python_recompute(spark):
+    """Concordance lines recomputed in python over the same workload
+    terms — exact, including the edge-of-document context truncation
+    and the per-term cap."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from freki_spark.functions.search import (
+        KWIC_CAP,
+        KWIC_CTX,
+        kwic_concordance,
+    )
+
+    rows = kwic_concordance(spark, SF).collect()
+    terms = {(r.term, r.query_id) for r in rows}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    occ = defaultdict(list)
+    for did, text in docs:
+        tk = text.split(" ")
+        for pos, w in enumerate(tk):
+            if any(w == t for t, _ in terms):
+                left = " ".join(tk[max(pos - KWIC_CTX, 0) : pos])
+                right = " ".join(tk[pos + 1 : pos + 1 + KWIC_CTX])
+                occ[w].append((did, pos, left, right))
+    want = set()
+    for (t, qid) in terms:
+        for rk, (did, pos, left, right) in enumerate(
+            sorted(occ[t])[:KWIC_CAP], 1
+        ):
+            want.add((qid, t, did, pos, left, right, rk))
+    got = {
+        (r.query_id, r.term, r.doc_id, r.pos, r.left_ctx, r.right_ctx, r.rk)
+        for r in rows
+    }
+    assert got == want
+    assert any(r.pos == 0 and r.left_ctx == "" for r in rows) or all(
+        r.pos > 0 for r in rows
+    )  # edge truncation well-defined either way
+
+
+def test_transcript_align_covers_speech_exactly(spark):
+    """Every VAD speech segment must appear in the alignment with its
+    full frame range covered by transcript overlaps (the tiling spans
+    the whole asset), and each (segment, transcript) overlap must
+    equal the python interval intersection."""
+    from collections import defaultdict
+
+    from freki_spark.functions.multimodal import (
+        audio_vad_windows,
+        transcript_vad_align,
+    )
+
+    segs = audio_vad_windows(spark, SF).collect()
+    rows = transcript_vad_align(spark, SF).collect()
+    by_seg = defaultdict(list)
+    for r in rows:
+        by_seg[(r.doc_id, r.media_ref, r.seg_no)].append(r)
+    assert set(by_seg) == {(s.doc_id, s.media_ref, s.seg_no) for s in segs}
+    for s in segs:
+        parts = by_seg[(s.doc_id, s.media_ref, s.seg_no)]
+        # transcripts tile the asset, so overlaps sum to the segment
+        assert sum(p.overlap_frames for p in parts) == (
+            s.f_end - s.f_start + 1
+        ), s
+        for p in parts:
+            assert p.overlap_frames == min(p.f_end, p.t_end) - max(
+                p.f_start, p.t_start
+            ) + 1
+            n_tr = 1 + p.doc_id % 3
+            assert 0 <= p.tr_no < n_tr
+
+
+def test_explode_outer_preserves_empty_docs(spark):
+    """explode_outer must keep every document: empty-array docs come
+    back as one NULL row (is_empty_doc=1), and the doc_id set equals
+    the full corpus — the silent-loss bug a plain explode would have."""
+    import duckdb
+
+    from freki_spark.queries import EXPLODE_OUTER_MINLEN, q_explode_outer
+
+    rows = q_explode_outer(spark, SF).collect()
+    all_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    assert {r.doc_id for r in rows} == all_ids
+    empties = [r for r in rows if r.is_empty_doc == 1]
+    assert empties and all(r.tok is None for r in empties)
+    toks_ = [r for r in rows if r.tok is not None]
+    assert toks_ and all(
+        len(r.tok) >= EXPLODE_OUTER_MINLEN for r in toks_
+    )

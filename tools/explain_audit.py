@@ -2487,6 +2487,69 @@ def main() -> int:
         f"raw scans={n_scans} (hashes checkpointed), partial-agg'd groups",
     )
 
+    # 114. embedding_dim_stats: ONE scan -> posexplode -> dim-grain
+    #      partial agg; no window, no join, no python
+    p = plan_of(QUERIES["embedding_dim_stats"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "embedding_dim_single_scan",
+        n_scans == 1
+        and "partial" in p.lower()
+        and "Window" not in p
+        and "Join" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, partial-agg'd dim rollup",
+    )
+
+    # 115. kwic_concordance: the tokenization localCheckpoints before
+    #      its two-consumer fan-out (workload stats + pos explode) —
+    #      ZERO raw scans; the workload broadcast-joins; windows are
+    #      the term-grain cap + the tiny post-limit workload window
+    p = plan_of(QUERIES["kwic_concordance"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "kwic_checkpointed_broadcast",
+        n_scans == 0
+        and "BroadcastHashJoin" in p
+        and wins <= {"term", "cf"}
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+        f"raw scans={n_scans} (tokens checkpointed), window keys="
+        f"{sorted(wins)}",
+    )
+
+    # 116. transcript_vad_align: both relations derive from the shared
+    #      media spine (<=2 pruned scans); the VAD islands windows stay
+    #      on the (doc_id, media_ref) asset grain; the interval join is
+    #      an equi-join on the asset key (no product), no python
+    p = plan_of(QUERIES["transcript_vad_align"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    check(
+        "transcript_align_asset_grain",
+        n_scans <= 2
+        and wins == {"doc_id"}
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Python" not in p,
+        f"scans={n_scans}, window keys={sorted(wins)} (asset grain)",
+    )
+
+    # 117. q_explode_outer: narrow scan -> filter -> OUTER generate;
+    #      zero Exchange, no python
+    p = plan_of(QUERIES["q_explode_outer"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_ex = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+    check(
+        "explode_outer_narrow",
+        n_scans == 1
+        and n_ex == 0
+        and "Generate" in p
+        and "Python" not in p,
+        f"scans={n_scans}, Exchanges={n_ex}, outer generate",
+    )
+
     # 109. GLOBAL REGISTRY SWEEP (round-3 verdict item 8; runs LAST):
     #     EVERY registry entry's physical plan must be free of the two
     #     scale killers — CartesianProduct (all-pairs blowup) and
