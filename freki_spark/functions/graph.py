@@ -1398,21 +1398,23 @@ FROM pr{PR_ITERS}
 # drifts toward 0/positive is usually drowning in mirror farms).
 # x = out_deg(src), y = in_deg(dst) per edge.
 #
-# Determinism: all five sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
-# bigints; r_micro applies ONE token-identical float expression
-# (num / (sqrt(denx) · sqrt(deny)), the sparse_cosine discipline —
-# every operand a correctly-rounded function of exact integers).
-# Headroom: deg ≤ fanout-bounded (out ≤ 3) and in-degree ≤ N; with
-# E ≤ 3N edges, Σy² ≤ 3N·N² — the documented dial is the in-degree
-# clamp DEG_CLAMP = 1e6 (n·Σy² ≤ 3e6·N·1e12 stays under 2^63 for
-# N ≤ ~3e6 edges per partition-of-concern; a web-scale run clamps
-# exactly like the doremi rule).
+# Determinism: the six sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+# bigints; the Pearson terms n·Σxy − ΣxΣy etc. and r_micro are then
+# ONE token-identical float expression over those exact integers
+# (the sparse_cosine discipline).  Headroom (round-4 review fix —
+# the first draft claimed a false bound): degrees clamp at
+# DEG_CLAMP = 1e3 (the embedding_dim_stats milli lesson), so
+# Σy² ≤ n·1e6 stays under 2^63 to n ≈ 9e12 EDGES with no further
+# care; the n·Σy² PRODUCT would overflow bigint at just ~3e6 edges
+# under ANY useful clamp, which is why the Pearson terms are formed
+# in DOUBLE (exact-int inputs, correctly rounded identically in both
+# engines) and never as bigint products.
 #
 # Scale shape: degrees partial-aggregate; ONE edge-grain join each to
 # attach x and y; the moment rollup is a 1-row aggregate.
 # --------------------------------------------------------------------------
 
-DEG_CLAMP = 1_000_000
+DEG_CLAMP = 1_000
 
 
 def degree_assortativity(spark, sf_dir):
@@ -1434,34 +1436,50 @@ def degree_assortativity(spark, sf_dir):
     )
     s = xy.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    m = s.select(
-        "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "denx"
-        ),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
-            "deny"
-        ),
-    )
-    return m.select(
+    # Pearson terms in DOUBLE (see headroom note): exact-int inputs,
+    # token-identical expression trees, correctly rounded identically
+    # in both engines; greatest(·,1.0) guards the degenerate
+    # all-equal-degree graph
+    return s.select(
         F.col("n").alias("n_edges"),
-        "num",
-        "denx",
-        "deny",
-        # one token-identical float quotient (the sparse_cosine rule);
-        # greatest(·,1) guards the degenerate all-equal-degree graph
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
         F.floor(
-            (F.col("num").cast("double") * F.lit(1000000.0))
+            (
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
+                * F.lit(1000000.0)
+            )
             / (
-                F.sqrt(F.expr("CAST(greatest(denx, 1) AS DOUBLE)"))
-                * F.sqrt(F.expr("CAST(greatest(deny, 1) AS DOUBLE)"))
+                F.sqrt(
+                    F.greatest(
+                        F.col("n").cast("double")
+                        * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double")
+                        * F.col("sx").cast("double"),
+                        F.lit(1.0),
+                    )
+                )
+                * F.sqrt(
+                    F.greatest(
+                        F.col("n").cast("double")
+                        * F.col("syy").cast("double")
+                        - F.col("sy").cast("double")
+                        * F.col("sy").cast("double"),
+                        F.lit(1.0),
+                    )
+                )
             )
         )
         .cast("bigint")
@@ -1481,22 +1499,26 @@ xy AS (
   FROM ec JOIN indeg USING (dst)
 ),
 s AS (
-  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
   FROM xy
-),
-m AS (
-  SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
-         CAST(n * sxx - sx * sx AS BIGINT) AS denx,
-         CAST(n * syy - sy * sy AS BIGINT) AS deny
-  FROM s
 )
-SELECT n AS n_edges, num, denx, deny,
-       CAST(floor((CAST(num AS DOUBLE) * 1000000.0)
-                  / (sqrt(CAST(greatest(denx, 1) AS DOUBLE))
-                     * sqrt(CAST(greatest(deny, 1) AS DOUBLE))))
+SELECT n AS n_edges, sx, sy, sxy, sxx, syy,
+       CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * 1000000.0)
+                  / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                   1.0))
+                     * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE),
+                                     1.0))))
          AS BIGINT) AS r_micro
-FROM m
+FROM s
 """
 
 

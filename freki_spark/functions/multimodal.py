@@ -732,7 +732,9 @@ FROM vseg
 
 
 def transcript_vad_align(spark, sf_dir):
-    media = _vad_media(spark, sf_dir)
+    # localCheckpoint: the media spine feeds TWO consumers (the VAD
+    # segment branch and the transcript tiling) — the dist_drift rule
+    media = _vad_media(spark, sf_dir).localCheckpoint()
     vseg = _vad_segments(_energized_frames(media))
     ntr = (F.lit(1) + F.col("doc_id") % 3).cast("int")
     length = F.expr("CAST((n_frames + n_tr - 1) div n_tr AS INT)")

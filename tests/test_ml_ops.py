@@ -8254,14 +8254,19 @@ def test_assortativity_matches_python_recompute(spark):
     xs = [min(od, DEG_CLAMP) for _, _, od in edges]
     ys = [min(indeg[t], DEG_CLAMP) for _, t, _ in edges]
     ne = len(edges)
-    num = ne * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
-    denx = ne * sum(x * x for x in xs) - sum(xs) ** 2
-    deny = ne * sum(y * y for y in ys) - sum(ys) ** 2
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
     r = degree_assortativity(spark, SF).collect()[0]
-    assert (r.n_edges, r.num, r.denx, r.deny) == (ne, num, denx, deny)
+    assert (r.n_edges, r.sx, r.sy, r.sxy, r.sxx, r.syy) == (
+        ne, sx, sy, sxy, sxx, syy,
+    )
     want = math.floor(
-        (num * 1_000_000.0)
-        / (math.sqrt(max(denx, 1)) * math.sqrt(max(deny, 1)))
+        ((float(ne) * float(sxy) - float(sx) * float(sy)) * 1_000_000.0)
+        / (
+            math.sqrt(max(float(ne) * float(sxx) - float(sx) ** 2, 1.0))
+            * math.sqrt(max(float(ne) * float(syy) - float(sy) ** 2, 1.0))
+        )
     )
     assert abs(r.r_micro - want) <= 1
     assert -1_000_000 <= r.r_micro <= 1_000_000

@@ -2519,21 +2519,31 @@ def main() -> int:
         f"{sorted(wins)}",
     )
 
-    # 116. transcript_vad_align: both relations derive from the shared
-    #      media spine (<=2 pruned scans); the VAD islands windows stay
-    #      on the (doc_id, media_ref) asset grain; the interval join is
-    #      an equi-join on the asset key (no product), no python
+    # 116. transcript_vad_align: the media spine localCheckpoints
+    #      before its two-consumer fan-out — ZERO raw scans; the VAD
+    #      islands windows stay on the FULL (doc_id, media_ref) asset
+    #      grain (the two-key regex, check 83's rule — a single-key
+    #      capture passes doc_id-only windows and is vacuous for the
+    #      pass-18 cross-asset bug) and the interval join carries
+    #      media_ref in its keys; no product, no python
     p = plan_of(QUERIES["transcript_vad_align"](spark, sf_dir))
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
-    wins = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    winpairs = set(
+        re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", p)
+    )
+    join_has_media = re.search(
+        r"Join[^\n]*media_ref", p
+    ) is not None or re.search(r"hashpartitioning\(doc_id#\d+L?, media_ref#", p)
     check(
         "transcript_align_asset_grain",
-        n_scans <= 2
-        and wins == {"doc_id"}
+        n_scans == 0
+        and winpairs == {("doc_id", "media_ref")}
+        and bool(join_has_media)
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
         and "Python" not in p,
-        f"scans={n_scans}, window keys={sorted(wins)} (asset grain)",
+        f"raw scans={n_scans} (media checkpointed), window key pairs="
+        f"{sorted(winpairs)}, join carries media_ref",
     )
 
     # 117. q_explode_outer: narrow scan -> filter -> OUTER generate;
