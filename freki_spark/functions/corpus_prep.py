@@ -3295,16 +3295,19 @@ WITH d AS (
   FROM documents
 ),
 c AS (
+  -- CAST: sum(BIGINT) OVER is HUGEINT in DuckDB; left bare it (and
+  -- the kept_tokens arithmetic built on it) reaches the output where
+  -- the driver's pandas canon floats it (the kmeans_update rule)
   SELECT doc_id, source, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            PARTITION BY source ORDER BY ord, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           0) AS cum_before
+           0) AS BIGINT) AS cum_before
   FROM d
 )
 SELECT doc_id, source, n_tokens, cum_before,
-       greatest(least({BUDGET_TOKENS} - cum_before, n_tokens), 0)
-         AS kept_tokens,
+       CAST(greatest(least({BUDGET_TOKENS} - cum_before, n_tokens), 0)
+            AS BIGINT) AS kept_tokens,
        CASE WHEN cum_before >= {BUDGET_TOKENS} THEN 'drop'
             WHEN cum_before + n_tokens <= {BUDGET_TOKENS} THEN 'keep'
             ELSE 'truncate' END AS status

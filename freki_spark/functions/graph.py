@@ -855,9 +855,11 @@ LEFT JOIN best ON d.doc_id = best.doc_id
 # redirect_resolve — bounded redirect-chain resolution by POINTER
 # DOUBLING (path halving): the crawl-infrastructure primitive that
 # turns a redirect log into (url, final_url, hops) — 3 doubling
-# rounds follow chains up to 2^3 = 8 hops, so round count is
-# O(log max_chain), never O(chain) (the cc_bigstar round-bound
-# posture).  The synthetic pointer table is deterministic: doc_id %
+# rounds + one final terminal-check join resolve chains up to exactly
+# 2^3 = 8 hops (the rounds alone certify only 2^3 - 1; the final join
+# decides doneness from cur's own pointer, like the oracle's fin
+# CTE), so round count is O(log max_chain), never O(chain) (the
+# cc_bigstar round-bound posture).  The synthetic pointer table is deterministic: doc_id %
 # 4 != 0 redirects one step down (chains of length <= 3 ending at
 # multiples of 4), and each doc_id % 101 == 55/56 pair forms a
 # 2-CYCLE (55→56→55) that can never resolve — docs chaining INTO a
@@ -888,6 +890,16 @@ def redirect_resolve(spark, sf_dir):
             "     ELSE NULL END"
         ).alias("ptr"),
     )
+    return _resolve_ptrs(p)
+
+
+def _resolve_ptrs(p):
+    """Pointer doubling over any ``(doc_id, ptr)`` relation — split
+    out so tests can drive chains of exactly 2^RD_ROUNDS hops (the
+    synthetic corpus pointers terminate within 3)."""
+    # localCheckpoint: p feeds TWO consumers — the initial doubling
+    # state and the final terminal-check join (the dist_drift rule)
+    p = p.localCheckpoint()
     res = p.select(
         "doc_id",
         F.coalesce("ptr", F.col("doc_id")).alias("cur"),
@@ -917,17 +929,27 @@ def redirect_resolve(spark, sf_dir):
             # audit check 101)
             .localCheckpoint()
         )
-    return res.select(
+    # final terminal-check join (mirrors the oracle's fin CTE): the
+    # done flag composed INSIDE the rounds only certifies chains up
+    # to 2^k - 1 = 7 hops (done propagates from the previous round's
+    # b-segment state), but a never-done row has walked cur exactly
+    # 2^k = 8 steps with exact hops — so doneness is decided by
+    # whether cur still points anywhere, closing the 8-hop gap the
+    # round-4 ADVICE flagged (all three implementations — doubling,
+    # recursive oracle, pytest walk — now state the same 2^RD_ROUNDS
+    # bound)
+    fin = res.join(p.select(F.col("doc_id").alias("cur"), "ptr"), "cur")
+    return fin.select(
         "doc_id",
-        F.when(F.col("done"), F.col("cur"))
+        F.when(F.col("ptr").isNull(), F.col("cur"))
         .otherwise(F.lit(-1))
         .cast("bigint")
         .alias("final_id"),
-        F.when(F.col("done"), F.col("hops"))
+        F.when(F.col("ptr").isNull(), F.col("hops"))
         .otherwise(F.lit(-1))
         .cast("bigint")
         .alias("hops"),
-        F.col("done").cast("int").alias("resolved"),
+        F.col("ptr").isNull().cast("int").alias("resolved"),
     )
 
 

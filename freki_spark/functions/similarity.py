@@ -516,9 +516,14 @@ q AS (
          CAST(round(e.x * {KMEANS_SCALE}) AS BIGINT) AS xq
   FROM assigned a JOIN ex e ON a.vec_id = e.vec_id
 )
-SELECT list_id, j, sum(xq) AS sum_q, CAST(count(*) AS INT) AS n_members
+SELECT list_id, j, CAST(sum(xq) AS BIGINT) AS sum_q,
+       CAST(count(*) AS INT) AS n_members
 FROM q GROUP BY list_id, j
 """
+# CAST(sum(..) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT, which
+# the driver's pandas canonicalization converts to float64 — hashing
+# `21.0` against Spark's bigint `21` (CORRECTNESS_r04 red).  Every
+# integer sum that reaches an oracle's OUTPUT must be cast back.
 
 SQL_ANN_IVF = f"""
 WITH {_IVF_CTES},

@@ -681,7 +681,20 @@ for _a, _b in BPE_MERGES:
 
 
 def bpe_ids(spark, sf_dir):
-    return _bpe_ids_from(_docs(spark, sf_dir))
+    """Registry surface: the id tensor rendered as a CSV string
+    (``ids_csv``).  The driver canonicalizes result sets through a
+    pandas sort, which raises ``unhashable type: 'list'`` on
+    list-typed columns (CORRECTNESS_r04's bpe_ids crash) — so the
+    registry entry scalarizes; library consumers (tests, loaders)
+    take the true ``array<int>`` from ``_bpe_ids_from``."""
+    e = _bpe_ids_from(_docs(spark, sf_dir))
+    return e.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
 
 
 def _bpe_ids_from(docs):
@@ -737,13 +750,16 @@ t AS (
   FROM w
 )
 SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
-       list_transform(
+       array_to_string(list_transform(
            list_slice(list_concat(tk,
                [{", ".join("''" for _ in range(BPE_IDS_LEN))}]),
                1, {BPE_IDS_LEN}),
-           x -> CAST({_bpe_id_case('x')} AS INT)) AS ids
+           x -> CAST({_bpe_id_case('x')} AS INT)), ',') AS ids_csv
 FROM t
 """
+# array_to_string: list-typed oracle outputs crash the driver's
+# pandas canonicalization (unhashable 'list', CORRECTNESS_r04) —
+# array outputs get a scalar CSV rendering on BOTH engine sides.
 # pad-then-slice (concat + slice) mirrors the Spark side's
 # concat/array_repeat/slice formula exactly AND avoids DuckDB 1.0.0's
 # list_resize, whose vectorized path raises std::bad_array_new_length

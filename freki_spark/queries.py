@@ -1755,11 +1755,15 @@ m AS (
   FROM steps WHERE from_type IS NOT NULL
   GROUP BY 1, 2
 ),
-totals AS (SELECT from_type, sum(n) AS from_total FROM m GROUP BY 1)
+totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+           FROM m GROUP BY 1)
 SELECT from_type, to_type, n, from_total,
-       {_ppm_exact('n', 'from_total', '//')} AS prob_ppm
+       CAST({_ppm_exact('n', 'from_total', '//')} AS BIGINT) AS prob_ppm
 FROM m JOIN totals USING (from_type)
 """
+# CAST .. AS BIGINT on from_total/prob_ppm: DuckDB sum(BIGINT) is
+# HUGEINT, which the driver's pandas canon floats (r4 red) — the
+# kmeans_update rule.  The _ppm_exact staging then runs in BIGINT.
 
 
 STICKY_WINDOW = 7  # WAU window: a user's activity day counts for 7 days
@@ -2029,12 +2033,21 @@ def dialog_assemble(spark, sf_dir):
             " ",
         ).alias("utt"),
     )
+    # turns renders as one ' | '-joined string (not array<string>):
+    # list-typed outputs crash the driver's pandas canonicalization
+    # (unhashable 'list' — the bpe_ids r4 lesson); ' | ' cannot occur
+    # in content (utts are '#'/space-joined event labels)
     return turns.groupBy("user_id", "sess_no").agg(
         F.count("*").cast("bigint").alias("n_turns"),
         F.sum("n_msgs").cast("bigint").alias("n_msgs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("turn_no", "role", "utt"))),
-            lambda s: F.concat_ws(": ", s["role"], s["utt"]),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_no", "role", "utt"))
+                ),
+                lambda s: F.concat_ws(": ", s["role"], s["utt"]),
+            ),
+            " | ",
         ).alias("turns"),
     )
 
@@ -2072,9 +2085,11 @@ t AS (
 SELECT user_id, sess_no,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(n_msgs) AS BIGINT) AS n_msgs,
-       list(role || ': ' || utt ORDER BY turn_no) AS turns
+       string_agg(role || ': ' || utt, ' | ' ORDER BY turn_no) AS turns
 FROM t GROUP BY 1, 2
 """
+# string_agg (not list(..)): list-typed oracle outputs crash the
+# driver's pandas canon — scalar ' | ' rendering on both sides.
 
 
 ATTR_CHANNELS = 5  # view channel = json props k mod 5
@@ -2416,7 +2431,11 @@ idx AS (
   FROM daily
 ),
 ref AS (
-  SELECT event_type, sum(n0) // count(*) AS ref, count(*) AS nd
+  -- CAST: sum(BIGINT) is HUGEINT in DuckDB; left bare it propagates
+  -- through `n` into the output, where the driver's pandas canon
+  -- floats it (the kmeans_update rule)
+  SELECT event_type, CAST(sum(n0) // count(*) AS BIGINT) AS ref,
+         count(*) AS nd
   FROM daily GROUP BY 1
 ),
 boosted AS (
@@ -4603,53 +4622,37 @@ for _mod in (_dedup, _sim, _ta, _mm, _cp, _graph, _stream, _warc, _search):
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- ROUND-4 DRIVER WINDOW (first 50) -------------------------------
-    # The driver's CORRECTNESS_r0N.json records exactly the first 50
-    # registry entries in iteration order.  This window is 50
-    # never-driver-checked entries, ordered by tools/rotate_priority.py
-    # (multimodal + text-normalization first, then corpus prep /
-    # sampling, scan formats, and the analytics family).
-    "q_stream_dq", "media_resize", "media_frame_sample", "caption_mine",
-    "text_normalize", "dehyphenate", "lexical_diversity", "kmeans_update",
-    "dsir_select", "bpe_train", "domain_stats", "crawl_frontier",
-    "recrawl_schedule", "robots_filter", "anchor_text", "corpus_stats",
-    "gopher_ngram_flags", "hard_negatives", "bleu_stats", "span_corruption",
-    "weighted_sample", "semantic_pack", "doremi_weights", "filter_funnel",
-    "bitext_mine", "vocab_coverage", "bpe_ids", "preference_pairs",
-    "zorder_plan", "code_detect", "ocr_garble", "mojibake_fix", "dist_drift",
-    "split_leakage", "colloc_dice", "heavy_hitters_cms",
-    "winnow_fingerprint", "temperature_sample", "shard_manifest",
-    "q_warc_scan", "warc_index", "q_scan_csv", "q_scan_orc",
-    "q_scan_evolved", "mixture_sample", "q_sessionize_batch",
-    "funnel_conversion", "retention_cohort", "event_transitions",
-    "rfm_segments",
-    # ---- ROUND-5 WINDOW PLAN ---------------------------------------------
-    # First: the two slugs whose code changed in round 4 (de-vacuized per
-    # the round-3 verdict -- both now return non-empty relations), then
-    # the 20 round-4 additions (never driver-checked; each oracle-green
-    # at sf0.001/0.01/0.1 from birth), then the 52 older never-checked
-    # entries (38 of which carry a round-3 judge spot-check pass).  This
-    # block holds 74 slugs against a 50-slot window, a deliberate
-    # trade: round 4 grew the registry by 20 ops rather than freezing
-    # it for coverage bookkeeping; the ~24-slug residue after round 5
-    # is exactly the judge-verified tail plus the youngest ops, all
-    # covered every round by the full local gate.
-    "resume_antijoin", "dedup_exact",
-    # round-4 additions (never driver-checked; oracle-backed from birth)
-    "textrank_keywords", "sparse_cosine_topk", "ndcg_eval",
-    "rouge_ngram_stats", "redirect_resolve", "cocitation_sim",
-    "harmonic_centrality", "sitemap_parse", "dedup_containment",
-    "zipf_fit", "burstiness_fano", "h_index_domains", "ppr_seeds",
+    # ---- ROUND-5 DRIVER WINDOW (first 50) -------------------------------
+    # The driver's CORRECTNESS gate checks exactly the first 50 registry
+    # entries in iteration order.  Per the round-4 verdict: first the two
+    # r4 de-vacuized slugs (code changed r4, judge-green, driver re-row
+    # due), then the THREE r4 driver-reds (kmeans_update /
+    # event_transitions / bpe_ids — oracle driver-compat fixes landed
+    # this round: HUGEINT sums cast to BIGINT, array outputs
+    # scalarized), then the four slugs whose code changed THIS round for
+    # the same class (+ redirect_resolve's 2^k-hop done fix), then
+    # never-driver-checked entries in rotate_priority order.
+    "resume_antijoin", "dedup_exact", "kmeans_update", "event_transitions",
+    "bpe_ids", "redirect_resolve", "dialog_assemble", "token_budget_cap",
+    "changepoint_cusum", "textrank_keywords", "sparse_cosine_topk",
+    "ndcg_eval", "rouge_ngram_stats", "cocitation_sim",
+    "harmonic_centrality", "sitemap_parse", "dedup_containment", "zipf_fit",
+    "burstiness_fano", "h_index_domains", "ppr_seeds",
     "degree_assortativity", "q_window_range_frame", "domain_dup_rate",
     "embedding_dim_stats", "kwic_concordance", "transcript_vad_align",
-    "q_explode_outer",
-    "stickiness_wau", "site_boilerplate", "k_anonymity", "dialog_assemble",
+    "q_explode_outer", "stickiness_wau", "site_boilerplate", "k_anonymity",
     "license_detect", "cdc_chunks", "slop_filter", "mrl_recall",
-    "token_budget_cap", "inbatch_collisions", "attribution_last_touch",
-    "path_rollup", "gap_fill_calendar", "anomaly_mad", "changepoint_cusum",
-    "item_cooccurrence", "vocab_dense_ids", "cluster_labels",
-    "skyline_pareto", "recommend_topk", "session_path_topk",
-    "kcenter_coreset", "ab_chi2", "colbert_maxsim", "skipgram_pairs",
+    "inbatch_collisions", "attribution_last_touch", "path_rollup",
+    "gap_fill_calendar", "anomaly_mad", "item_cooccurrence",
+    "vocab_dense_ids", "cluster_labels", "skyline_pareto", "recommend_topk",
+    "session_path_topk", "kcenter_coreset", "ab_chi2", "colbert_maxsim",
+    "skipgram_pairs",
+    # ---- ROUND-6 RESIDUE: never driver-checked after round 5 ------------
+    # 27 slugs (5 bumped from the rotate proposal by the re-check
+    # fronting above + the 22 the proposal already deferred); registry
+    # growth is FROZEN this round (verdict item 4) so round 6's 50-slot
+    # window closes the sweep with >=23 slots to spare.  All 27 carry a
+    # judge spot-check green and pass the full local gate every round.
     "q_session_window", "q_sliding_window", "q_scan_binary",
     "entropy_filter", "decile_bins", "q_xml_functions", "q_variant_json",
     "q_unpivot", "pack_lpt", "prefix_cache_stats", "feature_label_pit",
@@ -4658,40 +4661,51 @@ _PRIORITY = [
     "dedup_eval", "langid_confusion", "q_python_udtf", "q_collation",
     "dq_checks", "ref_integrity", "ewma_dyadic", "value_histogram",
     "trend_ols",
-    # ---- TAIL: green driver rows in r1-r3, code unchanged ----------------
+    # ---- TAIL: green driver rows, code unchanged ------------------------
     # Covered every round by tools/verify_queries.py (local gate).
-    "q_stream_extract", "q_stream_sessionize", "q_stream_ss_join",
-    "q_stream_incremental_dedup", "q_stream_curate", "q_stream_cms",
-    "q_stream_join", "q_stream_hourly", "q_stream_dedup",
+    "q_stream_dq", "media_resize", "media_frame_sample", "caption_mine",
+    "text_normalize", "dehyphenate", "lexical_diversity", "dsir_select",
+    "bpe_train", "domain_stats", "crawl_frontier", "recrawl_schedule",
+    "robots_filter", "anchor_text", "corpus_stats", "gopher_ngram_flags",
+    "hard_negatives", "bleu_stats", "span_corruption", "weighted_sample",
+    "semantic_pack", "doremi_weights", "filter_funnel", "bitext_mine",
+    "vocab_coverage", "preference_pairs", "zorder_plan", "code_detect",
+    "ocr_garble", "mojibake_fix", "dist_drift", "split_leakage",
+    "colloc_dice", "heavy_hitters_cms", "winnow_fingerprint",
+    "temperature_sample", "shard_manifest", "q_warc_scan", "warc_index",
+    "q_scan_csv", "q_scan_orc", "q_scan_evolved", "mixture_sample",
+    "q_sessionize_batch", "funnel_conversion", "retention_cohort",
+    "rfm_segments", "q_stream_extract", "q_stream_sessionize",
+    "q_stream_ss_join", "q_stream_incremental_dedup", "q_stream_curate",
+    "q_stream_cms", "q_stream_join", "q_stream_hourly", "q_stream_dedup",
     "inverted_postings", "bm25_topk", "hybrid_rrf", "phrase_query",
-    "curate_keep", "perplexity_bucket", "quality_vote", "quality_classifier",
-    "c4_line_filter", "badword_filter", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_canonical", "dedup_keep", "dedup_stats",
-    "paragraph_dedup", "dedup_semantic", "pagerank_iter", "link_graph",
-    "domain_authority", "hits_scores", "community_lpa", "triangle_count",
-    "bfs_landmarks", "two_hop_reach", "merge_upsert", "scd2_history",
-    "snapshot_diff", "media_phash_dedup", "clip_filter", "media_dedup",
-    "media_features", "media_span_join", "pack_interleaved",
-    "decontaminate_ngram", "decontaminate_bloom", "shuffle_deterministic",
-    "q_recursive_bfs", "q_lateral_topk", "audio_vad_windows",
-    "q_observe_metrics",
-    "scan_documents", "explode_spans", "reassemble_xml", "parse_glyphs",
-    "cluster_lines", "render_spacing", "detect_columns", "segment_blocks",
-    "label_blocks", "interleave_media", "emit_spans", "html_extract_sf",
-    "salt_skew", "write_output", "checkpoint_lineage",
-    "dedup_simhash", "dedup_embedding_cosine", "cc_bigstar",
-    "dup_span_detect", "dup_span_remove", "dup_verify_edit",
-    "ann_topk_bruteforce", "ann_lsh_bucketed", "lsh_bucket_stats",
-    "ann_ivf_flat", "ivf_assign", "embed_outliers", "pq_encode",
-    "ann_topk_pq", "knn_graph", "ann_topk_quantized", "lang_id_ngram",
-    "quality_score", "token_count_bpe", "doc_fingerprint",
-    "gopher_repetition", "gopher_quality", "bpe_encode", "pii_scrub",
-    "url_normalize", "url_dedup", "line_dedup", "chunk_sliding",
-    "sample_stratified", "train_split", "ngram_topk", "tfidf_topk",
-    "q_compact_plan", "pack_sequences", "dedup_minhash_lsh",
-    "dedup_components", "q_hash_agg", "q_broadcast_join", "q_smj_large",
-    "q_window_rank", "q_range_join", "q_asof_join", "q_grouped_map_udf",
-    "q_grouped_agg_udf",
+    "curate_keep", "perplexity_bucket", "quality_vote",
+    "quality_classifier", "c4_line_filter", "badword_filter",
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_canonical",
+    "dedup_keep", "dedup_stats", "paragraph_dedup", "dedup_semantic",
+    "pagerank_iter", "link_graph", "domain_authority", "hits_scores",
+    "community_lpa", "triangle_count", "bfs_landmarks", "two_hop_reach",
+    "merge_upsert", "scd2_history", "snapshot_diff", "media_phash_dedup",
+    "clip_filter", "media_dedup", "media_features", "media_span_join",
+    "pack_interleaved", "decontaminate_ngram", "decontaminate_bloom",
+    "shuffle_deterministic", "q_recursive_bfs", "q_lateral_topk",
+    "audio_vad_windows", "q_observe_metrics", "scan_documents",
+    "explode_spans", "reassemble_xml", "parse_glyphs", "cluster_lines",
+    "render_spacing", "detect_columns", "segment_blocks", "label_blocks",
+    "interleave_media", "emit_spans", "html_extract_sf", "salt_skew",
+    "write_output", "checkpoint_lineage", "dedup_simhash",
+    "dedup_embedding_cosine", "cc_bigstar", "dup_span_detect",
+    "dup_span_remove", "dup_verify_edit", "ann_topk_bruteforce",
+    "ann_lsh_bucketed", "lsh_bucket_stats", "ann_ivf_flat", "ivf_assign",
+    "embed_outliers", "pq_encode", "ann_topk_pq", "knn_graph",
+    "ann_topk_quantized", "lang_id_ngram", "quality_score",
+    "token_count_bpe", "doc_fingerprint", "gopher_repetition",
+    "gopher_quality", "bpe_encode", "pii_scrub", "url_normalize",
+    "url_dedup", "line_dedup", "chunk_sliding", "sample_stratified",
+    "train_split", "ngram_topk", "tfidf_topk", "q_compact_plan",
+    "pack_sequences", "dedup_minhash_lsh", "dedup_components", "q_hash_agg",
+    "q_broadcast_join", "q_smj_large", "q_window_rank", "q_range_join",
+    "q_asof_join", "q_grouped_map_udf", "q_grouped_agg_udf",
 ]
 
 _missing = [k for k in _PRIORITY if k not in QUERIES]

@@ -1380,8 +1380,11 @@ def test_bpe_ids_roundtrip_and_fixed_shape(spark):
         exp[r.doc_id] = (len(tk), ids + [0] * (BPE_IDS_LEN - len(ids)))
         stream[r.doc_id] = tk[:BPE_IDS_LEN]
 
+    # registry surface scalarizes (ids_csv — the driver's pandas
+    # canon can't sort list columns); parse it back for the checks
+    # and pin that the csv is exactly the joined array
     got = {
-        r.doc_id: (r.n_tokens, list(r.ids))
+        r.doc_id: (r.n_tokens, [int(x) for x in r.ids_csv.split(",")])
         for r in bpe_ids(spark, SF).collect()
     }
     assert got == exp
@@ -4967,7 +4970,9 @@ def test_dialog_assemble_matches_naive_python(spark):
     coalesced = multi_thread_users = 0
     for k, turns in exp.items():
         r = got[k]
-        assert r.turns == [f"{role}: {' '.join(ms)}" for role, ms in turns], k
+        assert r.turns == " | ".join(
+            f"{role}: {' '.join(ms)}" for role, ms in turns
+        ), k
         assert r.n_turns == len(turns)
         assert r.n_msgs == sum(len(ms) for _, ms in turns)
         coalesced += int(r.n_msgs > r.n_turns)
@@ -7812,6 +7817,30 @@ def test_redirect_resolve_matches_python_walk(spark):
         unresolved += 0 if done else 1
     assert unresolved >= 6  # the 55/56 cycle + its feeder chains exist
     assert any(r.resolved == 1 and r.hops == 3 for r in rows.values())
+
+
+def test_redirect_doubling_resolves_exactly_pow2_hops(spark):
+    """The 2^RD_ROUNDS boundary the round-4 ADVICE flagged: done-aware
+    doubling alone certifies only 2^k − 1 hops, so the final
+    terminal-check join must close the gap — a chain of EXACTLY
+    2^RD_ROUNDS hops resolves with exact hops, 2^RD_ROUNDS + 1 does
+    not, and a planted 2-cycle never does."""
+    from freki_spark.functions.graph import RD_ROUNDS, _resolve_ptrs
+
+    cap = 2 ** RD_ROUNDS
+    # node i points to i-1 for 1..cap+1 (chain of cap+1 hops into the
+    # terminal 0); nodes 100/101 form a 2-cycle; 102 feeds the cycle
+    ptrs = (
+        [(0, None)]
+        + [(i, i - 1) for i in range(1, cap + 2)]
+        + [(100, 101), (101, 100), (102, 100)]
+    )
+    p = spark.createDataFrame(ptrs, "doc_id: bigint, ptr: bigint")
+    got = {r.doc_id: r for r in _resolve_ptrs(p).collect()}
+    for i in range(cap + 1):  # 0..cap hops all resolve, exact hops
+        assert (got[i].final_id, got[i].hops, got[i].resolved) == (0, i, 1), i
+    for d in (cap + 1, 100, 101, 102):  # beyond-cap + cycles don't
+        assert (got[d].final_id, got[d].hops, got[d].resolved) == (-1, -1, 0), d
 
 
 def test_cocitation_matches_python_recompute(spark):

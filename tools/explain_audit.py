@@ -2588,8 +2588,9 @@ def main() -> int:
                 continue
             if "CartesianProduct" in p and slug not in allow_cartesian:
                 bad.append(f"{slug}: CartesianProduct")
-            # \b keeps BatchEvalPythonUDTF (an Arrow-batched lateral
-            # surface, individually audited by check 89) out of match
+            # the literal ' (' (not a \b) keeps BatchEvalPythonUDTF
+            # (Arrow-batched lateral, audited by check 89) out of the
+            # match — see the block comment above
             if (
                 re.search(r"BatchEvalPython \(", p)
                 and slug not in allow_row_python
@@ -2600,6 +2601,43 @@ def main() -> int:
             not bad,
             f"{len(QUERIES)} entries swept"
             + (f"; offenders: {bad}" if bad else ", 0 offenders"),
+        )
+
+        # 118. registry-wide ORACLE dtype sweep (runs with 109, same
+        #      guard): every oracle must BIND to driver-safe DuckDB
+        #      result types — HUGEINT floats in the driver's pandas
+        #      canon (r4's kmeans_update/event_transitions reds) and
+        #      nested types crash its sort (bpe_ids).  Bind-time only:
+        #      no oracle executes.  Same detector as the local gate
+        #      and tests/test_driver_compat.py.
+        import duckdb
+
+        from verify_queries import TABLES, driver_unsafe_types
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        from __spark_entry__ import oracle_sql
+
+        dbad: list[str] = []
+        orc = oracle_sql()
+        for slug, sql in orc.items():
+            try:
+                types = con.sql(sql).types
+            except Exception as e:
+                dbad.append(f"{slug}: bind failed: {str(e)[:80]}")
+                continue
+            off = driver_unsafe_types(types)
+            if off:
+                dbad.append(f"{slug}: {off}")
+        check(
+            "global_oracle_dtypes_driver_safe",
+            not dbad,
+            f"{len(orc)} oracles bound"
+            + (f"; offenders: {dbad}" if dbad else ", 0 driver-unsafe"),
         )
 
     spark.stop()

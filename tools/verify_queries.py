@@ -1,7 +1,23 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` in DuckDB over
 the same sf dir; compare row count, column names, and order-insensitive
-values.  Usage: python tools/verify_queries.py [sf_dir] [name ...]"""
+values.  Usage: python tools/verify_queries.py [sf_dir] [name ...]
+
+Driver-compat typing gate (round-5 hardening, after the first driver
+reds in r4): the DRIVER canonicalizes result sets through pandas
+(`_canon -> DataFrame.sort_values` in its traceback), which
+
+- converts DuckDB HUGEINT (any bare ``sum(BIGINT)``) to float64, so an
+  integer-exact oracle hashes as ``21.0`` against Spark's ``21``; and
+- raises ``TypeError: unhashable type: 'list'`` on list-typed columns.
+
+The old gate fetched DuckDB via ``fetchall()`` (python ints, no crash)
+and so PASSED all six ops the driver rejected.  This gate now rejects
+any oracle whose DECLARED DuckDB result type would skew or crash the
+driver's pandas path (HUGEINT / UHUGEINT / LIST / STRUCT / MAP /
+UNION), before the value comparison even runs — the engine-level
+equivalent of canonicalizing through ``fetch_df()``, with no pandas
+date/NaT representation churn on the 246 already-green entries."""
 
 from __future__ import annotations
 
@@ -14,6 +30,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def driver_unsafe_types(types) -> list:
+    """DuckDB result types the driver's pandas canon mishandles:
+    HUGEINT family floats (loses integer exactness in the hash), and
+    nested types crash ``sort_values`` (unhashable).  ``types`` is the
+    relation's ``.types``; returns the offending type strings."""
+    bad = []
+    for t in types:
+        s = str(t).upper()
+        if (
+            "HUGEINT" in s
+            or "[]" in s
+            or s.startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ):
+            bad.append(s)
+    return bad
 
 
 def canon(v):
@@ -83,6 +116,7 @@ def main() -> int:
             continue
         try:
             res = con.sql(oracles[name])
+            bad = driver_unsafe_types(res.types)
             drows = res.fetchall()
             dcols = list(res.columns)
         except Exception as e:
@@ -90,6 +124,12 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        if bad:
+            problems.append(
+                f"driver-unsafe oracle dtypes {bad} (pandas canon "
+                "floats HUGEINT / crashes on nested — CAST sums to "
+                "BIGINT, scalarize arrays)"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={scols} duck={dcols}")
         if len(srows) != len(drows):
