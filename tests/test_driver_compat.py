@@ -30,7 +30,11 @@ sys.path.insert(
     ),
 )
 
-from verify_queries import TABLES, driver_unsafe_types  # noqa: E402
+from verify_queries import (  # noqa: E402
+    create_views,
+    driver_unsafe_types,
+    oracle_dtype_offenders,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -49,11 +53,7 @@ R4_AFFECTED = (
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in TABLES:
-        c.execute(
-            f"CREATE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
+    create_views(c, SF)
     return c
 
 
@@ -73,6 +73,11 @@ def test_detector_fires_on_injected_regressions(con):
     assert driver_unsafe_types(lst.types)
     st = con.sql("SELECT {'a': 1} AS s")
     assert driver_unsafe_types(st.types)
+    # fixed-size ARRAY ('INTEGER[3]') has no '[]' substring and no
+    # STRUCT/MAP/LIST prefix, but fetch_df renders it as numpy arrays
+    # — just as unhashable to the driver's sort as LIST
+    arr = con.sql("SELECT array_value(1, 2, 3) AS a")
+    assert driver_unsafe_types(arr.types)
     # and the fixed shapes must NOT be flagged
     ok = con.sql(
         "SELECT CAST(sum(o_orderkey) AS BIGINT) AS s, "
@@ -84,16 +89,7 @@ def test_detector_fires_on_injected_regressions(con):
 def test_registry_wide_oracle_dtype_sweep(con, oracles):
     """Every registered oracle must bind to driver-safe result types.
     Bind-time only (no fetch): the whole registry sweeps in seconds."""
-    offenders = {}
-    for name, sql in oracles.items():
-        try:
-            rel = con.sql(sql)
-        except Exception as e:  # binding itself must not fail either
-            offenders[name] = f"bind error: {str(e)[:120]}"
-            continue
-        bad = driver_unsafe_types(rel.types)
-        if bad:
-            offenders[name] = bad
+    offenders = oracle_dtype_offenders(con, oracles)
     assert offenders == {}, (
         f"driver-unsafe oracle output types (pandas canon floats "
         f"HUGEINT / crashes on nested): {offenders}"

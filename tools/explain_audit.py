@@ -2612,27 +2612,14 @@ def main() -> int:
         #      and tests/test_driver_compat.py.
         import duckdb
 
-        from verify_queries import TABLES, driver_unsafe_types
+        from verify_queries import create_views, oracle_dtype_offenders
 
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
         from __spark_entry__ import oracle_sql
 
-        dbad: list[str] = []
+        con = duckdb.connect()
+        create_views(con, sf_dir)
         orc = oracle_sql()
-        for slug, sql in orc.items():
-            try:
-                types = con.sql(sql).types
-            except Exception as e:
-                dbad.append(f"{slug}: bind failed: {str(e)[:80]}")
-                continue
-            off = driver_unsafe_types(types)
-            if off:
-                dbad.append(f"{slug}: {off}")
+        dbad = oracle_dtype_offenders(con, orc)
         check(
             "global_oracle_dtypes_driver_safe",
             not dbad,

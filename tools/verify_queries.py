@@ -42,11 +42,43 @@ def driver_unsafe_types(types) -> list:
         s = str(t).upper()
         if (
             "HUGEINT" in s
-            or "[]" in s
+            # a bare '[' also catches fixed-size ARRAY ('INTEGER[3]'),
+            # which fetch_df renders as numpy arrays — just as
+            # unhashable to the driver's sort as LIST
+            or "[" in s
             or s.startswith(("STRUCT", "MAP", "LIST", "UNION"))
         ):
             bad.append(s)
     return bad
+
+
+def create_views(con, sf_dir: str) -> None:
+    """Register the standard parquet tables as DuckDB views — shared
+    by the gate, audit check 118, and tests/test_driver_compat.py."""
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
+def oracle_dtype_offenders(con, oracles: dict) -> dict:
+    """Bind every oracle (no execution — DuckDB resolves types at
+    bind time) and return {slug: offending-types-or-error} for any
+    whose declared output the driver's pandas canon would mishandle.
+    The single definition behind the gate, explain_audit check 118,
+    and the pytest sweep."""
+    offenders = {}
+    for slug, sql in oracles.items():
+        try:
+            types = con.sql(sql).types
+        except Exception as e:
+            offenders[slug] = f"bind failed: {str(e)[:120]}"
+            continue
+        bad = driver_unsafe_types(types)
+        if bad:
+            offenders[slug] = bad
+    return offenders
 
 
 def canon(v):
@@ -91,10 +123,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    create_views(con, sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
@@ -117,6 +146,16 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             bad = driver_unsafe_types(res.types)
+            if bad:
+                # short-circuit: a value diff under a skewed dtype is
+                # noise — report the type problem alone
+                print(
+                    f"FAIL  {name}: driver-unsafe oracle dtypes {bad} "
+                    "(pandas canon floats HUGEINT / crashes on nested "
+                    "— CAST sums to BIGINT, scalarize arrays)"
+                )
+                n_fail += 1
+                continue
             drows = res.fetchall()
             dcols = list(res.columns)
         except Exception as e:
@@ -124,12 +163,6 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
-        if bad:
-            problems.append(
-                f"driver-unsafe oracle dtypes {bad} (pandas canon "
-                "floats HUGEINT / crashes on nested — CAST sums to "
-                "BIGINT, scalarize arrays)"
-            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={scols} duck={dcols}")
         if len(srows) != len(drows):
