@@ -72,14 +72,18 @@ def test_ppm_exact_matches_python_floor_in_both_engines(spark):
 
 def test_ppm_exact_is_exact_where_naive_double_math_is_not(spark):
     """The reason the staging exists: past 2^53 the naive double path
-    (num * 1e6 / den) rounds, and bare bigint num*1000000 wraps.  Pick
-    a pair where BOTH naive forms are provably wrong and assert the
-    staged form still equals the python floor."""
-    num = 9_007_199_254_740_993  # 2^53 + 1: not double-representable
-    den = DEN_MAX
-    want = num * 1_000_000 // den
-    # naive double math disagrees with exact floor on this pair
-    assert int(num * 1e6 / den) != want or float(num) != num
+    (num * 1e6 / den) rounds, and bare bigint num*1000000 wraps.  This
+    pair (found by search: num·10⁶ lands just under a multiple of den,
+    so double rounding crosses the floor boundary) has BOTH naive
+    forms provably wrong; the staged form must still equal the python
+    floor in both engines."""
+    num, den = 5_567_097_886_131_694, 8_156_250_748_849_463
+    assert den <= DEN_MAX and num <= den  # inside the contract
+    want = num * 1_000_000 // den  # 682555
+    # naive double math flips the floor on this pair...
+    assert int(num * 1e6 / den) == want + 1
+    # ...and the bare bigint product overflows int64 outright
+    assert num * 1_000_000 > 2**63 - 1
     import duckdb
 
     (duck,) = duckdb.sql(

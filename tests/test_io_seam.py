@@ -83,8 +83,13 @@ def test_bucket_filter_prunes_partitions_at_scan(spark, tmp_path):
         one.explain("formatted")
     p = buf.getvalue()
     # the bucket predicate must reach the scan as a PARTITION filter
-    # (directory pruning), not a data filter over all files
-    assert "PartitionFilters" in p and "bucket" in p.split("PartitionFilters", 1)[1][:200]
+    # (directory pruning), not a data filter over all files — match
+    # INSIDE the PartitionFilters bracket, not a loose window after it
+    # (the pass-20 vacuous-audit-regex rule)
+    assert "PartitionFilters" in p
+    bracket = p.split("PartitionFilters", 1)[1]
+    bracket = bracket[: bracket.index("]")]
+    assert "bucket" in bracket, bracket
     # and the pruned read returns exactly the bucket-3 docs
     all_rows = {r.doc_id: r.bucket for r in spark.read.parquet(path).collect()}
     want = {d for d, bk in all_rows.items() if bk == 3}

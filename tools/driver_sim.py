@@ -15,7 +15,11 @@ lesson says bit-equality is the bar — NaN/None/NaT as NULL), columns
 aligned by sorted name, rows sorted, then compared.
 
 Usage: python tools/driver_sim.py [sf_dir] [n_window] [name ...]
-Defaults: /root/testdata/sf0.01, first 50 entries.
+Defaults: /root/testdata/sf0.01, first 50 entries.  Names select from
+the FULL registry (not just the window) and unknown names are an
+error — naming an op must never silently run nothing; a bare
+``driver_sim.py <sf_dir> <name>`` also works (any non-integer second
+argument is treated as the first name).
 """
 
 from __future__ import annotations
@@ -41,7 +45,12 @@ def cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NULL"  # pandas renders SQL NULL as NaN
-        return repr(v + 0.0)  # exact — a 1-ulp skew must FAIL here
+        # exact repr — a 1-ulp MAGNITUDE skew must FAIL here (the BM25
+        # association lesson).  Signed zero alone is normalized
+        # (+0.0), matching verify_queries.canon: whether the driver
+        # distinguishes -0.0 is unknown, and flagging it would false-
+        # alarm ops whose only difference is an underflow sign.
+        return repr(v + 0.0)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -62,14 +71,25 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    only = set(sys.argv[3:])
+    rest = sys.argv[2:]
+    n_window = 50
+    if rest and rest[0].isdigit():
+        n_window = int(rest[0])
+        rest = rest[1:]
+    only = set(rest)
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    window = [k for k in list(qs)[:n_window] if not only or k in only]
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"ERROR: unknown query names: {sorted(unknown)}")
+            return 2
+        window = [k for k in qs if k in only]  # full registry, not window
+    else:
+        window = list(qs)[:n_window]
 
     spark = (
         SparkSession.builder.master("local[8]")
